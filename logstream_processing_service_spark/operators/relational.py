@@ -1,0 +1,446 @@
+"""Core relational operators of the log-analytics engine.
+
+Each function is a pure ``DataFrame -> DataFrame`` transform mirroring one
+capability of the reference (file:line citations into /root/reference in each
+docstring). The ``events`` testdata table plays the role of the reference's
+``logs`` table (log_id→event_id, level→event_type, cluster key→user_id,
+parsed_data→props).
+
+Scale notes are inline: each transform states its shuffle shape and why it
+holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (SURVEY §2.2 P1-P9, §2.7 O1-O2)
+# ---------------------------------------------------------------------------
+
+
+def scan_slice(
+    df: DataFrame,
+    id_col: str = "event_id",
+    levels: tuple[str, ...] = ("error", "signup"),
+    level_col: str = "event_type",
+    lo: int = 100,
+    hi: int = 5000,
+    limit: int | None = 500,
+) -> DataFrame:
+    """Batch-slice scan: the reference's incremental fetch.
+
+    Reference: ``SELECT * FROM logs WHERE log_id BETWEEN :start AND :end AND
+    level IN ('error','warning') AND cluster_id IS NULL ORDER BY log_id ASC``
+    (scripts/run_incremental_batch.py:59-65).
+
+    Scale: all three predicates (IN-list, BETWEEN, NOT NULL) push down to the
+    parquet scan (row-group min/max skipping on the id range); the ORDER BY +
+    LIMIT becomes a TakeOrdered, not a total sort.
+    """
+    out = df.filter(
+        F.col(level_col).isin(*levels)
+        & F.col(id_col).between(lo, hi)
+        & F.col("props").isNotNull()
+    ).orderBy(id_col)
+    return out.limit(limit) if limit else out
+
+
+def watermark_bounds(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Scalar watermark fetch (high/low/count in one pass).
+
+    Reference: ``fetch_min_timestamp`` (src/db/log_ops.py:17-41) and
+    ``MAX(last_seen)`` (src/db/pattern_ops.py:13-16).
+
+    Scale: single partial+final aggregate, no data movement beyond one row
+    per partition.
+    """
+    return df.agg(
+        F.max(ts_col).alias("max_ts"),
+        F.min(ts_col).alias("min_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.3 F1-F9)
+# ---------------------------------------------------------------------------
+
+
+def log_templates(df: DataFrame) -> DataFrame:
+    """Template text composition + JSON flattening.
+
+    Reference: ``concat_ws(' | ', source, level, message, parsed_data)``
+    (src/db/pattern_ops.py:31) and the README-promised-but-unimplemented JSON
+    key extraction (README.md:62) — implemented for real with
+    ``get_json_object``.
+
+    Scale: pure narrow projection — whole-stage codegen, no shuffle.
+    """
+    return df.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.concat_ws(
+            " | ",
+            F.col("event_type"),
+            F.substring(F.col("props"), 1, 20),
+        ).alias("log_template"),
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+        .cast("int")
+        .alias("k_value"),
+    )
+
+
+def json_key_volume(df: DataFrame) -> DataFrame:
+    """Flatten the JSON payload and aggregate on an extracted key (F9 + A1)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        df.select((k % 10).alias("k_mod"), F.col("value"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 A1-A8) + count-window bucketing (F5/T5)
+# ---------------------------------------------------------------------------
+
+
+def batch_volume(
+    df: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    batch_size: int = 100,
+) -> DataFrame:
+    """Per-(cluster, virtual-batch) volume counts.
+
+    Reference: ``SELECT cluster_id, log_id/100 AS batch_id, COUNT(*) …
+    GROUP BY cluster_id, batch_id`` (scripts/run_training_batch.py:221-227)
+    and the per-batch count feeding cluster_volume_history
+    (src/db/incident_ops.py:52-61).
+
+    Scale: one hash shuffle on (key, batch); partial aggregation map-side
+    combines before the exchange, so shuffle volume is bounded by group
+    cardinality, not row count.
+    """
+    return (
+        df.groupBy(
+            F.col(key_col).alias("cluster_id"),
+            F.floor(F.col(id_col) / batch_size).alias("batch_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("log_count"))
+    )
+
+
+def value_counts_topk(df: DataFrame, col: str = "event_type", k: int = 3) -> DataFrame:
+    """Top-k values by frequency with deterministic tie-break.
+
+    Reference: ``df.cluster_id.value_counts().head(3)``
+    (scripts/validate_quality.py:106).
+
+    Scale: agg shuffles only distinct values; orderBy+limit is TakeOrdered.
+    """
+    return (
+        df.groupBy(F.col(col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col(col))
+        .limit(k)
+    )
+
+
+def distinct_actors(df: DataFrame) -> DataFrame:
+    """Exact + approximate distinct counts per event type.
+
+    Reference: ``history_df.cluster_id.nunique()`` (src/db/incident_ops.py:88,
+    src/ml/volume_analyzer.py:111). The approx (HLL) variant is the 100 TB
+    path; the exact one is the oracle-checked one.
+    """
+    return (
+        df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def crosstab_counts(df: DataFrame) -> DataFrame:
+    """Cross-tabulation via conditional aggregation.
+
+    Reference: ``pd.crosstab(truth, cluster_id)``
+    (scripts/visualise_results.py:27).
+
+    Scale: single shuffle on the row key; pivot columns are conditional
+    counts, no second pass.
+    """
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") < 50, 1).otherwise(0)).alias("lo"),
+            F.sum(F.when((F.col("value") >= 50) & (F.col("value") < 150), 1).otherwise(0)).alias("mid"),
+            F.sum(F.when(F.col("value") >= 150, 1).otherwise(0)).alias("hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hourly_volume(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Tumbling time-window volume (streaming T5's batch twin).
+
+    Reference: count-based micro-batching (scripts/run_training_batch.py:218);
+    our engine's native window is time-based — this is the batch-SQL
+    equivalent of ``groupBy(F.window(ts, '1 hour'))``.
+    """
+    return (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def decayed_volume(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    half_life_hours: float = 24.0,
+) -> DataFrame:
+    """Exponentially time-decayed volume per key (DenStream decay analogue).
+
+    Reference: DenStream ``decaying_factor=0.0005`` ages micro-clusters
+    (src/ml/model.py:12); SURVEY T6 — no Spark builtin, expressed as an
+    exp(-λ·age) weighted aggregate.
+
+    Scale: the decay weight is computed per-row pre-shuffle; the aggregate
+    itself is an ordinary partial+final sum.
+    """
+    lam = 0.6931471805599453 / (half_life_hours * 3600.0)
+    # Age relative to the global max timestamp (the "now" of the batch).
+    # A one-row aggregate broadcast-joined in, NOT an unpartitioned window
+    # (which would collapse the whole table onto one task at scale).
+    now = df.agg(F.max(ts_col).alias("_now"))
+    # exact integer microseconds (ntz → tz-aware under UTC session tz), then
+    # double seconds — identical arithmetic to the oracle's epoch_us()
+    age_sec = (
+        F.unix_micros(F.col("_now").cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ) / F.lit(1000000.0)
+    weight = F.exp(-F.lit(lam) * age_sec)
+    return (
+        df.crossJoin(F.broadcast(now))
+        .groupBy(F.col(key_col).alias("cluster_id"))
+        .agg(F.round(F.sum(weight), 4).alias("decayed_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.6 W1-W6, §2.9 M8/M10)
+# ---------------------------------------------------------------------------
+
+
+def volume_history_window(volume: DataFrame, window_size: int = 5) -> DataFrame:
+    """Last-N volume entries per cluster (top-N-per-group).
+
+    Reference: ``ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY
+    batch_timestamp DESC) rn … WHERE rn <= :window_size``
+    (src/db/cluster_ops.py:39-53).
+
+    Scale: one shuffle on cluster_id; Spark ≥3.5 pushes the rank limit into
+    the sort (InferWindowGroupLimit) so each partition keeps only N rows.
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("batch_id"), F.desc("log_count")
+    )
+    return (
+        volume.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= window_size)
+        .select("cluster_id", "batch_id", "log_count", "rn")
+    )
+
+
+def volume_zscore(volume: DataFrame, window_size: int = 5) -> DataFrame:
+    """Rolling volume features: velocity, rolling mean, z-score deviation.
+
+    Reference: per-cluster ``[current_volume, velocity, rolling_avg,
+    deviation]`` (src/ml/volume_analyzer.py:27-73): velocity =
+    counts[-1]-counts[-2] (:55-60), rolling_avg = np.mean (:62-63), deviation
+    = (cur-avg)/(np.std+1e-5) (:65-68) — np.std is POPULATION std, so
+    ``stddev_pop`` here. Groups with fewer than ``window_size`` points are
+    skipped (:47-49).
+
+    Scale: all four features come from ONE window spec → one shuffle on
+    cluster_id, one sort, streaming frame evaluation. The reference loops
+    per-group in Python; this is whole-stage-codegen'd.
+    """
+    w = Window.partitionBy("cluster_id").orderBy("batch_id")
+    frame = w.rowsBetween(-(window_size - 1), 0)
+    counted = Window.partitionBy("cluster_id")
+    out = (
+        volume.withColumn("velocity", F.col("log_count") - F.lag("log_count", 1).over(w))
+        .withColumn("rolling_avg", F.avg("log_count").over(frame))
+        .withColumn("rolling_std", F.stddev_pop("log_count").over(frame))
+        .withColumn(
+            "deviation",
+            (F.col("log_count") - F.col("rolling_avg"))
+            / (F.col("rolling_std") + F.lit(1e-5)),
+        )
+        .withColumn("n_points", F.count(F.lit(1)).over(counted))
+        .withColumn("seq", F.row_number().over(w))
+        .filter((F.col("n_points") >= window_size) & (F.col("seq") >= window_size))
+        .select(
+            "cluster_id",
+            "batch_id",
+            "log_count",
+            "velocity",
+            F.round("rolling_avg", 4).alias("rolling_avg"),
+            F.round("deviation", 4).alias("deviation"),
+        )
+    )
+    return out
+
+
+def flag_anomalies(
+    features: DataFrame,
+    z_threshold: float = -1.0,
+    max_anomalies: int = 3,
+    ratio_guard: float = 0.3,
+) -> DataFrame:
+    """Relative z-score anomaly flagging with cap + miscalibration guard.
+
+    Reference: flag score z < −1.0 vs batch mean/std
+    (src/ml/volume_analyzer.py:126-141), cap at 3 (:93, :143-147), skip all
+    if flagged/evaluated > 0.3 (src/db/incident_ops.py:87-97). The "score"
+    here is the native deviation feature (lower = more anomalous volume
+    spike direction is encoded by sign).
+
+    Scale: two scalar aggregates over the (tiny: one row per cluster)
+    feature table + a TakeOrdered; all broadcastable.
+    """
+    latest = Window.partitionBy("cluster_id").orderBy(F.desc("batch_id"))
+    per_cluster = (
+        features.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # score: negative deviation = quiet, positive = spike; the reference's
+    # IsolationForest scores are "lower = more anomalous", mirrored here by
+    # scoring on -|deviation|.
+    scored = per_cluster.withColumn("score", -F.abs(F.col("deviation")))
+    stats = scored.agg(
+        F.avg("score").alias("_mu"),
+        F.stddev_pop("score").alias("_sigma"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    flagged = (
+        scored.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "rel_z", (F.col("score") - F.col("_mu")) / (F.col("_sigma") + F.lit(1e-9))
+        )
+        .filter(F.col("rel_z") < z_threshold)
+    )
+    guard = flagged.count() <= ratio_guard * max(scored.count(), 1)
+    if not guard:
+        return flagged.limit(0).select(
+            "cluster_id", "batch_id", "log_count", F.round("score", 4).alias("score")
+        )
+    return (
+        flagged.orderBy("score", "cluster_id")
+        .limit(max_anomalies)
+        .select(
+            "cluster_id", "batch_id", "log_count", F.round("score", 4).alias("score")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4 J1-J3) + upsert semantics (S6/S7)
+# ---------------------------------------------------------------------------
+
+
+def mine_patterns(df: DataFrame, since_ts=None) -> DataFrame:
+    """One representative row per cluster + total volume ("pattern mining").
+
+    Reference: ``logs l JOIN (SELECT cluster_id, MIN(log_id) AS first_log,
+    COUNT(*) AS total FROM logs GROUP BY cluster_id HAVING cluster_id IS NOT
+    NULL) t ON l.cluster_id=t.cluster_id AND l.log_id=t.first_log``
+    (src/db/pattern_ops.py:28-65); the incremental variant adds
+    ``timestamp > :last_time`` (:43).
+
+    Scale: the aggregate side is one row per cluster — tiny relative to the
+    fact table — so it is explicitly broadcast: the big side is NOT shuffled.
+    At 100 TB this is the difference between a map-side join and a full
+    sort-merge exchange.
+    """
+    base = df.filter(F.col("user_id").isNotNull())
+    if since_ts is not None:
+        base = base.filter(F.col("ts") > F.lit(since_ts))
+    agg = base.groupBy("user_id").agg(
+        F.min("event_id").alias("first_event"),
+        F.count(F.lit(1)).alias("incident_count"),
+    )
+    joined = base.alias("l").join(
+        F.broadcast(agg.alias("t")),
+        (F.col("l.user_id") == F.col("t.user_id"))
+        & (F.col("l.event_id") == F.col("t.first_event")),
+    )
+    return joined.select(
+        F.col("l.user_id").alias("cluster_id"),
+        F.concat_ws(" | ", F.col("l.event_type"), F.col("l.props")).alias("log_template"),
+        F.col("t.incident_count"),
+        F.col("l.ts").alias("last_seen"),
+    )
+
+
+def open_incident_upsert(
+    candidates: DataFrame,
+    incidents: DataFrame,
+    open_statuses: tuple[str, ...] = ("OPEN", "NEW"),
+) -> DataFrame:
+    """Set-oriented incident dedup-upsert split (insert-set vs touch-set).
+
+    Reference: per-row ``SELECT 1 FROM incidents WHERE cluster_id=:cid AND
+    status IN ('OPEN','NEW') LIMIT 1`` then branch insert/update
+    (src/db/incident_ops.py:7-41). Re-expressed as ONE anti-join (rows to
+    insert) unioned with ONE semi-join (rows to touch) — a single pass
+    instead of an RPC per cluster.
+
+    Scale: the incident table is small → broadcast; zero shuffle of the
+    candidate side.
+    """
+    open_inc = incidents.filter(F.col("status").isin(*open_statuses)).select("cluster_id").distinct()
+    to_insert = candidates.join(F.broadcast(open_inc), "cluster_id", "left_anti").withColumn(
+        "action", F.lit("insert")
+    )
+    to_touch = candidates.join(F.broadcast(open_inc), "cluster_id", "left_semi").withColumn(
+        "action", F.lit("update")
+    )
+    return to_insert.unionByName(to_touch)
+
+
+def upsert_append(new: DataFrame, existing: DataFrame, key: str = "log_id") -> DataFrame:
+    """Idempotent insert: ON CONFLICT DO NOTHING as an anti-join.
+
+    Reference: ``INSERT INTO log_embeddings … ON CONFLICT (log_id) DO
+    NOTHING`` (src/db/log_ops.py:47-55).
+    """
+    return new.join(existing.select(key).distinct(), key, "left_anti")
+
+
+def keyed_overwrite(
+    base: DataFrame, updates: DataFrame, key: str, col: str
+) -> DataFrame:
+    """Join-and-overwrite: UPDATE … WHERE key = :k as a left join + coalesce.
+
+    Reference: ``UPDATE logs SET cluster_id=:c WHERE log_id=:id`` executed
+    per row (src/db/log_ops.py:58-81); here one broadcast join updates the
+    whole batch.
+    """
+    upd = updates.select(F.col(key), F.col(col).alias("_new_val"))
+    out = base.join(F.broadcast(upd), key, "left")
+    return out.withColumn(col, F.coalesce(F.col("_new_val"), F.col(col))).drop("_new_val")

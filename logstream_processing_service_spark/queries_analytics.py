@@ -1,0 +1,153 @@
+"""Driver-contract queries: join/agg/window parity on the TPC-H-ish star
+schema (SURVEY §2.4 J*, §2.5 A*, §2.6 W*, §2.7 O*). These are also the
+bench headline queries at sf0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import _t, spec
+from .operators import analytics as A
+
+
+@spec(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "A1", "A8", "bench",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@spec(
+    "top_revenue_orders",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    "J1", "O3", "bench",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.top_revenue_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@spec(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "J1", "bench",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.revenue_by_nation(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@spec(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    "J2", "S6",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@spec(
+    "priority_order_counts",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "J2",
+)
+def q_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.priority_order_counts(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@spec(
+    "first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ) AS rn FROM orders
+    ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    "W1", "W6",
+)
+def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.first_order_per_customer(_t(spark, sf_dir, "orders"))
+
+
+@spec(
+    "customer_order_stats",
+    """
+    SELECT c_custkey, c_mktsegment,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(total_spent, CAST(0 AS DECIMAL(38,2))) AS total_spent
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) agg ON c_custkey = o_custkey
+    ORDER BY c_custkey
+    """,
+    "J1", "A1",
+)
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.customer_order_stats(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )

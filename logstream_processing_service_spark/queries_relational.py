@@ -1,0 +1,348 @@
+"""Driver-contract queries: log-analytics relational operators (SURVEY §2.2,
+§2.3, §2.5, §2.6, §2.7 and the M8/M10 native anomaly features) over the
+``events`` table (the ``logs`` analogue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import _t, spec
+from .operators import relational as R
+
+# ---------------------------------------------------------------------------
+# P1-P5 / O1-O2: slice scan with pushed predicates
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "scan_slice",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('error','signup')
+      AND event_id BETWEEN 100 AND 5000
+      AND props IS NOT NULL
+    ORDER BY event_id
+    LIMIT 500
+    """,
+    "P3", "P4", "P5", "O1", "O2",
+)
+def q_scan_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return R.scan_slice(ev).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@spec(
+    "watermark_bounds",
+    "SELECT max(ts) AS max_ts, min(ts) AS min_ts, count(*) AS n_rows FROM events",
+    "S3", "A3",
+)
+def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.watermark_bounds(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# F1-F9: scalar functions / JSON flattening
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "log_templates",
+    """
+    SELECT event_id, user_id,
+           concat_ws(' | ', event_type, substr(props, 1, 20)) AS log_template,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_value
+    FROM events
+    """,
+    "F1", "F3", "F7", "F9",
+)
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.log_templates(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "json_key_volume",
+    """
+    SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) % 10 AS k_mod,
+           count(*) AS cnt,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    "F9", "A1",
+)
+def q_json_key_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.json_key_volume(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# A1/A4/F5: grouped counts and virtual batches
+# ---------------------------------------------------------------------------
+
+_VOLUME_SQL = """
+    SELECT user_id AS cluster_id,
+           CAST(floor(event_id / 100) AS BIGINT) AS batch_id,
+           count(*) AS log_count
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@spec("batch_volume", _VOLUME_SQL, "A1", "A4", "F5", "T5")
+def q_batch_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.batch_volume(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "value_counts_topk",
+    """
+    SELECT event_type, count(*) AS cnt
+    FROM events GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    LIMIT 3
+    """,
+    "A5", "O3",
+)
+def q_value_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.value_counts_topk(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "distinct_actors",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "A6",
+)
+def q_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.distinct_actors(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "crosstab_counts",
+    """
+    SELECT event_type,
+           CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS mid,
+           CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS hi
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "A7",
+)
+def q_crosstab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.crosstab_counts(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "hourly_volume",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "A4", "T5",
+)
+def q_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.hourly_volume(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "decayed_volume",
+    """
+    WITH now_t AS (SELECT max(ts) AS _now FROM events)
+    SELECT user_id AS cluster_id,
+           round(sum(exp(-(ln(2)/(24.0*3600.0))
+                         * ((epoch_us(_now) - epoch_us(ts)) / 1000000.0))), 4)
+             AS decayed_count
+    FROM events, now_t
+    GROUP BY 1
+    """,
+    "T6",
+)
+def q_decayed_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.decayed_volume(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# W1-W6 + M8/M10: volume history windows, rolling features, anomaly flags
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "volume_history_window",
+    f"""
+    WITH volume AS ({_VOLUME_SQL})
+    SELECT cluster_id, batch_id, log_count, rn FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY cluster_id ORDER BY batch_id DESC, log_count DESC
+        ) AS INT) AS rn
+        FROM volume
+    ) WHERE rn <= 5
+    """,
+    "W1", "W6", "flagship",
+)
+def q_volume_history_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.volume_history_window(R.batch_volume(_t(spark, sf_dir, "events")))
+
+
+_ZSCORE_SQL = f"""
+    WITH volume AS ({_VOLUME_SQL}),
+    feat AS (
+        SELECT cluster_id, batch_id, log_count,
+               log_count - lag(log_count, 1) OVER w AS velocity,
+               avg(log_count) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_avg,
+               stddev_pop(log_count) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_std,
+               count(*) OVER (PARTITION BY cluster_id) AS n_points,
+               row_number() OVER w AS seq
+        FROM volume
+        WINDOW w AS (PARTITION BY cluster_id ORDER BY batch_id)
+    )
+    SELECT cluster_id, batch_id, log_count, velocity,
+           round(rolling_avg, 4) AS rolling_avg,
+           round((log_count - rolling_avg) / (rolling_std + 1e-5), 4) AS deviation
+    FROM feat
+    WHERE n_points >= 5 AND seq >= 5
+"""
+
+
+@spec("volume_zscore", _ZSCORE_SQL, "W2", "W3", "W4", "W5", "M8")
+def q_volume_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.volume_zscore(R.batch_volume(_t(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# J1/J2/P6: pattern mining + incident upsert split
+# ---------------------------------------------------------------------------
+
+_PATTERNS_SQL = """
+    SELECT l.user_id AS cluster_id,
+           concat_ws(' | ', l.event_type, l.props) AS log_template,
+           t.incident_count,
+           l.ts AS last_seen
+    FROM events l
+    JOIN (
+        SELECT user_id, min(event_id) AS first_event, count(*) AS incident_count
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ) t ON l.user_id = t.user_id AND l.event_id = t.first_event
+    WHERE l.user_id IS NOT NULL
+"""
+
+
+@spec("pattern_mining", _PATTERNS_SQL, "J1", "A2")
+def q_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.mine_patterns(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "pattern_mining_incremental",
+    """
+    SELECT l.user_id AS cluster_id,
+           concat_ws(' | ', l.event_type, l.props) AS log_template,
+           t.incident_count,
+           l.ts AS last_seen
+    FROM events l
+    JOIN (
+        SELECT user_id, min(event_id) AS first_event, count(*) AS incident_count
+        FROM events
+        WHERE user_id IS NOT NULL AND ts > TIMESTAMP '2024-01-10 00:00:00'
+        GROUP BY user_id
+    ) t ON l.user_id = t.user_id AND l.event_id = t.first_event
+    WHERE l.user_id IS NOT NULL AND l.ts > TIMESTAMP '2024-01-10 00:00:00'
+    """,
+    "J1", "P6", "T3",
+)
+def q_pattern_mining_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    wm = datetime.datetime(2024, 1, 10)
+    return R.mine_patterns(_t(spark, sf_dir, "events"), since_ts=wm)
+
+
+@spec(
+    "incident_upsert_split",
+    """
+    WITH candidates AS (
+        SELECT user_id AS cluster_id, count(*) AS log_count
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    ),
+    open_inc AS (
+        -- synthetic "open incidents": users whose minimum error event_id is even
+        SELECT DISTINCT user_id AS cluster_id
+        FROM (SELECT user_id, min(event_id) AS m FROM events
+              WHERE event_type = 'error' GROUP BY user_id)
+        WHERE m % 2 = 0
+    )
+    SELECT c.cluster_id, c.log_count, 'insert' AS action
+    FROM candidates c WHERE c.cluster_id NOT IN (SELECT cluster_id FROM open_inc)
+    UNION ALL
+    SELECT c.cluster_id, c.log_count, 'update' AS action
+    FROM candidates c WHERE c.cluster_id IN (SELECT cluster_id FROM open_inc)
+    """,
+    "J2", "S6", "T7",
+)
+def q_incident_upsert_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    candidates = errors.groupBy(F.col("user_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("log_count")
+    )
+    incidents = (
+        errors.groupBy("user_id")
+        .agg(F.min("event_id").alias("m"))
+        .filter(F.col("m") % 2 == 0)
+        .select(F.col("user_id").alias("cluster_id"), F.lit("OPEN").alias("status"))
+    )
+    return R.open_incident_upsert(candidates, incidents)
+
+
+@spec(
+    "upsert_append_dedup",
+    """
+    -- idempotent insert: new batch minus already-present keys (S6)
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE e.event_id BETWEEN 0 AND 2999
+      AND e.event_id NOT IN (SELECT event_id FROM events WHERE event_id % 3 = 0)
+    """,
+    "S6", "T7",
+)
+def q_upsert_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    new = ev.filter(F.col("event_id").between(0, 2999)).select(
+        "event_id", "user_id", "event_type"
+    )
+    existing = ev.filter(F.col("event_id") % 3 == 0)
+    return R.upsert_append(new, existing, key="event_id")
+
+
+@spec(
+    "keyed_overwrite",
+    """
+    -- UPDATE logs SET cluster_id=:c WHERE log_id=:id, set-oriented (S7/J3)
+    SELECT e.event_id,
+           coalesce(u.new_type, e.event_type) AS event_type
+    FROM events e
+    LEFT JOIN (
+        SELECT event_id, 'reclassified' AS new_type
+        FROM events WHERE event_type = 'error' AND value > 150
+    ) u USING (event_id)
+    """,
+    "S7", "J3",
+)
+def q_keyed_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    updates = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select("event_id", F.lit("reclassified").alias("event_type"))
+    )
+    return R.keyed_overwrite(
+        ev.select("event_id", "event_type"), updates, key="event_id", col="event_type"
+    )

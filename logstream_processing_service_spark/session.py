@@ -1,0 +1,70 @@
+"""SparkSession factory.
+
+The reference has no engine of its own (SQL strings go to Postgres —
+src/db/connection.py:10-19); here the session IS the engine, so the factory
+centralizes the configuration that matters at 100 TB:
+
+- AQE on (runtime re-plan: broadcast conversion, partition coalescing,
+  skew-join splitting).
+- Shuffle partitions sized to the local core count for tests; on a real
+  cluster AQE coalesces from a high initial number.
+- Arrow enabled so any unavoidable Python stage is vectorized.
+- UTC session timezone so timestamp semantics are deployment-independent.
+- ``nanosAsLong`` because the shared testdata parquet uses TIMESTAMP(NANOS),
+  which Spark does not read natively (loaders convert back to timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that must hold on ANY session running this engine (including a session
+# created by an external driver) — all runtime-settable.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Never fail a query because a conf key is locked down.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "logstream-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_conf(spark)

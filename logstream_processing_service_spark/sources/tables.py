@@ -1,0 +1,60 @@
+"""Parquet table scans (SURVEY §2.1 S1/S2).
+
+Reference: ``fetch_logs_batch`` pulls whole SQL result sets into driver
+memory via ``pd.read_sql`` (src/db/log_ops.py:5-14). Here a scan is a lazy,
+column-pruned, predicate-pushed parquet read — Catalyst only materializes
+what downstream operators need, which is what makes the same code viable at
+100 TB (row-group skipping + partition pruning instead of a full fetch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..session import apply_runtime_conf
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark (with nanosAsLong) reads
+# them as LongType nanoseconds; convert back to a tz-free timestamp at
+# microsecond precision — exactly how DuckDB reads the same files.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; normalize nano-timestamp columns."""
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, ()):
+        field = next((f for f in df.schema.fields if f.name == col), None)
+        if field is not None and isinstance(field.dataType, LongType):
+            # integer division: the ns value (~1.7e18) exceeds double precision,
+            # so a float divide would corrupt the microseconds
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register each table as a temp view so transforms can use spark.sql."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
