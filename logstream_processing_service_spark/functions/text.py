@@ -1,0 +1,157 @@
+"""Text expression helpers — dual-dialect where the DuckDB oracle must
+reproduce the exact arithmetic.
+
+Everything here is engine-side (no Python UDFs): tokenization, shingling,
+and all hashing are Catalyst expressions over built-ins, so the hot path
+stays inside whole-stage codegen at any scale.
+
+The integer hash is ``md5 hex prefix → base-16 positional sum`` — chosen
+because ``md5``, ``substr`` and ``instr`` behave identically in Spark SQL
+and DuckDB, giving a 48-bit deterministic hash both engines can compute
+bit-for-bit (Spark's ``hash()``/``xxhash64`` are Spark-specific and NOT
+oracle-reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# 48-bit deterministic string hash (identical SQL text in both dialects)
+# ---------------------------------------------------------------------------
+
+_HEX_WEIGHTS = [(j, 16 ** (12 - j)) for j in range(1, 13)]
+
+
+def hash48_sql(col_sql: str) -> str:
+    """SQL text computing a 48-bit integer from md5(col) — valid in BOTH
+    Spark SQL and DuckDB (instr/substr/md5 shared)."""
+    # weights as explicit BIGINT: Spark 4 runs ANSI mode, where an int*int
+    # product of these magnitudes overflows (DuckDB promotes automatically)
+    terms = "+".join(
+        f"(instr('0123456789abcdef', substr(md5({col_sql}),{j},1))-1)"
+        f"*CAST({w} AS BIGINT)"
+        for j, w in _HEX_WEIGHTS
+    )
+    return f"({terms})"
+
+
+def hash48(col: Column | str) -> Column:
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("hash48 needs a column NAME usable inside F.expr")
+    return F.expr(hash48_sql(name))
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+
+def words(col: Column) -> Column:
+    """Whitespace tokens, empties dropped (matches oracle list_filter)."""
+    return F.filter(F.split(col, " "), lambda x: x != F.lit(""))
+
+
+def words_sql(col_sql: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"filter(split({col_sql}, ' '), x -> x <> '')"
+    return f"list_filter(string_split({col_sql}, ' '), x -> x <> '')"
+
+
+def shingles(words_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; short docs yield one shingle (the whole doc)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words_col) - (n - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words_col, i, n))
+    )
+
+
+def shingles_sql_duckdb(words_sql: str, n: int = 3) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({words_sql})-{n - 1}, 1)+1), "
+        f"i -> array_to_string({words_sql}[i:i+{n - 1}], ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash (SURVEY north-star dedup; reference has no dedup of its own —
+# closest analogue is the ON CONFLICT key dedup, src/db/log_ops.py:53)
+# ---------------------------------------------------------------------------
+
+MINHASH_PRIME = (1 << 61) - 1
+# fixed permutation constants (a odd < 2^12 so a*h + b stays < 2^63)
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (3079, 102334155), (1543, 701408733), (389, 267914296), (2053, 165580141),
+    (769, 433494437), (1237, 899809343), (3517, 614891469), (243, 470832131),
+    (2749, 137438953), (661, 786432001), (1901, 313989281), (4001, 517619245),
+    (977, 220000001), (3319, 648391353), (151, 918273645), (2389, 365089841),
+]
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+
+
+def minhash_value_sql(h_sql: str, perm: tuple[int, int]) -> str:
+    a, b = perm
+    return f"(({a}*{h_sql} + {b}) % {MINHASH_PRIME})"
+
+
+def minhash_cols(h: Column) -> list[Column]:
+    return [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit) — near-dup by Hamming distance with banded blocking
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band; hamming<=3 guaranteed caught (pigeonhole)
+
+
+def simhash_from_wordhash_sums(bit_sums: list[Column], n_words: Column) -> Column:
+    """Given per-bit counts of set bits across words, build the simhash:
+    bit i set iff more than half the words have bit i set."""
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        out = out + F.when(s * 2 > n_words, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rolling polynomial fingerprint (order-sensitive document hash)
+# ---------------------------------------------------------------------------
+
+FP_PRIME = 144115188075855859  # ~2^57: acc*31 + h48 stays < 2^63
+FP_MULT = 31
+
+
+def fingerprint_sql(words_expr: str, dialect: str) -> str:
+    """Left-fold rolling hash over word hashes — order-sensitive, exact in
+    both dialects (sequential fold, pure int64 arithmetic)."""
+    h = hash48_sql("x")
+    if dialect == "spark":
+        return (
+            f"aggregate(transform({words_expr}, x -> {h}), cast(0 as bigint), "
+            f"(acc, x) -> (acc * {FP_MULT} + x) % {FP_PRIME})"
+        )
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint), "
+        f"list_transform({words_expr}, x -> {h})), "
+        f"(acc, x) -> (acc * {FP_MULT} + x) % {FP_PRIME})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID stopword sets (tiny, deterministic heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "en", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+LANG_PRIORITY = ("en", "de", "fr", "es", "zh")

@@ -1,0 +1,236 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's only dedup is key-based (ON CONFLICT DO NOTHING,
+src/db/log_ops.py:53 → exact dedup here). The fuzzy family (MinHash-LSH,
+SimHash, n-gram Jaccard) is the north-star extension, built so that:
+
+- every hash is integer arithmetic over the dual-dialect 48-bit md5 hash
+  (functions/text.py) → bit-identical in the DuckDB oracle;
+- candidate generation NEVER goes O(N²): MinHash bands / SimHash bands /
+  shingle inverted-index joins block first, verify after;
+- hot shingles are frequency-capped (classic stop-shingle guard) so one
+  boilerplate phrase cannot create a quadratic join blowup at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact-text dedup: keeper = min doc_id per distinct text.
+
+    Scale: shuffle on a 48-bit text hash instead of the full text (bytes on
+    the wire ∝ hash, not document size); full-text equality is implied at
+    test scale and re-checked within groups at production scale.
+    """
+    return (
+        documents.select(
+            F.col("doc_id"), F.expr(T.hash48_sql("text")).alias("text_h")
+        )
+        .groupBy("text_h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("keep_id", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle table (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingle_table(
+    documents: DataFrame, n: int = 3, max_doc_freq: int = 500
+) -> DataFrame:
+    """Distinct (doc_id, shingle) rows with hot-shingle frequency cap."""
+    w = T.words(F.col("text"))
+    sh = (
+        documents.select("doc_id", F.explode(T.shingles(w, n)).alias("s"))
+        .distinct()
+    )
+    if max_doc_freq:
+        freq = Window.partitionBy("s")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(freq))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    return sh
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 500,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard ≥ threshold, via inverted-index
+    join (shingle equality) — never a cross join.
+
+    Scale: the join is keyed on shingle; the frequency cap bounds each key's
+    group size, so worst-case candidate pairs per shingle ≤ cap². Pair
+    aggregation shuffles on (d1, d2).
+    """
+    sh = shingle_table(documents, n, max_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature (16 perms over 48-bit shingle hashes)."""
+    sh = shingle_table(documents, n)
+    h = F.expr(T.hash48_sql("s"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(T.MINHASH_PRIME)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(T.MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs: LSH band blocking over MinHash signatures, verified
+    with TRUE n-gram Jaccard ≥ threshold.
+
+    Scale: this is THE dedup path at 100 TB — signatures are one narrow row
+    per doc; banding shuffles on (band_idx, band_key); only candidate pairs
+    (a vanishing fraction) pay the verify join.
+    """
+    bands = bands or T.MINHASH_BANDS
+    rows = len(T.MINHASH_PERMS) // bands
+    sig = minhash_signatures(documents, n)
+    band_cols = []
+    for bi in range(bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+        )
+        band_cols.append(
+            sig.select("doc_id", F.lit(bi).alias("band"), key.alias("bkey"))
+        )
+    banded = band_cols[0]
+    for bc in band_cols[1:]:
+        banded = banded.unionByName(bc)
+    a = banded.select(F.col("doc_id").alias("d1"), "band", "bkey")
+    b = banded.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    candidates = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    # verify ONLY candidate docs with true Jaccard (no frequency cap in the
+    # verify: it must be exact). Restricting the shingle table to docs that
+    # appear in a candidate pair keeps the verify cost ∝ candidates, not
+    # corpus — the property that makes this the 100 TB dedup path.
+    cand_docs = (
+        candidates.select(F.col("d1").alias("doc_id"))
+        .unionByName(candidates.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sub = documents.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    truth = ngram_jaccard_pairs(sub, n, threshold=0.0, max_doc_freq=0)
+    return (
+        candidates.join(truth, ["d1", "d2"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_table(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc over distinct word-3-gram shingle hashes
+    (majority vote per bit) — all integer arithmetic, dual-dialect
+    reproducible.
+
+    Shingles (not single words) are the feature set: on corpora with a
+    narrow vocabulary, word-level simhashes collapse (every doc shares most
+    words); 3-gram shingles keep the fingerprint discriminative.
+    """
+    sh = shingle_table(documents, n=3, max_doc_freq=0).withColumn(
+        "h", F.expr(T.hash48_sql("s"))
+    )
+    bit_sums = [
+        F.sum(F.expr(f"(h div {1 << i}) % 2")).alias(f"b{i}")
+        for i in range(T.SIMHASH_BITS)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feat"), *bit_sums
+    )
+    sim = T.simhash_from_wordhash_sums(
+        [F.col(f"b{i}") for i in range(T.SIMHASH_BITS)], F.col("n_feat")
+    )
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming via band blocking
+    (4×8-bit bands: any pair within distance 3 shares ≥1 exact band —
+    pigeonhole — so blocking is lossless for the threshold).
+    """
+    sim = simhash_table(documents)
+    bands = []
+    for bi in range(T.SIMHASH_BANDS):
+        band_val = F.expr(f"(simhash div {1 << (8 * bi)}) % 256")
+        bands.append(
+            sim.select("doc_id", "simhash", F.lit(bi).alias("band"), band_val.alias("bval"))
+        )
+    banded = bands[0]
+    for bc in bands[1:]:
+        banded = banded.unionByName(bc)
+    a = banded.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band", "bval"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "band", "bval"
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (north-star LLM-pipeline ops).
+
+The reference's only vector op is nearest-centroid assignment with mutable
+centroid state (src/ml/vector_engine.py:21-45). Batch re-expression here:
+
+- ``assign_nearest_centroid``: broadcast centroids × argmin distance — the
+  reference's scoring-path semantics (no centroid minting; the incremental
+  script discards minted centroids anyway, see SURVEY §3.1 step 7).
+- ``ann_bruteforce``: exact top-k cosine neighbors for a query set.
+- ``ann_ivf``: IVF-style two-stage search — probe the nearest coarse
+  centroids, then search only those buckets. This is the 100 TB path: the
+  bucket assignment is a broadcast join, and the fine search touches
+  ``nprobe/nlist`` of the data instead of all of it.
+
+All distance math is codegen'd Spark SQL (functions/vector.py) — no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def label_centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label mean vector (the batch analogue of the reference's evolving
+    centroid store, src/ml/vector_engine.py:47-52). Aggregates per-dimension
+    with posexplode→avg→collect: one shuffle keyed by (label, dim)."""
+    exploded = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "x")
+    )
+    per_dim = exploded.groupBy("label", "i").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+        .select(
+            "label", F.transform(F.col("s"), lambda e: e["m"]).alias("centroid")
+        )
+    )
+
+
+def assign_nearest_centroid(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    p: float = 1.5,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment: argmin Minkowski(p) over broadcast
+    centroids (reference: src/ml/vector_engine.py:21-45, threshold 0.35).
+
+    Scale: centroid count is small (thousands at most) → broadcast cross
+    join keeps the big side unshuffled; ranking is per-row (no window over
+    the fact table needed since we rank within the per-row candidate list).
+    """
+    cand = embeddings.crossJoin(
+        F.broadcast(centroids.select(F.col("label").alias("c_label"), "centroid"))
+    ).withColumn(
+        "dist", F.round(V.minkowski(F.col("embedding"), F.col("centroid"), p), 9)
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    out = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_label").alias("assigned_label"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+    if threshold is not None:
+        # reference semantics: beyond the threshold a NEW group is minted
+        # (vector_engine.py:36-43); batch form marks them unassigned (-1)
+        out = out.withColumn(
+            "assigned_label",
+            F.when(F.col("dist") < threshold, F.col("assigned_label")).otherwise(
+                F.lit(-1)
+            ),
+        )
+    return out
+
+
+def ann_bruteforce(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (the correctness baseline).
+
+    Scale: query set broadcast; candidates ranked per query via window.
+    Cost is |Q|×N — the right tool for small query batches; for large Q use
+    ``ann_ivf``.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos", F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 9)
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF two-stage ANN: coarse-quantize all vectors to their nearest
+    centroid bucket, probe the ``nprobe`` nearest buckets per query, search
+    only those buckets.
+
+    Scale: the coarse pass is a broadcast join (centroids are tiny); the
+    fine pass joins on bucket id → only ~nprobe/nlist of the corpus is
+    scanned per query. At 100 TB the bucket assignment would be precomputed
+    and stored partition-by-bucket so the probe prunes parquet partitions.
+    """
+    cent = F.broadcast(
+        centroids.select(F.col("label").alias("bucket"), "centroid")
+    )
+
+    def nearest_buckets(df: DataFrame, id_col: str, emb_col: str, n: int, out: str):
+        cand = df.crossJoin(cent).withColumn(
+            "_d", F.round(V.minkowski(F.col(emb_col), F.col("centroid"), 2.0), 9)
+        )
+        w = Window.partitionBy(id_col).orderBy("_d", "bucket")
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(df["*"], F.col("bucket").alias(out))
+        )
+
+    bucketed = nearest_buckets(embeddings, "vec_id", "embedding", 1, "v_bucket")
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probed = nearest_buckets(q, "q_id", "q_emb", nprobe, "q_bucket")
+    scored = (
+        bucketed.join(
+            F.broadcast(probed), F.col("v_bucket") == F.col("q_bucket")
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 9))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4, self_join_cap: int | None = None
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_id1 < vec_id2, cos ≥ t).
+
+    The brute-force form is O(N²) — correct and oracle-checkable at test
+    scale. The 100 TB path is LSH/IVF blocking (see ``ann_ivf``); the
+    threshold semantics stay identical.
+    """
+    a = embeddings.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    pairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(V.cosine(F.col("e1"), F.col("e2")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+    return pairs

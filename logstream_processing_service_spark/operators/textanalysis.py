@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Spark SQL expressions (no UDFs) — per-row, embarrassingly
+parallel, zero shuffle; exactly what you want applied to 100 TB of raw
+documents before any heavier stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def _word_col() -> F.Column:
+    return T.words(F.col("text"))
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language heuristic.
+
+    Scores each language by the count of distinct tokens found in its
+    stopword set; ties resolve by fixed priority order. (Real pipelines
+    swap in fastText/CLD3 behind the same column contract.)
+    """
+    w = F.array_distinct(_word_col())
+    scores = {
+        lang: F.size(
+            F.array_intersect(w, F.array(*[F.lit(s) for s in stops]))
+        )
+        for lang, stops in T.LANG_STOPWORDS.items()
+    }
+    best = F.lit(0)
+    pred = F.lit("unknown")
+    # iterate in REVERSE priority so earlier languages win ties
+    for lang in reversed(T.LANG_PRIORITY):
+        s = scores[lang]
+        pred = F.when(s >= best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    out = documents.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in T.LANG_PRIORITY],
+        F.when(best > 0, pred).otherwise(F.lit("unknown")).alias("pred_lang"),
+    )
+    return out
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score.
+
+    Features mirror standard corpus-filtering recipes: length, mean word
+    length, stopword ratio, type-token ratio. The composite is a fixed
+    linear blend; ``low_quality`` flags the filter decision.
+    """
+    w = _word_col()
+    n_words = F.size(w)
+    n_chars = F.length(F.col("text"))
+    mean_wlen = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    en_stops = F.array(*[F.lit(s) for s in T.LANG_STOPWORDS["en"]])
+    stop_ratio = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: F.array_contains(en_stops, x))) / n_words,
+    ).otherwise(F.lit(0.0))
+    ttr = F.when(n_words > 0, F.size(F.array_distinct(w)) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.least(mean_wlen / F.lit(8.0), F.lit(1.0)) * 0.2
+        + stop_ratio * 0.2
+        + ttr * 0.3
+    )
+    # NO rounding: every feature is a per-row deterministic double formula,
+    # so the bits are reproducible across engines/cluster sizes — while
+    # round() itself differs between engines near half-boundaries (Spark
+    # HALF_UP on the exact binary value vs DuckDB's decimal-string view).
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        score.alias("quality_score"),
+        (score < 0.35).alias("low_quality"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish byte-length estimate
+    (≈ chars/4, the standard rule of thumb for LLM budgeting)."""
+    w = _word_col()
+    n_chars = F.length(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(w).alias("ws_tokens"),
+        F.ceil(n_chars / F.lit(4.0)).alias("bpe_est_tokens"),
+        n_chars.alias("n_chars"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document (content id
+    robust to storage location; catches exact dups incl. reordered corpora
+    distinctions that set-based hashes miss)."""
+    words_expr = T.words_sql("text", "spark")
+    return documents.select(
+        "doc_id",
+        F.expr(T.fingerprint_sql(words_expr, "spark")).alias("fingerprint"),
+    )
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Corpus stats rollup by (lang, source): volume, length moments."""
+    return (
+        documents.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )

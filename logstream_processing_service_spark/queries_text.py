@@ -1,1 +1,267 @@
-"""Text/dedup queries — filled in by the text-analysis layer."""
+"""Driver-contract queries: dedup + text analysis over ``documents``.
+
+Oracle SQL is GENERATED from the same constants/hash expressions the Spark
+operators use (functions/text.py), so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import _t, spec
+from .functions import text as T
+from .operators import dedup as D
+from .operators import textanalysis as TA
+
+_H_TEXT = T.hash48_sql("text")
+_H_S = T.hash48_sql("s")
+_H_WD = T.hash48_sql("wd")
+_WORDS_DUCK = T.words_sql("text", "duckdb")
+_SHINGLES_DUCK = T.shingles_sql_duckdb("w", 3)
+
+# shared CTE: distinct (doc_id, shingle) with doc-frequency cap 500
+_SHINGLE_CTE = f"""
+    words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    sh_all AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM words),
+    sh AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS _df FROM sh_all
+        ) WHERE _df <= 500
+    )
+"""
+
+_JACCARD_CORE = """
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM {sh} GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM {sh} a JOIN {sh} b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT d1, d2,
+               round(inter * 1.0 / (s1.n_sh + s2.n_sh - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+    )
+"""
+
+
+@spec(
+    "dedup_exact",
+    f"""
+    SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY {_H_TEXT}
+    """,
+    "dedup", "S6",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE}, {_JACCARD_CORE.format(sh="sh")}
+    SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    "dedup",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    rows = len(T.MINHASH_PERMS) // T.MINHASH_BANDS
+    mh_cols = ", ".join(
+        f"min({T.minhash_value_sql(_H_S, T.MINHASH_PERMS[j])}) AS mh_{j}"
+        for j in range(len(T.MINHASH_PERMS))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        + ") AS bkey FROM sig"
+        for bi in range(T.MINHASH_BANDS)
+    )
+    # verify uses the UNCAPPED shingle table (sh_all), matching Spark
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id
+    ),
+    {_JACCARD_CORE.format(sh="sh_all")}
+    SELECT c.d1, c.d2, j.jaccard
+    FROM cand c JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
+    WHERE j.jaccard >= 0.8
+    """
+
+
+@spec("dedup_minhash_lsh", _minhash_oracle(), "dedup", "bench")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum((h // {1 << i}) % 2) AS b{i}" for i in range(T.SIMHASH_BITS)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN b{i} * 2 > n_feat THEN {1 << i} ELSE 0 END)"
+        for i in range(T.SIMHASH_BITS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {bi} AS band, (simhash // {1 << (8 * bi)}) % 256 AS bval FROM sim"
+        for bi in range(T.SIMHASH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    wh AS (SELECT doc_id, {_H_S} AS h FROM sh_all),
+    agg AS (SELECT doc_id, count(*) AS n_feat, {bit_sums} FROM wh GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM agg),
+    banded AS ({band_selects}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3
+    """
+
+
+@spec("dedup_simhash", _simhash_oracle(), "dedup")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = D.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in T.LANG_PRIORITY:
+        stops = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(list_distinct(w), x -> list_contains([{stops}], x))) AS INT) AS score_{lang}"
+        )
+    score_sql = ", ".join(score_cols)
+    names = [f"score_{lang}" for lang in T.LANG_PRIORITY]
+    ge = {
+        "en": "score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en >= score_zh",
+        "de": "score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh",
+        "fr": "score_fr >= score_es AND score_fr >= score_zh",
+        "es": "score_es >= score_zh",
+    }
+    return f"""
+    WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    scored AS (SELECT doc_id, {score_sql} FROM words)
+    SELECT doc_id, {", ".join(names)},
+           CASE WHEN greatest({", ".join(names)}) = 0 THEN 'unknown'
+                WHEN {ge["en"]} THEN 'en'
+                WHEN {ge["de"]} THEN 'de'
+                WHEN {ge["fr"]} THEN 'fr'
+                WHEN {ge["es"]} THEN 'es'
+                ELSE 'zh' END AS pred_lang
+    FROM scored
+    """
+
+
+@spec("language_id", _langid_oracle(), "text")
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = TA.language_id(_t(spark, sf_dir, "documents"))
+    casts = [F.col(f"score_{l}").cast("int").alias(f"score_{l}") for l in T.LANG_PRIORITY]
+    return out.select("doc_id", *casts, "pred_lang")
+
+
+@spec(
+    "text_quality",
+    f"""
+    WITH words AS (SELECT doc_id, text, n_chars, {_WORDS_DUCK} AS w FROM documents),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CASE WHEN len(w) > 0
+                    THEN (length(text) - (len(w) - 1)) * 1.0 / len(w)
+                    ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(w) > 0
+                    THEN len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 / len(w)
+                    ELSE 0.0 END AS stop_ratio,
+               CASE WHEN len(w) > 0
+                    THEN len(list_distinct(w)) * 1.0 / len(w)
+                    ELSE 0.0 END AS ttr
+        FROM words
+    )
+    SELECT doc_id, n_words, n_chars,
+           mean_word_len,
+           stop_ratio AS stopword_ratio,
+           ttr AS type_token_ratio,
+           least(n_words / 100.0, 1.0) * 0.3 + least(mean_word_len / 8.0, 1.0) * 0.2
+                 + stop_ratio * 0.2 + ttr * 0.3 AS quality_score,
+           (least(n_words / 100.0, 1.0) * 0.3 + least(mean_word_len / 8.0, 1.0) * 0.2
+                 + stop_ratio * 0.2 + ttr * 0.3) < 0.35 AS low_quality
+    FROM feat
+    """,
+    "text",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = TA.quality_scores(_t(spark, sf_dir, "documents"))
+    return out.withColumn("n_words", F.col("n_words").cast("long")).withColumn(
+        "n_chars", F.col("n_chars").cast("long")
+    )
+
+
+@spec(
+    "token_counts",
+    f"""
+    WITH words AS (SELECT doc_id, text, {_WORDS_DUCK} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM words
+    """,
+    "text",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = TA.token_counts(_t(spark, sf_dir, "documents"))
+    return out.withColumn("ws_tokens", F.col("ws_tokens").cast("long")).withColumn(
+        "n_chars", F.col("n_chars").cast("long")
+    )
+
+
+@spec(
+    "doc_fingerprints",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+    SELECT doc_id, {T.fingerprint_sql("w", "duckdb")} AS fingerprint
+    FROM words
+    """,
+    "text",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "doc_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    "text", "A1",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.doc_stats(_t(spark, sf_dir, "documents"))

@@ -1,1 +1,159 @@
-"""Vector queries — filled in by the vector/similarity layer."""
+"""Driver-contract queries: vector/similarity operators over ``embeddings``
+(SURVEY §2.9 M3/J4 + north-star ANN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import _t, spec
+from .functions import vector as V
+from .operators import similarity as S
+
+DIM = 64
+
+_CENTROIDS_CTE = f"""
+    cent_dim AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, range(1, {DIM + 1}) t(i)
+        GROUP BY label, i
+    ),
+    centroids AS (
+        SELECT label, list(m ORDER BY i) AS centroid FROM cent_dim GROUP BY label
+    )
+"""
+
+
+@spec(
+    "nearest_centroid",
+    f"""
+    WITH {_CENTROIDS_CTE},
+    scored AS (
+        SELECT e.vec_id, c.label AS c_label,
+               round({V.minkowski_sql_duckdb("e.embedding", "c.centroid", DIM, 1.5)}, 9) AS dist
+        FROM embeddings e, centroids c
+    )
+    SELECT vec_id, c_label AS assigned_label, round(dist, 6) AS dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    "M3", "J4",
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.assign_nearest_centroid(emb, S.label_centroids(emb))
+
+
+@spec(
+    "ann_bruteforce",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               round({V.cosine_sql_duckdb("q.q_emb", "e.embedding", DIM)}, 9) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    "similarity", "bench",
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@spec(
+    "ann_ivf",
+    f"""
+    WITH {_CENTROIDS_CTE},
+    v_assign AS (
+        SELECT vec_id, embedding, bucket FROM (
+            SELECT e.vec_id, e.embedding, c.label AS bucket,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({V.minkowski_sql_duckdb("e.embedding", "c.centroid", DIM, 2.0)}, 9), c.label
+                   ) AS rn
+            FROM embeddings e, centroids c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+    q_probe AS (
+        SELECT q_id, q_emb, bucket FROM (
+            SELECT q.q_id, q.q_emb, c.label AS bucket,
+                   row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY round({V.minkowski_sql_duckdb("q.q_emb", "c.centroid", DIM, 2.0)}, 9), c.label
+                   ) AS rn
+            FROM q, centroids c
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.q_id, v.vec_id,
+               round({V.cosine_sql_duckdb("p.q_emb", "v.embedding", DIM)}, 9) AS cos
+        FROM v_assign v JOIN q_probe p ON v.bucket = p.bucket
+        WHERE v.vec_id <> p.q_id
+    )
+    SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    "similarity",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_ivf(
+        emb, S.label_centroids(emb), emb.filter(F.col("vec_id") < 10), k=5, nprobe=2
+    )
+
+
+@spec(
+    "embedding_near_dup",
+    f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round({V.cosine_sql_duckdb("a.embedding", "b.embedding", DIM)}, 6) AS cos
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round({V.cosine_sql_duckdb("a.embedding", "b.embedding", DIM)}, 6) >= 0.4
+    """,
+    "dedup", "similarity",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@spec(
+    "embedding_norm_stats",
+    f"""
+    SELECT label, count(*) AS n,
+           round(avg({V.norm_sql_duckdb("embedding", DIM)}), 6) AS avg_norm,
+           round(min({V.norm_sql_duckdb("embedding", DIM)}), 6) AS min_norm,
+           round(max({V.norm_sql_duckdb("embedding", DIM)}), 6) AS max_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    "vector",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = V.norm(F.col("embedding"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(n), 6).alias("avg_norm"),
+            F.round(F.min(n), 6).alias("min_norm"),
+            F.round(F.max(n), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
