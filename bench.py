@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop-sink write (full computation,
+no result serialization to the driver skewing the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "volume_history_window",
+    "volume_zscore",
+    "pattern_mining",
+    "hourly_volume",
+    "json_key_volume",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "nearest_centroid",
+    "ann_bruteforce",
+    "text_quality",
+    "doc_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from logstream_processing_service_spark.catalog import all_specs
+    from logstream_processing_service_spark.session import get_spark
+
+    spark = get_spark(app_name="logstream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = {s.name: s for s in all_specs()}
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        # one warm build to materialize table metadata outside the timing
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

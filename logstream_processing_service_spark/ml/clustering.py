@@ -1,0 +1,74 @@
+"""Clustering layer (SURVEY M3/M7).
+
+The reference clusters with river DenStream — an order-dependent online
+density clusterer fed one row at a time (src/ml/model.py:10-15;
+scripts/run_training_batch.py:133-136). That execution model cannot scale
+past one core; the Spark-first re-expression (SURVEY §7 build plan) is:
+
+- **train**: periodic batch KMeans refit (MLlib, parallel, deterministic
+  seed). Documented semantic difference: no per-point decay; T6 decay is
+  applied downstream as time-weighted aggregates (operators/relational.py
+  ``decayed_volume``).
+- **score**: nearest-centroid assignment (operators/similarity.py), exactly
+  the reference's scoring path — which never persists newly minted
+  centroids anyway (SURVEY §3.1 step 7), so batch assignment is
+  semantics-preserving for scoring.
+- **streaming**: the same assign step inside ``foreachBatch``, with refit
+  on a cadence (streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Batch KMeans refit → centroid table (label, centroid ArrayType).
+
+    Output contract matches ``operators.similarity.label_centroids`` so the
+    scoring path is interchangeable between 'ground truth labels' and
+    'learned clusters'.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vecs)
+    centers = model.clusterCenters()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "label int, centroid array<double>",
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float | None = None,
+    p: float = 1.5,
+) -> DataFrame:
+    """Score path: nearest-centroid under Minkowski(p), optional threshold
+    marking far points unassigned (reference threshold 0.35,
+    src/ml/vector_engine.py:8)."""
+    from ..operators.similarity import assign_nearest_centroid
+
+    return assign_nearest_centroid(embeddings, centroids, p=p, threshold=threshold)
+
+
+def train_and_assign(
+    embeddings: DataFrame, k: int = 10, threshold: float | None = None
+) -> DataFrame:
+    """The reference's training loop (learn_one+predict_one per row,
+    run_training_batch.py:121-150) as fit → transform."""
+    cents = fit_kmeans_centroids(embeddings, k=k)
+    return assign_clusters(embeddings, cents, threshold=threshold)

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing (north-star: image/audio/video at 100 TB).
+
+Design: media is an opaque ``binary`` column + a typed metadata struct;
+decode/feature-extract run as Arrow-batched ``mapInPandas`` so bytes never
+round-trip through Python row-by-row and the pipeline scales by partition.
+
+The actual codecs (PIL / torchaudio / ffmpeg) are NOT in this container —
+``decode_media`` is the clearly-marked stub seam: a deterministic
+byte-level featurizer stands in, and real decoders plug into the same
+``mapInPandas`` signature (schema, batching, partitioning all real and
+tested).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+N_BINS = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def with_binary_payload(documents: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata (here: the utf-8
+    bytes of the text stand in for an image/audio blob)."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB: real decoders (PIL.Image.open / librosa.load / pyav frame
+    sampling) are not available in this container. Raises for real media
+    types; the deterministic byte-histogram fake covers the plumbing."""
+    if media_type in ("image/png", "image/jpeg", "audio/wav", "video/mp4"):
+        raise NotImplementedError(
+            f"decoder for {media_type} not available in this environment; "
+            "install PIL/librosa/av and replace this branch"
+        )
+    # deterministic fake: normalized 16-bin byte histogram
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr // N_BINS, minlength=N_BINS).astype(np.float64)
+    total = hist.sum()
+    return (hist / total if total else hist).astype(np.float32)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload, meta).
+
+    Scale shape: mapInPandas keeps one Python worker per task, Arrow moves
+    the binary column zero-copy per batch; repartition upstream by size so
+    each batch holds a bounded number of megabytes of media.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": [list(f) for f in feats],
+                }
+            )
+
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return flat.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_feature_pipeline(documents: DataFrame) -> DataFrame:
+    """documents → binary payload → batched feature extraction."""
+    return extract_features(with_binary_payload(documents))

@@ -319,8 +319,9 @@ def flag_anomalies(
     here is the native deviation feature (lower = more anomalous volume
     spike direction is encoded by sign).
 
-    Scale: two scalar aggregates over the (tiny: one row per cluster)
-    feature table + a TakeOrdered; all broadcastable.
+    Fully lazy: the ratio guard is part of the plan (a broadcast scalar
+    aggregate joined in), NOT a driver-side count() branch — so the operator
+    composes into streaming foreachBatch and stays one job at any scale.
     """
     latest = Window.partitionBy("cluster_id").orderBy(F.desc("batch_id"))
     per_cluster = (
@@ -328,9 +329,8 @@ def flag_anomalies(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    # score: negative deviation = quiet, positive = spike; the reference's
-    # IsolationForest scores are "lower = more anomalous", mirrored here by
-    # scoring on -|deviation|.
+    # score: the reference's IsolationForest scores are "lower = more
+    # anomalous" (volume_analyzer.py:117-119); mirrored here by -|deviation|.
     scored = per_cluster.withColumn("score", -F.abs(F.col("deviation")))
     stats = scored.agg(
         F.avg("score").alias("_mu"),
@@ -344,17 +344,17 @@ def flag_anomalies(
         )
         .filter(F.col("rel_z") < z_threshold)
     )
-    guard = flagged.count() <= ratio_guard * max(scored.count(), 1)
-    if not guard:
-        return flagged.limit(0).select(
-            "cluster_id", "batch_id", "log_count", F.round("score", 4).alias("score")
-        )
+    n_flagged = flagged.agg(F.count(F.lit(1)).alias("_nf"))
+    guarded = (
+        flagged.crossJoin(F.broadcast(n_flagged))
+        # miscalibration guard (incident_ops.py:87-97): if too many clusters
+        # flag at once, trust nothing and emit no incidents
+        .filter(F.col("_nf") <= F.lit(ratio_guard) * F.col("_n"))
+    )
     return (
-        flagged.orderBy("score", "cluster_id")
+        guarded.orderBy("score", "cluster_id")
         .limit(max_anomalies)
-        .select(
-            "cluster_id", "batch_id", "log_count", F.round("score", 4).alias("score")
-        )
+        .select("cluster_id", "batch_id", "log_count", F.round("score", 4).alias("score"))
     )
 
 

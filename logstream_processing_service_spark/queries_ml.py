@@ -1,0 +1,106 @@
+"""Driver-contract queries: ML-layer operators (SURVEY §2.9).
+
+Oracle-checkable: anomaly flags (M10/M11 — pure plan), clustering quality
+(M12 — entropy SQL). Rows-only: KMeans refit (iterative), hash-featurizer
+embedding (Python UDF), multimodal feature extraction (mapInPandas) —
+non-SQL-expressible per the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import _t, spec
+from .operators import relational as R
+from .queries_relational import _VOLUME_SQL, _ZSCORE_SQL
+
+
+@spec(
+    "anomaly_flags",
+    f"""
+    WITH feat AS ({_ZSCORE_SQL}),
+    latest AS (
+        SELECT cluster_id, batch_id, log_count,
+               -abs(deviation) AS score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY batch_id DESC
+            ) AS rn FROM feat
+        ) WHERE rn = 1
+    ),
+    stats AS (
+        SELECT avg(score) AS _mu, stddev_pop(score) AS _sigma,
+               count(*) AS _n
+        FROM latest
+    ),
+    flagged AS (
+        SELECT l.*, (l.score - s._mu) / (s._sigma + 1e-9) AS rel_z, s._n
+        FROM latest l, stats s
+        WHERE (l.score - s._mu) / (s._sigma + 1e-9) < -1.0
+    ),
+    guarded AS (
+        SELECT f.* FROM flagged f, (SELECT count(*) AS _nf FROM flagged) g
+        WHERE g._nf <= 0.3 * f._n
+    )
+    SELECT cluster_id, batch_id, log_count, round(score, 4) AS score
+    FROM guarded ORDER BY score, cluster_id LIMIT 3
+    """,
+    "M10", "M11",
+)
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = R.volume_zscore(R.batch_volume(_t(spark, sf_dir, "events")))
+    # note: deviation column here is the ROUNDED output of volume_zscore;
+    # the oracle rounds identically inside _ZSCORE_SQL
+    return R.flag_anomalies(feats)
+
+
+def _clustering_quality_oracle() -> str:
+    from .ml.quality import HC_SQL_TEMPLATE
+
+    assigned = "(SELECT label AS truth, vec_id % 10 AS cluster FROM embeddings)"
+    return HC_SQL_TEMPLATE.format(src=f"{assigned} assigned")
+
+
+@spec("clustering_quality", _clustering_quality_oracle(), "M12", "A7")
+def q_clustering_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .ml.quality import homogeneity_completeness
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic synthetic assignment (vec_id % 10) so the metric itself
+    # is what's under test, not a clustering run
+    assigned = emb.select(
+        F.col("label").alias("truth"), (F.col("vec_id") % 10).alias("cluster")
+    )
+    return homogeneity_completeness(assigned, "truth", "cluster")
+
+
+@spec("kmeans_refit_assign", None, "M7", "rows-only")
+def q_kmeans_refit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KMeans refit + nearest-centroid scoring (iterative — no SQL
+    oracle; driver records rows-only)."""
+    from .ml.clustering import train_and_assign
+
+    return train_and_assign(_t(spark, sf_dir, "embeddings"), k=10)
+
+
+@spec("embed_documents", None, "M1", "M2", "rows-only")
+def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-featurizer embedding column over documents
+    (pandas_udf — Python boundary, rows-only check)."""
+    from pyspark.sql import functions as F
+
+    from .ml.embedding import hash_featurizer
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", hash_featurizer(64)(F.col("text")).alias("embedding"))
+
+
+@spec("multimodal_features", None, "multimodal", "rows-only")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (decode stubbed —
+    see operators/multimodal.py)."""
+    from .operators.multimodal import media_feature_pipeline
+
+    return media_feature_pipeline(_t(spark, sf_dir, "documents"))

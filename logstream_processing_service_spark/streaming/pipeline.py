@@ -1,0 +1,154 @@
+"""Structured Streaming shell over the batch transforms (SURVEY §2.10).
+
+The reference's 'streaming' is external micro-batching: a Lambda assigns
+``[START_LOG_ID, END_LOG_ID]`` ranges and a container processes one slice
+(scripts/run_incremental_batch.py:29-41), with watermarks tracked by hand
+(``MAX(last_seen)`` + ``timestamp > :last_time``, src/db/pattern_ops.py:12-46)
+and exactly-once faked by idempotent upserts (src/db/log_ops.py:47-81).
+
+Spark-native mapping:
+- offset ranges        → file-source offsets / Trigger.AvailableNow catch-up
+- hand watermarks      → ``withWatermark`` + append mode
+- per-row upsert txn   → idempotent ``foreachBatch`` anti-join append,
+                         keyed by batchId (T2)
+- batch_order status   → the checkpoint's commit log (S9)
+
+Every transformation is the SAME function used in batch (operators/*) —
+the stream shell only wires sources and sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import apply_runtime_conf
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table; ns→µs ts normalization
+    identical to the batch loader."""
+    apply_runtime_conf(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the file stream source wants a DIRECTORY; testdata keeps every table
+    # in one dir, so stage a per-table symlink dir (no data copied). In
+    # production the source is simply the table's own directory.
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"logstream-events-{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    df = reader.parquet(stage)
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def windowed_volume(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming tumbling-window volume per event_type (T3/T5): the
+    streaming twin of ``relational.hourly_volume`` with late-data handling
+    the reference can't express (its late rows silently skew history)."""
+    return (
+        events.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+        .groupBy(F.window("ts_tz", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def upsert_sink(out_dir: str, key: str = "event_id"):
+    """Idempotent foreachBatch sink: anti-join against what's already in the
+    target, then append (T2/S6: ON CONFLICT DO NOTHING, set-oriented).
+    Re-delivered batches become no-ops, giving effective exactly-once on
+    top of at-least-once delivery."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = f"{out_dir}/data"
+        new = batch_df.dropDuplicates([key])
+        try:
+            existing = spark.read.parquet(target).select(key)
+            new = new.join(existing, key, "left_anti")
+        except Exception:
+            pass  # first batch: nothing to dedup against
+        new.write.mode("append").parquet(target)
+
+    return write
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    levels: tuple[str, ...] = ("error", "signup"),
+) -> None:
+    """The reference's incremental scoring batch (SURVEY §3.1) as ONE
+    streaming query with AvailableNow catch-up: filter → template compose →
+    idempotent sink. Embedding/cluster stages plug in as extra columns via
+    the same batch transforms."""
+    events = read_events_stream(spark, sf_dir)
+    scored = events.filter(F.col("event_type").isin(*levels)).withColumn(
+        "log_template",
+        F.concat_ws(" | ", F.col("event_type"), F.col("props")),
+    )
+    q = (
+        scored.writeStream.foreachBatch(upsert_sink(out_dir))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_windowed_volume(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Streaming windowed aggregation to a parquet sink (append mode after
+    watermark close; AvailableNow for bounded runs)."""
+    vol = windowed_volume(read_events_stream(spark, sf_dir))
+    q = (
+        vol.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(f"{out_dir}/volume")
+        )
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_vol"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

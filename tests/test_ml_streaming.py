@@ -1,0 +1,216 @@
+"""Tests for the non-oracle layers: ML (clustering, quality, embedding),
+streaming (windowed volume, idempotent sink, stateful grouping), and
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def _events(spark):
+    from logstream_processing_service_spark.sources import load_table
+
+    return load_table(spark, SF_DIR, "events")
+
+
+def _emb(spark):
+    from logstream_processing_service_spark.sources import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+# --- ML ---------------------------------------------------------------------
+
+
+def test_hash_featurizer_deterministic(spark):
+    from logstream_processing_service_spark.ml.embedding import hash_featurizer
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    f = hash_featurizer(32)
+    a = docs.select("doc_id", f(F.col("text")).alias("e")).collect()
+    b = docs.select("doc_id", f(F.col("text")).alias("e")).collect()
+    assert a == b
+    assert all(len(r["e"]) == 32 for r in a)
+    # unit norm (or zero for empty docs)
+    import math
+
+    for r in a:
+        n = math.sqrt(sum(x * x for x in r["e"]))
+        assert abs(n - 1.0) < 1e-5 or n == 0.0
+
+
+def test_kmeans_assign_shapes(spark):
+    from logstream_processing_service_spark.ml.clustering import train_and_assign
+
+    out = train_and_assign(_emb(spark), k=5)
+    rows = out.collect()
+    assert len(rows) == _emb(spark).count()
+    assert set(out.columns) == {"vec_id", "assigned_label", "dist"}
+    assert {r["assigned_label"] for r in rows} <= set(range(5))
+
+
+def test_homogeneity_perfect_and_random(spark):
+    from logstream_processing_service_spark.ml.quality import (
+        homogeneity_completeness,
+    )
+
+    emb = _emb(spark)
+    # perfect: cluster == truth → h = c = v = 1
+    perfect = emb.select(F.col("label").alias("truth"), F.col("label").alias("cluster"))
+    r = homogeneity_completeness(perfect, "truth", "cluster").first()
+    assert r["homogeneity"] == pytest.approx(1.0)
+    assert r["completeness"] == pytest.approx(1.0)
+    # single cluster: h = 0 (nothing separated), c = 1 (nothing split)
+    single = emb.select(F.col("label").alias("truth"), F.lit(0).alias("cluster"))
+    r2 = homogeneity_completeness(single, "truth", "cluster").first()
+    assert r2["homogeneity"] == pytest.approx(0.0, abs=1e-9)
+    assert r2["completeness"] == pytest.approx(1.0)
+
+
+def test_silhouette_runs(spark):
+    from logstream_processing_service_spark.ml.clustering import train_and_assign
+    from logstream_processing_service_spark.ml.quality import silhouette
+
+    emb = _emb(spark)
+    assigned = train_and_assign(emb, k=5).join(emb, "vec_id")
+    s = silhouette(assigned)
+    assert -1.0 <= s <= 1.0
+
+
+def test_isolation_forest_gated(spark):
+    from logstream_processing_service_spark.ml.anomaly import (
+        isolation_forest_scores,
+    )
+    from logstream_processing_service_spark.operators.relational import (
+        batch_volume,
+        volume_zscore,
+    )
+
+    feats = volume_zscore(batch_volume(_events(spark)))
+    try:
+        import sklearn  # noqa: F401
+
+        has_sklearn = True
+    except ImportError:
+        has_sklearn = False
+    if has_sklearn:
+        out = isolation_forest_scores(feats)
+        assert out.count() > 0
+    else:
+        with pytest.raises(NotImplementedError):
+            isolation_forest_scores(feats)
+
+
+# --- Streaming --------------------------------------------------------------
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="logstream-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_windowed_volume_matches_batch(spark, tmpdir):
+    from logstream_processing_service_spark.streaming.pipeline import (
+        run_windowed_volume,
+    )
+
+    run_windowed_volume(spark, SF_DIR, tmpdir)
+    out = spark.read.parquet(f"{tmpdir}/volume")
+    batch = (
+        _events(spark)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # streaming (update mode over availableNow) emits each window's final
+    # state; totals must equal the batch aggregation
+    got = {
+        (r["hour"], r["event_type"]): r["cnt"]
+        for r in out.groupBy("hour", "event_type").agg(F.max("cnt").alias("cnt")).collect()
+    }
+    want = {(r["hour"], r["event_type"]): r["cnt"] for r in batch.collect()}
+    # compare on wallclock (streaming window is tz-aware, batch ntz)
+    got_n = {(str(k[0]).replace("+00:00", ""), k[1]): v for k, v in got.items()}
+    want_n = {(str(k[0]), k[1]): v for k, v in want.items()}
+    assert got_n == want_n
+
+
+def test_streaming_idempotent_upsert(spark, tmpdir):
+    from logstream_processing_service_spark.streaming.pipeline import (
+        run_incremental_pipeline,
+    )
+
+    run_incremental_pipeline(spark, SF_DIR, tmpdir)
+    first = spark.read.parquet(f"{tmpdir}/data")
+    n1 = first.count()
+    assert n1 > 0
+    assert first.select("event_id").distinct().count() == n1
+    # re-run: checkpoint makes it a no-op; even without it, the anti-join
+    # sink would dedup — either way the target must not grow
+    run_incremental_pipeline(spark, SF_DIR, tmpdir)
+    assert spark.read.parquet(f"{tmpdir}/data").count() == n1
+
+
+def test_stateful_semantic_grouping(spark, tmpdir):
+    from logstream_processing_service_spark.ml.embedding import hash_featurizer
+    from logstream_processing_service_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+    from logstream_processing_service_spark.streaming.state import (
+        semantic_grouping_stream,
+    )
+
+    events = read_events_stream(spark, SF_DIR)
+    embedded = events.select(
+        "event_type",
+        F.col("event_id").alias("row_id"),
+        hash_featurizer(16)(F.col("props")).alias("embedding"),
+    )
+    out_q = (
+        semantic_grouping_stream(embedded)
+        .writeStream.format("memory")
+        .queryName("semgrp")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out_q.awaitTermination()
+    res = spark.sql("SELECT * FROM semgrp")
+    n = res.count()
+    assert n == _events(spark).count()
+    # every row got a group; groups per key are minted deterministically
+    assert res.filter(F.col("group_id").isNull()).count() == 0
+    # assigned rows are within threshold of their centroid or are minters
+    assert res.filter((F.col("dist") >= 0.35) & (F.col("dist") > 0)).count() == 0
+
+
+# --- Multimodal -------------------------------------------------------------
+
+
+def test_multimodal_pipeline(spark):
+    from logstream_processing_service_spark.operators.multimodal import (
+        decode_media,
+        media_feature_pipeline,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    out = media_feature_pipeline(docs)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+        assert r["n_bytes"] > 0
+    # the stub seam: real media types must loudly refuse, not silently fake
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", "image/png")
