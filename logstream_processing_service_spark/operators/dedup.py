@@ -113,9 +113,16 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature (16 perms over 48-bit shingle hashes)."""
-    sh = shingle_table(documents, n)
-    h = F.expr(T.hash48_sql("s"))
+    """Per-doc MinHash signature (16 perms over 48-bit shingle hashes).
+
+    The md5-based 48-bit hash is projected ONCE per shingle row before the
+    aggregate — inlining it into each of the 16 min() aggregates would make
+    codegen evaluate 16×12 md5 calls per row.
+    """
+    sh = shingle_table(documents, n).select(
+        "doc_id", F.expr(T.hash48_sql("s")).alias("h")
+    )
+    h = F.col("h")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(T.MINHASH_PRIME)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(T.MINHASH_PERMS)
@@ -139,17 +146,17 @@ def minhash_lsh_pairs(
     bands = bands or T.MINHASH_BANDS
     rows = len(T.MINHASH_PERMS) // bands
     sig = minhash_signatures(documents, n)
-    band_cols = []
-    for bi in range(bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
-        )
-        band_cols.append(
-            sig.select("doc_id", F.lit(bi).alias("band"), key.alias("bkey"))
-        )
-    banded = band_cols[0]
-    for bc in band_cols[1:]:
-        banded = banded.unionByName(bc)
+    # one posexplode over an array of band keys: the signature subtree
+    # (shingle explode → 16-way agg) appears ONCE in the plan, not per band
+    keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(keys).alias("band", "bkey")
+    )
     a = banded.select(F.col("doc_id").alias("d1"), "band", "bkey")
     b = banded.select(F.col("doc_id").alias("d2"), "band", "bkey")
     candidates = (
@@ -158,21 +165,25 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    # verify ONLY candidate docs with true Jaccard (no frequency cap in the
-    # verify: it must be exact). Restricting the shingle table to docs that
-    # appear in a candidate pair keeps the verify cost ∝ candidates, not
-    # corpus — the property that makes this the 100 TB dedup path.
-    cand_docs = (
-        candidates.select(F.col("d1").alias("doc_id"))
-        .unionByName(candidates.select(F.col("d2").alias("doc_id")))
-        .distinct()
+    # verify candidates with TRUE uncapped n-gram Jaccard via per-doc
+    # distinct-shingle sets: two narrow joins ∝ candidates, instead of an
+    # all-pairs inverted-index pass — the property that makes this the
+    # 100 TB dedup path (candidate pairs are a vanishing fraction).
+    doc_sets = (
+        shingle_table(documents, n, max_doc_freq=0)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
     )
-    sub = documents.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    truth = ngram_jaccard_pairs(sub, n, threshold=0.0, max_doc_freq=0)
+    joined = candidates.join(
+        doc_sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("s1")), "d1"
+    ).join(
+        doc_sets.select(F.col("doc_id").alias("d2"), F.col("ss").alias("s2")), "d2"
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    jac = F.round(inter / (F.size("s1") + F.size("s2") - inter), 4)
     return (
-        candidates.join(truth, ["d1", "d2"])
+        joined.select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "jaccard")
     )
 
 
@@ -212,15 +223,17 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFr
     pigeonhole — so blocking is lossless for the threshold).
     """
     sim = simhash_table(documents)
-    bands = []
-    for bi in range(T.SIMHASH_BANDS):
-        band_val = F.expr(f"(simhash div {1 << (8 * bi)}) % 256")
-        bands.append(
-            sim.select("doc_id", "simhash", F.lit(bi).alias("band"), band_val.alias("bval"))
-        )
-    banded = bands[0]
-    for bc in bands[1:]:
-        banded = banded.unionByName(bc)
+    # posexplode band values: one simhash-agg subtree per join side, not
+    # one per band branch (union-of-selects would replicate the agg 4×)
+    bvals = F.array(
+        *[
+            F.expr(f"(simhash div {1 << (8 * bi)}) % 256")
+            for bi in range(T.SIMHASH_BANDS)
+        ]
+    )
+    banded = sim.select(
+        "doc_id", "simhash", F.posexplode(bvals).alias("band", "bval")
+    )
     a = banded.select(
         F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "band", "bval"
     )
@@ -231,6 +244,6 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFr
         a.join(b, ["band", "bval"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
