@@ -423,6 +423,54 @@ def open_incident_upsert(
     return to_insert.unionByName(to_touch)
 
 
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.8) + multidimensional aggregates (§2.5 note)
+# ---------------------------------------------------------------------------
+
+
+def actor_setops(df: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT cardinalities over per-type actor sets.
+
+    The reference has no set operations (SURVEY §2.8); Spark's are free and
+    exposed here: actors who error vs actors who sign up. One row out.
+
+    Scale: each distinct is a partial-agg'd shuffle on user_id; the three
+    scalar counts then combine driver-free via crossJoin of 1-row frames.
+    """
+    err = df.filter(F.col("event_type") == "error").select("user_id").distinct()
+    sig = df.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    n_union = err.unionByName(sig).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    n_inter = err.intersect(sig).agg(F.count(F.lit(1)).alias("n_intersect"))
+    n_only = err.exceptAll(sig).agg(F.count(F.lit(1)).alias("n_error_only"))
+    return n_union.crossJoin(n_inter).crossJoin(n_only)
+
+
+def rollup_volume(df: DataFrame) -> DataFrame:
+    """Daily volume with ROLLUP subtotals (per type+day, per type, grand).
+
+    Scale: rollup expands grouping sets BEFORE the shuffle with partial
+    aggregation per set — one exchange regardless of how many levels.
+    """
+    return (
+        df.rollup(F.col("event_type"), F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def cube_volume(df: DataFrame) -> DataFrame:
+    """CUBE over (event_type, actor cohort): all 4 grouping sets in one pass."""
+    return (
+        df.cube(F.col("event_type"), (F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 def upsert_append(new: DataFrame, existing: DataFrame, key: str = "log_id") -> DataFrame:
     """Idempotent insert: ON CONFLICT DO NOTHING as an anti-join.
 

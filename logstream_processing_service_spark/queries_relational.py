@@ -346,3 +346,63 @@ def q_keyed_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.keyed_overwrite(
         ev.select("event_id", "event_type"), updates, key="event_id", col="event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations + §2.5 multidimensional aggregates (Spark freebies the
+# reference lacks, exposed as first-class operators)
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "actor_setops",
+    """
+    SELECT
+      (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+          UNION
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      )) AS n_union,
+      (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      )) AS n_intersect,
+      (SELECT count(*) FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+          EXCEPT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+      )) AS n_error_only
+    """,
+    "setops",
+)
+def q_actor_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.actor_setops(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "rollup_volume",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+    """,
+    "rollup", "A-ext",
+)
+def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rollup_volume(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "cube_volume",
+    """
+    SELECT event_type, user_id % 10 AS cohort,
+           count(*) AS cnt, round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 10)
+    """,
+    "cube", "A-ext",
+)
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.cube_volume(_t(spark, sf_dir, "events"))
