@@ -47,6 +47,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = {s.name: s for s in all_specs()}
 
+    # JVM/codegen warm-up outside the timings: the first executed job pays
+    # JIT compilation + parquet footer reads (~2-3s) that say nothing about
+    # the plans under test
+    from logstream_processing_service_spark.sources import load_table
+
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn

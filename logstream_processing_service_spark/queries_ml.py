@@ -104,3 +104,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import media_feature_pipeline
 
     return media_feature_pipeline(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "standardize_value",
+    """
+    WITH stats AS (
+        SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events
+    )
+    SELECT event_id, value,
+           round((value - mu) / (sd + 1e-12), 6) AS value_z
+    FROM events, stats
+    """,
+    "M5", "A8",
+)
+def q_standardize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.features import standardize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    return standardize(ev, ["value"])
+
+
+@spec(
+    "onehot_event_type",
+    """
+    SELECT event_id,
+           CAST(event_type = 'click' AS INT) AS event_type_click,
+           CAST(event_type = 'error' AS INT) AS event_type_error,
+           CAST(event_type = 'purchase' AS INT) AS event_type_purchase,
+           CAST(event_type = 'signup' AS INT) AS event_type_signup,
+           CAST(event_type = 'view' AS INT) AS event_type_view
+    FROM events
+    """,
+    "M6", "M4",
+)
+def q_onehot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.features import onehot
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return onehot(ev, "event_type").drop("event_type")

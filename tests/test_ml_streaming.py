@@ -214,3 +214,46 @@ def test_multimodal_pipeline(spark):
     # the stub seam: real media types must loudly refuse, not silently fake
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG...", "image/png")
+
+
+class TestFeatureLayer:
+    """M4/M5/M6: vectorization, standardization, one-hot (ml/features.py)."""
+
+    def test_standardize_moments(self, spark, sf_dir):
+        from logstream_processing_service_spark.ml.features import standardize
+        from logstream_processing_service_spark.sources import load_table
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        z = standardize(ev, ["value"])
+        row = z.agg(
+            F.round(F.avg("value_z"), 4).alias("mu"),
+            F.round(F.stddev_pop("value_z"), 2).alias("sd"),
+        ).first()
+        assert abs(row["mu"]) < 1e-3
+        assert abs(row["sd"] - 1.0) < 0.01
+
+    def test_onehot_partitions_rows(self, spark, sf_dir):
+        from logstream_processing_service_spark.ml.features import EVENT_TYPES, onehot
+        from logstream_processing_service_spark.sources import load_table
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+        oh = onehot(ev, "event_type")
+        # each row has exactly one hot bit (all sf categories are known)
+        hot = sum(F.col(f"event_type_{c}") for c in EVENT_TYPES)
+        assert oh.filter(hot != 1).count() == 0
+
+    def test_mllib_feature_pipeline(self, spark, sf_dir):
+        from logstream_processing_service_spark.ml.embedding import hash_featurizer
+        from logstream_processing_service_spark.ml.features import fit_mllib_features
+        from logstream_processing_service_spark.sources import load_table
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .limit(200)
+            .withColumn("embedding", hash_featurizer(16)(F.col("props")))
+        )
+        model, work = fit_mllib_features(ev)
+        out = model.transform(work)
+        first = out.select("features").first()["features"]
+        # 5 one-hot + 1 keep-bucket + 1 numeric + 16 embedding dims
+        assert first.size == 5 + 1 + 1 + 16
