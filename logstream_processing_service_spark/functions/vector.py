@@ -71,3 +71,65 @@ def minkowski_sql_duckdb(a: str, b: str, dim: int, p: float = 1.5) -> str:
         f"i -> pow(abs(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)), {p})))"
     )
     return f"pow({s}, {1.0 / p})"
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH for cosine (north-star near-dup scale path)
+# ---------------------------------------------------------------------------
+
+LSH_BITS = 16
+LSH_BANDS = 4  # 4 x 4-bit bands over the 16-bit signature
+LSH_BAND_BITS = 4
+LSH_DIM = 64
+
+# Deterministic Rademacher (+/-1) hyperplanes: sign(dot(v, H_b)) is bit b.
+# Fixed seed => identical literals in the Spark plan and the DuckDB oracle.
+
+
+def _gen_hyperplanes(bits: int = LSH_BITS, dim: int = LSH_DIM) -> list[list[int]]:
+    state = 88172645463325252
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            # xorshift64 — dependency-free, stable across numpy versions
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(1 if state & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES: list[list[int]] = _gen_hyperplanes()
+
+
+def lsh_signature(emb: Column) -> Column:
+    """16-bit hyperplane signature: bit b set iff dot(emb, H_b) > 0.
+    Pure codegen arithmetic — the signed sums reuse the same fold shape as
+    ``dot`` so Spark and DuckDB agree bit-for-bit."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(HYPERPLANES):
+        signed = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(h) for h in plane]),
+                lambda x, h: _d(x) * _d(h),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(signed > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_signature_sql_duckdb(a: str, dim: int = LSH_DIM) -> str:
+    terms = []
+    for b, plane in enumerate(HYPERPLANES):
+        arr = "[" + ",".join(str(h) for h in plane) + "]"
+        dot_h = (
+            f"list_sum(list_transform(range(1,{dim + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST(({arr})[i] AS DOUBLE)))"
+        )
+        terms.append(f"(CASE WHEN {dot_h} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

@@ -157,3 +157,30 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _lsh_near_dup_oracle(threshold: float = 0.3) -> str:
+    sig_sql = V.lsh_signature_sql_duckdb("embedding", DIM)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {bi} AS band, "
+        f"(sig // {1 << (V.LSH_BAND_BITS * bi)}) % {1 << V.LSH_BAND_BITS} AS bval FROM sig"
+        for bi in range(V.LSH_BANDS)
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, {sig_sql} AS sig FROM embeddings
+    ),
+    banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+               round({V.cosine_sql_duckdb("a.embedding", "b.embedding", DIM)}, 6) AS cos
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id1, id2, cos FROM cand WHERE cos >= {threshold}
+    """
+
+
+@spec("embedding_near_dup_lsh", _lsh_near_dup_oracle(), "vector", "dedup", "lsh")
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.3)
