@@ -492,3 +492,50 @@ def keyed_overwrite(
     upd = updates.select(F.col(key), F.col(col).alias("_new_val"))
     out = base.join(F.broadcast(upd), key, "left")
     return out.withColumn(col, F.coalesce(F.col("_new_val"), F.col(col))).drop("_new_val")
+
+
+def sessionize(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-actor sessionization (gaps-and-islands): a new session starts
+    after a silence longer than ``gap_minutes``.
+
+    The reference approximates sessions with fixed 100-row virtual batches
+    (F5); real session semantics are the log-analytics upgrade, and the
+    streaming twin is ``F.session_window`` (streaming/pipeline.py).
+
+    Scale: one shuffle keyed by actor for the window pass, then the same
+    partitioning is REUSED by the session aggregation (no second exchange —
+    groupBy(key, session_idx) is a prefix of the window partitioning).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    # exact integer microseconds (matches the oracle's epoch_us; second-level
+    # date_diff would count boundary crossings, not elapsed time)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
+    # >= : an event exactly `gap` after the last one opens a NEW session —
+    # the same closed-open boundary Structured Streaming's session_window
+    # uses, so batch and streaming sessionization agree event-for-event
+    new_flag = F.when(
+        prev_us.isNull() | ((us - prev_us) >= gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = df.withColumn("_new", new_flag).withColumn(
+        "session_idx",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy(key_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.round(
+                (F.max(us) - F.min(us)) / F.lit(1_000_000.0), 6
+            ).alias("duration_sec"),
+        )
+    )

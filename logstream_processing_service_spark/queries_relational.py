@@ -406,3 +406,32 @@ def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.cube_volume(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "user_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS _new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 6)
+             AS duration_sec
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+    "sessionization", "W-ext", "T5",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.sessionize(_t(spark, sf_dir, "events"))

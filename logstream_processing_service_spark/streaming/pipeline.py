@@ -152,3 +152,23 @@ def run_windowed_volume(
         .start()
     )
     q.awaitTermination()
+
+
+def session_volume(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (the native twin of
+    the batch gaps-and-islands ``relational.sessionize``): a session closes
+    after ``gap`` of silence, emitted once the watermark passes."""
+    return (
+        events.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+        .groupBy(F.session_window("ts_tz", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -257,3 +257,47 @@ class TestFeatureLayer:
         first = out.select("features").first()["features"]
         # 5 one-hot + 1 keep-bucket + 1 numeric + 16 embedding dims
         assert first.size == 5 + 1 + 1 + 16
+
+
+def test_streaming_sessions_match_batch(spark, tmpdir):
+    from logstream_processing_service_spark.operators.relational import sessionize
+    from logstream_processing_service_spark.streaming.pipeline import (
+        read_events_stream,
+        session_volume,
+    )
+
+    q = (
+        session_volume(read_events_stream(spark, SF_DIR))
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/_ckpt_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode only emits sessions SEALED by the final watermark
+    # (max_ts - 2h); compare batch vs streaming on those, and require the
+    # streaming output to be a subset of the batch sessions overall
+    events = _events(spark)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=2, minutes=30)
+    want = sessionize(events)
+    want_sealed = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in want.filter(F.col("session_end") < F.lit(cutoff)).collect()
+    }
+    got_all = {
+        (r["user_id"], str(r["session_start"]).replace("+00:00", "")): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    missing = {k: v for k, v in want_sealed.items() if got_all.get(k) != v}
+    assert missing == {}
+    # nothing emitted that batch doesn't know about
+    want_all = {
+        (r["user_id"], str(r["session_start"])): r["n_events"] for r in want.collect()
+    }
+    extra = {k: v for k, v in got_all.items() if want_all.get(k) != v}
+    assert extra == {}
