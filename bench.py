@@ -33,6 +33,11 @@ HEADLINE = [
     "ann_bruteforce",
     "text_quality",
     "doc_fingerprints",
+    "user_sessions",
+    "asof_signup_before_error",
+    "rollup_volume",
+    "value_percentiles",
+    "embedding_near_dup_lsh",
 ]
 
 

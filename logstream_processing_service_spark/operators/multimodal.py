@@ -108,3 +108,84 @@ def extract_features(media: DataFrame) -> DataFrame:
 def media_feature_pipeline(documents: DataFrame) -> DataFrame:
     """documents → binary payload → batched feature extraction."""
     return extract_features(with_binary_payload(documents))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing (images): same mapInPandas shape as
+    ``extract_features``; the PIL resize is the stub seam. The deterministic
+    stand-in truncates/pads the payload to ``width*height`` bytes so batch
+    sizing, schema, and downstream wiring are all real and testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out_payload = []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                if m in ("image/png", "image/jpeg"):
+                    raise NotImplementedError(
+                        "PIL not available here; plug Image.open(...).resize "
+                        "into this branch"
+                    )
+                b = bytes(p)[:target]
+                out_payload.append(b + b"\x00" * (target - len(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "out_w": width,
+                    "out_h": height,
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    return flat.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing (video): one input row explodes to ≤
+    ``max_frames`` frame rows. The pyav keyframe decode is the stub seam;
+    the stand-in slices the payload at fixed strides — the row-explosion
+    shape (the part that matters for partition sizing at scale) is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for d, p, m in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if m == "video/mp4":
+                    raise NotImplementedError(
+                        "pyav not available here; plug keyframe extraction "
+                        "into this branch"
+                    )
+                b = bytes(p)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    ids.append(d)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    return flat.mapInPandas(run, FRAME_SCHEMA)

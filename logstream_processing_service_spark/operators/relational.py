@@ -539,3 +539,63 @@ def sessionize(
             ).alias("duration_sec"),
         )
     )
+
+
+def asof_last_event(
+    df: DataFrame,
+    probe_type: str = "error",
+    build_type: str = "signup",
+) -> DataFrame:
+    """As-of join: for every ``probe_type`` event, the most recent
+    ``build_type`` event of the same actor at-or-before its timestamp.
+
+    SURVEY §2.4 notes the reference has no as-of/range joins; this is the
+    canonical log-analytics use ("which signup preceded this error?").
+    Spark has no ASOF JOIN operator — re-expressed as ONE pass: a
+    RANGE-framed running max over the union stream, partitioned by actor.
+    The range frame (not rows) makes ties at identical timestamps match
+    DuckDB's ``ASOF JOIN ... ON e.ts >= s.ts`` exactly.
+
+    Scale: one shuffle on user_id total — strictly cheaper than the
+    join+re-aggregate alternative (two shuffles), and no build-side
+    broadcast requirement.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    build_ts = F.when(F.col("event_type") == build_type, F.col("ts"))
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (
+        df.withColumn("last_build_ts", F.max(build_ts).over(w))
+        .filter(F.col("event_type") == probe_type)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("last_build_ts").alias("last_signup_ts"),
+            F.round(
+                (us(F.col("ts")) - us(F.col("last_build_ts"))) / F.lit(1_000_000.0), 6
+            ).alias("lag_sec"),
+        )
+    )
+
+
+def value_percentiles(df: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of ``value`` per event type (p50/p90/
+    p99) + the HLL-style approximate path note: at 100 TB swap ``percentile``
+    for ``approx_percentile`` (t-digest, mergeable, one pass) — the exact
+    form is the oracle-checked one.
+    """
+    pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.round(pcts[0], 4).alias("p50"),
+            F.round(pcts[1], 4).alias("p90"),
+            F.round(pcts[2], 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

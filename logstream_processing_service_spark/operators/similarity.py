@@ -194,8 +194,14 @@ def embedding_near_dup_lsh(
     band width on the test corpus. Recall is the standard LSH trade-off;
     the DuckDB oracle mirrors the same blocking so the check is exact.
     """
+    # norm is computed ONCE per vector here, not once per candidate pair:
+    # higher-order array aggregates are interpreted (not codegen'd), so the
+    # verify stage's per-pair work must be a single dot, not dot+2 norms
     sig = embeddings.select(
-        "vec_id", "embedding", V.lsh_signature(F.col("embedding")).alias("sig")
+        "vec_id",
+        "embedding",
+        V.norm(F.col("embedding")).alias("nrm"),
+        V.lsh_signature(F.col("embedding")).alias("sig"),
     )
     bvals = F.array(
         *[
@@ -204,18 +210,21 @@ def embedding_near_dup_lsh(
         ]
     )
     banded = sig.select(
-        "vec_id", "embedding", F.posexplode(bvals).alias("band", "bval")
+        "vec_id", "embedding", "nrm", F.posexplode(bvals).alias("band", "bval")
     )
     a = banded.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "band", "bval"
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"), "band", "bval",
     )
     b = banded.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), "band", "bval"
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"), "band", "bval",
     )
+    cos = V.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         a.join(b, ["band", "bval"])
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(V.cosine(F.col("e1"), F.col("e2")), 6))
+        .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
         .distinct()

@@ -435,3 +435,34 @@ def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.sessionize(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "asof_signup_before_error",
+    """
+    SELECT e.event_id, e.user_id, e.ts, s.ts AS last_signup_ts,
+           round((epoch_us(e.ts) - epoch_us(s.ts)) / 1000000.0, 6) AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    "asof-join", "J-ext",
+)
+def q_asof_signup_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.asof_last_event(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "A-ext", "percentile",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.value_percentiles(_t(spark, sf_dir, "events"))

@@ -1,1 +1,1 @@
-from .tables import TABLES, load_table, register_views  # noqa: F401
+from .tables import TABLES, jdbc_table, load_table, register_views  # noqa: F401

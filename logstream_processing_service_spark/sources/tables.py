@@ -58,3 +58,40 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     """Register each table as a temp view so transforms can use spark.sql."""
     for name in tables or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Production-source swap for the reference's Postgres tables (S1):
+    the same transforms run over JDBC by replacing ``load_table`` with this.
+
+    Reads are range-partitioned on ``partition_column`` (the reference's
+    ``log_id BETWEEN`` batch slicing, generalized) so the scan parallelizes
+    across executors instead of one driver-side ``pd.read_sql`` fetch
+    (src/db/log_ops.py:5-14). Predicates/projections still push down to the
+    database via Catalyst's JDBC rules. Untested here (no database in this
+    environment); parquet is the hot path.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("range partitioning needs lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -301,3 +301,25 @@ def test_streaming_sessions_match_batch(spark, tmpdir):
     }
     extra = {k: v for k, v in got_all.items() if want_all.get(k) != v}
     assert extra == {}
+
+
+def test_multimodal_resize_and_frames(spark):
+    from logstream_processing_service_spark.operators.multimodal import (
+        frame_sample,
+        resize_media,
+        with_binary_payload,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    media = with_binary_payload(load_table(spark, SF_DIR, "documents").limit(30))
+    resized = resize_media(media, width=8, height=8)
+    rows = resized.collect()
+    assert len(rows) == 30
+    assert all(len(r["payload"]) == 64 for r in rows)
+    frames = frame_sample(media, every_n_bytes=64, max_frames=4)
+    fr = frames.collect()
+    assert len(fr) > 30  # rows explode
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) and len(v) <= 4 for v in per_doc.values())
