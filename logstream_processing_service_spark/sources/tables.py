@@ -95,3 +95,20 @@ def jdbc_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("event_date",),
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned parquet sink — the storage layout that makes 100 TB
+    queryable: a time-range predicate prunes whole directories before any
+    IO (PartitionFilters), and each day's files compact independently.
+
+    The reference appends everything into flat Postgres tables and rescans
+    with WHERE (src/db/cluster_ops.py:14-19); partition pruning is the
+    columnar equivalent of its (log_id BETWEEN …) slicing, done by layout.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

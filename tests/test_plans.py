@@ -100,3 +100,44 @@ def test_sessionize_single_exchange_per_key(spark):
     # hash-partitioning: exactly one exchange on user_id in the plan
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len([l for l in exchanges if "user_id" in l]) == 1
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """write_partitioned + a date predicate => directory-level pruning
+    (PartitionFilters), the layout contract for 100 TB."""
+    from logstream_processing_service_spark.plans import (
+        partition_filters,
+        scan_columns,
+    )
+    from logstream_processing_service_spark.sources.tables import write_partitioned
+
+    ev = _events(spark).withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_date") == "2024-01-05"
+    ).select("event_id", "event_type")
+    pf = partition_filters(back)
+    assert "event_date" in pf
+    # pruned read touches only the needed data columns (+ the partition
+    # column itself, which is directory metadata, not file IO)
+    assert scan_columns(back) == {"event_id", "event_type", "event_date"}
+    # and the result matches the unpartitioned filter
+    want = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert back.count() == want
+
+
+def test_plan_helpers_roundtrip(spark):
+    from logstream_processing_service_spark.operators.relational import (
+        mine_patterns,
+        scan_slice,
+    )
+    from logstream_processing_service_spark.plans import (
+        count_exchanges,
+        has_cartesian,
+        pushed_filters,
+    )
+
+    assert "event_id" in pushed_filters(scan_slice(_events(spark)))
+    assert not has_cartesian(mine_patterns(_events(spark)))
+    assert count_exchanges(mine_patterns(_events(spark))) >= 1

@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for operator invariants that example
+tests can't cover: arbitrary event streams, adversarial text, tie-heavy
+timestamps. Spark jobs per example are slow, so example counts are small
+and deadlines disabled.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+
+@st.composite
+def event_streams(draw):
+    """(user_id, offset_seconds) pairs, tie-prone, up to 60 events."""
+    n = draw(st.integers(min_value=1, max_value=60))
+    users = draw(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=n, max_size=n)
+    )
+    offsets = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=6 * 3600),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return list(zip(users, offsets))
+
+
+@SLOW
+@given(event_streams())
+def test_sessionize_partitions_events(spark, stream):
+    from logstream_processing_service_spark.operators.relational import sessionize
+
+    rows = [
+        (i, u, _BASE + datetime.timedelta(seconds=off))
+        for i, (u, off) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    out = sessionize(df, gap_minutes=30).collect()
+    # sessions partition the events exactly
+    assert sum(r["n_events"] for r in out) == len(rows)
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, sess in by_user.items():
+        sess.sort(key=lambda r: r["session_start"])
+        for s in sess:
+            assert s["session_start"] <= s["session_end"]
+        # consecutive sessions are separated by >= gap
+        for a, b in zip(sess, sess[1:]):
+            assert (b["session_start"] - a["session_end"]).total_seconds() >= 1800
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dedup_exact_partitions_docs(spark, texts):
+    from logstream_processing_service_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup_exact(df).collect()
+    # groups partition the corpus; group count == distinct texts
+    assert sum(r["dup_count"] for r in out) == len(texts)
+    assert len(out) == len(set(texts))
+    # keepers are minimal doc_ids of their group
+    keep_ids = {r["keep_id"] for r in out}
+    first_seen = {}
+    for i, t in enumerate(texts):
+        first_seen.setdefault(t, i)
+    assert keep_ids == set(first_seen.values())
+
+
+@SLOW
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_standardize_is_affine_invariant(spark, values):
+    from logstream_processing_service_spark.ml.features import standardize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "event_id long, value double"
+    )
+    out = {r["event_id"]: r["value_z"] for r in standardize(df, ["value"]).collect()}
+    # monotone: walking the rows in raw order, z never decreases (ties are
+    # allowed — rounding + the 1e-12 epsilon collapse denormal-scale gaps)
+    zs = [out[i] for i in sorted(range(len(values)), key=lambda i: (values[i], i))]
+    assert all(a <= b for a, b in zip(zs, zs[1:]))
