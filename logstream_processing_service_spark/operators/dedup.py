@@ -169,10 +169,15 @@ def minhash_lsh_pairs(
     # distinct-shingle sets: two narrow joins ∝ candidates, instead of an
     # all-pairs inverted-index pass — the property that makes this the
     # 100 TB dedup path (candidate pairs are a vanishing fraction).
+    # Sets hold 48-bit shingle HASHES, not strings: 8-byte elements on the
+    # shuffle wire and long (not string) intersection; the oracle intersects
+    # the same hashes, so parity is by construction (a cross-shingle hash
+    # collision inside one pair has probability ~2^-48 per shingle²).
     doc_sets = (
         shingle_table(documents, n, max_doc_freq=0)
+        .select("doc_id", F.expr(T.hash48_sql("s")).alias("h"))
         .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("ss"))
+        .agg(F.collect_set("h").alias("ss"))
     )
     joined = candidates.join(
         doc_sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("s1")), "d1"

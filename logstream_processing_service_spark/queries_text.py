@@ -83,7 +83,8 @@ def _minhash_oracle() -> str:
         + ") AS bkey FROM sig"
         for bi in range(T.MINHASH_BANDS)
     )
-    # verify uses the UNCAPPED shingle table (sh_all), matching Spark
+    # verify uses the UNCAPPED shingle table (sh_all) as per-doc 48-bit
+    # hash sets — the same hash-set intersection the Spark operator does
     return f"""
     WITH {_SHINGLE_CTE},
     sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
@@ -93,10 +94,20 @@ def _minhash_oracle() -> str:
         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
         WHERE a.doc_id < b.doc_id
     ),
-    {_JACCARD_CORE.format(sh="sh_all")}
-    SELECT c.d1, c.d2, j.jaccard
-    FROM cand c JOIN jac j ON c.d1 = j.d1 AND c.d2 = j.d2
-    WHERE j.jaccard >= 0.8
+    hsets AS (
+        SELECT doc_id, array_agg(DISTINCT {_H_S}) AS ss
+        FROM sh_all GROUP BY doc_id
+    ),
+    verified AS (
+        SELECT c.d1, c.d2,
+               round(len(list_intersect(h1.ss, h2.ss)) * 1.0 /
+                     (len(h1.ss) + len(h2.ss) - len(list_intersect(h1.ss, h2.ss))),
+                     4) AS jaccard
+        FROM cand c
+        JOIN hsets h1 ON c.d1 = h1.doc_id
+        JOIN hsets h2 ON c.d2 = h2.doc_id
+    )
+    SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8
     """
 
 
