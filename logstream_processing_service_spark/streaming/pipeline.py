@@ -172,3 +172,62 @@ def session_volume(
             "n_events",
         )
     )
+
+
+def run_anomaly_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    levels: tuple[str, ...] = ("error", "signup"),
+) -> None:
+    """The reference's full incremental anomaly pass (SURVEY §3.1 steps
+    5-6) inside ONE streaming query: each micro-batch appends its volume
+    counts to history, recomputes rolling features over the accumulated
+    history, flags anomalies, and upserts incidents — the same batch
+    operators (`batch_volume`/`volume_zscore`/`flag_anomalies`/
+    `open_incident_upsert`), unchanged, wired into foreachBatch.
+    """
+    from ..operators.relational import (
+        batch_volume,
+        flag_anomalies,
+        open_incident_upsert,
+        volume_zscore,
+    )
+
+    hist_path = os.path.join(out_dir, "volume_history")
+    inc_path = os.path.join(out_dir, "incidents")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        vol = batch_volume(batch_df.select("user_id", "event_id"))
+        vol.write.mode("append").parquet(hist_path)
+        history = sp.read.parquet(hist_path)
+        flagged = flag_anomalies(volume_zscore(history))
+        try:
+            incidents = sp.read.parquet(inc_path)
+        except Exception:
+            incidents = sp.createDataFrame(
+                [], "cluster_id bigint, status string, created_at timestamp"
+            )
+        actions = open_incident_upsert(flagged.select("cluster_id"), incidents)
+        (
+            actions.filter(F.col("action") == "insert")
+            .select(
+                "cluster_id",
+                F.lit("NEW").alias("status"),
+                F.current_timestamp().alias("created_at"),
+            )
+            .write.mode("append")
+            .parquet(inc_path)
+        )
+
+    events = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin(*levels)
+    )
+    q = (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

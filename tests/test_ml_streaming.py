@@ -323,3 +323,43 @@ def test_multimodal_resize_and_frames(spark):
     for r in fr:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == list(range(len(v))) and len(v) <= 4 for v in per_doc.values())
+
+
+def test_streaming_anomaly_pipeline(spark, tmpdir):
+    from logstream_processing_service_spark.streaming.pipeline import (
+        run_anomaly_pipeline,
+    )
+
+    run_anomaly_pipeline(spark, SF_DIR, tmpdir)
+    hist = spark.read.parquet(f"{tmpdir}/volume_history")
+    assert hist.count() > 0
+    import os
+
+    if os.path.exists(f"{tmpdir}/incidents"):
+        inc = spark.read.parquet(f"{tmpdir}/incidents")
+        # anomaly cap: at most 3 incidents minted per micro-batch
+        assert inc.count() <= 3 * 2
+        assert inc.filter(F.col("status") != "NEW").count() == 0
+
+
+def test_viz_prep_and_gate(spark):
+    from logstream_processing_service_spark.ml.visualize import (
+        purity_heatmap_data,
+        tsne_projection,
+    )
+
+    emb = _emb(spark).withColumn("cluster", F.col("vec_id") % 7)
+    prep = purity_heatmap_data(emb, "label", "cluster", top_k=5)
+    rows = prep.collect()
+    assert len(rows) > 0
+    assert {r["cluster"] for r in rows} <= set(range(7))
+    try:
+        import sklearn  # noqa: F401
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        import pytest as _pt
+
+        with _pt.raises(NotImplementedError):
+            tsne_projection(emb)
