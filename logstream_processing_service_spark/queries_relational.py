@@ -466,3 +466,68 @@ def q_asof_signup_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.value_percentiles(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "orders_with_error_events",
+    """
+    -- EXISTS semi-join with the BIG side as probe (J2 at warehouse shape)
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = o.o_custkey % 20 AND e.event_type = 'error'
+          AND e.value > 190
+    )
+    """,
+    "J2", "semi-join",
+)
+def q_orders_with_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    flagged_users = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 190))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        orders.withColumn("_k", F.col("o_custkey") % 20)
+        .join(F.broadcast(flagged_users), F.col("_k") == F.col("user_id"), "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@spec("distinct_actors_approx", None, "A6", "rows-only", "scale-twin")
+def q_distinct_actors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (the 100 TB swap-in for countDistinct):
+    mergeable sketches, one pass, no exact-distinct shuffle. Rows-only
+    check (approximation is engine-specific by design)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@spec("value_percentiles_approx", None, "A-ext", "rows-only", "scale-twin")
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style, mergeable) — the 100 TB swap-in
+    for exact interpolated percentiles."""
+    from pyspark.sql import functions as F
+
+    p = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(p[0], 4).alias("p50"),
+            F.round(p[1], 4).alias("p90"),
+            F.round(p[2], 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
