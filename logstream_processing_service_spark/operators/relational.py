@@ -599,3 +599,33 @@ def value_percentiles(df: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_col_source: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    For joins where ``key`` is heavily skewed and the dim side is too big to
+    broadcast: the hot key's rows spread over ``n_salt`` tasks instead of
+    one straggler. Salt is DETERMINISTIC (hash of a fact-side unique column,
+    not rand()) so retries and re-runs are stable. AQE's skew-join split
+    covers sort-merge cases adaptively; this is the explicit form for when
+    the skew is known up front (e.g. the null/default cluster id).
+
+    Scale: shuffle keys become (key, salt); dim grows ×n_salt rows (not
+    bytes×n_salt on the wire per task — each task reads one replica).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col_source)), F.lit(n_salt))
+    )
+    replicas = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = salted_fact.join(replicas, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -29,6 +29,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # split packing: 1 MB open-cost estimate (realistic for compacted
+    # parquet on fast storage; the 4 MB default stops small inputs from
+    # splitting to the session's minPartitionNum and leaves cores idle)
+    "spark.sql.files.openCostInBytes": "1048576",
 }
 
 

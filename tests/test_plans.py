@@ -141,3 +141,56 @@ def test_plan_helpers_roundtrip(spark):
     assert "event_id" in pushed_filters(scan_slice(_events(spark)))
     assert not has_cartesian(mine_patterns(_events(spark)))
     assert count_exchanges(mine_patterns(_events(spark))) >= 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    from logstream_processing_service_spark.operators.relational import salted_join
+
+    ev = _events(spark).select("event_id", "user_id", "event_type")
+    dim = (
+        _events(spark)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "user_total")
+    salted = salted_join(ev, dim, "user_id", salt_col_source="event_id").select(
+        "event_id", "user_total"
+    )
+    assert plain.count() == salted.count()
+    diff = plain.exceptAll(salted).count() + salted.exceptAll(plain).count()
+    assert diff == 0
+    # the join key actually includes the salt
+    plan = _plan(salted)
+    assert "_salt" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: both sides bucketed by the join key => zero shuffle
+    exchanges in the join plan (the 100 TB co-location strategy)."""
+    ev = _events(spark).select("event_id", "user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS dim_bucketed")
+    (
+        ev.write.format("parquet")
+        .option("path", str(tmp_path / "ev_b"))
+        .bucketBy(8, "user_id")
+        .sortBy("user_id")
+        .saveAsTable("ev_bucketed")
+    )
+    (
+        dim.write.format("parquet")
+        .option("path", str(tmp_path / "dim_b"))
+        .bucketBy(8, "user_id")
+        .sortBy("user_id")
+        .saveAsTable("dim_bucketed")
+    )
+    joined = spark.table("ev_bucketed").join(
+        spark.table("dim_bucketed").hint("merge"), "user_id"
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == ev.count()
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS dim_bucketed")
