@@ -112,3 +112,40 @@ def write_partitioned(
     columnar equivalent of its (log_id BETWEEN …) slicing, done by layout.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def merge_parquet(
+    spark: SparkSession,
+    target: str,
+    updates: DataFrame,
+    key: str,
+) -> None:
+    """MERGE INTO for plain parquet: WHEN MATCHED update (source row wins),
+    WHEN NOT MATCHED insert — the reference's dual write (embedding upsert +
+    cluster_id update in one txn, src/db/log_ops.py:66-81) as one
+    set-oriented sink.
+
+    Atomicity without a table format: the merged result is written to a
+    temp directory and swapped in with two renames (the ModelStore
+    blue/green move, T8). Readers see the old or the new directory, never a
+    partial write. On Delta/Iceberg this whole function is one MERGE INTO.
+    """
+    import os
+    import shutil
+
+    tmp = target.rstrip("/") + "._staged"
+    backup = target.rstrip("/") + "._old"
+    try:
+        existing = spark.read.parquet(target)
+    except Exception:
+        updates.dropDuplicates([key]).write.mode("overwrite").parquet(target)
+        return
+    deduped = updates.dropDuplicates([key])
+    merged = existing.join(deduped, key, "left_anti").unionByName(deduped)
+    merged.write.mode("overwrite").parquet(tmp)
+    # swap: target -> backup, tmp -> target, drop backup
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(target, backup)
+    os.rename(tmp, target)
+    shutil.rmtree(backup)

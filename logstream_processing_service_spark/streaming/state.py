@@ -116,3 +116,74 @@ def semantic_grouping_stream(embedded: DataFrame, key_col: str = "event_type") -
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-based windows (SURVEY T5 / §4 'needs custom work' #3): Spark's
+# streaming windows are time-based; the reference's 100-log virtual batches
+# are COUNT-based. True arrival-count windows need keyed state.
+# ---------------------------------------------------------------------------
+
+COUNT_WINDOW_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("window_idx", LongType()),
+        StructField("n_events", LongType()),
+        StructField("first_id", LongType()),
+        StructField("last_id", LongType()),
+    ]
+)
+
+COUNT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_total", LongType()),   # events consumed so far
+        StructField("buf_n", LongType()),     # events in the open window
+        StructField("buf_first", LongType()),
+    ]
+)
+
+
+def count_window_fn(window_size: int):
+    """Build the stateful per-key function: emit one row per COMPLETED
+    window of ``window_size`` events; the open remainder stays in state
+    across micro-batches (exactly the reference's 100-log batches,
+    scripts/run_training_batch.py:218, but arrival-driven)."""
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_total, buf_n, buf_first = state.get if state.exists else (0, 0, -1)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("row_id")  # deterministic within a batch
+            for rid in pdf["row_id"]:
+                rid = int(rid)
+                if buf_n == 0:
+                    buf_first = rid
+                buf_n += 1
+                n_total += 1
+                if buf_n == window_size:
+                    out.append(
+                        (str(key[0]), (n_total - 1) // window_size, buf_n, buf_first, rid)
+                    )
+                    buf_n, buf_first = 0, -1
+        state.update((n_total, buf_n, buf_first))
+        yield pd.DataFrame(
+            out, columns=["key", "window_idx", "n_events", "first_id", "last_id"]
+        )
+
+    return fn
+
+
+def count_window_stream(
+    df: DataFrame, key_col: str = "event_type", window_size: int = 100
+) -> DataFrame:
+    """Arrival-count tumbling windows per key over a stream with columns
+    (key_col, row_id)."""
+    return df.groupBy(key_col).applyInPandasWithState(
+        count_window_fn(window_size),
+        outputStructType=COUNT_WINDOW_SCHEMA,
+        stateStructType=COUNT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

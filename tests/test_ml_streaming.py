@@ -363,3 +363,58 @@ def test_viz_prep_and_gate(spark):
 
         with _pt.raises(NotImplementedError):
             tsne_projection(emb)
+
+
+def test_streaming_count_windows(spark, tmpdir):
+    from logstream_processing_service_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+    from logstream_processing_service_spark.streaming.state import (
+        count_window_stream,
+    )
+
+    events = read_events_stream(spark, SF_DIR).select(
+        "event_type", F.col("event_id").alias("row_id")
+    )
+    q = (
+        count_window_stream(events, window_size=50)
+        .writeStream.format("memory")
+        .queryName("cntwin")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/_ckpt_cw")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM cntwin").collect()
+    assert len(got) > 0
+    # every completed window holds exactly 50 events, windows are
+    # consecutive per key, and boundaries match the batch rank computation
+    from pyspark.sql import Window as W
+
+    batch = (
+        _events(spark)
+        .select("event_type", F.col("event_id").alias("row_id"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy("row_id")
+            ),
+        )
+        .withColumn("window_idx", F.floor((F.col("rnk") - 1) / 50))
+        .groupBy("event_type", "window_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("row_id").alias("first_id"),
+            F.max("row_id").alias("last_id"),
+        )
+        .filter(F.col("n") == 50)
+    )
+    want = {
+        (r["event_type"], r["window_idx"]): (r["first_id"], r["last_id"])
+        for r in batch.collect()
+    }
+    got_m = {
+        (r["key"], r["window_idx"]): (r["first_id"], r["last_id"]) for r in got
+    }
+    assert got_m == want

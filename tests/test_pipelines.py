@@ -98,3 +98,38 @@ def test_csv_staging_round_trip(spark, work_dir, tmp_path):
     assert set(orig) == set(round_tripped)
     for k, v in orig.items():
         assert round_tripped[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_merge_parquet_upsert_semantics(spark, tmp_path):
+    """MERGE: matched rows take the source version, unmatched insert, and
+    re-running the same merge is idempotent."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.sources import load_table
+    from logstream_processing_service_spark.sources.tables import merge_parquet
+
+    target = str(tmp_path / "merged")
+    base = (
+        load_table(spark, SF_DIR, "events")
+        .limit(100)
+        .select("event_id", "event_type", "value")
+    )
+    merge_parquet(spark, target, base, key="event_id")
+    n0 = spark.read.parquet(target).count()
+    assert n0 == 100
+
+    updates = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id").between(50, 149))
+        .select("event_id", F.lit("merged").alias("event_type"), "value")
+    )
+    merge_parquet(spark, target, updates, key="event_id")
+    after = spark.read.parquet(target)
+    assert after.count() == after.select("event_id").distinct().count()
+    # matched rows updated, inserts present
+    assert after.filter("event_id BETWEEN 50 AND 149 AND event_type <> 'merged'").count() == 0
+    assert after.filter("event_id < 50 AND event_type = 'merged'").count() == 0
+    n1 = after.count()
+    # idempotent re-run
+    merge_parquet(spark, target, updates, key="event_id")
+    assert spark.read.parquet(target).count() == n1
