@@ -8,7 +8,7 @@ documents before any heavier stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -125,4 +125,60 @@ def doc_stats(documents: DataFrame) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("lang", "source")
+    )
+
+
+def top_tokens(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document frequency (the first
+    step of any tokenizer/vocab build over a training corpus).
+
+    Scale: explode → two-level aggregation; the (token, doc) dedup and the
+    token count both partial-aggregate map-side, so shuffle volume is
+    bounded by vocabulary size, not corpus size.
+    """
+    words = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+    ).distinct()
+    return (
+        words.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "tok")
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, per_doc: int = 3, min_df: int = 2) -> DataFrame:
+    """Per-document top TF-IDF terms — the classic relevance/keyword
+    extraction over a training corpus, entirely in SQL.
+
+    tf = termcount/doclen; idf = ln(N/df); ties broken lexically.
+    Scale: three aggregations, all shuffled on bounded keys (token or doc);
+    the document count is a broadcast scalar.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tc"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tc") / F.col("dl")) * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_doc)
+        .select("doc_id", "rank", "tok", F.round("tfidf", 6).alias("tfidf"))
     )

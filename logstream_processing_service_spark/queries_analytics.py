@@ -151,3 +151,36 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.customer_order_stats(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
+
+
+@spec(
+    "supplier_part_revenue",
+    """
+    -- three-way dim join over the otherwise-unused part/supplier tables
+    SELECT s.s_name, p.p_type,
+           CAST(sum(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,4)))
+                AS DECIMAL(38,4)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_type LIKE 'SMALL%'
+    GROUP BY s.s_name, p.p_type
+    """,
+    "J1", "bench",
+)
+def q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type").like("SMALL%"))
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("decimal(38,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .groupBy("s_name", "p_type")
+        .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )

@@ -276,3 +276,51 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.doc_stats(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "top_tokens",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest({_WORDS_DUCK}) AS tok FROM documents
+    )
+    SELECT tok, count(*) AS doc_freq
+    FROM toks GROUP BY tok
+    ORDER BY doc_freq DESC, tok LIMIT 100
+    """,
+    "text", "vocab",
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.top_tokens(_t(spark, sf_dir, "documents"), k=100)
+
+
+@spec(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_DUCK}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tc FROM toks GROUP BY 1, 2),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    df_ AS (
+        SELECT tok, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+        HAVING count(*) >= 2
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               (tc * 1.0 / dl) * ln(n_docs * 1.0 / df) AS tfidf
+        FROM tf JOIN doclen USING (doc_id) JOIN df_ USING (tok), nd
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, tok, round(tfidf, 6) AS tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, tok
+        ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+    "text", "tfidf",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.tfidf_top_terms(_t(spark, sf_dir, "documents"))
