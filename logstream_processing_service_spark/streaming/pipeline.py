@@ -231,3 +231,15 @@ def run_anomaly_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-key dedup (T7): dropDuplicates bounded by
+    a watermark so the seen-keys state is evicted as event time advances —
+    the unbounded-state-safe form of the reference's ON CONFLICT DO NOTHING
+    (src/db/log_ops.py:53)."""
+    return (
+        events.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

@@ -418,3 +418,28 @@ def test_streaming_count_windows(spark, tmpdir):
         (r["key"], r["window_idx"]): (r["first_id"], r["last_id"]) for r in got
     }
     assert got_m == want
+
+
+def test_streaming_dedup_with_watermark(spark, tmpdir):
+    from logstream_processing_service_spark.streaming.pipeline import (
+        deduped_stream,
+        read_events_stream,
+    )
+
+    # duplicate the stream by unioning it with itself: dedup must collapse
+    # every event back to one occurrence
+    ev = read_events_stream(spark, SF_DIR)
+    doubled = ev.union(ev)
+    q = (
+        deduped_stream(doubled)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/_ckpt_dd")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
+    assert got["n"] == got["d"]
+    assert got["n"] == _events(spark).count()
