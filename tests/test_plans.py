@@ -194,3 +194,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == ev.count()
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
     spark.sql("DROP TABLE IF EXISTS dim_bucketed")
+
+
+def test_ivf_index_probe_prunes(spark, tmp_path):
+    """A materialized IVF index probe must prune unprobed bucket
+    partitions (PartitionFilters on the bucket column) and agree with the
+    in-memory two-stage search."""
+    from logstream_processing_service_spark.ml.clustering import fit_kmeans_centroids
+    from logstream_processing_service_spark.operators.similarity import (
+        ann_ivf,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from logstream_processing_service_spark.plans import partition_filters
+    from logstream_processing_service_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = fit_kmeans_centroids(emb, k=4)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, cents, path)
+    queries = emb.limit(5)
+    got = search_ivf_index(spark, path, cents, queries, k=3, nprobe=2)
+    # pruning proof: the index scan carries a bucket partition filter
+    assert "bucket" in partition_filters(got)
+    want = ann_ivf(emb, cents, queries, k=3, nprobe=2)
+    got_m = {(r["q_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    want_m = {(r["q_id"], r["rank"]): r["vec_id"] for r in want.collect()}
+    assert got_m == want_m

@@ -112,3 +112,30 @@ def test_standardize_is_affine_invariant(spark, values):
     # allowed — rounding + the 1e-12 epsilon collapse denormal-scale gaps)
     zs = [out[i] for i in sorted(range(len(values)), key=lambda i: (values[i], i))]
     assert all(a <= b for a, b in zip(zs, zs[1:]))
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7A),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=12,
+        max_size=30,
+    )
+)
+def test_minhash_lsh_catches_exact_duplicates(spark, words):
+    """An exact duplicate document has an identical MinHash signature, so
+    LSH blocking can NEVER miss it: the pair must appear with jaccard 1.0."""
+    from logstream_processing_service_spark.operators.dedup import minhash_lsh_pairs
+
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(0, text), (1, text), (2, " ".join(reversed(words)) + " zzz")],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_pairs(docs, threshold=0.8).collect()
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in out}
+    assert pairs.get((0, 1)) == 1.0
