@@ -157,12 +157,23 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.posexplode(keys).alias("band", "bkey")
     )
-    a = banded.select(F.col("doc_id").alias("d1"), "band", "bkey")
-    b = banded.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    # candidate pairs by grouping, not a self-join: ONE shuffle on
+    # (band,bkey) and the signature subtree appears once in the plan.
+    # In-bucket pair expansion is array math; bucket size is bounded in
+    # practice by the banding (a pathological mega-bucket would need a
+    # size cap + log, same as the self-join's quadratic blow-up would).
+    groups = (
+        banded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i+2, size(ids)-i-1), y -> struct(x AS d1, y AS d2))))"
+    )
     candidates = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
+        groups.select(F.explode(combos).alias("p"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
     # verify candidates with TRUE uncapped n-gram Jaccard via per-doc
