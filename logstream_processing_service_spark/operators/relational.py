@@ -629,3 +629,46 @@ def salted_join(
     )
     out = salted_fact.join(replicas, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def events_in_maintenance_windows(df: DataFrame, windows: DataFrame) -> DataFrame:
+    """Range/interval join: events falling inside any [win_start, win_end)
+    window (SURVEY §2.4 'not present' — the classic ops question "which
+    errors happened during a deploy window?").
+
+    Scale: the window table is small by nature → broadcast nested-loop
+    with the range predicate; the fact side is never shuffled. For two
+    LARGE interval sets the strategy is bucketized overlap join (split
+    intervals into fixed-size time buckets, equi-join on bucket, re-check
+    the range) — same shape as the LSH band trick.
+    """
+    w = F.broadcast(windows)
+    return (
+        df.join(
+            w,
+            (F.col("ts") >= F.col("win_start")) & (F.col("ts") < F.col("win_end")),
+        )
+        .select("event_id", "event_type", "ts", "win_id")
+    )
+
+
+def value_histogram(df: DataFrame, n_bins: int = 20, lo: float = 0.0, hi: float = 200.0) -> DataFrame:
+    """Fixed-width histogram of ``value`` (profiling primitive).
+
+    Bin arithmetic is plain floor math (identical in any SQL dialect);
+    out-of-range rows clamp into the edge bins like width_bucket does.
+    """
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("value"), 4).alias("bin_min"),
+            F.round(F.max("value"), 4).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )

@@ -182,3 +182,35 @@ def tfidf_top_terms(documents: DataFrame, per_doc: int = 3, min_df: int = 2) -> 
         .filter(F.col("rank") <= per_doc)
         .select("doc_id", "rank", "tok", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+TEMPLATES = (
+    "connection timeout",
+    "invalid credentials",
+    "payment failed",
+    "page viewed",
+    "item added",
+)
+
+
+def match_templates(documents: DataFrame, templates: tuple[str, ...] = TEMPLATES) -> DataFrame:
+    """Nearest-template matching by edit distance over the first 24 chars
+    (the log-parsing primitive the reference approximates with clustering:
+    every log gets its closest known pattern + distance).
+
+    Scale: per-row scalar expression chain (no shuffle, no UDF);
+    ``levenshtein`` is a JVM builtin in both Spark and DuckDB.
+    """
+    probe = F.lower(F.substring(F.col("text"), 1, 24))
+    dists = [F.levenshtein(probe, F.lit(t)).alias(f"_d{i}") for i, t in enumerate(templates)]
+    out = documents.select("doc_id", *dists)
+    best = F.least(*[F.col(f"_d{i}") for i in range(len(templates))])
+    pick = None
+    for i, t in reversed(list(enumerate(templates))):
+        cur = F.lit(t)
+        pick = cur if pick is None else F.when(F.col(f"_d{i}") == best, cur).otherwise(pick)
+    return out.select(
+        "doc_id",
+        pick.alias("best_template"),
+        best.cast("int").alias("edit_dist"),
+    )

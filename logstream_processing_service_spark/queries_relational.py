@@ -531,3 +531,49 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@spec(
+    "events_in_windows",
+    """
+    WITH b AS (SELECT min(ts) AS t0 FROM events),
+    w AS (
+        SELECT CAST(r.range AS INT) AS win_id,
+               t0 + INTERVAL (3 * r.range) DAY AS win_start,
+               t0 + INTERVAL (3 * r.range + 1) DAY AS win_end
+        FROM b, range(10) r
+    )
+    SELECT e.event_id, e.event_type, e.ts, w.win_id
+    FROM events e JOIN w ON e.ts >= w.win_start AND e.ts < w.win_end
+    """,
+    "range-join", "J-ext",
+)
+def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.agg(F.min("ts").alias("t0"))
+    wins = (
+        base.select(F.explode(F.sequence(F.lit(0), F.lit(9))).alias("win_id"), "t0")
+        .select(
+            "win_id",
+            F.expr("timestampadd(DAY, 3 * win_id, t0)").alias("win_start"),
+            F.expr("timestampadd(DAY, 3 * win_id + 1, t0)").alias("win_end"),
+        )
+    )
+    return R.events_in_maintenance_windows(ev, wins)
+
+
+@spec(
+    "value_histogram",
+    """
+    SELECT CAST(least(greatest(floor(value / 10.0), 0), 19) AS BIGINT) AS bin,
+           count(*) AS cnt,
+           round(min(value), 4) AS bin_min,
+           round(max(value), 4) AS bin_max
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "histogram", "A-ext",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.value_histogram(_t(spark, sf_dir, "events"))

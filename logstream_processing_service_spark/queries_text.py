@@ -324,3 +324,19 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "template_match",
+    """
+    WITH d AS (SELECT doc_id, levenshtein(lower(substr(text, 1, 24)), 'connection timeout') AS _d0, levenshtein(lower(substr(text, 1, 24)), 'invalid credentials') AS _d1, levenshtein(lower(substr(text, 1, 24)), 'payment failed') AS _d2, levenshtein(lower(substr(text, 1, 24)), 'page viewed') AS _d3, levenshtein(lower(substr(text, 1, 24)), 'item added') AS _d4 FROM documents),
+    b AS (SELECT *, least(_d0, _d1, _d2, _d3, _d4) AS best FROM d)
+    SELECT doc_id,
+           CASE WHEN _d0 = best THEN 'connection timeout' WHEN _d1 = best THEN 'invalid credentials' WHEN _d2 = best THEN 'payment failed' WHEN _d3 = best THEN 'page viewed' WHEN _d4 = best THEN 'item added' END AS best_template,
+           CAST(best AS INT) AS edit_dist
+    FROM b
+    """,
+    "text", "log-parsing",
+)
+def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.match_templates(_t(spark, sf_dir, "documents"))
