@@ -164,6 +164,205 @@ def first_order_per_customer(orders: DataFrame) -> DataFrame:
     )
 
 
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1997-09-01",
+    end: str = "1997-10-01",
+) -> DataFrame:
+    """TPC-H Q14-shaped conditional aggregation: promo revenue share.
+
+    Shape: month-sliced fact scan (shipdate predicate pushed to parquet
+    row groups) → broadcast join to the part dim → single global agg with a
+    CASE-guarded numerator. Both sums are decimal-exact, so the final
+    double ratio is bit-stable under any partitioning.
+    """
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4)
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp_ntz"))
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0).cast(_DEC4))
+    ).cast(_DEC4_OUT)
+    total = F.sum(disc).cast(_DEC4_OUT)
+    return joined.agg(
+        F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6).alias(
+            "promo_pct"
+        ),
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 200.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-shaped HAVING-on-join: customers with bulk orders.
+
+    Shape: the fact table is pre-aggregated to order grain FIRST (map-side
+    combine shrinks the shuffle to one row per order), the threshold filter
+    then drops ~99% of groups before the join with orders; customer is a
+    broadcast dim. At 100 TB the only big exchange is the l_orderkey agg,
+    which AQE coalesces after the filter.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_money(F.col("l_quantity"))).cast(_DEC_OUT).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(qty_threshold).cast(_DEC))
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def national_market_share(
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_3",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: a nation's supply share per order year.
+
+    Shape: supplier⋈nation is a 100-row broadcast; the one shuffle joins
+    lineitem to orders on the order key; the conditional-sum ratio is
+    computed per year in a final tiny agg. Decimal numerator/denominator
+    keep the share deterministic.
+    """
+    supp = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", "n_name")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4)
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            disc.alias("volume"),
+            F.col("n_name"),
+        )
+    )
+    national = F.sum(
+        F.when(F.col("n_name") == nation_name, F.col("volume")).otherwise(
+            F.lit(0).cast(_DEC4)
+        )
+    ).cast(_DEC4_OUT)
+    total = F.sum(F.col("volume")).cast(_DEC4_OUT)
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(national.cast("double") / total.cast("double"), 6).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def part_value_share(lineitem: DataFrame, fraction: float = 0.0005) -> DataFrame:
+    """TPC-H Q11-shaped scalar-subquery HAVING: parts above a global
+    revenue-share threshold.
+
+    Shape: one agg to part grain, then the grand total is a 1-row broadcast
+    cross join (NOT a driver collect — the threshold comparison happens
+    executor-side, so the plan is a single reusable exchange at any scale).
+    """
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4)
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(disc).cast(_DEC4_OUT).alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum("part_value").cast("double").alias("_total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value").cast("double") > F.col("_total") * fraction)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.col("l_partkey"))
+    )
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with no orders,
+    rolled up per nation.
+
+    Shape: the global positive-balance average is a 1-row broadcast; the
+    threshold compare is rewritten multiplication-side (bal*n > total) so
+    no decimal division ever happens — exact on both engines. The anti-join
+    against orders' distinct custkeys is the S6 dedup shape at dim scale.
+    """
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_money(F.col("c_acctbal"))).alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    idle = customer.join(
+        orders.select("o_custkey").distinct(),
+        customer["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.crossJoin(F.broadcast(pos))
+        .filter(_money(F.col("c_acctbal")) * F.col("_n") > F.col("_total"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_money(F.col("c_acctbal"))).cast(_DEC_OUT).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def brand_priciest_part(part: DataFrame) -> DataFrame:
+    """Arg-max per group via ``max_by`` over a struct sort key.
+
+    One hash agg, no window, no second shuffle: ``max_by(name,
+    (price, name))`` resolves price ties deterministically by name, which
+    is what the oracle's ROW_NUMBER twin also does. This is the scalable
+    replacement for rank-then-filter when only the top row per group is
+    wanted.
+    """
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.expr("max_by(p_name, struct(p_retailprice, p_name))").alias("top_part"),
+            F.max("p_retailprice").alias("top_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def grouping_sets_volume(events: DataFrame) -> DataFrame:
+    """GROUPING SETS ((event_type), (hour)): two independent rollups in one
+    pass over the fact table (partial agg per set, a single exchange) —
+    completes the rollup/cube family from SURVEY §2.5's note.
+    """
+    return (
+        events.select(
+            F.col("event_type"), F.hour("ts").alias("hr"), F.col("value")
+        )
+        .groupingSets(
+            [[F.col("event_type")], [F.col("hr")]],
+            F.col("event_type"),
+            F.col("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_money(F.col("value"))).cast(_DEC_OUT).alias("sum_value"),
+        )
+    )
+
+
 def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Per-customer order stats incl. customers with zero orders (outer join)."""
     agg = orders.groupBy("o_custkey").agg(

@@ -154,6 +154,158 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "promo_revenue",
+    """
+    WITH j AS (
+        SELECT CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) AS disc, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    )
+    SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) AS promo_pct,
+           promo AS promo_revenue, total AS total_revenue
+    FROM (
+        SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN disc
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo,
+               CAST(sum(disc) AS DECIMAL(38,4)) AS total
+        FROM j
+    )
+    """,
+    "A1", "F-cond",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.promo_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+@spec(
+    "large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM orders
+    JOIN (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    ) big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    "J1", "A2",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@spec(
+    "national_market_share",
+    """
+    WITH j AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) AS volume,
+               n_name
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+    )
+    SELECT o_year,
+           round(CAST(CAST(sum(CASE WHEN n_name = 'NATION_3' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+                 / CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS DOUBLE), 6) AS mkt_share
+    FROM j GROUP BY o_year ORDER BY o_year
+    """,
+    "J1", "F-cond",
+)
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.national_market_share(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@spec(
+    "part_value_share",
+    """
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value FROM per_part
+    WHERE CAST(part_value AS DOUBLE) >
+          (SELECT CAST(sum(part_value) AS DOUBLE) FROM per_part) * 0.0005
+    ORDER BY part_value DESC, l_partkey
+    """,
+    "A2", "scalar-subquery",
+)
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.part_value_share(_t(spark, sf_dir, "lineitem"))
+
+
+@spec(
+    "idle_rich_customers",
+    """
+    WITH pos AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+               count(*) AS n
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > total
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "J2", "scalar-subquery",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.idle_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@spec(
+    "brand_priciest_part",
+    """
+    SELECT p_brand, p_name AS top_part, p_retailprice AS top_price
+    FROM (
+        SELECT p_brand, p_name, p_retailprice,
+               row_number() OVER (
+                   PARTITION BY p_brand ORDER BY p_retailprice DESC, p_name DESC
+               ) AS rn
+        FROM part
+    ) WHERE rn = 1 ORDER BY p_brand
+    """,
+    "A-ext", "argmax",
+)
+def q_brand_priciest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.brand_priciest_part(_t(spark, sf_dir, "part"))
+
+
+@spec(
+    "grouping_sets_volume",
+    """
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(hour(ts) AS INTEGER)))
+    """,
+    "A-ext", "grouping-sets",
+)
+def q_grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.grouping_sets_volume(_t(spark, sf_dir, "events"))
+
+
+@spec(
     "supplier_part_revenue",
     """
     -- three-way dim join over the otherwise-unused part/supplier tables

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -184,6 +185,156 @@ def count_window_stream(
         count_window_fn(window_size),
         outputStructType=COUNT_WINDOW_SCHEMA,
         stateStructType=COUNT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x StatefulProcessor): the modern typed-state
+# replacement for applyInPandasWithState. Hosts the reference's micro-cluster
+# decay (DenStream decaying_factor, src/ml/model.py:12; SURVEY T6) as an
+# exponentially-fading per-key volume the stream maintains across batches —
+# the streaming twin of operators.relational.decayed_volume.
+# ---------------------------------------------------------------------------
+
+DECAY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("decayed_volume", DoubleType()),
+        StructField("n_batch", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+# reference: river's DenStream fades micro-cluster weight as 2^(-λ·Δt);
+# decaying_factor λ=0.0005 (src/ml/model.py:12). Δt here in seconds.
+DECAY_LAMBDA = 0.0005
+
+
+def decay_step(
+    weight: float, last_us: int | None, batch_max_us: int, n_new: int, lam: float = DECAY_LAMBDA
+) -> float:
+    """One fading update: age the carried weight to the new batch's clock,
+    then add the new arrivals at full weight. Pure so the unit test can
+    check the math without a streaming query."""
+    if last_us is not None and batch_max_us > last_us:
+        weight *= 2.0 ** (-lam * (batch_max_us - last_us) / 1_000_000.0)
+    return weight + float(n_new)
+
+
+class DecayedVolumeProcessor(StatefulProcessor):
+    """StatefulProcessor maintaining a fading per-key event volume.
+
+    Typed ValueState (weight, last_ts_us) replaces the string-packed state
+    applyInPandasWithState forces above — this is the API to prefer on
+    Spark ≥4.0 (RocksDB state store backed, supports timers/TTL).
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "decayed",
+            StructType(
+                [
+                    StructField("weight", DoubleType()),
+                    StructField("last_us", LongType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        weight, last_us = (
+            self._state.get() if self._state.exists() else (0.0, None)
+        )
+        n, batch_max_us = 0, 0
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                batch_max_us = max(batch_max_us, int(pdf["ts_us"].max()))
+        if last_us is not None:
+            batch_max_us = max(batch_max_us, last_us)
+        weight = decay_step(weight, last_us, batch_max_us, n)
+        self._state.update((float(weight), int(batch_max_us)))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "decayed_volume": [float(weight)],
+                "n_batch": [n],
+                "last_ts_us": [int(batch_max_us)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def has_transform_with_state_runtime() -> bool:
+    """transformWithStateInPandas drives a Python state-server over
+    protobuf; a broken/absent google.protobuf crashes the worker at runtime
+    (not at import). Probe it up front so callers can pick the fallback."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+DECAY_STATE_SCHEMA = StructType(
+    [
+        StructField("weight", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _decay_apply_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """applyInPandasWithState twin of DecayedVolumeProcessor — identical
+    math (shared decay_step), legacy GroupState plumbing."""
+    weight, last_us = state.get if state.exists else (0.0, None)
+    n, batch_max_us = 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            batch_max_us = max(batch_max_us, int(pdf["ts_us"].max()))
+    if last_us is not None:
+        batch_max_us = max(batch_max_us, last_us)
+    weight = decay_step(weight, last_us, batch_max_us, n)
+    state.update((float(weight), int(batch_max_us)))
+    yield pd.DataFrame(
+        {
+            "key": [str(key[0])],
+            "decayed_volume": [float(weight)],
+            "n_batch": [n],
+            "last_ts_us": [int(batch_max_us)],
+        }
+    )
+
+
+def decayed_volume_stream(
+    df: DataFrame, key_col: str = "event_type", use_tws: bool | None = None
+) -> DataFrame:
+    """Fading volume per key over a stream with columns (key_col, ts_us).
+
+    Emits one row per key per micro-batch: the decayed running volume after
+    folding that batch in. Prefers the Spark 4 transformWithStateInPandas
+    operator (typed state, RocksDB-backed, timers/TTL available); falls back
+    to applyInPandasWithState where the TWS python runtime (protobuf) is
+    unavailable. Both paths share decay_step, so semantics are identical.
+    """
+    if use_tws is None:
+        use_tws = has_transform_with_state_runtime()
+    if use_tws:
+        return df.groupBy(key_col).transformWithStateInPandas(
+            statefulProcessor=DecayedVolumeProcessor(),
+            outputStructType=DECAY_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _decay_apply_fn,
+        outputStructType=DECAY_OUTPUT_SCHEMA,
+        stateStructType=DECAY_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

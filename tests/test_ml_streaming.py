@@ -443,3 +443,55 @@ def test_streaming_dedup_with_watermark(spark, tmpdir):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").first()
     assert got["n"] == got["d"]
     assert got["n"] == _events(spark).count()
+
+
+def test_decay_step_math():
+    from logstream_processing_service_spark.streaming.state import decay_step
+
+    # first batch: no decay, weight = arrivals
+    assert decay_step(0.0, None, 10_000_000, 7) == 7.0
+    # one half-life later (2^(-λ·Δt) with λ=0.0005 → half-life 2000 s)
+    w = decay_step(8.0, 0, 2_000_000_000, 0)
+    assert abs(w - 4.0) < 1e-9
+    # decay then add
+    w = decay_step(8.0, 0, 2_000_000_000, 3)
+    assert abs(w - 7.0) < 1e-9
+    # clock never goes backwards: same-timestamp batch does not decay
+    assert decay_step(5.0, 100, 100, 2) == 7.0
+
+
+def test_streaming_decayed_volume_transform_with_state(spark, tmpdir):
+    from logstream_processing_service_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+    from logstream_processing_service_spark.streaming.state import (
+        decayed_volume_stream,
+    )
+
+    events = read_events_stream(spark, SF_DIR).select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    q = (
+        decayed_volume_stream(events)
+        .writeStream.format("memory")
+        .queryName("decayvol")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/_ckpt_dv")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT key, max(decayed_volume) AS w, sum(n_batch) AS n "
+        "FROM decayvol GROUP BY key"
+    ).collect()
+    want = {
+        r["event_type"]: r["n"]
+        for r in _events(spark).groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert {r["key"] for r in got} == set(want)
+    for r in got:
+        # every arrival entered the state exactly once...
+        assert r["n"] == want[r["key"]]
+        # ...and the fading weight can never exceed the raw arrival count
+        assert 0.0 < r["w"] <= r["n"] + 1e-9
