@@ -38,6 +38,8 @@ HEADLINE = [
     "rollup_volume",
     "value_percentiles",
     "embedding_near_dup_lsh",
+    "large_volume_customers",
+    "promo_revenue",
 ]
 
 

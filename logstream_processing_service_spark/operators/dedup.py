@@ -263,3 +263,56 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFr
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate_report(
+    documents: DataFrame,
+    n: int = 5,
+    strata_col: str = "lang",
+    test_threshold_hex: str = "1a",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Benchmark-decontamination audit: per stratum, how many TRAIN docs
+    share at least one word n-gram with any EVAL doc.
+
+    The standard LLM-curation step the reference lacks entirely: before
+    training, every document that overlaps the held-out eval split (here
+    the deterministic md5 split from operators/sampling.py, so the whole
+    report is oracle-reproducible) must be flagged/dropped, else eval is
+    contaminated. n=5 word shingles is the usual contamination grain —
+    long enough that incidental overlap is rare, short enough to catch
+    paraphrase-free copying.
+
+    Scale shape: the eval side of the shingle join is the benchmark suite —
+    tiny by construction (threshold/256 of the corpus, and a real benchmark
+    is KBs) — so AQE broadcasts it; the train side streams through one
+    semi-join keyed on the shingle string. No window, no cross join; the
+    only wide op is the distinct on (doc_id, shingle).
+    """
+    from .sampling import deterministic_split
+
+    labeled = deterministic_split(
+        documents, "doc_id", test_threshold_hex, salt
+    ).select("doc_id", strata_col, "text", "split")
+    w = T.words(F.col("text"))
+    sh = labeled.select(
+        "doc_id", "split", F.explode(T.shingles(w, n)).alias("s")
+    ).distinct()
+    eval_sh = sh.filter(F.col("split") == "test").select("s").distinct()
+    contaminated = (
+        sh.filter(F.col("split") == "train")
+        .join(eval_sh, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_cont", F.lit(1))
+    )
+    return (
+        labeled.filter(F.col("split") == "train")
+        .join(contaminated, "doc_id", "left")
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce(F.col("_cont"), F.lit(0))).alias("n_contaminated"),
+        )
+        .orderBy(strata_col)
+    )

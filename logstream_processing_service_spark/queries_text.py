@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .catalog import _t, spec
 from .functions import text as T
 from .operators import dedup as D
+from .operators import sampling as S
 from .operators import textanalysis as TA
 
 _H_TEXT = T.hash48_sql("text")
@@ -340,3 +341,77 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_template_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.match_templates(_t(spark, sf_dir, "documents"))
+
+
+_SAMPLE_FRACTIONS = {"en": "80", "de": "40", "zh": "20"}  # 128/256, 64/256, 32/256
+_SAMPLE_CASE = S.sample_oracle_case("lang", _SAMPLE_FRACTIONS)
+
+
+@spec(
+    "train_test_split",
+    """
+    SELECT CASE WHEN md5(concat('split-v1', ':', CAST(doc_id AS VARCHAR))) < '1a'
+                THEN 'test' ELSE 'train' END AS split,
+           lang, count(*) AS n
+    FROM documents
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "north-star", "sampling",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.split_summary(_t(spark, sf_dir, "documents"), "doc_id", "lang")
+
+
+@spec(
+    "stratified_sample_docs",
+    f"""
+    SELECT lang, count(*) AS n_sampled
+    FROM documents
+    WHERE md5(concat('sample-v1', ':', CAST(doc_id AS VARCHAR))) < {_SAMPLE_CASE}
+    GROUP BY lang ORDER BY lang
+    """,
+    "north-star", "sampling",
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    sampled = S.stratified_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", _SAMPLE_FRACTIONS
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+_WORDS5_DUCK = T.words_sql("text", "duckdb")
+_SHINGLES5_DUCK = T.shingles_sql_duckdb("w", 5)
+
+
+@spec(
+    "decontaminate_report",
+    f"""
+    WITH labeled AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN md5(concat('split-v1', ':', CAST(doc_id AS VARCHAR))) < '1a'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    words AS (SELECT doc_id, lang, split, {_WORDS5_DUCK} AS w FROM labeled),
+    sh AS (SELECT DISTINCT doc_id, split, unnest({_SHINGLES5_DUCK}) AS s FROM words),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
+    cont AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE split = 'train' AND s IN (SELECT s FROM eval_sh)
+    )
+    SELECT l.lang, count(*) AS n_train,
+           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+    FROM labeled l LEFT JOIN cont c ON l.doc_id = c.doc_id
+    WHERE l.split = 'train'
+    GROUP BY l.lang ORDER BY l.lang
+    """,
+    "north-star", "decontamination",
+)
+def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.decontaminate_report(_t(spark, sf_dir, "documents"))

@@ -139,3 +139,40 @@ def test_minhash_lsh_catches_exact_duplicates(spark, words):
     out = minhash_lsh_pairs(docs, threshold=0.8).collect()
     pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in out}
     assert pairs.get((0, 1)) == 1.0
+
+
+def test_deterministic_split_stability(spark):
+    """The keyed-hash split is (a) deterministic, (b) unchanged by adding
+    rows (the property rand() lacks), and (c) exhaustive+disjoint."""
+    from logstream_processing_service_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    full = spark.range(0, 1000).withColumnRenamed("id", "k")
+    head = full.filter("k < 200")
+    a = {r["k"]: r["split"] for r in deterministic_split(full, "k").collect()}
+    b = {r["k"]: r["split"] for r in deterministic_split(head, "k").collect()}
+    assert all(a[k] == v for k, v in b.items())  # subset keeps assignments
+    assert set(a.values()) == {"train", "test"}
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.04 < frac < 0.20  # ~26/256 with sampling noise
+
+
+def test_stratified_sample_salt_and_subset(spark):
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cls"),
+    )
+    kept = stratified_sample(df, "k", "cls", {"a": "80"})  # keep ~50% of 'a'
+    rows = kept.collect()
+    assert all(r["cls"] == "a" for r in rows)  # 'b' defaults to drop
+    n_a = df.filter("cls = 'a'").count()
+    assert 0.35 * n_a < len(rows) < 0.65 * n_a
+    other = stratified_sample(df, "k", "cls", {"a": "80"}, salt="sample-v2")
+    assert {r["k"] for r in other.collect()} != {r["k"] for r in rows}
