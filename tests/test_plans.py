@@ -221,3 +221,60 @@ def test_ivf_index_probe_prunes(spark, tmp_path):
     got_m = {(r["q_id"], r["rank"]): r["vec_id"] for r in got.collect()}
     want_m = {(r["q_id"], r["rank"]): r["vec_id"] for r in want.collect()}
     assert got_m == want_m
+
+
+def test_brand_priciest_part_single_exchange(spark):
+    """max_by arg-max must stay ONE hash agg (partial+final, one shuffle) —
+    no window exec, no second exchange."""
+    from logstream_processing_service_spark.catalog import all_specs
+    from logstream_processing_service_spark.plans.inspect import count_exchanges
+
+    specs = {s.name: s for s in all_specs()}
+    df = specs["brand_priciest_part"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert count_exchanges(df) <= 2  # one hash-partition agg + final sort
+    # struct-keyed max_by plans as SortAggregate; partial+final combine
+    # still applies (the 100 TB property: pre-shuffle reduction per brand)
+    assert "partial_max_by" in plan
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    from logstream_processing_service_spark.catalog import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    plan = _plan(specs["promo_revenue"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # shipdate slice reaches the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_part_value_share_reuses_aggregate(spark):
+    """The per-part aggregate feeds both the threshold scalar and the
+    output rows; the scalar side joins back as a broadcast, never a
+    cartesian re-scan of the fact table."""
+    from logstream_processing_service_spark.catalog import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    plan = _plan(specs["part_value_share"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row threshold side
+
+
+def test_grouping_sets_one_exchange(spark):
+    from logstream_processing_service_spark.catalog import all_specs
+    from logstream_processing_service_spark.plans.inspect import count_exchanges
+
+    specs = {s.name: s for s in all_specs()}
+    df = specs["grouping_sets_volume"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 1  # Expand feeds ONE shuffle for both sets
+    assert "Expand" in _plan(df)
+
+
+def test_decontaminate_no_cartesian(spark):
+    from logstream_processing_service_spark.catalog import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    plan = _plan(specs["decontaminate_report"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
