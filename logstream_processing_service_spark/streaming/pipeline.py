@@ -243,3 +243,47 @@ def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .withWatermark("ts_tz", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+
+
+def correlated_pairs_stream(
+    events: DataFrame,
+    left_type: str = "signup",
+    right_type: str = "error",
+    watermark: str = "2 hours",
+    lookback_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream inner join: every ``right_type`` event paired with the
+    same user's ``left_type`` events from the preceding ``lookback_sec``.
+
+    The streaming form of the batch as-of/interval join family
+    (operators/relational.py asof_last_event): both sides are the SAME
+    watermarked stream filtered two ways, joined on user + a time-range
+    predicate. The range bound plus the watermark lets Spark expire join
+    state — without it, stream-stream state grows forever; this is the
+    canonical scalable shape (state ∝ users active within the lookback,
+    not stream length).
+    """
+    from pyspark.sql import functions as F
+
+    # watermarks require tz-aware TIMESTAMP (session tz is pinned UTC by the
+    # session factory, so the cast is a pure type relabel)
+    base = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    left = base.filter(F.col("event_type") == left_type).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = base.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {lookback_sec} SECONDS")),
+        "inner",
+    )

@@ -495,3 +495,37 @@ def test_streaming_decayed_volume_transform_with_state(spark, tmpdir):
         assert r["n"] == want[r["key"]]
         # ...and the fading weight can never exceed the raw arrival count
         assert 0.0 < r["w"] <= r["n"] + 1e-9
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
+    from logstream_processing_service_spark.streaming.pipeline import (
+        correlated_pairs_stream,
+        read_events_stream,
+    )
+
+    q = (
+        correlated_pairs_stream(read_events_stream(spark, SF_DIR))
+        .writeStream.format("memory")
+        .queryName("sspairs")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/_ckpt_ss")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM sspairs").first()["n"]
+
+    ev = _events(spark)
+    left = ev.filter("event_type = 'signup'").selectExpr(
+        "user_id AS l_user", "event_id AS l_event_id", "ts AS l_ts"
+    )
+    right = ev.filter("event_type = 'error'").selectExpr(
+        "user_id AS r_user", "event_id AS r_event_id", "ts AS r_ts"
+    )
+    want = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr("INTERVAL 3600 SECONDS")),
+    ).count()
+    assert got == want > 0
