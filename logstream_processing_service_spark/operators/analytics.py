@@ -342,6 +342,59 @@ def brand_priciest_part(part: DataFrame) -> DataFrame:
     )
 
 
+def cheapest_supplier_per_part(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q2-shaped correlated min-subquery, decorrelated.
+
+    'The supplier(s) offering each part at its lowest unit price.' The
+    correlated scalar subquery (min over the same part) becomes a window
+    min over the part key: the per-(part,supplier) offers and the window
+    share the same hash partitioning, so Catalyst plans groupBy-shuffle →
+    window with NO second exchange. Ties keep every tied supplier —
+    deterministic, and exactly what the SQL form returns.
+    """
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    offers = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit).alias("best")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.withColumn("_part_best", F.min("best").over(w))
+        .filter(F.col("best") == F.col("_part_best"))
+        .select(
+            "l_partkey", "l_suppkey", F.round("best", 6).alias("best_unit_price")
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+def single_failed_supplier_orders(lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS / NOT-EXISTS double correlation, decorrelated
+    to counts.
+
+    'Suppliers whose lineitems were the ONLY returned ones in a
+    multi-supplier order' (returnflag 'R' standing in for the late-receipt
+    predicate). EXISTS(another supplier) ∧ NOT EXISTS(another failed
+    supplier) is rewritten as per-order counts (n_supp > 1 ∧ n_failed = 1)
+    — one extra aggregation instead of two correlated probes of the fact
+    table. All three ops (two groupBys + the join) key on l_orderkey, so
+    AQE runs them in one partitioning; the fact table is scanned once.
+    """
+    per = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("failed")
+    )
+    agg = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("failed").alias("n_failed")
+    )
+    return (
+        per.join(agg, "l_orderkey")
+        .filter((F.col("failed") == 1) & (F.col("n_supp") > 1) & (F.col("n_failed") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.col("l_suppkey"))
+        .limit(k)
+    )
+
+
 def grouping_sets_volume(events: DataFrame) -> DataFrame:
     """GROUPING SETS ((event_type), (hour)): two independent rollups in one
     pass over the fact table (partial agg per set, a single exchange) —

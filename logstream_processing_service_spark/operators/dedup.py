@@ -52,11 +52,20 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 def shingle_table(
     documents: DataFrame, n: int = 3, max_doc_freq: int = 500
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) rows with hot-shingle frequency cap."""
+    """Distinct (doc_id, shingle) rows with hot-shingle frequency cap.
+
+    Distinct-per-document is computed IN-ROW (``array_distinct`` before the
+    explode), not with a global ``distinct()``: the two are equivalent here
+    because (doc_id, s) can only repeat within one document's shingle
+    array, and the in-row form removes the widest exchange in every dedup
+    plan (shuffling each shingle string keyed by (doc_id, s)). With the
+    frequency cap on, the only exchange left is the window's shuffle on
+    ``s``; with it off, the shingle table is exchange-free — it streams
+    straight from the scan at any scale.
+    """
     w = T.words(F.col("text"))
-    sh = (
-        documents.select("doc_id", F.explode(T.shingles(w, n)).alias("s"))
-        .distinct()
+    sh = documents.select(
+        "doc_id", F.explode(F.array_distinct(T.shingles(w, n))).alias("s")
     )
     if max_doc_freq:
         freq = Window.partitionBy("s")
@@ -145,7 +154,38 @@ def minhash_lsh_pairs(
     """
     bands = bands or T.MINHASH_BANDS
     rows = len(T.MINHASH_PERMS) // bands
-    sig = minhash_signatures(documents, n)
+    # ONE shared shingle subtree for both the signature branch and the
+    # verify branch: scan→explode→distinct→df-window, then hash. The two
+    # consumers differ only downstream of the window (signatures apply the
+    # hot-shingle cap; verify sets use all rows), so Spark's ReuseExchange
+    # serves the second branch from the first's shuffle files — the wide
+    # text column is read and shingled ONCE instead of twice. At 100 TB the
+    # doubled scan is the difference between one pass and two over the
+    # corpus.
+    w_df = Window.partitionBy("s")
+    shared = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(T.shingles(T.words(F.col("text")), n))
+            ).alias("s"),
+        )
+        .withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .select("doc_id", "_df", F.expr(T.hash48_sql("s")).alias("h"))
+    )
+    h = F.col("h")
+    sig = (
+        shared.filter(F.col("_df") <= 500)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * h + F.lit(b)) % F.lit(T.MINHASH_PRIME)).alias(
+                    f"mh_{j}"
+                )
+                for j, (a, b) in enumerate(T.MINHASH_PERMS)
+            ]
+        )
+    )
     # one posexplode over an array of band keys: the signature subtree
     # (shingle explode → 16-way agg) appears ONCE in the plan, not per band
     keys = F.array(
@@ -184,12 +224,7 @@ def minhash_lsh_pairs(
     # shuffle wire and long (not string) intersection; the oracle intersects
     # the same hashes, so parity is by construction (a cross-shingle hash
     # collision inside one pair has probability ~2^-48 per shingle²).
-    doc_sets = (
-        shingle_table(documents, n, max_doc_freq=0)
-        .select("doc_id", F.expr(T.hash48_sql("s")).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("ss"))
-    )
+    doc_sets = shared.groupBy("doc_id").agg(F.collect_set("h").alias("ss"))
     joined = candidates.join(
         doc_sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("s1")), "d1"
     ).join(
@@ -296,8 +331,8 @@ def decontaminate_report(
     ).select("doc_id", strata_col, "text", "split")
     w = T.words(F.col("text"))
     sh = labeled.select(
-        "doc_id", "split", F.explode(T.shingles(w, n)).alias("s")
-    ).distinct()
+        "doc_id", "split", F.explode(F.array_distinct(T.shingles(w, n))).alias("s")
+    )
     eval_sh = sh.filter(F.col("split") == "test").select("s").distinct()
     contaminated = (
         sh.filter(F.col("split") == "train")

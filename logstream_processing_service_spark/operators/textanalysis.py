@@ -214,3 +214,29 @@ def match_templates(documents: DataFrame, templates: tuple[str, ...] = TEMPLATES
         pick.alias("best_template"),
         best.cast("int").alias("edit_dist"),
     )
+
+
+def repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate word n-grams
+    (the Gopher/C4-family quality signal for boilerplate and degenerate
+    text; distinct from type_token_ratio, which ignores word ORDER).
+
+    Scale shape: pure per-row expressions — the shingle array is built and
+    deduplicated inside one codegen'd projection (size vs array_distinct
+    size), no explode, no shuffle, nothing wide. At 100 TB this runs at
+    scan speed.
+    """
+    sh = T.shingles(T.words(F.col("text")), n)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    dup_ratio = F.round(
+        (total - distinct).cast("double") / F.greatest(total, F.lit(1)).cast("double"),
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        dup_ratio.alias("dup_ratio"),
+        (dup_ratio > 0.2).alias("is_repetitive"),
+    )

@@ -336,3 +336,44 @@ def q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name", "p_type")
         .agg(rev.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@spec(
+    "cheapest_supplier_per_part",
+    """
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS best
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT o.l_partkey, o.l_suppkey, round(o.best, 6) AS best_unit_price
+    FROM offers o
+    WHERE o.best = (SELECT min(i.best) FROM offers i WHERE i.l_partkey = o.l_partkey)
+    ORDER BY o.l_partkey, o.l_suppkey
+    """,
+    "J-corr", "W-min",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.cheapest_supplier_per_part(_t(spark, sf_dir, "lineitem"))
+
+
+@spec(
+    "single_failed_supplier_orders",
+    """
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+        FROM lineitem GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(failed) AS n_failed
+        FROM per GROUP BY 1
+    )
+    SELECT p.l_suppkey, count(*) AS numwait
+    FROM per p JOIN agg a ON p.l_orderkey = a.l_orderkey
+    WHERE p.failed = 1 AND a.n_supp > 1 AND a.n_failed = 1
+    GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20
+    """,
+    "J-corr", "exists-notexists",
+)
+def q_single_failed_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.single_failed_supplier_orders(_t(spark, sf_dir, "lineitem"))

@@ -415,3 +415,27 @@ _SHINGLES5_DUCK = T.shingles_sql_duckdb("w", 5)
 )
 def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate_report(_t(spark, sf_dir, "documents"))
+
+
+_WORDS3_DUCK = T.words_sql("text", "duckdb")
+_SHINGLES3_DUCK = T.shingles_sql_duckdb("w", 3)
+
+
+@spec(
+    "repetition_scores",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS3_DUCK} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3_DUCK} AS grams FROM words)
+    SELECT doc_id,
+           CAST(len(grams) AS INTEGER) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+           round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / greatest(len(grams), 1), 6) AS dup_ratio,
+           round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / greatest(len(grams), 1), 6) > 0.2 AS is_repetitive
+    FROM sh
+    """,
+    "north-star", "text-quality",
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.repetition_scores(_t(spark, sf_dir, "documents"))
