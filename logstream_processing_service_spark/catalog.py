@@ -47,6 +47,7 @@ def all_specs() -> list[QuerySpec]:
     from . import queries_analytics  # noqa: F401
     from . import queries_vector  # noqa: F401
     from . import queries_text  # noqa: F401
+    from . import queries_curation  # noqa: F401
     from . import queries_ml  # noqa: F401
 
     return list(_SPECS)

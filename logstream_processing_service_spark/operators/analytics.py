@@ -432,3 +432,79 @@ def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+def top_quarter_suppliers(
+    lineitem: DataFrame, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum quarterly revenue.
+
+    The SQL form is a view + a correlated MAX scalar subquery; decorrelated
+    here as one grouped aggregation reused by BOTH consumers (the 1-row max
+    and the final filter) — Catalyst plans the agg once and broadcasts the
+    single-row max side, so the fact table is scanned exactly once per
+    branch with no second shuffle. Ties keep every tied supplier, exactly
+    as the SQL returns.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4))
+            .cast(_DEC4_OUT)
+            .alias("total_revenue")
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("_best"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .select("l_suppkey", "total_revenue")
+        .orderBy("l_suppkey")
+    )
+
+
+def small_quantity_part_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1", inv_factor: int = 5
+) -> DataFrame:
+    """TPC-H Q17-shaped: average yearly revenue lost if small orders (below
+    1/``inv_factor`` × that part's average quantity) were not filled.
+
+    The correlated AVG subquery is decorrelated into a per-part aggregate
+    joined back to the fact rows. Both the aggregate and the probe key on
+    l_partkey, and the brand-filtered part dimension is broadcast, so the
+    plan is: one shuffle on l_partkey (shared by agg + join via AQE), one
+    broadcast — no correlated re-execution per row, which is the difference
+    between O(N) and O(N·parts) at 100 TB.
+
+    The threshold compare ``qty < avg/inv_factor`` is evaluated as
+    ``qty · n · inv_factor < sum(qty)``: quantities are integer-valued, so
+    every term is exact in doubles and the predicate is bit-identical in
+    any engine and under ANY partitioning/summation order — a double
+    ``avg()`` would be last-ulp order-dependent at the boundary.
+    """
+    parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(parts), lineitem["l_partkey"] == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    qstats = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("l_quantity").alias("_sum_qty"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        li.join(qstats, li["l_partkey"] == F.col("_pk"))
+        .filter(
+            F.col("l_quantity") * F.col("_n") * F.lit(inv_factor)
+            < F.col("_sum_qty")
+        )
+        .agg(
+            F.round(
+                F.sum(_money(F.col("l_extendedprice"))).cast(_DEC_OUT)
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly")
+        )
+    )

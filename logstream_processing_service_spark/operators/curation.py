@@ -1,0 +1,271 @@
+"""Training-corpus curation operators: sequence packing, pattern
+scrubbing (PII-style), and domain mixing.
+
+These extend the reference's surface toward the LLM-data-pipeline north
+star (the reference's closest analogues: text composition for embedding,
+scripts/run_incremental_batch.py:77, and the LIMIT-based "sampling" of
+scripts/validate_quality.py:68). All three are everyday steps in a 100 TB
+curation run:
+
+- **Sequence packing** — concatenate-and-chunk documents into fixed
+  token-budget training rows (the GPT-style pretraining layout). The global
+  token stream is sharded so every shard packs independently: one shuffle
+  on the shard key, then pure window arithmetic.
+- **Pattern scrubbing** — regex scan + redaction (emails, IPv4, phones, or
+  any configured term set). Pure per-row expressions; runs at scan speed.
+- **Domain mixing** — hit target per-domain token shares by deterministic
+  hash sampling, with the rate table computed from the data itself (tiny
+  broadcast), never ``rand()`` (reproducible, stable under re-partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concatenate-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 512,
+    shards: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Assign every document a position in a sharded token stream and the
+    training-chunk range it lands in.
+
+    Packing layout = concatenate-and-chunk: within a shard, documents are
+    concatenated in doc_id order and the stream is cut every ``budget``
+    tokens; a document whose span crosses a cut is split across chunks
+    (``n_chunks`` > 1). This is the standard pretraining packing (no padding
+    waste), as opposed to greedy bin-packing which is order-dependent and
+    not expressible as a window.
+
+    Scale shape: the ONLY exchange is the hash-partition on ``shard``
+    (uniform by construction — md5 of the salted key); each shard's
+    cumulative sum is a single window pass. ``shards`` should be ~4× the
+    executor-core count at scale so stragglers even out; chunk ids are
+    globally unique via (shard, chunk).
+    """
+    tokens = F.size(T.words(F.col("text")))
+    shard = F.expr(
+        T.hash48_sql(f"concat('{salt}:', CAST(doc_id AS STRING))")
+    ) % F.lit(shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_token")
+    first_chunk = F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+    last_chunk = F.floor((cum - F.lit(1)) / F.lit(budget))
+    return (
+        documents.select(
+            "doc_id", tokens.alias("n_tokens"), shard.alias("shard")
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            start,
+            first_chunk.alias("first_chunk"),
+            (last_chunk - first_chunk + 1).alias("n_chunks"),
+        )
+    )
+
+
+def packing_efficiency(
+    documents: DataFrame, budget: int = 512, shards: int = 8
+) -> DataFrame:
+    """Packing audit: per shard — tokens, chunks produced, tail padding
+    wasted in the final partial chunk, and split-document count."""
+    packed = pack_sequences(documents, budget, shards)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.floor((F.sum("n_tokens") - 1) / F.lit(budget)) + 1).alias(
+                "n_chunks"
+            ),
+            (
+                (F.floor((F.sum("n_tokens") - 1) / F.lit(budget)) + 1)
+                * F.lit(budget)
+                - F.sum("n_tokens")
+            ).alias("tail_padding"),
+            F.sum(F.when(F.col("n_chunks") > 1, 1).otherwise(0)).alias(
+                "n_split_docs"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern scrubbing (PII-style scan + redaction)
+# ---------------------------------------------------------------------------
+
+# Defaults target real PII. Patterns are restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): character classes, \d,
+# \b, bounded quantifiers — no backreferences, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def pattern_scrub(
+    documents: DataFrame,
+    patterns: dict[str, str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document match counts for each named pattern plus the redacted
+    text (every match replaced by ``[NAME]``, applied in sorted-name order
+    so the composition is deterministic).
+
+    Scale shape: pure per-row regexp expressions inside one codegen'd
+    projection — no explode, no shuffle, no UDF. At 100 TB this is
+    scan-bound; the regex cost is per-byte of text, exactly like the
+    reference's text composition pass.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    count_exprs = {
+        name: F.regexp_count(F.col(text_col), F.lit(p))
+        for name, p in sorted(pats.items())
+    }
+    red = F.col(text_col)
+    for name, p in sorted(pats.items()):
+        red = F.regexp_replace(red, p, f"[{name.upper()}]")
+    total = sum(count_exprs.values(), F.lit(0))
+    return documents.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in count_exprs.items()],
+        total.alias("n_matches"),
+        (total > 0).alias("flagged"),
+        red.alias("redacted"),
+    )
+
+
+def pattern_scrub_oracle_sql(
+    patterns: dict[str, str], table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`pattern_scrub` (RE2 needs the 'g' flag for
+    replace-all; counts via len(regexp_extract_all))."""
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    names = sorted(patterns)
+    count_cols = ",\n           ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{esc(patterns[n])}')) AS INT)"
+        f" AS n_{n}"
+        for n in names
+    )
+    red = text_col
+    for n in names:
+        red = f"regexp_replace({red}, '{esc(patterns[n])}', '[{n.upper()}]', 'g')"
+    total = " + ".join(f"n_{n}" for n in names)
+    return f"""
+    WITH scanned AS (
+        SELECT doc_id,
+           {count_cols},
+           {red} AS redacted
+        FROM {table}
+    )
+    SELECT doc_id, {', '.join('n_' + n for n in names)},
+           ({total}) AS n_matches, ({total}) > 0 AS flagged, redacted
+    FROM scanned
+    """
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing
+# ---------------------------------------------------------------------------
+
+
+def domain_mix_plan(
+    documents: DataFrame,
+    targets: dict[str, float],
+    budget_frac: float = 0.5,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Sampling-rate table to hit target per-domain token shares within a
+    total budget of ``budget_frac`` × corpus tokens.
+
+    rate(d) = min(1, share(d) · budget / tokens(d)): domains the target
+    over-weights relative to supply are kept whole (rate caps at 1 — you
+    cannot mint data), over-supplied domains are down-sampled.
+
+    Scale shape: one groupBy on the domain (map-side combined to ~|domains|
+    rows), one broadcast of the 1-row total — the classic tiny-dimension
+    scalar-subquery pattern. The plan itself is dimension-sized.
+    """
+    tokens = F.size(T.words(F.col("text")))
+    per = documents.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.lit(0.0)
+    for value, s in sorted(targets.items()):
+        share = F.when(F.col(strata_col) == value, F.lit(s)).otherwise(share)
+    target_tokens = share * F.col("total_tokens") * F.lit(budget_frac)
+    rate = F.least(F.lit(1.0), target_tokens / F.col("n_tokens"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            F.round(target_tokens, 2).alias("target_tokens"),
+            F.round(rate, 6).alias("rate"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+def domain_mix_sample(
+    documents: DataFrame,
+    targets: dict[str, float],
+    budget_frac: float = 0.5,
+    strata_col: str = "lang",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Apply :func:`domain_mix_plan` deterministically: keep a document iff
+    its hash fraction (48-bit md5 hash / 2^48 ∈ [0,1)) is below its
+    domain's rate.
+
+    The rate table is joined broadcast (|domains| rows); the keep predicate
+    is then a per-row hash compare — reproducible run-to-run, stable when
+    the corpus grows (an existing doc never flips), and verifiable
+    bit-for-bit by the DuckDB oracle because both engines compute the SAME
+    md5-derived hash and the SAME IEEE-double rate expression.
+    """
+    tokens = F.size(T.words(F.col("text")))
+    per = documents.groupBy(strata_col).agg(F.sum(tokens).alias("n_tokens"))
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    share = F.lit(0.0)
+    for value, s in sorted(targets.items()):
+        share = F.when(F.col(strata_col) == value, F.lit(s)).otherwise(share)
+    rate = F.least(
+        F.lit(1.0),
+        share * F.col("total_tokens") * F.lit(budget_frac) / F.col("n_tokens"),
+    )
+    rates = per.crossJoin(F.broadcast(total)).select(
+        strata_col, rate.alias("_rate")
+    )
+    hash_frac = F.expr(
+        T.hash48_sql(f"concat('{salt}:', CAST(doc_id AS STRING))")
+    ) / F.lit(float(1 << 48))
+    return (
+        documents.join(F.broadcast(rates), strata_col)
+        .filter(hash_frac < F.col("_rate"))
+        .select("doc_id", strata_col, tokens.alias("n_tokens"))
+    )

@@ -377,3 +377,50 @@ def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_single_failed_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.single_failed_supplier_orders(_t(spark, sf_dir, "lineitem"))
+
+
+@spec(
+    "top_quarter_suppliers",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+                    AS DECIMAL(38,4)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT l_suppkey, total_revenue FROM rev
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY l_suppkey
+    """,
+    "J-corr", "scalar-max",
+)
+def q_top_quarter_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.top_quarter_suppliers(_t(spark, sf_dir, "lineitem"))
+
+
+@spec(
+    "small_quantity_part_revenue",
+    """
+    WITH li AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#1'
+    ),
+    qs AS (
+        SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM li GROUP BY 1
+    )
+    SELECT round(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,2)))
+                      AS DECIMAL(38,2)) / 7.0, 4) AS avg_yearly
+    FROM li JOIN qs ON li.l_partkey = qs.l_partkey
+    WHERE li.l_quantity * qs.n * 5 < qs.sum_qty
+    """,
+    "J-corr", "avg-subquery",
+)
+def q_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.small_quantity_part_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )

@@ -1,0 +1,157 @@
+"""Driver-contract queries: corpus curation (packing / scrubbing / mixing)
+over ``documents``.
+
+Oracle SQL is generated from the same hash/tokenizer expressions the Spark
+operators use (functions/text.py, operators/curation.py), so the two sides
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import _t, spec
+from .functions import text as T
+from .operators import curation as C
+
+_WORDS_DUCK = T.words_sql("text", "duckdb")
+_PACK_HASH = T.hash48_sql("concat('pack-v1:', CAST(doc_id AS STRING))")
+_MIX_HASH = T.hash48_sql("concat('mix-v1:', CAST(doc_id AS STRING))")
+
+_PACK_CTE = f"""
+    toks AS (
+        SELECT doc_id,
+               CAST(len({_WORDS_DUCK}) AS INT) AS n_tokens,
+               ({_PACK_HASH}) % 8 AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM toks
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS start_token,
+               CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS first_chunk,
+               CAST(floor((cum - 1) / 512)
+                    - floor((cum - n_tokens) / 512) + 1 AS BIGINT) AS n_chunks
+        FROM c
+    )
+"""
+
+
+@spec(
+    "pack_sequences",
+    f"""
+    WITH {_PACK_CTE}
+    SELECT doc_id, shard, n_tokens, start_token, first_chunk, n_chunks
+    FROM packed
+    """,
+    "north-star", "curation", "packing",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "packing_efficiency",
+    f"""
+    WITH {_PACK_CTE}
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(floor((sum(n_tokens) - 1) / 512) + 1 AS BIGINT) AS n_chunks,
+           CAST((floor((sum(n_tokens) - 1) / 512) + 1) * 512
+                - sum(n_tokens) AS BIGINT) AS tail_padding,
+           CAST(sum(CASE WHEN n_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_split_docs
+    FROM packed GROUP BY shard ORDER BY shard
+    """,
+    "north-star", "curation", "packing",
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.packing_efficiency(_t(spark, sf_dir, "documents"))
+
+
+# The synthetic corpus contains no real PII (no digits at all), so the
+# oracle-checked scrub targets term patterns that DO occur — the operator
+# is pattern-generic; PII_PATTERNS defaults are unit-tested on inline rows.
+_SCRUB_TERMS = {
+    "kw_customer": r"\bcustomer\b",
+    "kw_order": r"\border\b",
+}
+
+
+@spec(
+    "sensitive_term_scrub",
+    C.pattern_scrub_oracle_sql(_SCRUB_TERMS),
+    "north-star", "curation", "scrubbing",
+)
+def q_sensitive_term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.pattern_scrub(_t(spark, sf_dir, "documents"), _SCRUB_TERMS)
+
+
+_MIX_TARGETS = {"de": 0.15, "en": 0.30, "es": 0.20, "fr": 0.10, "zh": 0.25}
+# CAST AS DOUBLE: DuckDB decimal literals would otherwise make the whole
+# product exact DECIMAL — Spark computes doubles, and the sample filter
+# must compare the SAME IEEE values on both sides.
+_MIX_SHARE = (
+    "CASE lang WHEN 'de' THEN CAST(0.15 AS DOUBLE) "
+    "WHEN 'en' THEN CAST(0.3 AS DOUBLE) WHEN 'es' THEN CAST(0.2 AS DOUBLE) "
+    "WHEN 'fr' THEN CAST(0.1 AS DOUBLE) WHEN 'zh' THEN CAST(0.25 AS DOUBLE) "
+    "ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+_MIX_CTE = f"""
+    toks AS (
+        SELECT doc_id, lang, CAST(len({_WORDS_DUCK}) AS INT) AS n_tokens
+        FROM documents
+    ),
+    per AS (
+        SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        FROM toks GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_tokens) AS total_tokens FROM per)
+"""
+
+
+@spec(
+    "domain_mix_plan",
+    f"""
+    WITH {_MIX_CTE}
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round({_MIX_SHARE} * total_tokens * 0.5, 2) AS target_tokens,
+           round(least(1.0, {_MIX_SHARE} * total_tokens * 0.5 / n_tokens), 6)
+               AS rate
+    FROM per, tot ORDER BY lang
+    """,
+    "north-star", "curation", "mixing",
+)
+def q_domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.domain_mix_plan(_t(spark, sf_dir, "documents"), _MIX_TARGETS)
+
+
+@spec(
+    "domain_mix_sample",
+    f"""
+    WITH {_MIX_CTE},
+    rates AS (
+        SELECT lang,
+               least(1.0, {_MIX_SHARE} * total_tokens * 0.5 / n_tokens) AS rate
+        FROM per, tot
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM toks t JOIN rates r ON t.lang = r.lang
+    WHERE ({_MIX_HASH.replace("doc_id", "t.doc_id")}) / 281474976710656.0
+          < r.rate
+    """,
+    "north-star", "curation", "mixing",
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.domain_mix_sample(_t(spark, sf_dir, "documents"), _MIX_TARGETS)

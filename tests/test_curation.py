@@ -1,0 +1,95 @@
+"""Curation operators: PII defaults on inline rows, packing invariants,
+and the plan shapes the docstrings promise (scrub = zero exchange,
+packing = exactly one exchange on the shard key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logstream_processing_service_spark.operators import curation as C
+from logstream_processing_service_spark.plans.inspect import count_exchanges
+from logstream_processing_service_spark.sources import load_table
+
+from .conftest import SF_DIR
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_pii_patterns_detect_and_redact(spark):
+    rows = [
+        (1, "contact bob@example.com or +1 555-123-4567 today"),
+        (2, "server 10.0.42.7 responded; mirror at 192.168.1.1"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in C.pattern_scrub(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_ipv4"] == 2 and out[2]["flagged"]
+    assert not out[3]["flagged"] and out[3]["redacted"] == rows[2][1]
+    assert "[EMAIL]" in out[1]["redacted"] and "bob@" not in out[1]["redacted"]
+    assert "[IPV4]" in out[2]["redacted"] and "10.0.42.7" not in out[2]["redacted"]
+
+
+def test_pattern_scrub_counts_match_redactions(spark):
+    # every counted match must have been removed from the redacted text
+    out = C.pattern_scrub(
+        _docs(spark), {"kw": r"\bcustomer\b"}
+    ).filter(F.col("n_kw") > 0)
+    bad = out.filter(
+        F.col("redacted").rlike(r"\bcustomer\b")
+        | (
+            F.size(F.split("redacted", r"\[KW\]", -1)) - 1 != F.col("n_kw")
+        )
+    )
+    assert out.count() > 0
+    assert bad.count() == 0
+
+
+def test_pack_sequences_stream_is_contiguous(spark):
+    packed = C.pack_sequences(_docs(spark), budget=256, shards=4)
+    # within each shard the spans tile the token stream exactly: the sum of
+    # lengths equals the max end offset, and chunk spans are consistent
+    per_shard = packed.groupBy("shard").agg(
+        F.sum("n_tokens").alias("tok_sum"),
+        F.max(F.col("start_token") + F.col("n_tokens")).alias("max_end"),
+    )
+    assert per_shard.filter(F.col("tok_sum") != F.col("max_end")).count() == 0
+    # n_chunks is exactly the number of 256-boundaries the span crosses + 1
+    bad = packed.filter(
+        F.col("n_chunks")
+        != F.floor((F.col("start_token") + F.col("n_tokens") - 1) / 256)
+        - F.floor(F.col("start_token") / 256)
+        + 1
+    )
+    assert bad.count() == 0
+
+
+def test_pack_sequences_single_exchange(spark):
+    packed = C.pack_sequences(_docs(spark))
+    assert count_exchanges(packed) == 1
+
+
+def test_pattern_scrub_zero_exchange(spark):
+    out = C.pattern_scrub(_docs(spark), {"kw": r"\bcustomer\b"})
+    assert count_exchanges(out) == 0
+
+
+def test_domain_mix_sample_rates_capped_and_applied(spark):
+    plan = C.domain_mix_plan(
+        _docs(spark), {"en": 0.3, "zh": 0.25, "es": 0.2, "de": 0.15, "fr": 0.1}
+    )
+    rows = {r["lang"]: r for r in plan.collect()}
+    assert all(r["rate"] <= 1.0 for r in rows.values())
+    kept = C.domain_mix_sample(
+        _docs(spark), {"en": 0.3, "zh": 0.25, "es": 0.2, "de": 0.15, "fr": 0.1}
+    )
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # a rate-1.0 domain keeps everything; down-sampled domains keep less
+    for lang, r in rows.items():
+        if r["rate"] >= 1.0:
+            assert counts[lang] == r["n_docs"]
+        else:
+            assert counts.get(lang, 0) < r["n_docs"]
