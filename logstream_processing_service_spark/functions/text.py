@@ -75,6 +75,70 @@ def shingles_sql_duckdb(words_sql: str, n: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hashed shingles (rolling combination of per-word hashes)
+#
+# Building shingle STRINGS (concat_ws of word slices) makes every dedup scan
+# allocate ~|doc| bytes per shingle and ships strings through every exchange.
+# Instead: hash each WORD once (md5 → 48-bit int), then a shingle's identity
+# is the rolling combination  h = (((h1·B + h2) mod M)·B + h3) mod M  — pure
+# integer arithmetic, identical in Spark and DuckDB. Equivalent to string
+# shingles up to 2^-48 word-hash collisions. Every downstream exchange
+# (doc-frequency window, inverted-index join, minhash agg, collect_set)
+# carries 8-byte longs instead of shingle strings, and MinHash needs NO
+# second md5 pass — the shingle hash IS the minhash input.
+#
+# The two-level transform (md5 array first, THEN hex-sum array) is
+# deliberate: it structurally guarantees ONE md5 per word even where
+# codegen's common-subexpression elimination doesn't reach inside lambda
+# bodies (the hex-sum expands the md5 operand 12×).
+# ---------------------------------------------------------------------------
+
+HS_BASE = 8191          # prime multiplier; 2^48·8191 + 2^48 < 2^63 (no overflow)
+HS_MOD = 1 << 48
+
+
+def word_hash_array_sql(words_sql: str, dialect: str) -> str:
+    """SQL for `array<long>` of per-word 48-bit hashes (one md5 per word)."""
+    hexsum = "+".join(
+        f"(instr('0123456789abcdef', substr(y,{j},1))-1)*CAST({w} AS BIGINT)"
+        for j, w in _HEX_WEIGHTS
+    )
+    if dialect == "spark":
+        return f"transform(transform({words_sql}, x -> md5(x)), y -> {hexsum})"
+    return (
+        f"list_transform(list_transform({words_sql}, x -> md5(x)), "
+        f"y -> {hexsum})"
+    )
+
+
+def shingle_hash_array_sql(wh_sql: str, n: int = 3, dialect: str = "spark") -> str:
+    """SQL for `array<long>` of n-gram shingle hashes over a word-hash array
+    column. Out-of-range words (docs shorter than n) hash as 0, so a short
+    doc still yields exactly one shingle — same shape as the string form."""
+
+    def elem(j: int) -> str:
+        e = (
+            f"try_element_at({wh_sql}, i+{j})"
+            if dialect == "spark"
+            else f"{wh_sql}[CAST(i+{j} AS INT)]"
+        )
+        return f"coalesce({e}, CAST(0 AS BIGINT))"
+
+    acc = elem(0)
+    for j in range(1, n):
+        acc = f"(({acc})*{HS_BASE} + {elem(j)}) % {HS_MOD}"
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, greatest(size({wh_sql})-{n - 1}, 1)), "
+            f"i -> {acc})"
+        )
+    return (
+        f"list_transform(range(1, greatest(len({wh_sql})-{n - 1}, 1)+1), "
+        f"i -> {acc})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash (SURVEY north-star dedup; reference has no dedup of its own —
 # closest analogue is the ON CONFLICT key dedup, src/db/log_ops.py:53)
 # ---------------------------------------------------------------------------

@@ -52,20 +52,33 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 def shingle_table(
     documents: DataFrame, n: int = 3, max_doc_freq: int = 500
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) rows with hot-shingle frequency cap.
+    """Distinct (doc_id, shingle-HASH) rows with hot-shingle frequency cap.
+
+    Shingle identity is the 48-bit rolling combination of per-word md5
+    hashes (functions/text.py ``shingle_hash_array_sql``) — shingle strings
+    are never materialized. Two scale effects: the scan does one short-word
+    md5 instead of building + hashing a ~|doc|-byte string per shingle, and
+    every downstream exchange (the df-window here, inverted-index joins,
+    minhash aggs) carries 8-byte longs.
 
     Distinct-per-document is computed IN-ROW (``array_distinct`` before the
-    explode), not with a global ``distinct()``: the two are equivalent here
-    because (doc_id, s) can only repeat within one document's shingle
-    array, and the in-row form removes the widest exchange in every dedup
-    plan (shuffling each shingle string keyed by (doc_id, s)). With the
-    frequency cap on, the only exchange left is the window's shuffle on
-    ``s``; with it off, the shingle table is exchange-free — it streams
-    straight from the scan at any scale.
+    explode): equivalent to a global distinct because (doc_id, s) can only
+    repeat within one document's array, and it removes the widest exchange
+    from every dedup plan. With the frequency cap on, the only exchange
+    left is the window's shuffle on ``s``; with it off, the shingle table
+    is exchange-free — it streams straight from the scan at any scale.
     """
-    w = T.words(F.col("text"))
-    sh = documents.select(
-        "doc_id", F.explode(F.array_distinct(T.shingles(w, n))).alias("s")
+    wh = documents.select(
+        "doc_id",
+        F.expr(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")
+        ).alias("wh"),
+    )
+    sh = wh.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
+        ).alias("s"),
     )
     if max_doc_freq:
         freq = Window.partitionBy("s")
@@ -124,14 +137,11 @@ def ngram_jaccard_pairs(
 def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     """Per-doc MinHash signature (16 perms over 48-bit shingle hashes).
 
-    The md5-based 48-bit hash is projected ONCE per shingle row before the
-    aggregate — inlining it into each of the 16 min() aggregates would make
-    codegen evaluate 16×12 md5 calls per row.
+    The shingle hash IS the minhash input — no second hashing pass; the 16
+    linear perms are integer ops over the already-materialized long.
     """
-    sh = shingle_table(documents, n).select(
-        "doc_id", F.expr(T.hash48_sql("s")).alias("h")
-    )
-    h = F.col("h")
+    sh = shingle_table(documents, n)
+    h = F.col("s")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(T.MINHASH_PRIME)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(T.MINHASH_PERMS)
@@ -155,7 +165,7 @@ def minhash_lsh_pairs(
     bands = bands or T.MINHASH_BANDS
     rows = len(T.MINHASH_PERMS) // bands
     # ONE shared shingle subtree for both the signature branch and the
-    # verify branch: scan→explode→distinct→df-window, then hash. The two
+    # verify branch: scan→word-hash→shingle-hash→explode→df-window. The two
     # consumers differ only downstream of the window (signatures apply the
     # hot-shingle cap; verify sets use all rows), so Spark's ReuseExchange
     # serves the second branch from the first's shuffle files — the wide
@@ -164,16 +174,10 @@ def minhash_lsh_pairs(
     # corpus.
     w_df = Window.partitionBy("s")
     shared = (
-        documents.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(T.shingles(T.words(F.col("text")), n))
-            ).alias("s"),
-        )
+        shingle_table(documents, n, max_doc_freq=0)
         .withColumn("_df", F.count(F.lit(1)).over(w_df))
-        .select("doc_id", "_df", F.expr(T.hash48_sql("s")).alias("h"))
     )
-    h = F.col("h")
+    h = F.col("s")
     sig = (
         shared.filter(F.col("_df") <= 500)
         .groupBy("doc_id")
@@ -224,7 +228,7 @@ def minhash_lsh_pairs(
     # shuffle wire and long (not string) intersection; the oracle intersects
     # the same hashes, so parity is by construction (a cross-shingle hash
     # collision inside one pair has probability ~2^-48 per shingle²).
-    doc_sets = shared.groupBy("doc_id").agg(F.collect_set("h").alias("ss"))
+    doc_sets = shared.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
     joined = candidates.join(
         doc_sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("s1")), "d1"
     ).join(
@@ -251,9 +255,15 @@ def simhash_table(documents: DataFrame) -> DataFrame:
     Shingles (not single words) are the feature set: on corpora with a
     narrow vocabulary, word-level simhashes collapse (every doc shares most
     words); 3-gram shingles keep the fingerprint discriminative.
+
+    The rolling shingle hash is re-mixed through md5 for the bit votes
+    (``md5(CAST(s AS STRING))``): simhash needs per-bit independence, and
+    the rolling combination's low bits are additively correlated across
+    overlapping shingles. One md5 over a ≤15-char digit string per shingle
+    row — still far cheaper than building the shingle string it replaces.
     """
     sh = shingle_table(documents, n=3, max_doc_freq=0).withColumn(
-        "h", F.expr(T.hash48_sql("s"))
+        "h", F.expr(T.hash48_sql("CAST(s AS STRING)"))
     )
     bit_sums = [
         F.sum(F.expr(f"(h div {1 << i}) % 2")).alias(f"b{i}")
@@ -329,9 +339,19 @@ def decontaminate_report(
     labeled = deterministic_split(
         documents, "doc_id", test_threshold_hex, salt
     ).select("doc_id", strata_col, "text", "split")
-    w = T.words(F.col("text"))
-    sh = labeled.select(
-        "doc_id", "split", F.explode(F.array_distinct(T.shingles(w, n))).alias("s")
+    wh = labeled.select(
+        "doc_id",
+        "split",
+        F.expr(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")
+        ).alias("wh"),
+    )
+    sh = wh.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
+        ).alias("s"),
     )
     eval_sh = sh.filter(F.col("split") == "test").select("s").distinct()
     contaminated = (

@@ -15,15 +15,20 @@ from .operators import sampling as S
 from .operators import textanalysis as TA
 
 _H_TEXT = T.hash48_sql("text")
-_H_S = T.hash48_sql("s")
 _H_WD = T.hash48_sql("wd")
 _WORDS_DUCK = T.words_sql("text", "duckdb")
-_SHINGLES_DUCK = T.shingles_sql_duckdb("w", 3)
 
-# shared CTE: distinct (doc_id, shingle) with doc-frequency cap 500
+# shared CTE: distinct (doc_id, shingle-hash) with doc-frequency cap 500 —
+# same rolling word-hash combination the Spark operators compute
+# (functions/text.py), so parity is by construction
 _SHINGLE_CTE = f"""
     words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
-    sh_all AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS s FROM words),
+    whs AS (SELECT doc_id, {T.word_hash_array_sql('w', 'duckdb')} AS wh FROM words),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               unnest({T.shingle_hash_array_sql('wh', 3, 'duckdb')}) AS s
+        FROM whs
+    ),
     sh AS (
         SELECT doc_id, s FROM (
             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS _df FROM sh_all
@@ -75,7 +80,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     rows = len(T.MINHASH_PERMS) // T.MINHASH_BANDS
     mh_cols = ", ".join(
-        f"min({T.minhash_value_sql(_H_S, T.MINHASH_PERMS[j])}) AS mh_{j}"
+        f"min({T.minhash_value_sql('s', T.MINHASH_PERMS[j])}) AS mh_{j}"
         for j in range(len(T.MINHASH_PERMS))
     )
     band_selects = " UNION ALL ".join(
@@ -96,7 +101,7 @@ def _minhash_oracle() -> str:
         WHERE a.doc_id < b.doc_id
     ),
     hsets AS (
-        SELECT doc_id, array_agg(DISTINCT {_H_S}) AS ss
+        SELECT doc_id, array_agg(DISTINCT s) AS ss
         FROM sh_all GROUP BY doc_id
     ),
     verified AS (
@@ -131,8 +136,8 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH {_SHINGLE_CTE},
-    wh AS (SELECT doc_id, {_H_S} AS h FROM sh_all),
-    agg AS (SELECT doc_id, count(*) AS n_feat, {bit_sums} FROM wh GROUP BY doc_id),
+    remix AS (SELECT doc_id, {T.hash48_sql("CAST(s AS STRING)")} AS h FROM sh_all),
+    agg AS (SELECT doc_id, count(*) AS n_feat, {bit_sums} FROM remix GROUP BY doc_id),
     sim AS (SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM agg),
     banded AS ({band_selects}),
     pairs AS (
@@ -386,7 +391,6 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WORDS5_DUCK = T.words_sql("text", "duckdb")
-_SHINGLES5_DUCK = T.shingles_sql_duckdb("w", 5)
 
 
 @spec(
@@ -399,7 +403,13 @@ _SHINGLES5_DUCK = T.shingles_sql_duckdb("w", 5)
         FROM documents
     ),
     words AS (SELECT doc_id, lang, split, {_WORDS5_DUCK} AS w FROM labeled),
-    sh AS (SELECT DISTINCT doc_id, split, unnest({_SHINGLES5_DUCK}) AS s FROM words),
+    whs AS (SELECT doc_id, lang, split,
+                   {T.word_hash_array_sql('w', 'duckdb')} AS wh FROM words),
+    sh AS (
+        SELECT DISTINCT doc_id, split,
+               unnest({T.shingle_hash_array_sql('wh', 5, 'duckdb')}) AS s
+        FROM whs
+    ),
     eval_sh AS (SELECT DISTINCT s FROM sh WHERE split = 'test'),
     cont AS (
         SELECT DISTINCT doc_id FROM sh
