@@ -194,14 +194,15 @@ def embedding_near_dup_lsh(
     band width on the test corpus. Recall is the standard LSH trade-off;
     the DuckDB oracle mirrors the same blocking so the check is exact.
     """
-    # norm is computed ONCE per vector here, not once per candidate pair:
-    # higher-order array aggregates are interpreted (not codegen'd), so the
-    # verify stage's per-pair work must be a single dot, not dot+2 norms
+    # Banding runs over (vec_id, sig) ONLY — the 384-float embedding never
+    # rides the banding shuffle (4× replicated), and candidate pairs are
+    # deduplicated across bands BEFORE the verify, so a pair agreeing on two
+    # bands pays the (interpreted, higher-order-aggregate) cosine once, not
+    # twice. Pair expansion is in-bucket array math, same as the minhash
+    # path. The verify then joins the narrow candidate list back to the
+    # vectors: per-pair work is a single dot (norms precomputed per vector).
     sig = embeddings.select(
-        "vec_id",
-        "embedding",
-        V.norm(F.col("embedding")).alias("nrm"),
-        V.lsh_signature(F.col("embedding")).alias("sig"),
+        "vec_id", V.lsh_signature(F.col("embedding")).alias("sig")
     )
     bvals = F.array(
         *[
@@ -209,25 +210,44 @@ def embedding_near_dup_lsh(
             for bi in range(V.LSH_BANDS)
         ]
     )
-    banded = sig.select(
-        "vec_id", "embedding", "nrm", F.posexplode(bvals).alias("band", "bval")
+    groups = (
+        sig.select("vec_id", F.posexplode(bvals).alias("band", "bval"))
+        .groupBy("band", "bval")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    a = banded.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"),
-        F.col("nrm").alias("n1"), "band", "bval",
+    combos = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i+2, size(ids)-i-1), y -> struct(x AS id1, y AS id2))))"
     )
-    b = banded.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"),
-        F.col("nrm").alias("n2"), "band", "bval",
+    candidates = (
+        groups.select(F.explode(combos).alias("p"))
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    joined = candidates.join(
+        vecs.select(
+            F.col("vec_id").alias("id1"),
+            F.col("embedding").alias("e1"),
+            F.col("nrm").alias("n1"),
+        ),
+        "id1",
+    ).join(
+        vecs.select(
+            F.col("vec_id").alias("id2"),
+            F.col("embedding").alias("e2"),
+            F.col("nrm").alias("n2"),
+        ),
+        "id2",
     )
     cos = V.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
-        a.join(b, ["band", "bval"])
-        .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cos", F.round(cos, 6))
+        joined.withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
-        .distinct()
     )
 
 
