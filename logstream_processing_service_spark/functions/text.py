@@ -193,16 +193,21 @@ FP_MULT = 31
 
 def fingerprint_sql(words_expr: str, dialect: str) -> str:
     """Left-fold rolling hash over word hashes — order-sensitive, exact in
-    both dialects (sequential fold, pure int64 arithmetic)."""
-    h = hash48_sql("x")
+    both dialects (sequential fold, pure int64 arithmetic).
+
+    Folds over ``word_hash_array_sql`` (md5 array first, hex-sum second):
+    inlining hash48 into the fold lambda would evaluate md5 12× per word,
+    since codegen's common-subexpression elimination doesn't reach inside
+    lambda bodies. Same values either way — only the md5 count changes.
+    """
+    wh = word_hash_array_sql(words_expr, dialect)
     if dialect == "spark":
         return (
-            f"aggregate(transform({words_expr}, x -> {h}), cast(0 as bigint), "
+            f"aggregate({wh}, cast(0 as bigint), "
             f"(acc, x) -> (acc * {FP_MULT} + x) % {FP_PRIME})"
         )
     return (
-        f"list_reduce(list_prepend(cast(0 as bigint), "
-        f"list_transform({words_expr}, x -> {h})), "
+        f"list_reduce(list_prepend(cast(0 as bigint), {wh}), "
         f"(acc, x) -> (acc * {FP_MULT} + x) % {FP_PRIME})"
     )
 
