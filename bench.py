@@ -40,6 +40,13 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "large_volume_customers",
     "promo_revenue",
+    "cheapest_supplier_per_part",
+    "single_failed_supplier_orders",
+    "top_quarter_suppliers",
+    "repetition_scores",
+    "pack_sequences",
+    "sensitive_term_scrub",
+    "domain_mix_sample",
 ]
 
 

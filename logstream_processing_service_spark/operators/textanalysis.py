@@ -221,19 +221,24 @@ def repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
     (the Gopher/C4-family quality signal for boilerplate and degenerate
     text; distinct from type_token_ratio, which ignores word ORDER).
 
-    Scale shape: pure per-row expressions — the shingle array is built and
-    deduplicated inside one codegen'd projection (size vs array_distinct
-    size), no explode, no shuffle, nothing wide. At 100 TB this runs at
-    scan speed.
+    Scale shape: pure per-row expressions — the shingle-HASH array (rolling
+    word-hash combination, functions/text.py; no shingle strings are ever
+    built) is deduplicated inside one codegen'd projection (size vs
+    array_distinct size), no explode, no shuffle, nothing wide. At 100 TB
+    this runs at scan speed.
     """
-    sh = T.shingles(T.words(F.col("text")), n)
+    docs = documents.withColumn(
+        "_wh",
+        F.expr(T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")),
+    )
+    sh = F.expr(T.shingle_hash_array_sql("_wh", n))
     total = F.size(sh)
     distinct = F.size(F.array_distinct(sh))
     dup_ratio = F.round(
         (total - distinct).cast("double") / F.greatest(total, F.lit(1)).cast("double"),
         6,
     )
-    return documents.select(
+    return docs.select(
         "doc_id",
         total.alias("n_grams"),
         distinct.alias("n_distinct"),

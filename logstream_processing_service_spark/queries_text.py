@@ -428,14 +428,14 @@ def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WORDS3_DUCK = T.words_sql("text", "duckdb")
-_SHINGLES3_DUCK = T.shingles_sql_duckdb("w", 3)
 
 
 @spec(
     "repetition_scores",
     f"""
     WITH words AS (SELECT doc_id, {_WORDS3_DUCK} AS w FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES3_DUCK} AS grams FROM words)
+    whs AS (SELECT doc_id, {T.word_hash_array_sql('w', 'duckdb')} AS wh FROM words),
+    sh AS (SELECT doc_id, {T.shingle_hash_array_sql('wh', 3, 'duckdb')} AS grams FROM whs)
     SELECT doc_id,
            CAST(len(grams) AS INTEGER) AS n_grams,
            CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
