@@ -154,6 +154,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.8,
     bands: int | None = None,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs: LSH band blocking over MinHash signatures, verified
     with TRUE n-gram Jaccard ≥ threshold.
@@ -203,13 +204,14 @@ def minhash_lsh_pairs(
     )
     # candidate pairs by grouping, not a self-join: ONE shuffle on
     # (band,bkey) and the signature subtree appears once in the plan.
-    # In-bucket pair expansion is array math; bucket size is bounded in
-    # practice by the banding (a pathological mega-bucket would need a
-    # size cap + log, same as the self-join's quadratic blow-up would).
+    # In-bucket pair expansion is array math; max_bucket guards the
+    # quadratic blow-up of a degenerate bucket (boilerplate-heavy corpora).
+    # Skipping a mega-bucket costs recall on that band only; the oracle
+    # applies the same cap, so parity holds by construction.
     groups = (
         banded.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids").between(2, max_bucket))
     )
     combos = F.expr(
         "flatten(transform(ids, (x, i) -> "
@@ -307,6 +309,45 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFr
         .select("d1", "d2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame, n: int = 10, min_docs: int = 2
+) -> DataFrame:
+    """Substring-level duplication audit: per document, the fraction of its
+    ``n``-word spans that also occur in at least ``min_docs - 1`` OTHER
+    documents.
+
+    This is the span/substring grain of dedup (the
+    deduplicate-text-datasets family): whole-document MinHash misses a
+    boilerplate paragraph pasted into thousands of otherwise-unique pages;
+    span-level counting surfaces exactly those. n=10 words is a span long
+    enough that incidental overlap is rare.
+
+    Scale shape: identical to the shingle plans — hashed spans (longs, no
+    strings), one exchange for the span-frequency window, then a per-doc
+    re-aggregation. In-row distinct means a span repeated inside ONE doc
+    counts once, so the frequency really is a document frequency.
+    """
+    sh = shingle_table(documents, n, max_doc_freq=0)
+    w = Window.partitionBy("s")
+    flagged = sh.withColumn("_df", F.count(F.lit(1)).over(w))
+    dup = F.sum(F.when(F.col("_df") >= min_docs, 1).otherwise(0))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            dup.alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_span_ratio"),
+        )
     )
 
 

@@ -182,7 +182,7 @@ def embedding_near_dup_pairs(
 
 
 def embedding_near_dup_lsh(
-    embeddings: DataFrame, threshold: float = 0.3
+    embeddings: DataFrame, threshold: float = 0.3, max_bucket: int = 2000
 ) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH blocking + exact-cosine
     verify — the 100 TB path that replaces ``embedding_near_dup_pairs``'s
@@ -210,11 +210,16 @@ def embedding_near_dup_lsh(
             for bi in range(V.LSH_BANDS)
         ]
     )
+    # max_bucket is the quadratic-blowup guard: a degenerate bucket (e.g.
+    # a corpus of near-identical vectors all sharing a band value) would
+    # otherwise expand |bucket|²/2 candidate pairs. Skipped buckets mean
+    # skipped recall for that band, never wrong results — and the DuckDB
+    # oracle applies the same cap, so parity holds by construction.
     groups = (
         sig.select("vec_id", F.posexplode(bvals).alias("band", "bval"))
         .groupBy("band", "bval")
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids").between(2, max_bucket))
     )
     combos = F.expr(
         "flatten(transform(ids, (x, i) -> "

@@ -95,10 +95,13 @@ def _minhash_oracle() -> str:
     WITH {_SHINGLE_CTE},
     sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
     banded AS ({band_selects}),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-        WHERE a.doc_id < b.doc_id
+        FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id AND a.bsz <= 2000
     ),
     hsets AS (
         SELECT doc_id, array_agg(DISTINCT s) AS ss
@@ -425,6 +428,32 @@ _WORDS5_DUCK = T.words_sql("text", "duckdb")
 )
 def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate_report(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "duplicate_spans",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    whs AS (SELECT doc_id, {T.word_hash_array_sql('w', 'duckdb')} AS wh FROM words),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest({T.shingle_hash_array_sql('wh', 10, 'duckdb')}) AS s
+        FROM whs
+    ),
+    flagged AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_span_ratio
+    FROM flagged GROUP BY doc_id
+    """,
+    "north-star", "dedup", "span-level",
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
 _WORDS3_DUCK = T.words_sql("text", "duckdb")

@@ -159,7 +159,7 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_near_dup_oracle(threshold: float = 0.3) -> str:
+def _lsh_near_dup_oracle(threshold: float = 0.3, max_bucket: int = 2000) -> str:
     sig_sql = V.lsh_signature_sql_duckdb("embedding", DIM)
     band_selects = " UNION ALL ".join(
         f"SELECT vec_id, embedding, {bi} AS band, "
@@ -171,11 +171,14 @@ def _lsh_near_dup_oracle(threshold: float = 0.3) -> str:
         SELECT vec_id, embedding, {sig_sql} AS sig FROM embeddings
     ),
     banded AS ({band_selects}),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band, bval) AS bsz FROM banded
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
                round({V.cosine_sql_duckdb("a.embedding", "b.embedding", DIM)}, 6) AS cos
-        FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
-        WHERE a.vec_id < b.vec_id
+        FROM sized a JOIN sized b ON a.band = b.band AND a.bval = b.bval
+        WHERE a.vec_id < b.vec_id AND a.bsz <= {max_bucket}
     )
     SELECT id1, id2, cos FROM cand WHERE cos >= {threshold}
     """

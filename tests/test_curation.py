@@ -93,3 +93,33 @@ def test_domain_mix_sample_rates_capped_and_applied(spark):
             assert counts[lang] == r["n_docs"]
         else:
             assert counts.get(lang, 0) < r["n_docs"]
+
+
+def test_lsh_bucket_cap_guards_quadratic_blowup(spark):
+    from logstream_processing_service_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate text " * 4) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    # identical docs share every band bucket: all 45 pairs without the cap,
+    # zero candidates once the bucket exceeds max_bucket
+    assert D.minhash_lsh_pairs(docs, threshold=0.5).count() == 45
+    assert D.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=5).count() == 0
+
+
+def test_duplicate_spans_flags_shared_boilerplate(spark):
+    from logstream_processing_service_spark.operators import dedup as D
+
+    boiler = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail alpha beta gamma delta epsilon zeta eta"),
+            (2, boiler + " other ending omega psi chi phi upsilon tau sigma"),
+            (3, "completely different words nothing shared here at all in any span"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.duplicate_spans(docs, n=10).collect()}
+    assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_ratio"] == 0.0
