@@ -412,3 +412,80 @@ def decontaminate_report(
         )
         .orderBy(strata_col)
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list (d1, d2) →
+    (node, label) where label = min node id reachable (the canonical id).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; rounds needed = graph
+    diameter (duplicate clusters are shallow — a handful of rounds). Each
+    round is one shuffle join keyed on node; lineage is cut per round with
+    an eager localCheckpoint so the plan stays O(1) deep. This is the
+    dedup-cluster primitive (MapReduce-CC in the Kwak/small-star family);
+    a 100 TB corpus runs the same loop with the same per-round cost.
+
+    The loop stops early the first round no label changes (one tiny
+    count() action per round — driver-side control, cluster-side data).
+    """
+    sym = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Resolve MinHash-LSH near-dup pairs into duplicate CLUSTERS and a
+    canonical keeper per cluster — the step that turns pairwise dedup
+    output into an actionable keep/drop list.
+
+    Output: one row per document that belongs to a duplicate cluster —
+    (doc_id, canonical_id = min doc_id in its component, cluster_size,
+    is_keeper). Documents with no near-dup stay out of the list (they are
+    trivially keepers); joining this table back to the corpus with a left
+    join + coalesce gives the full keep/drop partition.
+    """
+    pairs = minhash_lsh_pairs(documents, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    w = Window.partitionBy("label")
+    return (
+        cc.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("canonical_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )

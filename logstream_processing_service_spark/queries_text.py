@@ -77,7 +77,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
+    """CTE chain ending in ``verified(d1, d2, jaccard)`` — shared by the
+    pair query and the cluster-resolution query."""
     rows = len(T.MINHASH_PERMS) // T.MINHASH_BANDS
     mh_cols = ", ".join(
         f"min({T.minhash_value_sql('s', T.MINHASH_PERMS[j])}) AS mh_{j}"
@@ -91,8 +93,7 @@ def _minhash_oracle() -> str:
     )
     # verify uses the UNCAPPED shingle table (sh_all) as per-doc 48-bit
     # hash sets — the same hash-set intersection the Spark operator does
-    return f"""
-    WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
     sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
     banded AS ({band_selects}),
     sized AS (
@@ -115,14 +116,48 @@ def _minhash_oracle() -> str:
         FROM cand c
         JOIN hsets h1 ON c.d1 = h1.doc_id
         JOIN hsets h2 ON c.d2 = h2.doc_id
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_cte()}
     SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8
+    """
+
+
+def _dedup_clusters_oracle() -> str:
+    # transitive closure by label propagation: UNION dedups rows, so the
+    # recursion reaches a fixpoint once every reachable label is paired
+    # with every node; min(label) per node is then the component id
+    return f"""
+    WITH RECURSIVE {_minhash_cte()},
+    pairs AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    cc(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, cc.label FROM cc JOIN edges e ON cc.node = e.dst
+    ),
+    canon AS (SELECT node AS doc_id, min(label) AS canonical_id FROM cc GROUP BY node)
+    SELECT doc_id, canonical_id,
+           count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+           doc_id = canonical_id AS is_keeper
+    FROM canon ORDER BY doc_id
     """
 
 
 @spec("dedup_minhash_lsh", _minhash_oracle(), "dedup", "bench")
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@spec("dedup_clusters", _dedup_clusters_oracle(), "dedup", "clusters", "iterative")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
 def _simhash_oracle() -> str:

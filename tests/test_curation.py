@@ -123,3 +123,15 @@ def test_duplicate_spans_flags_shared_boilerplate(spark):
     out = {r["doc_id"]: r for r in D.duplicate_spans(docs, n=10).collect()}
     assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
     assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_ratio"] == 0.0
+
+
+def test_connected_components_chain_and_island(spark):
+    from logstream_processing_service_spark.operators import dedup as D
+
+    # chain 1-2-3-4 (diameter 3: needs multiple propagation rounds) plus
+    # island 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["d1", "d2"]
+    )
+    labels = {r["node"]: r["label"] for r in D.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
