@@ -59,21 +59,6 @@ def words_sql(col_sql: str, dialect: str) -> str:
     return f"list_filter(string_split({col_sql}, ' '), x -> x <> '')"
 
 
-def shingles(words_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles; short docs yield one shingle (the whole doc)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words_col) - (n - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words_col, i, n))
-    )
-
-
-def shingles_sql_duckdb(words_sql: str, n: int = 3) -> str:
-    return (
-        f"list_transform(range(1, greatest(len({words_sql})-{n - 1}, 1)+1), "
-        f"i -> array_to_string({words_sql}[i:i+{n - 1}], ' '))"
-    )
-
-
 # ---------------------------------------------------------------------------
 # Hashed shingles (rolling combination of per-word hashes)
 #

@@ -130,6 +130,13 @@ def pattern_scrub(
     text (every match replaced by ``[NAME]``, applied in sorted-name order
     so the composition is deterministic).
 
+    Semantics with OVERLAPPING patterns: each ``n_<name>`` counts matches
+    against the ORIGINAL text (independent scan stats), while redaction is
+    sequential — an earlier pattern can consume text a later pattern also
+    matched (e.g. the phone default matching a digit run inside an email),
+    so ``n_matches`` can exceed the number of placeholders in ``redacted``.
+    The DuckDB oracle computes the identical semantics.
+
     Scale shape: pure per-row regexp expressions inside one codegen'd
     projection — no explode, no shuffle, no UDF. At 100 TB this is
     scan-bound; the regex cost is per-byte of text, exactly like the

@@ -431,9 +431,15 @@ def connected_components(
     The loop stops early the first round no label changes (one tiny
     count() action per round — driver-side control, cluster-side data).
     """
-    sym = pairs.select(
-        F.col("d1").alias("src"), F.col("d2").alias("dst")
-    ).union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+    # the edge list is checkpointed ONCE: without this, every round's join
+    # would re-execute the entire upstream pairs job (for dedup_clusters,
+    # the full LSH candidate+verify pipeline) because exchange reuse never
+    # spans actions
+    sym = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -446,21 +452,42 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        updated = (
+        stepped = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
-                "node",
+                labels["node"].alias("node"),
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-                (F.col("nlabel") < F.col("label")).alias("_chg"),
+                ).alias("mid"),
             )
         ).localCheckpoint(eager=True)
-        changed = updated.filter(F.col("_chg")).limit(1).count()
-        labels = updated.drop("_chg")
+        # pointer jump (label <- label of my label): combined with the
+        # neighbor step this converges in O(log diameter) rounds, so
+        # max_iter=25 covers any component a dedup graph can realistically
+        # produce (diameter ~2^25 would be needed to exhaust it)
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("mid").alias("plabel")
+        )
+        updated = (
+            stepped.join(ptr, stepped["mid"] == ptr["pnode"], "left")
+            .select(
+                "node",
+                "old",
+                F.least(
+                    F.col("mid"), F.coalesce("plabel", F.col("mid"))
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("label") != F.col("old")).limit(1).count()
+        labels = updated.select("node", "label")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (a silent partial closure would mis-assign "
+        "canonical ids)"
+    )
 
 
 def dedup_clusters(

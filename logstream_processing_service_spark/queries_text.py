@@ -77,9 +77,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(max_bucket: int = 2000) -> str:
     """CTE chain ending in ``verified(d1, d2, jaccard)`` — shared by the
-    pair query and the cluster-resolution query."""
+    pair query and the cluster-resolution query. ``max_bucket`` must match
+    the ``max_bucket`` passed to the Spark operator."""
     rows = len(T.MINHASH_PERMS) // T.MINHASH_BANDS
     mh_cols = ", ".join(
         f"min({T.minhash_value_sql('s', T.MINHASH_PERMS[j])}) AS mh_{j}"
@@ -102,7 +103,7 @@ def _minhash_cte() -> str:
     cand AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey
-        WHERE a.doc_id < b.doc_id AND a.bsz <= 2000
+        WHERE a.doc_id < b.doc_id AND a.bsz <= {max_bucket}
     ),
     hsets AS (
         SELECT doc_id, array_agg(DISTINCT s) AS ss
