@@ -276,3 +276,98 @@ def domain_mix_sample(
         .filter(hash_frac < F.col("_rate"))
         .select("doc_id", strata_col, tokens.alias("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring (LM-filter family)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean unigram surprisal: avg(-ln(p(word))) with p
+    estimated from the corpus itself — the cheap stand-in for the LM
+    perplexity filters (CCNet-style) used to rank crawl text by fluency.
+    High avg surprisal = rare-word soup; low = repetitive boilerplate.
+
+    Scale shape: two aggregations. The vocabulary (word → count) is
+    dimension-sized (≪ corpus, Heaps' law), so the probability lookup is a
+    BROADCAST join against the exploded token stream — the token stream
+    itself never shuffles; the only wide exchange is the vocab groupBy,
+    which map-side combines to |vocab| rows per task.
+    """
+    w = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("wd")
+    )
+    freq = w.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    surprisal = -F.log(F.col("c") / F.col("t"))
+    return (
+        w.join(F.broadcast(freq), "wd")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(surprisal), 6).alias("avg_surprisal"),
+            F.round(F.max(surprisal), 6).alias("max_surprisal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential filter funnel
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(
+    documents: DataFrame,
+    min_words: int = 20,
+    max_dup_ratio: float = 0.2,
+    min_stop_ratio: float = 0.03,
+) -> DataFrame:
+    """The curation funnel report: how many documents each quality rule
+    drops, applied in SEQUENCE (a doc is charged to the FIRST rule it
+    fails) — the standard artifact for auditing a filtering pipeline.
+
+    Rules: (1) too_short — fewer than ``min_words`` tokens; (2) repetitive
+    — duplicate-3-gram ratio above ``max_dup_ratio``; (3) no_stopwords —
+    stopword ratio below ``min_stop_ratio`` (word-salad signal).
+
+    Scale shape: every feature is computed in ONE codegen'd projection
+    (hashed shingles in-row, no explode); the funnel is then a single
+    4-value aggregate — one pass over the corpus, a 4-row result.
+    """
+    wcol = T.words(F.col("text"))
+    docs = documents.withColumn(
+        "_wh",
+        F.expr(T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")),
+    )
+    sh = F.expr(T.shingle_hash_array_sql("_wh", 3))
+    n_words = F.size(wcol)
+    dup_ratio = (F.size(sh) - F.size(F.array_distinct(sh))) / F.greatest(
+        F.size(sh), F.lit(1)
+    ).cast("double")
+    stops = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+    stop_ratio = F.size(
+        F.filter(wcol, lambda x: x.isin(*stops))
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    flagged = docs.select(
+        (n_words < min_words).alias("f1"),
+        (dup_ratio > max_dup_ratio).alias("f2"),
+        (stop_ratio < min_stop_ratio).alias("f3"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("f1"), 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(~F.col("f1") & F.col("f2"), 1).otherwise(0)).alias("d2"),
+        F.sum(
+            F.when(~F.col("f1") & ~F.col("f2") & F.col("f3"), 1).otherwise(0)
+        ).alias("d3"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "'0_input', CAST(0 AS BIGINT), n0, "
+        "'1_too_short', d1, n0 - d1, "
+        "'2_repetitive', d2, n0 - d1 - d2, "
+        "'3_no_stopwords', d3, n0 - d1 - d2 - d3"
+        ") AS (rule, n_dropped, n_remaining)"
+    )

@@ -155,3 +155,63 @@ def q_domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.domain_mix_sample(_t(spark, sf_dir, "documents"), _MIX_TARGETS)
+
+
+@spec(
+    "unigram_logprob",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS wd FROM words),
+    freq AS (SELECT wd, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT sum(c) AS t FROM freq)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(c / t)), 6) AS avg_surprisal,
+           round(max(-ln(c / t)), 6) AS max_surprisal
+    FROM tok JOIN freq USING (wd), tot
+    GROUP BY doc_id
+    """,
+    "north-star", "curation", "lm-filter",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+_FUNNEL_STOPS = "['the','a','of','and','to','in','is','that','it','for']"
+
+
+@spec(
+    "curation_funnel",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    whs AS (SELECT doc_id, w, {T.word_hash_array_sql('w', 'duckdb')} AS wh FROM words),
+    feats AS (
+        SELECT len(w) AS n_words,
+               (len({T.shingle_hash_array_sql('wh', 3, 'duckdb')})
+                - len(list_distinct({T.shingle_hash_array_sql('wh', 3, 'duckdb')})))
+               / CAST(greatest(len({T.shingle_hash_array_sql('wh', 3, 'duckdb')}), 1) AS DOUBLE)
+                   AS dup_ratio,
+               len(list_filter(w, x -> list_contains({_FUNNEL_STOPS}, x)))
+               / CAST(greatest(len(w), 1) AS DOUBLE) AS stop_ratio
+        FROM whs
+    ),
+    agg AS (
+        SELECT count(*) AS n0,
+               sum(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) AS d1,
+               sum(CASE WHEN NOT (n_words < 20) AND dup_ratio > 0.2
+                        THEN 1 ELSE 0 END) AS d2,
+               sum(CASE WHEN NOT (n_words < 20) AND NOT (dup_ratio > 0.2)
+                             AND stop_ratio < 0.03
+                        THEN 1 ELSE 0 END) AS d3
+        FROM feats
+    )
+    SELECT '0_input' AS rule, CAST(0 AS BIGINT) AS n_dropped,
+           CAST(n0 AS BIGINT) AS n_remaining FROM agg
+    UNION ALL SELECT '1_too_short', CAST(d1 AS BIGINT), CAST(n0 - d1 AS BIGINT) FROM agg
+    UNION ALL SELECT '2_repetitive', CAST(d2 AS BIGINT), CAST(n0 - d1 - d2 AS BIGINT) FROM agg
+    UNION ALL SELECT '3_no_stopwords', CAST(d3 AS BIGINT), CAST(n0 - d1 - d2 - d3 AS BIGINT) FROM agg
+    """,
+    "north-star", "curation", "funnel",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.curation_funnel(_t(spark, sf_dir, "documents"))
