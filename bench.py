@@ -47,6 +47,8 @@ HEADLINE = [
     "pack_sequences",
     "sensitive_term_scrub",
     "domain_mix_sample",
+    "duplicate_spans",
+    "unigram_logprob",
 ]
 
 
