@@ -41,6 +41,39 @@ def spec(name: str, oracle: str | None, *tags: str):
     return deco
 
 
+# The driver's correctness run verifies the FIRST 50 registered specs, so
+# registration order is a coverage decision. The priority window holds (a)
+# every LLM-data-pipeline query (dedup / text / curation / vector / ML — the
+# layer round 1 left unverified) and (b) the analytics queries whose output
+# representation or plan changed and must be re-verified. Long-green
+# relational/analytics shapes take the tail.
+_PRIORITY: tuple[str, ...] = (
+    # text/dedup layer (queries_text registration order)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_simhash", "language_id", "text_quality",
+    "token_counts", "doc_fingerprints", "doc_stats", "top_tokens",
+    "tfidf_top_terms", "template_match", "train_test_split",
+    "stratified_sample_docs", "decontaminate_report", "duplicate_spans",
+    "repetition_scores",
+    # curation layer
+    "pack_sequences", "packing_efficiency", "sensitive_term_scrub",
+    "domain_mix_plan", "domain_mix_sample", "unigram_logprob",
+    "curation_funnel",
+    # vector layer
+    "nearest_centroid", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
+    "embedding_norm_stats", "embedding_near_dup_lsh",
+    # ML layer
+    "anomaly_flags", "clustering_quality", "kmeans_refit_assign",
+    "embed_documents", "multimodal_features", "image_dimensions",
+    "standardize_value", "onehot_event_type",
+    # representation-fixed / re-planned analytics + sessionization
+    "user_sessions", "pricing_summary", "top_revenue_orders",
+    "customer_order_stats", "promo_revenue", "large_volume_customers",
+    "part_value_share", "grouping_sets_volume", "supplier_part_revenue",
+    "cheapest_supplier_per_part", "single_failed_supplier_orders",
+)
+
+
 def all_specs() -> list[QuerySpec]:
     # import registers the decorated functions in each module
     from . import queries_relational  # noqa: F401
@@ -50,7 +83,11 @@ def all_specs() -> list[QuerySpec]:
     from . import queries_curation  # noqa: F401
     from . import queries_ml  # noqa: F401
 
-    return list(_SPECS)
+    by_name = {s.name: s for s in _SPECS}
+    head = [by_name[n] for n in _PRIORITY if n in by_name]
+    in_head = set(_PRIORITY)
+    tail = [s for s in _SPECS if s.name not in in_head]
+    return head + tail
 
 
 def queries() -> dict[str, QueryFn]:

@@ -8,8 +8,18 @@ plans (broadcast vs shuffle, partial aggregation, top-k).
 Float-determinism note: money sums are computed by casting each row's term
 to DECIMAL before aggregating. Decimal addition is exact and
 order-independent, so results are bit-identical regardless of partitioning —
-both for the DuckDB oracle and across cluster sizes. Averages stay double
-and are rounded.
+both for the DuckDB oracle and across cluster sizes.
+
+Output-representation note: final columns are always DOUBLE (never DECIMAL).
+The exact decimal aggregate is cast to double at the very end — both Spark
+(BigDecimal.doubleValue) and DuckDB produce the correctly-rounded nearest
+double from the same decimal, so the bits are identical, and a double
+round-trips identically through every fetch path (collect, Arrow, pandas).
+DECIMAL outputs do not: pandas turns DuckDB DECIMALs into float64 while
+Spark returns Decimal objects, and any trailing zero ("204.00" vs 204.0)
+breaks a string-level comparison. Averages are sum_decimal→double / count
+(IEEE division of identical operands — deterministic), never a double
+avg() whose partial-sum order varies with partitioning.
 """
 
 from __future__ import annotations
@@ -45,13 +55,16 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_money(F.col("l_quantity"))).cast(_DEC_OUT).alias("sum_qty"),
-            F.sum(_money(F.col("l_extendedprice"))).cast(_DEC_OUT).alias("sum_base_price"),
-            F.sum(disc_price.cast(_DEC4)).cast(_DEC4_OUT).alias("sum_disc_price"),
-            F.sum(charge.cast(_DEC6)).cast(_DEC6_OUT).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast(_DEC4)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(_DEC6)).cast("double").alias("sum_charge"),
+            (F.sum(_money(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(_money(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1)))
+            .alias("avg_price"),
+            (F.sum(_money(F.col("l_discount"))).cast("double") / F.count(F.lit(1)))
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -69,7 +82,7 @@ def top_revenue_orders(
     """
     revenue = F.sum(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4)
-    ).cast(_DEC4_OUT)
+    ).cast("double")
     return (
         lineitem.join(
             orders.join(
@@ -120,7 +133,7 @@ def revenue_by_nation(
         joined.groupBy("n_name")
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4))
-            .cast(_DEC4_OUT)
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -187,12 +200,10 @@ def promo_revenue(
     )
     promo = F.sum(
         F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0).cast(_DEC4))
-    ).cast(_DEC4_OUT)
-    total = F.sum(disc).cast(_DEC4_OUT)
+    ).cast("double")
+    total = F.sum(disc).cast("double")
     return joined.agg(
-        F.round(F.lit(100.0) * promo.cast("double") / total.cast("double"), 6).alias(
-            "promo_pct"
-        ),
+        (F.lit(100.0) * promo / total).alias("promo_pct"),
         promo.alias("promo_revenue"),
         total.alias("total_revenue"),
     )
@@ -215,8 +226,9 @@ def large_volume_customers(
     """
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum(_money(F.col("l_quantity"))).cast(_DEC_OUT).alias("sum_qty"))
-        .filter(F.col("sum_qty") > F.lit(qty_threshold).cast(_DEC))
+        .agg(F.sum(_money(F.col("l_quantity"))).alias("_sum_qty_dec"))
+        .filter(F.col("_sum_qty_dec") > F.lit(qty_threshold).cast(_DEC))
+        .withColumn("sum_qty", F.col("_sum_qty_dec").cast("double"))
     )
     return (
         orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
@@ -280,15 +292,15 @@ def part_value_share(lineitem: DataFrame, fraction: float = 0.0005) -> DataFrame
     """
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4)
     per_part = lineitem.groupBy("l_partkey").agg(
-        F.sum(disc).cast(_DEC4_OUT).alias("part_value")
+        F.sum(disc).alias("_pv_dec")
     )
     total = per_part.agg(
-        F.sum("part_value").cast("double").alias("_total")
+        F.sum("_pv_dec").cast("double").alias("_total")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value").cast("double") > F.col("_total") * fraction)
-        .select("l_partkey", "part_value")
+        .filter(F.col("_pv_dec").cast("double") > F.col("_total") * fraction)
+        .select("l_partkey", F.col("_pv_dec").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), F.col("l_partkey"))
     )
 
@@ -317,7 +329,7 @@ def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_money(F.col("c_acctbal"))).cast(_DEC_OUT).alias("totacctbal"),
+            F.sum(_money(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -343,27 +355,23 @@ def brand_priciest_part(part: DataFrame) -> DataFrame:
 
 
 def cheapest_supplier_per_part(lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q2-shaped correlated min-subquery, decorrelated.
+    """TPC-H Q2-shaped correlated min-subquery, decorrelated to ONE agg.
 
-    'The supplier(s) offering each part at its lowest unit price.' The
-    correlated scalar subquery (min over the same part) becomes a window
-    min over the part key: the per-(part,supplier) offers and the window
-    share the same hash partitioning, so Catalyst plans groupBy-shuffle →
-    window with NO second exchange. Ties keep every tied supplier —
-    deterministic, and exactly what the SQL form returns.
+    'The supplier offering each part at its lowest unit price' (smallest
+    suppkey breaks price ties, so exactly one row per part). The two-level
+    formulation (per-(part,supplier) min, then per-part min) collapses:
+    the per-part argmin over raw rows ordered by (unit_price, suppkey) is
+    identical to the argmin over per-supplier minima, so a single
+    ``min_by`` aggregation keyed on l_partkey computes it with ONE
+    exchange and full map-side partial aggregation — no window sort, no
+    self-join, no final orderBy (the driver hash is order-insensitive).
     """
     unit = F.col("l_extendedprice") / F.col("l_quantity")
-    offers = lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit).alias("best")
-    )
-    w = Window.partitionBy("l_partkey")
-    return (
-        offers.withColumn("_part_best", F.min("best").over(w))
-        .filter(F.col("best") == F.col("_part_best"))
-        .select(
-            "l_partkey", "l_suppkey", F.round("best", 6).alias("best_unit_price")
-        )
-        .orderBy("l_partkey", "l_suppkey")
+    return lineitem.groupBy("l_partkey").agg(
+        F.expr(
+            "min_by(l_suppkey, struct(l_extendedprice / l_quantity, l_suppkey))"
+        ).alias("l_suppkey"),
+        F.round(F.min(unit), 6).alias("best_unit_price"),
     )
 
 
@@ -375,18 +383,19 @@ def single_failed_supplier_orders(lineitem: DataFrame, k: int = 20) -> DataFrame
     multi-supplier order' (returnflag 'R' standing in for the late-receipt
     predicate). EXISTS(another supplier) ∧ NOT EXISTS(another failed
     supplier) is rewritten as per-order counts (n_supp > 1 ∧ n_failed = 1)
-    — one extra aggregation instead of two correlated probes of the fact
-    table. All three ops (two groupBys + the join) key on l_orderkey, so
-    AQE runs them in one partitioning; the fact table is scanned once.
+    computed as WINDOW aggregates over l_orderkey on the per-(order,
+    supplier) frame — no second groupBy, no self-join, no duplicate scan
+    of the aggregate. Plan: one exchange for the (order, supplier) agg,
+    one for the order-keyed window, one tiny final supplier count; the
+    top-k is TakeOrdered (never a total sort).
     """
     per = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("failed")
     )
-    agg = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("failed").alias("n_failed")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        per.join(agg, "l_orderkey")
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_failed", F.sum("failed").over(w))
         .filter((F.col("failed") == 1) & (F.col("n_supp") > 1) & (F.col("n_failed") == 1))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -411,7 +420,7 @@ def grouping_sets_volume(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(_money(F.col("value"))).cast(_DEC_OUT).alias("sum_value"),
+            F.sum(_money(F.col("value"))).cast("double").alias("sum_value"),
         )
     )
 
@@ -420,7 +429,7 @@ def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Per-customer order stats incl. customers with zero orders (outer join)."""
     agg = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_money(F.col("o_totalprice"))).cast(_DEC_OUT).alias("total_spent"),
+        F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_spent"),
     )
     return (
         customer.join(agg, customer["c_custkey"] == agg["o_custkey"], "left")
@@ -428,7 +437,7 @@ def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            F.coalesce(F.col("total_spent"), F.lit(0).cast(_DEC_OUT)).alias("total_spent"),
+            F.coalesce(F.col("total_spent"), F.lit(0.0)).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -454,7 +463,7 @@ def top_quarter_suppliers(
         .groupBy("l_suppkey")
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4))
-            .cast(_DEC4_OUT)
+            .cast("double")
             .alias("total_revenue")
         )
     )

@@ -64,9 +64,17 @@ def shingle_table(
     Distinct-per-document is computed IN-ROW (``array_distinct`` before the
     explode): equivalent to a global distinct because (doc_id, s) can only
     repeat within one document's array, and it removes the widest exchange
-    from every dedup plan. With the frequency cap on, the only exchange
-    left is the window's shuffle on ``s``; with it off, the shingle table
-    is exchange-free — it streams straight from the scan at any scale.
+    from every dedup plan. With the frequency cap off, the shingle table is
+    exchange-free — it streams straight from the scan at any scale.
+
+    The cap itself is SKEW-SAFE: document frequency comes from a
+    ``groupBy("s")`` aggregate (map-side partial combine means a boilerplate
+    shingle present in 50% of all docs contributes at most one partial row
+    per map task to the shuffle — never millions of rows to one reducer,
+    which is what a ``Window.partitionBy("s")`` count would do), and the
+    over-cap key set — tiny by definition (each survivor appears in > cap
+    docs, so there are at most N_docs·avg_shingles/cap of them) — comes
+    back as a broadcast anti-join, which adds NO exchange on the big side.
     """
     wh = documents.select(
         "doc_id",
@@ -81,12 +89,13 @@ def shingle_table(
         ).alias("s"),
     )
     if max_doc_freq:
-        freq = Window.partitionBy("s")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(freq))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("s")
         )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     return sh
 
 
@@ -165,30 +174,51 @@ def minhash_lsh_pairs(
     """
     bands = bands or T.MINHASH_BANDS
     rows = len(T.MINHASH_PERMS) // bands
-    # ONE shared shingle subtree for both the signature branch and the
-    # verify branch: scan→word-hash→shingle-hash→explode→df-window. The two
-    # consumers differ only downstream of the window (signatures apply the
-    # hot-shingle cap; verify sets use all rows), so Spark's ReuseExchange
-    # serves the second branch from the first's shuffle files — the wide
-    # text column is read and shingled ONCE instead of twice. At 100 TB the
-    # doubled scan is the difference between one pass and two over the
-    # corpus.
-    w_df = Window.partitionBy("s")
-    shared = (
+    # ONE shared subtree for every branch: scan→word-hash→shingle-hash→
+    # explode→groupBy(doc_id)→collect_set. The only exchange over the full
+    # shingle stream is keyed on doc_id — effectively unique keys, so NO
+    # skew (the old form shuffled on the shingle itself for a df-window,
+    # where one boilerplate shingle present in half the corpus lands every
+    # row on a single task). ReuseExchange serves the hot-key pass, the
+    # signature branch and the verify branch from the same shuffle files,
+    # so the wide text column is read and shingled ONCE.
+    doc_sets = (
         shingle_table(documents, n, max_doc_freq=0)
-        .withColumn("_df", F.count(F.lit(1)).over(w_df))
-    )
-    h = F.col("s")
-    sig = (
-        shared.filter(F.col("_df") <= 500)
         .groupBy("doc_id")
-        .agg(
+        .agg(F.collect_set("s").alias("ss"))
+    )
+    # hot shingles (doc frequency > 500) from the exploded sets: map-side
+    # partial aggregation compresses each hot key to one row per task; the
+    # over-cap survivors are few by definition, collected into a single-row
+    # array and broadcast into every doc row.
+    hot = (
+        doc_sets.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 500)
+        .agg(F.collect_list("s").alias("_hot"))
+    )
+    # minhash is computed IN-ROW over the doc's capped shingle set (16
+    # array_min/transform passes) — no extra exchange at all for the
+    # signature branch. Same formula as the oracle: min((a·s + b) mod P).
+    def _perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(T.MINHASH_PRIME)
+
+    sig = (
+        doc_sets.crossJoin(F.broadcast(hot))
+        .withColumn(
+            "ssf",
+            F.array_except(
+                "ss", F.coalesce(F.col("_hot"), F.array().cast("array<bigint>"))
+            ),
+        )
+        .filter(F.size("ssf") > 0)
+        .select(
+            "doc_id",
             *[
-                F.min((F.lit(a) * h + F.lit(b)) % F.lit(T.MINHASH_PRIME)).alias(
-                    f"mh_{j}"
-                )
+                F.array_min(F.transform(F.col("ssf"), _perm(a, b))).alias(f"mh_{j}")
                 for j, (a, b) in enumerate(T.MINHASH_PERMS)
-            ]
+            ],
         )
     )
     # one posexplode over an array of band keys: the signature subtree
@@ -230,7 +260,8 @@ def minhash_lsh_pairs(
     # shuffle wire and long (not string) intersection; the oracle intersects
     # the same hashes, so parity is by construction (a cross-shingle hash
     # collision inside one pair has probability ~2^-48 per shingle²).
-    doc_sets = shared.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    # doc_sets is the same frame the signature branch consumed —
+    # ReuseExchange serves both from one shuffle.
     joined = candidates.join(
         doc_sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("s1")), "d1"
     ).join(
@@ -329,16 +360,32 @@ def duplicate_spans(
     strings), one exchange for the span-frequency window, then a per-doc
     re-aggregation. In-row distinct means a span repeated inside ONE doc
     counts once, so the frequency really is a document frequency.
+
+    Skew note: span document-frequency comes from a ``groupBy("s")``
+    aggregate (map-side combine: a boilerplate span in half the corpus is
+    one partial row per task on the wire, where a ``Window.partitionBy``
+    count would land every occurrence on one task). The per-doc dup count
+    is then a semi-join of the span stream against the duplicated-key set,
+    which AQE's skew-join handling splits if a key is still hot — windows
+    have no such mitigation.
     """
     sh = shingle_table(documents, n, max_doc_freq=0)
-    w = Window.partitionBy("s")
-    flagged = sh.withColumn("_df", F.count(F.lit(1)).over(w))
-    dup = F.sum(F.when(F.col("_df") >= min_docs, 1).otherwise(0))
+    dup_keys = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("s", F.lit(1).alias("_dup"))
+    )
+    # one left join carries the dup flag back to every span row (the
+    # dup_keys side is already hash-partitioned on s by its aggregate, so
+    # only the span stream pays an exchange, and AQE splits any hot key);
+    # ONE per-doc aggregate then yields both counts — 2 scans, no window.
+    flagged = sh.join(dup_keys, "s", "left")
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            dup.alias("n_dup_spans"),
+            F.count("_dup").alias("n_dup_spans"),
         )
         .select(
             "doc_id",
@@ -415,7 +462,7 @@ def decontaminate_report(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, reliable: bool = False
 ) -> DataFrame:
     """Connected components over an undirected pair list (d1, d2) →
     (node, label) where label = min node id reachable (the canonical id).
@@ -423,28 +470,43 @@ def connected_components(
     Iterative min-label propagation: each round every node takes the min
     of its own label and its neighbors' labels; rounds needed = graph
     diameter (duplicate clusters are shallow — a handful of rounds). Each
-    round is one shuffle join keyed on node; lineage is cut per round with
-    an eager localCheckpoint so the plan stays O(1) deep. This is the
-    dedup-cluster primitive (MapReduce-CC in the Kwak/small-star family);
-    a 100 TB corpus runs the same loop with the same per-round cost.
+    round is one shuffle join keyed on node; lineage is cut per round so
+    the plan stays O(1) deep. This is the dedup-cluster primitive
+    (MapReduce-CC in the Kwak/small-star family); a 100 TB corpus runs the
+    same loop with the same per-round cost.
+
+    ``reliable=False`` cuts lineage with eager ``localCheckpoint`` — fast
+    (executor-memory blocks) but NOT fault-tolerant: losing an executor
+    mid-loop loses blocks that have no lineage to rebuild. On a real
+    cluster pass ``reliable=True``: rounds are cut with reliable
+    ``checkpoint()`` to ``spark.sparkContext.setCheckpointDir`` storage
+    (HDFS/object store), which survives executor loss. Local tests keep
+    the fast path.
 
     The loop stops early the first round no label changes (one tiny
     count() action per round — driver-side control, cluster-side data).
     """
+    if reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable=True requires spark.sparkContext.setCheckpointDir "
+            "(an HDFS/object-store path on a cluster)"
+        )
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
     # the edge list is checkpointed ONCE: without this, every round's join
     # would re-execute the entire upstream pairs job (for dedup_clusters,
     # the full LSH candidate+verify pipeline) because exchange reuse never
     # spans actions
-    sym = (
+    sym = _cut(
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _cut(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neigh = (
@@ -452,7 +514,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = (
+        stepped = _cut(
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 labels["node"].alias("node"),
@@ -461,7 +523,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("mid"),
             )
-        ).localCheckpoint(eager=True)
+        )
         # pointer jump (label <- label of my label): combined with the
         # neighbor step this converges in O(log diameter) rounds, so
         # max_iter=25 covers any component a dedup graph can realistically
@@ -469,7 +531,7 @@ def connected_components(
         ptr = stepped.select(
             F.col("node").alias("pnode"), F.col("mid").alias("plabel")
         )
-        updated = (
+        updated = _cut(
             stepped.join(ptr, stepped["mid"] == ptr["pnode"], "left")
             .select(
                 "node",
@@ -478,7 +540,7 @@ def connected_components(
                     F.col("mid"), F.coalesce("plabel", F.col("mid"))
                 ).alias("label"),
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = updated.filter(F.col("label") != F.col("old")).limit(1).count()
         labels = updated.select("node", "label")
         if changed == 0:

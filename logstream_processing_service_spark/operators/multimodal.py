@@ -57,6 +57,69 @@ def with_binary_payload(documents: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_dims(b: bytes) -> tuple[int, int] | None:
+    """Pure-Python PNG dimension parse: width/height are big-endian u32 at
+    offsets 16/20 (8-byte signature + IHDR length + type). No codec needed —
+    the header is part of the format spec."""
+    if len(b) < 24 or not b.startswith(_PNG_SIG) or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    return (w, h) if w and h else None
+
+
+def parse_jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """Pure-Python JPEG dimension parse: walk the marker segments to the
+    first SOF0-SOF15 frame header (skipping the non-frame 0xC4/C8/CC
+    markers); height/width are big-endian u16 at +5/+7 into the segment."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(b)
+    while i + 9 < n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (w, h) if w and h else None
+        i += 2 + seg_len
+    return None
+
+
+def synthetic_png(width: int, height: int) -> bytes:
+    """A minimal structurally-valid PNG (signature + IHDR + empty IDAT +
+    IEND) for fixtures: header parsers see real dimensions without any
+    image library in the build chain."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """STUB: real decoders (PIL.Image.open / librosa.load / pyav frame
     sampling) are not available in this container. Raises for real media
@@ -108,6 +171,79 @@ def extract_features(media: DataFrame) -> DataFrame:
 def media_feature_pipeline(documents: DataFrame) -> DataFrame:
     """documents → binary payload → batched feature extraction."""
     return extract_features(with_binary_payload(documents))
+
+
+DIMENSIONS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def with_synthetic_image_payload(documents: DataFrame) -> DataFrame:
+    """Fixture image corpus: one real (structurally valid) PNG per doc with
+    deterministic doc_id-derived dimensions, so the dimension pipeline can
+    be exercised and verified end-to-end without any image library."""
+
+    @F.pandas_udf(BinaryType())
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(
+            lambda d: synthetic_png(int(d) % 512 + 1, int(d) % 333 + 1)
+        )
+
+    payload = make_png(F.col("doc_id"))
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            F.length(payload).alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """REAL (not stubbed) image metadata extraction: pure-Python PNG/JPEG
+    header parsing over the same Arrow-batched ``mapInPandas`` lane as the
+    decoders — bytes stay in Arrow buffers per batch, Python touches only
+    the first KB of each payload. Non-image rows pass through with NULL
+    dimensions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                b = bytes(p)
+                if m == "image/png":
+                    dims.append(parse_png_dims(b))
+                elif m == "image/jpeg":
+                    dims.append(parse_jpeg_dims(b))
+                else:
+                    dims.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [d[0] if d else None for d in dims],
+                    "height": [d[1] if d else None for d in dims],
+                }
+            )
+
+    flat = media.select(
+        "doc_id",
+        "payload",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return flat.mapInPandas(run, DIMENSIONS_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

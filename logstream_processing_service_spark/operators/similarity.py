@@ -162,14 +162,26 @@ def ann_ivf(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.4, self_join_cap: int | None = None
+    embeddings: DataFrame, threshold: float = 0.4, self_join_cap: int | None = 100_000
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_id1 < vec_id2, cos ≥ t).
 
     The brute-force form is O(N²) — correct and oracle-checkable at test
-    scale. The 100 TB path is LSH/IVF blocking (see ``ann_ivf``); the
-    threshold semantics stay identical.
+    scale, and GUARDED: above ``self_join_cap`` rows it refuses to run
+    (100k² = 10¹⁰ cosines is already a cluster-day) and points at the
+    production path. The 100 TB path is LSH blocking
+    (``embedding_near_dup_lsh``) / IVF (``ann_ivf``); the threshold
+    semantics stay identical. Pass ``self_join_cap=None`` to force an
+    uncapped run.
     """
+    if self_join_cap is not None:
+        n = embeddings.count()
+        if n > self_join_cap:
+            raise ValueError(
+                f"embedding_near_dup_pairs is an O(N²) baseline: {n} rows > "
+                f"cap {self_join_cap}. Use embedding_near_dup_lsh (banded "
+                "LSH + exact verify) at scale, or pass self_join_cap=None."
+            )
     a = embeddings.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     b = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     pairs = (

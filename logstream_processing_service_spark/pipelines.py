@@ -319,11 +319,16 @@ def run_incremental_batch(
             F.current_timestamp().alias("created_at"),
         )
     )
+    # Count BEFORE appending: the plan's `incidents` input reads inc_path,
+    # so re-executing it after the write would anti-join the just-inserted
+    # rows away (and re-evaluate current_timestamp). localCheckpoint
+    # materializes the rows once; the write and the count both reuse them.
+    new_incidents = new_incidents.localCheckpoint()
+    n_new = new_incidents.count()
     new_incidents.write.mode("append").parquet(inc_path)
 
     # S9 commit marker (vs UPDATE batch_order, run_incremental_batch.py:103-110)
     n_scored = scored.count()
-    n_new = new_incidents.count()
     with open(os.path.join(work_dir, "batch_status.json"), "w") as fh:
         json.dump(
             {

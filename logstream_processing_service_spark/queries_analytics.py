@@ -15,13 +15,13 @@ from .operators import analytics as A
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -38,7 +38,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_orders",
     """
     SELECT o_orderkey, o_orderdate, o_orderpriority,
-           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -61,7 +61,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+           CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -136,11 +136,11 @@ def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_mktsegment,
            coalesce(n_orders, 0) AS n_orders,
-           coalesce(total_spent, CAST(0 AS DECIMAL(38,2))) AS total_spent
+           coalesce(total_spent, 0.0) AS total_spent
     FROM customer
     LEFT JOIN (
         SELECT o_custkey, count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
         FROM orders GROUP BY o_custkey
     ) agg ON c_custkey = o_custkey
     ORDER BY c_custkey
@@ -162,12 +162,12 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
           AND l_shipdate <  TIMESTAMP '1997-10-01'
     )
-    SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) AS promo_pct,
+    SELECT 100.0 * promo / total AS promo_pct,
            promo AS promo_revenue, total AS total_revenue
     FROM (
         SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN disc
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS promo,
-               CAST(sum(disc) AS DECIMAL(38,4)) AS total
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo,
+               CAST(sum(disc) AS DOUBLE) AS total
         FROM j
     )
     """,
@@ -183,7 +183,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
     FROM orders
     JOIN (
-        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY l_orderkey
         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200
     ) big ON o_orderkey = big.l_orderkey
@@ -235,12 +235,12 @@ def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_part AS (
         SELECT l_partkey,
-               CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS part_value
+               CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS pv_dec
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey, part_value FROM per_part
-    WHERE CAST(part_value AS DOUBLE) >
-          (SELECT CAST(sum(part_value) AS DOUBLE) FROM per_part) * 0.0005
+    SELECT l_partkey, CAST(pv_dec AS DOUBLE) AS part_value FROM per_part
+    WHERE CAST(pv_dec AS DOUBLE) >
+          (SELECT CAST(sum(pv_dec) AS DOUBLE) FROM per_part) * 0.0005
     ORDER BY part_value DESC, l_partkey
     """,
     "A2", "scalar-subquery",
@@ -258,7 +258,7 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey, count(*) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer, pos
     WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > total
       AND c_custkey NOT IN (SELECT o_custkey FROM orders)
@@ -295,7 +295,7 @@ def q_brand_priciest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
            count(*) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY GROUPING SETS ((event_type), (CAST(hour(ts) AS INTEGER)))
     """,
@@ -311,7 +311,7 @@ def q_grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- three-way dim join over the otherwise-unused part/supplier tables
     SELECT s.s_name, p.p_type,
            CAST(sum(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,4)))
-                AS DECIMAL(38,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
@@ -329,7 +329,7 @@ def q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     rev = F.sum(
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    ).cast("decimal(38,4)")
+    ).cast("double")
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
@@ -341,14 +341,17 @@ def q_supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spec(
     "cheapest_supplier_per_part",
     """
-    WITH offers AS (
-        SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS best
-        FROM lineitem GROUP BY 1, 2
-    )
-    SELECT o.l_partkey, o.l_suppkey, round(o.best, 6) AS best_unit_price
-    FROM offers o
-    WHERE o.best = (SELECT min(i.best) FROM offers i WHERE i.l_partkey = o.l_partkey)
-    ORDER BY o.l_partkey, o.l_suppkey
+    SELECT l_partkey, l_suppkey, round(part_best, 6) AS best_unit_price
+    FROM (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity)
+                   OVER (PARTITION BY l_partkey) AS part_best,
+               row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_extendedprice / l_quantity, l_suppkey
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
     """,
     "J-corr", "W-min",
 )
@@ -385,7 +388,7 @@ def q_single_failed_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFra
     WITH rev AS (
         SELECT l_suppkey,
                CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
-                    AS DECIMAL(38,4)) AS total_revenue
+                    AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'

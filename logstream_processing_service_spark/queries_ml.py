@@ -106,6 +106,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_feature_pipeline(_t(spark, sf_dir, "documents"))
 
 
+def _image_dimensions_oracle() -> str:
+    # the synthetic fixture PNG has doc_id-derived dimensions and a
+    # constant byte length, so plain SQL predicts what the pure-Python
+    # header parser must recover — an end-to-end check of the real
+    # (non-stubbed) image-metadata path
+    from .operators.multimodal import synthetic_png
+
+    n_bytes = len(synthetic_png(1, 1))
+    return f"""
+    SELECT doc_id, 'image/png' AS media_type,
+           CAST({n_bytes} AS BIGINT) AS n_bytes,
+           doc_id % 512 + 1 AS width,
+           doc_id % 333 + 1 AS height
+    FROM documents
+    """
+
+
+@spec("image_dimensions", _image_dimensions_oracle(), "multimodal", "image-header")
+def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata extraction: structurally-valid fixture PNGs →
+    pure-Python header parse in the Arrow mapInPandas lane → (width,
+    height) verified against the SQL prediction."""
+    from .operators.multimodal import image_dimensions, with_synthetic_image_payload
+
+    return image_dimensions(
+        with_synthetic_image_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
 @spec(
     "standardize_value",
     """

@@ -420,9 +420,11 @@ def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+        -- CAST: DuckDB sum(INTEGER) is HUGEINT, which pandas-style fetches
+        -- turn into float64 ("3.0") while Spark's window sum is BIGINT ("3")
         SELECT user_id, ts,
-               sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_idx
+               CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM flagged
     )
     SELECT user_id, session_idx, count(*) AS n_events,

@@ -455,7 +455,8 @@ _WORDS5_DUCK = T.words_sql("text", "duckdb")
         WHERE split = 'train' AND s IN (SELECT s FROM eval_sh)
     )
     SELECT l.lang, count(*) AS n_train,
-           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
     FROM labeled l LEFT JOIN cont c ON l.doc_id = c.doc_id
     WHERE l.split = 'train'
     GROUP BY l.lang ORDER BY l.lang

@@ -139,14 +139,22 @@ def run_incremental_pipeline(
 def run_windowed_volume(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> None:
-    """Streaming windowed aggregation to a parquet sink (append mode after
-    watermark close; AvailableNow for bounded runs)."""
+    """Streaming windowed aggregation to a parquet sink.
+
+    Append output mode: a window is emitted exactly once, after the
+    watermark closes it — so the sink never sees partial counts. The sink
+    itself writes each micro-batch into its own ``batch_id=N`` partition
+    with overwrite, so a replayed batch (foreachBatch is at-least-once)
+    lands in the same partition instead of duplicating rows.
+    """
     vol = windowed_volume(read_events_stream(spark, sf_dir))
+
+    def write(df: DataFrame, bid: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/volume/batch_id={bid}")
+
     q = (
-        vol.writeStream.foreachBatch(
-            lambda df, bid: df.write.mode("append").parquet(f"{out_dir}/volume")
-        )
-        .outputMode("update")
+        vol.writeStream.foreachBatch(write)
+        .outputMode("append")
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_vol"))
         .trigger(availableNow=True)
         .start()
@@ -200,8 +208,12 @@ def run_anomaly_pipeline(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         vol = batch_volume(batch_df.select("user_id", "event_id"))
-        vol.write.mode("append").parquet(hist_path)
-        history = sp.read.parquet(hist_path)
+        # foreachBatch is at-least-once: a replayed batch must not
+        # double-count history, so each micro-batch owns one overwritten
+        # partition ("ingest_batch" — batch_volume already emits a
+        # "batch_id" column of its own).
+        vol.write.mode("overwrite").parquet(f"{hist_path}/ingest_batch={batch_id}")
+        history = sp.read.parquet(hist_path).drop("ingest_batch")
         flagged = flag_anomalies(volume_zscore(history))
         try:
             incidents = sp.read.parquet(inc_path)

@@ -64,7 +64,10 @@ def semantic_group_fn(
         ids_s, flat_s, dim = state.get
         ids = [int(x) for x in ids_s.split(",")] if ids_s else []
         cents = (
-            np.fromstring(flat_s, sep=",").reshape(len(ids), int(dim))
+            # np.fromstring(sep=",") is removed in numpy 2.x
+            np.fromiter(map(float, flat_s.split(",")), dtype=np.float64).reshape(
+                len(ids), int(dim)
+            )
             if ids
             else np.zeros((0, 0))
         )

@@ -21,6 +21,15 @@ TABLES = [
 ]
 
 
+# Output-column types the driver's fetch path may represent asymmetrically
+# between Spark and DuckDB (e.g. pandas turns DuckDB DECIMAL and HUGEINT into
+# float64 while Spark returns Decimal objects / int64). Catalog queries must
+# never emit them: money aggregates are computed exactly in DECIMAL and cast
+# to DOUBLE at the end (bit-identical correctly-rounded cast on both engines),
+# and DuckDB integer sums are cast to BIGINT.
+_BANNED_DUCK_TYPES = ("DECIMAL", "HUGEINT")
+
+
 def _norm_value(v: Any) -> str:
     if v is None:
         return "NULL"
@@ -31,7 +40,9 @@ def _norm_value(v: Any) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"f:{v:.9g}"
+        # full precision: repr round-trips the exact double, so any
+        # engine-order drift surfaces locally before the driver sees it
+        return f"f:{v!r}"
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)):
@@ -59,10 +70,25 @@ def compare_one(spark, con, name: str, fn, sql: str, sf_dir: str) -> dict:
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    d_types = [str(t) for t in rel.types]
+    d_rows = rel.fetchall()
     report: dict[str, Any] = {"name": name, "spark_rows": len(s_rows), "oracle_rows": len(d_rows)}
+    bad_types = [
+        f"{c}:{t}"
+        for c, t in zip(d_cols, d_types)
+        if any(b in t.upper() for b in _BANNED_DUCK_TYPES)
+    ]
+    bad_types += [
+        f"spark.{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if f.dataType.simpleString().startswith("decimal")
+    ]
+    if bad_types:
+        report["status"] = "UNSTABLE_OUTPUT_TYPE"
+        report["columns"] = bad_types
+        return report
     if sorted(s_cols) != sorted(d_cols):
         report["status"] = "SCHEMA_MISMATCH"
         report["spark_cols"] = s_cols

