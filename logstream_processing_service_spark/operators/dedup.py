@@ -369,17 +369,21 @@ def duplicate_spans(
     which AQE's skew-join handling splits if a key is still hot — windows
     have no such mitigation.
     """
-    sh = shingle_table(documents, n, max_doc_freq=0)
+    # one repartition keyed on doc_id (effectively unique — no skew) pins
+    # the scan→md5→shingle subtree behind a single exchange that BOTH
+    # consumers (the df aggregate and the join probe) reuse, so the
+    # expensive per-word hashing runs once, not once per branch
+    sh = shingle_table(documents, n, max_doc_freq=0).repartition("doc_id")
     dup_keys = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_docs)
         .select("s", F.lit(1).alias("_dup"))
     )
-    # one left join carries the dup flag back to every span row (the
+    # the left join carries the dup flag back to every span row (the
     # dup_keys side is already hash-partitioned on s by its aggregate, so
     # only the span stream pays an exchange, and AQE splits any hot key);
-    # ONE per-doc aggregate then yields both counts — 2 scans, no window.
+    # ONE per-doc aggregate then yields both counts — no window anywhere.
     flagged = sh.join(dup_keys, "s", "left")
     return (
         flagged.groupBy("doc_id")
