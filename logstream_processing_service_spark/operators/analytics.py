@@ -517,3 +517,241 @@ def small_quantity_part_revenue(
             ).alias("avg_yearly")
         )
     )
+
+
+def nation_trade_volume(
+    nation: DataFrame,
+    supplier: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade: revenue shipped between two nations
+    per ship year, both directions kept separate.
+
+    Plan: nation is broadcast into BOTH dimension arms; supplier⋈nation is a
+    ~100-row broadcast into the fact; customer⋈nation shuffles orders on
+    o_custkey once (customer is NOT broadcastable at 100 TB); the fact then
+    joins orders on the order key. Exactly two big exchanges — custkey and
+    orderkey — each unavoidable for the respective equi-join.
+    """
+    n = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    supp = supplier.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        supplier["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
+                             F.col("n_name").alias("cust_nation"))),
+        customer["c_nationkey"] == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    ords = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "cust_nation"
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4)
+    return (
+        lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
+def returned_item_customers(
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1997-10-01",
+    end: str = "1998-01-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped: customers who returned the most revenue in a
+    quarter (returnflag 'R'), with their nation.
+
+    Plan: the quarter slice of orders joins the fact on the order key (the
+    one big exchange); the per-customer aggregate keys on the join output;
+    customer and nation attach AFTER aggregation — a broadcast of the
+    1-row-per-customer aggregate side... no: the aggregate is per custkey,
+    so the dimension join runs on the already-tiny aggregate, never on the
+    fact. Top-k is TakeOrdered.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4)
+    per_cust = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def linestatus_priority_split(
+    orders: DataFrame, lineitem: DataFrame, year: int = 1997
+) -> DataFrame:
+    """TPC-H Q12-shaped two-way conditional count: per line status, how many
+    shipped lineitems belong to high-priority vs low-priority orders (the
+    schema has no shipmode column; linestatus is the stand-in dimension).
+
+    Plan: one fact-side year filter pushed to the parquet scan, one shuffle
+    join to orders on the order key, one tiny agg. The CASE counts are
+    BIGINT on both engines.
+    """
+    li = lineitem.filter(F.year("l_shipdate") == year)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_priority_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-shaped double aggregation: the distribution of per-customer
+    order counts (how many customers placed 0, 1, 2, … orders).
+
+    Plan: left join customer→orders keyed on custkey (the one fact-scale
+    exchange), per-customer count, then a second tiny agg over at most
+    |distinct counts| groups. Customers with no orders land in the c_count=0
+    bucket via the left join, exactly like the SQL twin.
+    """
+    counts = (
+        customer.join(
+            orders.select("o_custkey"),
+            customer["c_custkey"] == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def part_supplier_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#3",
+    exclude_type_prefix: str = "MEDIUM",
+) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier count per (brand, type, size),
+    excluding one brand, one type family, and suppliers in deficit
+    (negative account balance — the schema has no comment/complaints
+    column).
+
+    Plan: the part dimension filter is broadcast into the fact's
+    (partkey, suppkey) projection; the deficit-supplier exclusion is a
+    broadcast ANTI join (tiny set); count_distinct shuffles once on the
+    group key with partial distinct aggregation map-side.
+    """
+    parts = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & ~F.col("p_type").startswith(exclude_type_prefix)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    deficit = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(deficit),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def bracketed_discount_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs predicate revenue: three (brand, size
+    bracket, quantity bracket) arms OR-ed together (the schema has no
+    container column; p_size brackets stand in).
+
+    Plan: one broadcast join part→lineitem, then the disjunctive predicate
+    evaluates INSIDE the join's generated code — Catalyst pushes the
+    brand/size conjuncts common to all arms into the part scan, and the
+    whole thing is a single fact pass with no shuffle before the 1-row agg.
+    """
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    arm1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & q.between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & q.between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30) & q.between(20, 30)
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC4)
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.sum(disc).cast("double").alias("revenue")
+    )
+
+
+def heavy_shippers_of_part_family(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "red",
+    year: int = 1997,
+    qty_factor: float = 50.0,
+) -> DataFrame:
+    """TPC-H Q20-shaped nested-IN chain: suppliers who shipped more than
+    ``qty_factor`` units of any part in a name family during one year
+    (the schema has no partsupp/availqty; the shipped-quantity aggregate
+    replaces the stock threshold).
+
+    Plan: part-family filter broadcasts into the year-sliced fact; ONE
+    aggregate keyed (suppkey, partkey) with the HAVING threshold; the
+    distinct supplier set of survivors is tiny → broadcast SEMI join into
+    the supplier dimension, nation broadcast after. The fact is scanned
+    once; no correlated re-execution.
+    """
+    fam = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    shipped = (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(F.broadcast(fam), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(qty_factor).cast(_DEC))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(shipped),
+            supplier["s_suppkey"] == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
