@@ -371,3 +371,116 @@ def curation_funnel(
         "'3_no_stopwords', d3, n0 - d1 - d2 - d3"
         ") AS (rule, n_dropped, n_remaining)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules + vocabulary-pruning report
+# ---------------------------------------------------------------------------
+
+
+def gopher_filter_report(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_kinds: int = 2,
+) -> DataFrame:
+    """Gopher-rules quality report (Rae et al. 2021 §A1.1): the standard
+    repetition-independent document filters — word-count bounds, mean word
+    length bounds, symbol-to-word ratio (# and …), bullet-started and
+    ellipsis-ended line ratios, alphabetic-word ratio, and ≥2 distinct
+    stopwords — plus the conjunction verdict.
+
+    Scale shape: every column is in-row array math over the token/line
+    arrays — the whole report is a single scan-projection with ZERO
+    exchanges at any corpus size. Ratios divide exact integers, so the
+    doubles are bit-identical in any engine and partitioning.
+    """
+    w = T.words(F.col("text"))
+    n_words = F.size(w)
+    nw = F.nullif(n_words.cast("double"), F.lit(0.0))
+    sum_wlen = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_wlen = F.round(sum_wlen / nw, 6)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$")))
+    alpha_ratio = F.round(n_alpha / nw, 6)
+    n_hash = F.length(F.col("text")) - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis) / nw, 6)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    n_bullet = F.size(
+        F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    bullet_ratio = F.round(n_bullet / n_lines, 6)
+    ellipsis_ratio = F.round(n_ell_end / n_lines, 6)
+    stops = F.array(*[F.lit(s) for s in T.LANG_STOPWORDS["en"]])
+    stop_kinds = F.size(F.array_intersect(F.array_distinct(w), stops))
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_wlen.between(min_mean_wlen, max_mean_wlen)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (stop_kinds >= min_stopword_kinds)
+    )
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_kinds.alias("stopword_kinds"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = 16) -> DataFrame:
+    """Vocabulary-pruning report: per document, the fraction of tokens
+    outside the corpus's top-``vocab_size`` vocabulary (frequency desc,
+    word asc tie-break) — the cheap screen for rare-token soup and the
+    sizing input for tokenizer vocabulary decisions.
+
+    Scale shape: the vocabulary aggregate map-side combines to |vocab|
+    rows per task (Heaps' law keeps it dimension-sized), then comes back
+    as a BROADCAST left join against the token stream; the stream itself
+    never shuffles — the only wide exchange is the per-doc count.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("wd")
+    )
+    vocab = (
+        toks.groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.col("wd"))
+        .limit(vocab_size)
+        .select("wd", F.lit(1).alias("_in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "wd", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("_in").alias("in_vocab_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "in_vocab_tokens",
+            ((F.col("n_tokens") - F.col("in_vocab_tokens")) / F.col("n_tokens"))
+            .alias("oov_rate"),
+        )
+    )

@@ -215,3 +215,79 @@ _FUNNEL_STOPS = "['the','a','of','and','to','in','is','that','it','for']"
 )
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.curation_funnel(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "gopher_quality_report",
+    f"""
+    WITH per AS (
+        SELECT doc_id,
+               {T.words_sql('text', 'duck')} AS w,
+               string_split(text, chr(10)) AS ls,
+               text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_words,
+           round(list_sum(list_transform(w, x -> length(x)))
+                 / nullif(CAST(len(w) AS DOUBLE), 0.0), 6) AS mean_word_len,
+           round((length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) / 3)
+                 / nullif(CAST(len(w) AS DOUBLE), 0.0), 6) AS symbol_ratio,
+           round(len(list_filter(ls, x -> starts_with(x, '- ')
+                                       OR starts_with(x, '* ')))
+                 / nullif(CAST(len(ls) AS DOUBLE), 0.0), 6) AS bullet_ratio,
+           round(len(list_filter(ls, x -> suffix(x, '...')))
+                 / nullif(CAST(len(ls) AS DOUBLE), 0.0), 6) AS ellipsis_ratio,
+           round(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+                 / nullif(CAST(len(w) AS DOUBLE), 0.0), 6) AS alpha_ratio,
+           len(list_intersect(list_distinct(w),
+               ['the','a','of','and','to','in','is','that','it','for']))
+               AS stopword_kinds,
+           (len(w) BETWEEN 50 AND 100000
+            AND round(list_sum(list_transform(w, x -> length(x)))
+                      / nullif(CAST(len(w) AS DOUBLE), 0.0), 6) BETWEEN 3.0 AND 10.0
+            AND round((length(text) - length(replace(text, '#', ''))
+                       + (length(text) - length(replace(text, '...', ''))) / 3)
+                      / nullif(CAST(len(w) AS DOUBLE), 0.0), 6) <= 0.1
+            AND round(len(list_filter(ls, x -> starts_with(x, '- ')
+                                            OR starts_with(x, '* ')))
+                      / nullif(CAST(len(ls) AS DOUBLE), 0.0), 6) <= 0.9
+            AND round(len(list_filter(ls, x -> suffix(x, '...')))
+                      / nullif(CAST(len(ls) AS DOUBLE), 0.0), 6) <= 0.3
+            AND round(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+')))
+                      / nullif(CAST(len(w) AS DOUBLE), 0.0), 6) >= 0.8
+            AND len(list_intersect(list_distinct(w),
+                ['the','a','of','and','to','in','is','that','it','for'])) >= 2
+           ) AS passes_gopher
+    FROM per
+    """,
+    "north-star", "gopher-rules",
+)
+def q_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.gopher_filter_report(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({T.words_sql('text', 'duck')}) AS wd
+        FROM documents
+    ),
+    vocab AS (
+        SELECT wd FROM (
+            SELECT wd, count(*) AS c FROM toks GROUP BY wd
+            ORDER BY c DESC, wd LIMIT 16
+        )
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(count(v.wd) AS BIGINT) AS in_vocab_tokens,
+           (count(*) - count(v.wd)) / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.wd = v.wd
+    GROUP BY t.doc_id
+    """,
+    "north-star", "vocab-pruning",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.oov_rate(_t(spark, sf_dir, "documents"))
