@@ -209,3 +209,49 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
 }
 LANG_PRIORITY = ("en", "de", "fr", "es", "zh")
+
+# ---------------------------------------------------------------------------
+# Paragraph segmentation (dual-dialect) — used by paragraph-grain dedup
+# ---------------------------------------------------------------------------
+
+def paragraphs_sql(
+    col_sql: str,
+    dialect: str,
+    mode: str = "newline",
+    block_words: int = 10,
+) -> str:
+    """SQL for ``array<string>`` of paragraphs of a text column, identical in
+    Spark SQL and DuckDB.
+
+    ``newline`` mode: split on newline characters, trim, drop empties — the
+    real-corpus form (MassiveText-style paragraph grain). ``block`` mode:
+    non-overlapping ``block_words``-word chunks — the form that is
+    non-degenerate on single-line corpora (like the synthetic test tables,
+    which contain no newlines). A doc shorter than one block still yields
+    exactly one paragraph; an empty doc yields one empty paragraph.
+    """
+    if mode == "newline":
+        if dialect == "spark":
+            return (
+                f"filter(transform(split({col_sql}, chr(10)), x -> trim(x)), "
+                "x -> x <> '')"
+            )
+        return (
+            f"list_filter(list_transform(string_split({col_sql}, chr(10)), "
+            "x -> trim(x)), x -> x <> '')"
+        )
+    if mode != "block":
+        raise ValueError(f"unknown paragraph mode: {mode!r}")
+    w = block_words
+    ws = words_sql(col_sql, dialect)
+    if dialect == "spark":
+        nb = f"greatest(cast(ceil(size({ws}) / {w}.0) as int), 1)"
+        return (
+            f"transform(sequence(0, {nb} - 1), "
+            f"b -> array_join(slice({ws}, b*{w} + 1, {w}), ' '))"
+        )
+    nb = f"greatest(cast(ceil(len({ws}) / {w}.0) as int), 1)"
+    return (
+        f"list_transform(range(0, {nb}), "
+        f"b -> array_to_string(list_slice({ws}, b*{w} + 1, b*{w} + {w}), ' '))"
+    )

@@ -484,3 +484,71 @@ def oov_rate(documents: DataFrame, vocab_size: int = 16) -> DataFrame:
             .alias("oov_rate"),
         )
     )
+
+
+def c4_line_stats(
+    documents: DataFrame,
+    min_words: int = 5,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning report (Raffel et al. 2020 §2.2): per
+    document, which lines survive the classic rules — ≥ ``min_words`` words,
+    (optionally) terminal punctuation, no "javascript" line — plus the
+    page-level screens (any "lorem ipsum", any ``{``) and the conjunction
+    keep/drop verdict (≥ ``min_kept_lines`` surviving lines and no page
+    screen hit).
+
+    Rule counts are independent per rule (a line can be both short and
+    punctuation-less), ``n_kept_lines`` is the conjunction.
+
+    Scale shape: entirely in-row array math over the trimmed line array —
+    a single scan-projection with ZERO exchanges at any corpus size.
+    Ratios divide exact integers so the doubles are engine-identical.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), F.chr(F.lit(10))), F.trim),
+        lambda x: x != F.lit(""),
+    )
+
+    def wc(x):
+        return F.size(F.filter(F.split(x, " "), lambda w: w != F.lit("")))
+
+    def punct_ok(x):
+        return (
+            x.endswith(".") | x.endswith("!") | x.endswith("?") | x.endswith('"')
+        )
+
+    def is_js(x):
+        return F.contains(F.lower(x), F.lit("javascript"))
+
+    def keeps(x):
+        k = (wc(x) >= min_words) & ~is_js(x)
+        if require_terminal_punct:
+            k = k & punct_ok(x)
+        return k
+
+    kept = F.filter(lines, keeps)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    has_lorem = F.contains(F.lower(F.col("text")), F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col("text"), F.lit("{"))
+    return documents.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        n_kept.cast("bigint").alias("n_kept_lines"),
+        F.size(F.filter(lines, lambda x: wc(x) < min_words))
+        .cast("bigint")
+        .alias("n_short_lines"),
+        F.size(F.filter(lines, lambda x: ~punct_ok(x)))
+        .cast("bigint")
+        .alias("n_no_punct_lines"),
+        F.size(F.filter(lines, is_js)).cast("bigint").alias("n_js_lines"),
+        F.aggregate(kept, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+        .alias("kept_chars"),
+        (n_kept.cast("double") / F.greatest(n_lines, F.lit(1)))
+        .alias("kept_frac"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_kept >= min_kept_lines) & ~has_lorem & ~has_brace).alias("keep_doc"),
+    )

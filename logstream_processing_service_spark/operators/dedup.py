@@ -582,3 +582,70 @@ def dedup_clusters(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-grain dedup (MassiveText / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    mode: str = "newline",
+    block_words: int = 10,
+) -> DataFrame:
+    """Paragraph-grain exact dedup: keep the globally FIRST occurrence of
+    every distinct paragraph, report per document how many of its paragraphs
+    are removable repeats.
+
+    The grain between whole-document dedup (``dedup_exact``) and sliding
+    spans (``duplicate_spans``): a boilerplate footer pasted into thousands
+    of pages is invisible to document hashing and over-counted by
+    overlapping spans; paragraph hashing removes exactly the repeated block.
+    "First" is lexicographic (doc_id, para_idx), encoded as ONE int64 so the
+    arg-min is a plain ``min`` aggregate both engines compute identically.
+
+    ``mode="newline"`` splits on newlines (real corpora);
+    ``mode="block"`` uses non-overlapping ``block_words``-word chunks
+    (non-degenerate on single-line corpora — see functions/text.py).
+
+    Scale: paragraphs ship as 48-bit hashes (8-byte longs, never strings);
+    the first-occurrence pass is a map-side-combined ``groupBy(h)`` (a
+    paragraph repeated in half the corpus is one partial row per task),
+    and the flag comes back via a hash join AQE can skew-split — no
+    ``Window.partitionBy(h)`` anywhere. One explicit repartition on the
+    (unique-keyed) paragraph instance stream pins the scan+hash subtree
+    behind a single exchange both consumers reuse.
+    """
+    paras = T.paragraphs_sql("text", "spark", mode=mode, block_words=block_words)
+    inst = (
+        documents.select(
+            "doc_id", F.posexplode(F.expr(paras)).alias("para_idx", "para")
+        )
+        .select(
+            "doc_id",
+            "para_idx",
+            F.expr(T.hash48_sql("para")).alias("h"),
+            (F.col("doc_id") * F.lit(1048576).cast("long") + F.col("para_idx"))
+            .alias("ord"),
+        )
+        .repartition("h")
+    )
+    firsts = inst.groupBy("h").agg(F.min("ord").alias("first_ord"))
+    flagged = inst.join(firsts, "h").withColumn(
+        "is_dup", (F.col("ord") != F.col("first_ord")).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            (F.col("n_dup_paras").cast("double") / F.col("n_paras"))
+            .alias("dup_para_frac"),
+        )
+    )

@@ -245,3 +245,39 @@ def repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
         dup_ratio.alias("dup_ratio"),
         (dup_ratio > 0.2).alias("is_repetitive"),
     )
+
+
+def doc_length_quartiles(documents: DataFrame) -> DataFrame:
+    """Quantile binning of documents by token count — the scale-safe form.
+
+    A global ``NTILE(4)`` is an all-data single-task window (total sort on
+    one partition — the one shape that cannot survive 100 TB). Instead:
+    one map-combined global aggregate computes the exact interpolated
+    quartile thresholds, broadcasts them back, and the bin is an in-row
+    comparison sum. Same result, no total sort, no single-task stage.
+
+    Determinism note: thresholds interpolate INTEGER token counts at
+    p ∈ {¼, ½, ¾} — the fraction is exactly representable in binary, so
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` produce
+    bit-identical doubles and the bin boundaries cannot drift.
+    """
+    scored = documents.select(
+        "doc_id", F.size(_word_col()).cast("int").alias("n_words")
+    )
+    th = scored.agg(
+        F.percentile(
+            "n_words", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("th")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr(
+                "CAST(1 + aggregate(transform(th, "
+                "t -> CASE WHEN n_words > t THEN 1 ELSE 0 END), "
+                "0, (a, x) -> a + x) AS INT)"
+            ).alias("quartile"),
+        )
+    )

@@ -291,3 +291,52 @@ def q_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.oov_rate(_t(spark, sf_dir, "documents"))
+
+
+_C4_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), "
+    "x -> x <> '')"
+)
+_C4_WC = "len(list_filter(string_split(x, ' '), w -> w <> ''))"
+
+
+@spec(
+    "c4_line_stats",
+    f"""
+    WITH l AS (
+        SELECT doc_id, text, {_C4_LINES} AS lines FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, lines,
+               list_filter(lines, x -> {_C4_WC} >= 30
+                           AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM l
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(len(list_filter(lines, x -> {_C4_WC} < 30)) AS BIGINT)
+               AS n_short_lines,
+           CAST(len(list_filter(lines,
+                x -> NOT (right(x, 1) IN ('.', '!', '?', '"')))) AS BIGINT)
+               AS n_no_punct_lines,
+           CAST(len(list_filter(lines, x -> contains(lower(x), 'javascript')))
+               AS BIGINT) AS n_js_lines,
+           CAST(coalesce(list_sum(list_transform(kept, x -> len(x))), 0)
+               AS BIGINT) AS kept_chars,
+           CAST(len(kept) AS DOUBLE) / greatest(len(lines), 1) AS kept_frac,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{{') AS has_brace,
+           (len(kept) >= 1 AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')) AS keep_doc
+    FROM s
+    """,
+    "north-star", "curation", "c4",
+)
+def q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.c4_line_stats(
+        _t(spark, sf_dir, "documents"),
+        min_words=30,
+        require_terminal_punct=False,
+        min_kept_lines=1,
+    )

@@ -515,3 +515,65 @@ _WORDS3_DUCK = T.words_sql("text", "duckdb")
 )
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+_PARAS_DUCK = T.paragraphs_sql("text", "duckdb", mode="block", block_words=10)
+_H_PARA = T.hash48_sql("para")
+
+
+@spec(
+    "dedup_paragraphs",
+    f"""
+    WITH p AS (
+        SELECT doc_id, u.para_idx, u.para FROM (
+            SELECT doc_id,
+                   unnest(list_transform({_PARAS_DUCK},
+                          (x, i) -> {{'para_idx': i - 1, 'para': x}})) AS u
+            FROM documents)
+    ),
+    hh AS (
+        SELECT doc_id, ({_H_PARA}) AS h,
+               doc_id * 1048576 + para_idx AS ord
+        FROM p
+    ),
+    f AS (SELECT h, min(ord) AS first_ord FROM hh GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paras,
+           CAST(sum(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_para_frac
+    FROM hh JOIN f USING (h)
+    GROUP BY doc_id
+    """,
+    "north-star", "dedup", "paragraph-level",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.paragraph_dedup(
+        _t(spark, sf_dir, "documents"), mode="block", block_words=10
+    )
+
+
+@spec(
+    "doc_length_quartiles",
+    f"""
+    WITH s AS (
+        SELECT doc_id, CAST(len({_WORDS_DUCK}) AS INT) AS n_words
+        FROM documents
+    ),
+    th AS (
+        SELECT [quantile_cont(n_words, 0.25), quantile_cont(n_words, 0.5),
+                quantile_cont(n_words, 0.75)] AS th
+        FROM s
+    )
+    SELECT doc_id, n_words,
+           CAST(1 + (CASE WHEN n_words > th[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_words > th[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_words > th[3] THEN 1 ELSE 0 END) AS INT)
+               AS quartile
+    FROM s, th
+    """,
+    "north-star", "text-quality", "quantile-binning",
+)
+def q_doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.doc_length_quartiles(_t(spark, sf_dir, "documents"))

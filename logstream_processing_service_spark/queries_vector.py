@@ -187,3 +187,14 @@ def _lsh_near_dup_oracle(threshold: float = 0.3, max_bucket: int = 2000) -> str:
 @spec("embedding_near_dup_lsh", _lsh_near_dup_oracle(), "vector", "dedup", "lsh")
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@spec("ann_pq", None, "similarity", "pq", "rows-only")
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k (rows-only: the codebooks are trained
+    k-means state, not SQL-expressible; recall vs exact L2 is asserted in
+    tests/test_pq.py)."""
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_pq(emb, emb.filter(F.col("vec_id") < 10), k=5)
