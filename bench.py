@@ -49,6 +49,10 @@ HEADLINE = [
     "domain_mix_sample",
     "duplicate_spans",
     "unigram_logprob",
+    "dedup_paragraphs",
+    "c4_line_stats",
+    "ann_pq",
+    "doc_length_quartiles",
 ]
 
 

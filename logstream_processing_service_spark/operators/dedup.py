@@ -365,15 +365,16 @@ def duplicate_spans(
     aggregate (map-side combine: a boilerplate span in half the corpus is
     one partial row per task on the wire, where a ``Window.partitionBy``
     count would land every occurrence on one task). The per-doc dup count
-    is then a semi-join of the span stream against the duplicated-key set,
-    which AQE's skew-join handling splits if a key is still hot — windows
-    have no such mitigation.
+    is then an INNER join of the span stream against the duplicated-key
+    set — only duplicated instances ride the per-doc exchange — and AQE's
+    skew-join handling splits any still-hot key; windows have no such
+    mitigation. The scan+hash subtree does run once per consumer (the df
+    aggregate and the join probe): column pruning gives the two branches
+    different shapes, so Spark's exchange reuse cannot apply — at 100 TB,
+    materialize ``shingle_table`` to parquet first and both passes become
+    cheap columnar rescans of longs.
     """
-    # one repartition keyed on doc_id (effectively unique — no skew) pins
-    # the scan→md5→shingle subtree behind a single exchange that BOTH
-    # consumers (the df aggregate and the join probe) reuse, so the
-    # expensive per-word hashing runs once, not once per branch
-    sh = shingle_table(documents, n, max_doc_freq=0).repartition("doc_id")
+    sh = shingle_table(documents, n, max_doc_freq=0)
     dup_keys = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -609,43 +610,47 @@ def paragraph_dedup(
     ``mode="block"`` uses non-overlapping ``block_words``-word chunks
     (non-degenerate on single-line corpora — see functions/text.py).
 
-    Scale: paragraphs ship as 48-bit hashes (8-byte longs, never strings);
-    the first-occurrence pass is a map-side-combined ``groupBy(h)`` (a
+    Scale: ONE pass over the exploded paragraph stream. The encoded order
+    key makes the instance-grain flag join unnecessary: ``min(ord)`` per
+    paragraph hash IS (first doc_id · 2²⁰ + idx), so ``first_ord div 2²⁰``
+    recovers which doc holds each first occurrence, and
+    ``n_dup = n_paras − n_firsts`` at doc grain. Per-doc totals come from
+    an in-row ``size(paragraphs)`` that never explodes or hashes anything.
+    So: paragraphs are hashed exactly once, ship as 8-byte longs, the
+    first-occurrence pass is a map-side-combined ``groupBy(h)`` (a
     paragraph repeated in half the corpus is one partial row per task),
-    and the flag comes back via a hash join AQE can skew-split — no
-    ``Window.partitionBy(h)`` anywhere. One explicit repartition on the
-    (unique-keyed) paragraph instance stream pins the scan+hash subtree
-    behind a single exchange both consumers reuse.
+    and the only join is doc-grain × doc-grain — no ``Window`` and no
+    instance-grain shuffle join anywhere.
     """
     paras = T.paragraphs_sql("text", "spark", mode=mode, block_words=block_words)
-    inst = (
-        documents.select(
-            "doc_id", F.posexplode(F.expr(paras)).alias("para_idx", "para")
-        )
-        .select(
-            "doc_id",
-            "para_idx",
-            F.expr(T.hash48_sql("para")).alias("h"),
-            (F.col("doc_id") * F.lit(1048576).cast("long") + F.col("para_idx"))
-            .alias("ord"),
-        )
-        .repartition("h")
+    totals = documents.select(
+        "doc_id", F.size(F.expr(paras)).cast("bigint").alias("n_paras")
     )
-    firsts = inst.groupBy("h").agg(F.min("ord").alias("first_ord"))
-    flagged = inst.join(firsts, "h").withColumn(
-        "is_dup", (F.col("ord") != F.col("first_ord")).cast("int")
+    inst = documents.select(
+        "doc_id", F.posexplode(F.expr(paras)).alias("para_idx", "para")
+    ).select(
+        F.expr(T.hash48_sql("para")).alias("h"),
+        (F.col("doc_id") * F.lit(1048576).cast("long") + F.col("para_idx"))
+        .alias("ord"),
+    )
+    firsts_per_doc = (
+        inst.groupBy("h")
+        .agg(F.min("ord").alias("first_ord"))
+        .select(F.expr("first_ord div 1048576").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_firsts"))
     )
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_paras"),
-            F.sum("is_dup").cast("bigint").alias("n_dup_paras"),
-        )
+        totals.join(firsts_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_paras",
-            "n_dup_paras",
-            (F.col("n_dup_paras").cast("double") / F.col("n_paras"))
-            .alias("dup_para_frac"),
+            (F.col("n_paras") - F.coalesce(F.col("n_firsts"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_paras"),
+        )
+        .withColumn(
+            "dup_para_frac",
+            F.col("n_dup_paras").cast("double") / F.col("n_paras"),
         )
     )

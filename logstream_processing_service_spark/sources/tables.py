@@ -149,3 +149,71 @@ def merge_parquet(
     os.rename(target, backup)
     os.rename(tmp, target)
     shutil.rmtree(backup)
+
+
+def merge_full(
+    target_df: DataFrame,
+    source: DataFrame,
+    key: str,
+    when_matched: str = "update",
+    matched_condition=None,
+    when_not_matched_insert: bool = True,
+    not_matched_by_source_delete: bool = False,
+) -> DataFrame:
+    """Delta-style MERGE as a pure DataFrame transform: full set of clauses —
+    WHEN MATCHED [AND cond] UPDATE or DELETE, WHEN NOT MATCHED INSERT,
+    WHEN NOT MATCHED BY SOURCE DELETE. Returns the merged frame; pair with
+    ``merge_parquet``'s rename-swap (or a table format's MERGE INTO) to
+    persist.
+
+    ``matched_condition`` is an optional callable receiving the joined
+    frame (target columns as ``t.*``, source as ``s.*``) and returning a
+    boolean Column — e.g. only update when the source row is newer:
+    ``lambda j: F.col("s.updated_at") > F.col("t.updated_at")``.
+
+    Scale shape: ONE full-outer shuffle join on the key carries every
+    clause; each output row is a per-row CASE over the two sides — no
+    per-clause rescans of the target, which is the difference between one
+    pass and four at 100 TB. Source rows are key-deduped first (last-writer
+    ambiguity resolved deterministically by max over the row struct).
+    """
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched must be update/delete/None: {when_matched!r}")
+    cols = target_df.columns
+    if source.columns != cols:
+        raise ValueError(f"schema mismatch: {source.columns} vs {cols}")
+    # deterministic key-dedup of the source (max struct = last writer wins
+    # under any partitioning)
+    dk = (
+        source.groupBy(key)
+        .agg(F.max(F.struct(*[c for c in cols if c != key])).alias("_r"))
+        .select(key, "_r.*")
+    )
+    t = target_df.alias("t")
+    s = dk.alias("s")
+    j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    t_present = F.col(f"t.{key}").isNotNull()
+    s_present = F.col(f"s.{key}").isNotNull()
+    matched = t_present & s_present
+    cond = matched_condition(j) if matched_condition is not None else F.lit(True)
+
+    keep = F.lit(False)
+    use_source = F.lit(False)
+    # target-only rows survive unless NOT MATCHED BY SOURCE deletes them
+    keep = keep | (t_present & ~s_present & F.lit(not not_matched_by_source_delete))
+    # source-only rows insert
+    keep = keep | (~t_present & s_present & F.lit(when_not_matched_insert))
+    use_source = use_source | (~t_present & s_present)
+    if when_matched == "update":
+        keep = keep | matched
+        use_source = use_source | (matched & cond)
+    elif when_matched == "delete":
+        keep = keep | (matched & ~cond)
+    else:
+        keep = keep | matched
+    return j.filter(keep).select(
+        *[
+            F.when(use_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ]
+    )

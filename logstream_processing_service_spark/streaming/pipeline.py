@@ -299,3 +299,53 @@ def correlated_pairs_stream(
         & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {lookback_sec} SECONDS")),
         "inner",
     )
+
+
+def merge_sink(
+    out_dir: str,
+    key: str = "event_id",
+    when_matched: str = "update",
+    matched_condition=None,
+):
+    """foreachBatch MERGE sink: the update-capable sibling of
+    ``upsert_sink`` (which is insert-only). Each micro-batch runs the full
+    Delta-style clause set (sources/tables.py ``merge_full``) against the
+    target and swaps the result in atomically (rename pair — readers see
+    old or new, never partial).
+
+    Replay-idempotent on at-least-once delivery: re-merging the same batch
+    updates rows to the values they already hold and inserts nothing new.
+    On a table format (Delta/Iceberg) this whole sink is one MERGE INTO
+    with snapshot isolation; the rename swap is the plain-parquet stand-in.
+    """
+    import shutil
+
+    from ..sources.tables import merge_full
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = f"{out_dir}/data"
+        try:
+            # safe to read lazily: the merge writes to tmp and the target
+            # dir is only renamed AFTER that write succeeds
+            existing = spark.read.parquet(target)
+        except Exception:
+            existing = spark.createDataFrame([], batch_df.schema)
+        merged = merge_full(
+            existing,
+            batch_df,
+            key,
+            when_matched=when_matched,
+            matched_condition=matched_condition,
+        )
+        tmp, backup = target + "._staged", target + "._old"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        if os.path.exists(target):
+            os.rename(target, backup)
+        os.rename(tmp, target)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+
+    return write

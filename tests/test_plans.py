@@ -278,3 +278,51 @@ def test_decontaminate_no_cartesian(spark):
     specs = {s.name: s for s in all_specs()}
     plan = _plan(specs["decontaminate_report"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_single_hash_pass_no_window(spark):
+    """First-occurrence attribution comes from the encoded order key, so
+    the plan must hash/explode the paragraph stream exactly ONCE (per-doc
+    totals are an in-row size()), use no Window over the paragraph hash,
+    and join only at doc grain."""
+    from logstream_processing_service_spark.operators.dedup import paragraph_dedup
+    from .conftest import SF_DIR
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    df = paragraph_dedup(
+        load_table(spark, SF_DIR, "documents"), mode="block", block_words=10
+    )
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate posexplode") == 1
+
+
+def test_c4_and_gopher_reports_zero_exchange(spark):
+    """Per-document report queries are pure scan projections."""
+    from logstream_processing_service_spark.operators.curation import (
+        c4_line_stats,
+        gopher_filter_report,
+    )
+    from .conftest import SF_DIR
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (c4_line_stats(docs), gopher_filter_report(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+
+
+def test_ann_pq_single_shuffle(spark):
+    """PQ ADC: one exchange total (the per-query top-k window); the scan
+    side never joins a fat LUT column."""
+    from logstream_processing_service_spark.catalog import all_specs
+    from .conftest import SF_DIR
+
+    specs = {s.name: s for s in all_specs()}
+    plan = _plan(specs["ann_pq"].fn(spark, SF_DIR))
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "BroadcastNestedLoopJoin" not in plan
