@@ -313,6 +313,76 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(
+    documents: DataFrame, min_count: int = 2, backoff: float = 0.4
+) -> DataFrame:
+    """Per-document mean bigram surprisal with stupid backoff (Brants et
+    al. 2007): score(w2|w1) = c(w1,w2)/c_ctx(w1) when the bigram count
+    reaches ``min_count``, else ``backoff`` · c(w2)/total — the next step
+    up from ``unigram_logprob`` toward the CCNet LM-perplexity filter.
+    ``c_ctx(w1)`` is the bigram-context count (occurrences of w1 with a
+    successor), so the conditional distribution sums to 1 per context.
+    Also reports the backoff fraction — how much of the doc fell outside
+    the pruned LM (rare-continuation soup scores high on both).
+
+    Scale shape: the bigram stream is reduced TWICE before any join —
+    (doc, w1, w2) with multiplicity ``m`` (map-side combine), then
+    (w1, w2) global counts from that already-reduced frame — so the wide
+    exchanges carry aggregated rows, never raw tokens. The bigram LM is
+    joined back at (w1, w2) grain as a shuffle hash join (the bigram
+    vocabulary is NOT dimension-sized at corpus scale — do not broadcast
+    it); hot bigrams are AQE-skew-splittable. The unigram vocab, context
+    counts, and total ARE dimension-sized and ride broadcast joins.
+    """
+    docs = documents.select("doc_id", T.words(F.col("text")).alias("_w"))
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(_w, 1, greatest(size(_w)-1, 0)),"
+                " slice(_w, 2, greatest(size(_w)-1, 0)),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    per_doc = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    bgfreq = per_doc.groupBy("w1", "w2").agg(F.sum("m").alias("c_bg"))
+    ctx = bgfreq.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    toks = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("wd")
+    )
+    uni = toks.groupBy("wd").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("t"))
+    seen = F.col("c_bg") >= min_count
+    s = F.when(
+        seen, -F.log(F.col("c_bg") / F.col("c_ctx"))
+    ).otherwise(-F.log(F.lit(backoff) * F.col("c_uni") / F.col("t")))
+    scored = (
+        per_doc.join(bgfreq, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("wd", "w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "m",
+            s.alias("s"),
+            F.when(~seen, F.col("m")).otherwise(F.lit(0)).alias("bo"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(F.col("m") * F.col("s")) / F.sum("m"), 6).alias(
+            "avg_surprisal"
+        ),
+        F.round(F.max("s"), 6).alias("max_surprisal"),
+        F.round(F.sum("bo") / F.sum("m").cast("double"), 6).alias(
+            "backoff_frac"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequential filter funnel
 # ---------------------------------------------------------------------------

@@ -270,6 +270,116 @@ def embedding_near_dup_lsh(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 64,
+    threshold: float = 0.4,
+    sample_n: int = 2048,
+    max_cluster: int = 4000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    within each cluster drop every vector that is ≥ ``threshold`` cosine to
+    a higher-priority kept vector. Priority follows the paper: keep the
+    member FARTHEST from its centroid (maximizes retained diversity),
+    vec_id as the tie-break. Returns the full decision table
+    (vec_id, cluster, centroid_dist, keep).
+
+    Scale shape: clustering is what makes semantic dedup tractable — the
+    within-cluster pair expansion is O(Σ|c|²), so the cluster count is
+    chosen to keep |c| ≈ N/k small (the paper uses 50k clusters for LAION;
+    ``max_cluster`` guards degenerate clusters exactly like the LSH
+    ``max_bucket``). Centroids are trained driver-side on a deterministic
+    ``sample_n`` prefix (dimension-sized state, rides as a closure
+    constant); assignment is ONE Arrow pass; pair expansion is in-cluster
+    array math over (id, priority) structs ONLY — embeddings never ride
+    the cluster shuffle; the exact-cosine verify joins the narrow candidate
+    list back to vectors, norms precomputed, same as the LSH verify.
+    """
+    rows = (
+        embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
+    )
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    C = _train_pq_numpy(X, 1, n_clusters)[0]
+
+    @F.pandas_udf("struct<cluster:int, cdist:double>")
+    def assign(s: pd.Series) -> pd.DataFrame:
+        Xb = np.asarray(s.tolist(), dtype=np.float64)
+        d2 = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        cl = d2.argmin(1)
+        return pd.DataFrame(
+            {
+                "cluster": cl.astype(np.int32),
+                "cdist": np.sqrt(d2[np.arange(len(cl)), cl]),
+            }
+        )
+
+    asg = embeddings.select(
+        "vec_id", "embedding", assign("embedding").alias("_a")
+    ).select("vec_id", "embedding", "_a.cluster", "_a.cdist")
+    thin = asg.select("vec_id", "cluster", "cdist")
+    # members sorted by priority (centroid_dist DESC, vec_id ASC): pair
+    # expansion emits (keeper-priority id1, lower-priority id2)
+    groups = (
+        thin.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("cdist")).alias("nk"), F.col("vec_id").alias("id"))
+                )
+            ).alias("mem")
+        )
+        .filter(F.size("mem").between(2, max_cluster))
+        .select("cluster", F.expr("transform(mem, e -> e.id)").alias("ids"))
+    )
+    combos = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i+2, size(ids)-i-1), y -> struct(x AS id1, y AS id2))))"
+    )
+    cand = groups.select(F.explode(combos).alias("p")).select("p.id1", "p.id2")
+    vecs = embeddings.select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    verified = (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("id1"),
+                F.col("embedding").alias("e1"),
+                F.col("nrm").alias("n1"),
+            ),
+            "id1",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("id2"),
+                F.col("embedding").alias("e2"),
+                F.col("nrm").alias("n2"),
+            ),
+            "id2",
+        )
+        .withColumn(
+            "cos",
+            F.round(V.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    # one-pass rule (standard SemDeDup implementations): a vector is
+    # dropped iff it is the lower-priority side of ANY qualifying pair —
+    # whether or not that higher-priority member is itself dropped. A
+    # similarity chain a–b–c therefore keeps only its head even when
+    # cos(a,c) < threshold; the head of any chain is never an id2, so at
+    # least one member of every dup group survives.
+    dropped = verified.select(F.col("id2").alias("vec_id")).distinct()
+    return (
+        thin.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.round("cdist", 6).alias("centroid_dist"),
+            F.col("_d").isNull().alias("keep"),
+        )
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame, centroids: DataFrame, path: str
 ) -> None:
@@ -369,6 +479,12 @@ def train_pq_codebooks(
         embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
     )
     X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    return _train_pq_numpy(X, m, k, iters)
+
+
+def _train_pq_numpy(X, m: int, k: int, iters: int = 10):
+    """Deterministic per-subspace Lloyd k-means over an in-memory sample
+    (the numpy core shared by raw-vector and residual codebook training)."""
     n, d = X.shape
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -470,6 +586,109 @@ def ann_pq(
         embeddings.select(
             "vec_id", F.posexplode(adc_all("embedding")).alias("qi", "adc")
         )
+        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("adc", 6).alias("adc_dist"))
+    )
+
+
+def ann_ivf_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    n_centroids: int = 256,
+    nprobe: int = 2,
+    sample_n: int = 2048,
+    coarse: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ (Jégou et al. 2011 §IV): coarse-quantize each vector to its
+    nearest centroid, PQ-encode the RESIDUAL (x − centroid), and score a
+    query only against vectors in its ``nprobe`` nearest buckets via the
+    per-(query, bucket) ADC lookup table — the composition used by every
+    production billion-vector index (FAISS IVFPQ).
+
+    Residual encoding is what makes the composition worth it on clustered
+    corpora: residuals concentrate near zero, so the same 256-centroid
+    codebooks quantize them more finely than raw vectors. On THIS synthetic
+    corpus the label clusters barely separate, so the probe is the recall
+    bottleneck (global recall@5 ≈ 0.36 at nprobe=2/5, rising to ≈ 0.62 at
+    nprobe=nlist) while quantization quality matches flat PQ (recall ≈ 0.68
+    against the exact-L2-within-probed-buckets oracle) — both measured and
+    the latter asserted in tests/test_pq.py.
+
+    Scale shape: ONE Arrow-batched pass over the corpus assigns the bucket,
+    encodes the residual, and ADC-scores it against exactly the queries
+    probing that bucket (non-probed pairs cost nothing but an inf skipped
+    by a codegen filter — never materialized as rows past the explode).
+    Coarse centroids, codebooks, and the (query × probed-bucket) LUT stack
+    ride as closure constants — dimension-sized state, no fat joined
+    columns. The LUT stack here is a dense (|Q|, nlist, m, k) array because
+    the demo nlist is tiny; at a real nlist (2¹⁶) key it by the |Q|·nprobe
+    probed pairs only. At 100 TB the bucket+codes table would be
+    materialized PARTITIONED BY bucket (compose ``build_ivf_index`` +
+    ``pq_encode``) so the probe prunes partition directories before IO —
+    the streaming-compute form here shows the semantics; the storage
+    layout is the same as tests/test_plans.py::test_ivf_index_probe_prunes.
+    """
+    if coarse is None:
+        coarse = label_centroids(embeddings)
+    crows = sorted(coarse.collect(), key=lambda r: r["label"])
+    C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    nlist = len(crows)
+    nprobe = min(nprobe, nlist)
+
+    rows = (
+        embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
+    )
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    books = _train_pq_numpy(X - C[assign], m, n_centroids)
+    mm, kk, sub = books.shape
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    n_q = len(q_ids)
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    probe_mask = np.zeros((n_q, nlist), dtype=bool)
+    luts = np.full((n_q, nlist, mm, kk), np.inf)
+    for qi in range(n_q):
+        for b in np.argsort(qd2[qi], kind="stable")[:nprobe]:
+            probe_mask[qi, b] = True
+            r = Q[qi] - C[b]
+            for j in range(mm):
+                luts[qi, b, j] = ((books[j] - r[j * sub : (j + 1) * sub]) ** 2).sum(1)
+
+    @F.pandas_udf("array<double>")
+    def adc_probe(s: pd.Series) -> pd.Series:
+        Xb = np.asarray(s.tolist(), dtype=np.float64)
+        b = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        R = Xb - C[b]
+        codes = np.empty((len(Xb), mm), dtype=np.int64)
+        for j in range(mm):
+            Rj = R[:, j * sub : (j + 1) * sub]
+            codes[:, j] = ((Rj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1).argmin(1)
+        out = np.full((len(Xb), n_q), np.inf)
+        for qi in range(n_q):
+            sel = probe_mask[qi][b]
+            if sel.any():
+                lut_sel = luts[qi, b[sel]]  # (n_sel, m, k)
+                vals = np.take_along_axis(lut_sel, codes[sel][:, :, None], 2)
+                out[sel, qi] = vals[:, :, 0].sum(1)
+        return pd.Series(list(out))
+
+    q_id_arr = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        embeddings.select(
+            "vec_id", F.posexplode(adc_probe("embedding")).alias("qi", "adc")
+        )
+        .filter(F.col("adc") != F.lit(float("inf")))
         .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
         .filter(F.col("vec_id") != F.col("q_id"))
     )

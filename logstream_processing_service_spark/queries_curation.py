@@ -177,6 +177,45 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+@spec(
+    "bigram_logprob",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(w[1:greatest(len(w)-1, 0)]) AS w1,
+               unnest(w[2:len(w)]) AS w2
+        FROM words
+    ),
+    per AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+    bgf AS (SELECT w1, w2, sum(m) AS c_bg FROM per GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM bgf GROUP BY 1),
+    tok AS (SELECT doc_id, unnest(w) AS wd FROM words),
+    uni AS (SELECT wd, count(*) AS c_uni FROM tok GROUP BY 1),
+    tot AS (SELECT sum(c_uni) AS t FROM uni),
+    sc AS (
+        SELECT doc_id, m,
+               CASE WHEN c_bg >= 2 THEN -ln(c_bg / c_ctx)
+                    ELSE -ln(0.4 * c_uni / t) END AS s,
+               CASE WHEN c_bg >= 2 THEN 0 ELSE m END AS bo
+        FROM per
+        JOIN bgf USING (w1, w2)
+        JOIN ctx USING (w1)
+        JOIN uni ON uni.wd = per.w2, tot
+    )
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * s) / sum(m), 6) AS avg_surprisal,
+           round(max(s), 6) AS max_surprisal,
+           round(sum(bo) / CAST(sum(m) AS DOUBLE), 6) AS backoff_frac
+    FROM sc GROUP BY doc_id
+    """,
+    "north-star", "curation", "lm-filter",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 _FUNNEL_STOPS = "['the','a','of','and','to','in','is','that','it','for']"
 
 

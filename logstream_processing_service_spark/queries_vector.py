@@ -198,3 +198,21 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return S.ann_pq(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@spec("semantic_dedup", None, "dedup", "similarity", "rows-only")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune decision table (rows-only: k-means
+    centroids are trained state; an exact numpy replica of the whole
+    pipeline is asserted in tests/test_semantic_dedup.py)."""
+    return S.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+@spec("ann_ivf_pq", None, "similarity", "pq", "ivf", "rows-only")
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ residual-encoded probe search (rows-only: trained k-means
+    codebooks; recall vs exact L2 asserted in tests/test_pq.py)."""
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_pq(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)

@@ -1,0 +1,64 @@
+"""SemDeDup: determinism + an exact numpy replica of the full pipeline
+(centroid training, assignment, priority order, one-pass drop rule)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from logstream_processing_service_spark.operators import similarity as S
+from logstream_processing_service_spark.sources.tables import load_table
+
+N_CLUSTERS = 16
+THRESHOLD = 0.4
+
+
+def _replica(X, ids, sample_n=2048):
+    order = np.argsort(ids, kind="stable")
+    Xs = X[order][:sample_n]
+    C = S._train_pq_numpy(Xs, 1, N_CLUSTERS)[0]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cl = d2.argmin(1)
+    cdist = np.sqrt(d2[np.arange(len(cl)), cl])
+    nrm = np.sqrt((X**2).sum(1))
+    keep = {}
+    for c in set(cl.tolist()):
+        mem = [i for i in range(len(ids)) if cl[i] == c]
+        # priority: centroid_dist DESC, vec_id ASC
+        mem.sort(key=lambda i: (-cdist[i], ids[i]))
+        for pos, i in enumerate(mem):
+            dropped = False
+            for j in mem[:pos]:
+                cos = round(float(X[i] @ X[j] / (nrm[i] * nrm[j])), 6)
+                if cos >= THRESHOLD:
+                    dropped = True
+                    break
+            keep[ids[i]] = not dropped
+    return cl, keep
+
+
+def test_semantic_dedup_matches_numpy_replica(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(emb, n_clusters=N_CLUSTERS, threshold=THRESHOLD)
+    rows1 = sorted(map(tuple, out.collect()))
+    rows2 = sorted(
+        map(
+            tuple,
+            S.semantic_dedup(emb, n_clusters=N_CLUSTERS, threshold=THRESHOLD).collect(),
+        )
+    )
+    assert rows1 == rows2, "semantic_dedup must be deterministic"
+
+    data = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r["vec_id"] for r in data])
+    X = np.asarray([r["embedding"] for r in data], dtype=np.float64)
+    cl, keep = _replica(X, ids)
+    by_id = {int(ids[i]): i for i in range(len(ids))}
+    assert len(rows1) == len(ids)
+    n_dropped = 0
+    for vec_id, cluster, centroid_dist, k in rows1:
+        i = by_id[vec_id]
+        assert cluster == cl[i], f"cluster mismatch for {vec_id}"
+        assert k == keep[vec_id], f"keep mismatch for {vec_id}"
+        n_dropped += 0 if k else 1
+    assert n_dropped > 0, "fixture must exercise the drop path"
