@@ -158,6 +158,25 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_keys(
+    documents: DataFrame, n: int = 3, bands: int | None = None
+) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys from per-doc MinHash signatures —
+    the blocking keys shared by batch pair-generation and the streaming
+    dedup registry (streaming/dedup.py). One posexplode over the band-key
+    array, so the signature subtree appears once in the plan."""
+    bands = bands or T.MINHASH_BANDS
+    rows = len(T.MINHASH_PERMS) // bands
+    sig = minhash_signatures(documents, n)
+    keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -364,17 +383,60 @@ def duplicate_spans(
     Skew note: span document-frequency comes from a ``groupBy("s")``
     aggregate (map-side combine: a boilerplate span in half the corpus is
     one partial row per task on the wire, where a ``Window.partitionBy``
-    count would land every occurrence on one task). The per-doc dup count
-    is then an INNER join of the span stream against the duplicated-key
-    set — only duplicated instances ride the per-doc exchange — and AQE's
-    skew-join handling splits any still-hot key; windows have no such
-    mitigation. The scan+hash subtree does run once per consumer (the df
-    aggregate and the join probe): column pruning gives the two branches
-    different shapes, so Spark's exchange reuse cannot apply — at 100 TB,
-    materialize ``shingle_table`` to parquet first and both passes become
-    cheap columnar rescans of longs.
+    count would land every occurrence on one task).
+
+    For the default ``min_docs=2`` the plan uses the same
+    attribution-in-the-aggregate trick as ``paragraph_dedup``: a NON-dup
+    span (df == 1) lives in exactly one document, and ``min(doc_id)`` in
+    the df aggregate IS that document — so per-doc unique-span counts come
+    straight out of the (already reduced) aggregate, per-doc totals are an
+    in-row ``size(array_distinct(...))``, and ``n_dup = n_spans −
+    n_uniq``. The span stream shuffles ONCE (the df aggregate); there is
+    no instance-grain flag join and no per-doc re-aggregation of span
+    instances. For ``min_docs > 2`` a df<min_docs span can span several
+    docs, so the general form falls back to the flag join. Either way the
+    scan+hash subtree runs once per consumer (two branches with different
+    pruned shapes — ReuseExchange cannot apply); at 100 TB materialize
+    ``shingle_table`` to parquet first and both passes become cheap
+    columnar rescans of longs.
     """
     sh = shingle_table(documents, n, max_doc_freq=0)
+    if min_docs == 2:
+        # let-bound: the md5 word-hash array evaluates ONCE per doc even
+        # after CollapseProject (see functions/text.py let_sql — a plain
+        # two-level select collapses and re-evaluates the array per
+        # element-access, ~n× per span)
+        n_spans_sql = T.let_sql(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark"),
+            "wh",
+            f"size(array_distinct({T.shingle_hash_array_sql('wh', n)}))",
+        )
+        totals = documents.select(
+            "doc_id", F.expr(n_spans_sql).cast("bigint").alias("n_spans")
+        ).filter(F.col("n_spans") > 0)
+        uniq = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"), F.min("doc_id").alias("doc_id"))
+            .filter(F.col("_df") == 1)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n_uniq"))
+        )
+        return (
+            totals.join(uniq, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_spans",
+                (F.col("n_spans") - F.coalesce(F.col("_n_uniq"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_dup_spans"),
+            )
+            .withColumn(
+                "dup_span_ratio",
+                F.round(
+                    F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6
+                ),
+            )
+        )
     dup_keys = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("_df"))
