@@ -135,6 +135,40 @@ def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_metadata_oracle() -> str:
+    # the synthetic fixture WAV has doc_id-derived parameters and a fixed
+    # 44-byte header, so plain SQL predicts what the pure-Python RIFF
+    # parser must recover — an end-to-end check of the real (non-stubbed)
+    # audio-metadata path
+    return """
+    SELECT doc_id, 'audio/wav' AS media_type,
+           CAST(44 + (doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2 AS BIGINT)
+               AS n_bytes,
+           doc_id % 2 + 1 AS n_channels,
+           CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]
+                AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           doc_id % 1000 + 1 AS n_frames,
+           round((doc_id % 1000 + 1) * 1000.0
+                 / [8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1],
+                 6) AS duration_ms
+    FROM documents
+    """
+
+
+@spec("audio_metadata", _audio_metadata_oracle(), "multimodal", "audio-header")
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio metadata extraction: structurally-valid fixture WAVs →
+    pure-Python RIFF/WAVE header parse in the Arrow mapInPandas lane →
+    (channels, rate, bits, frames, duration) verified against the SQL
+    prediction."""
+    from .operators.multimodal import audio_metadata, with_synthetic_audio_payload
+
+    return audio_metadata(
+        with_synthetic_audio_payload(_t(spark, sf_dir, "documents"))
+    )
+
+
 @spec(
     "standardize_value",
     """

@@ -8,7 +8,9 @@ import struct
 from logstream_processing_service_spark.operators.multimodal import (
     parse_jpeg_dims,
     parse_png_dims,
+    parse_wav_meta,
     synthetic_png,
+    synthetic_wav,
 )
 
 
@@ -76,3 +78,39 @@ def test_image_dimensions_null_for_non_image(spark, sf_dir):
     out = image_dimensions(with_binary_payload(docs))  # text/plain payloads
     for r in out.collect():
         assert r["width"] is None and r["height"] is None
+
+
+def test_parse_wav_meta_roundtrip():
+    b = synthetic_wav(2, 44100, 777)
+    assert parse_wav_meta(b) == (2, 44100, 16, 777)
+    # odd data size exercises word-aligned chunk walking
+    b = synthetic_wav(1, 8000, 3)
+    assert parse_wav_meta(b) == (1, 8000, 16, 3)
+
+
+def test_parse_wav_rejects_garbage():
+    assert parse_wav_meta(b"") is None
+    assert parse_wav_meta(b"RIFF\x00\x00\x00\x00DATA" + b"\x00" * 40) is None
+    assert parse_wav_meta(b"not audio at all, just text bytes padding...") is None
+
+
+def test_audio_metadata_pipeline(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.multimodal import (
+        audio_metadata,
+        with_synthetic_audio_payload,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = audio_metadata(with_synthetic_audio_payload(docs)).collect()
+    assert len(out) == 20
+    rates = (8000, 16000, 22050, 44100)
+    for r in out:
+        d = r["doc_id"]
+        assert r["n_channels"] == d % 2 + 1
+        assert r["sample_rate"] == rates[d % 4]
+        assert r["bits_per_sample"] == 16
+        assert r["n_frames"] == d % 1000 + 1
+        assert abs(r["duration_ms"] - r["n_frames"] * 1000.0 / r["sample_rate"]) < 1e-6
