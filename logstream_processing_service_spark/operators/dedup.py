@@ -465,6 +465,76 @@ def duplicate_spans(
     )
 
 
+def span_dup_profile(
+    documents: DataFrame, lengths: tuple[int, ...] = (8, 16, 32)
+) -> DataFrame:
+    """Multi-grain span duplication profile: per document, the LONGEST span
+    length (from ``lengths``, geometric) at which the doc still contains at
+    least one span that also occurs in another document — the cheap
+    distributed approximation of "longest duplicated substring" (the
+    suffix-array dedup family, Lee et al. 2022): a doc whose
+    ``max_dup_span_len`` is 32 carries a ≥32-word verbatim block from
+    elsewhere; 0 means no 8-word span is shared at all.
+
+    Scale shape: ONE scan hashes words once (let-bound md5 array — see
+    functions/text.py let_sql) and emits the distinct shingles of ALL
+    grains as (n, s) structs through a single explode — k span lengths do
+    NOT cost k scans. One (n, s)-keyed aggregate with the same
+    attribution-in-the-aggregate trick as ``duplicate_spans``: a span with
+    df == 1 attributes its uniqueness to its only holder via min(doc_id),
+    so has-dup per (doc, n) is ``n_spans > n_uniq`` with no instance-grain
+    join; in-row totals ride a second cheap projection of the same scan.
+    """
+    wh_sql = T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")
+    inst_body = (
+        "flatten(array("
+        + ",".join(
+            f"transform(array_distinct({T.shingle_hash_array_sql('wh', n)}),"
+            f" s -> struct({n} AS n, s AS s))"
+            for n in lengths
+        )
+        + "))"
+    )
+    inst = documents.select(
+        "doc_id",
+        F.explode(F.expr(T.let_sql(wh_sql, "wh", inst_body))).alias("u"),
+    ).select("doc_id", F.col("u.n").cast("bigint").alias("n"), "u.s")
+    uniq = (
+        inst.groupBy("n", "s")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("_df") == 1)
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("_n_uniq"))
+    )
+    tot_body = (
+        "array("
+        + ",".join(
+            f"struct({n} AS n,"
+            f" size(array_distinct({T.shingle_hash_array_sql('wh', n)})) AS t)"
+            for n in lengths
+        )
+        + ")"
+    )
+    totals = documents.select(
+        "doc_id",
+        F.explode(F.expr(T.let_sql(wh_sql, "wh", tot_body))).alias("u"),
+    ).select(
+        "doc_id",
+        F.col("u.n").cast("bigint").alias("n"),
+        F.col("u.t").cast("bigint").alias("t"),
+    )
+    per = totals.join(uniq, ["doc_id", "n"], "left")
+    return per.groupBy("doc_id").agg(
+        F.max(
+            F.when(
+                F.col("t") > F.coalesce(F.col("_n_uniq"), F.lit(0)), F.col("n")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("max_dup_span_len")
+    )
+
+
 def decontaminate_report(
     documents: DataFrame,
     n: int = 5,

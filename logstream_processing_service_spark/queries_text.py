@@ -493,6 +493,51 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
+_SPAN_LENGTHS = (8, 16, 32)
+_SPAN_INST = ", ".join(
+    f"list_transform(list_distinct({T.shingle_hash_array_sql('wh', n, 'duckdb')}),"
+    f" s -> {{'n': {n}, 's': s}})"
+    for n in _SPAN_LENGTHS
+)
+_SPAN_TOT = ", ".join(
+    f"{{'n': {n},"
+    f" 't': len(list_distinct({T.shingle_hash_array_sql('wh', n, 'duckdb')}))}}"
+    for n in _SPAN_LENGTHS
+)
+
+
+@spec(
+    "span_dup_profile",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    whs AS (SELECT doc_id, {T.word_hash_array_sql('w', 'duckdb')} AS wh FROM words),
+    inst AS (
+        SELECT doc_id, u.n AS n, u.s AS s FROM (
+            SELECT doc_id, unnest(flatten([{_SPAN_INST}])) AS u FROM whs
+        )
+    ),
+    uniq AS (
+        SELECT doc_id, n, count(*) AS n_uniq FROM (
+            SELECT n, s, count(*) AS df, min(doc_id) AS doc_id
+            FROM inst GROUP BY 1, 2
+        ) WHERE df = 1 GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, u.n AS n, u.t AS t FROM (
+            SELECT doc_id, unnest([{_SPAN_TOT}]) AS u FROM whs
+        )
+    )
+    SELECT doc_id,
+           CAST(max(CASE WHEN t > coalesce(n_uniq, 0) THEN n ELSE 0 END)
+                AS BIGINT) AS max_dup_span_len
+    FROM tot LEFT JOIN uniq USING (doc_id, n) GROUP BY doc_id
+    """,
+    "north-star", "dedup", "span-level",
+)
+def q_span_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_dup_profile(_t(spark, sf_dir, "documents"), _SPAN_LENGTHS)
+
+
 _WORDS3_DUCK = T.words_sql("text", "duckdb")
 
 
