@@ -304,7 +304,7 @@ def semantic_dedup(
     @F.pandas_udf("struct<cluster:int, cdist:double>")
     def assign(s: pd.Series) -> pd.DataFrame:
         Xb = np.asarray(s.tolist(), dtype=np.float64)
-        d2 = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        d2 = _sq_dists(Xb, C)
         cl = d2.argmin(1)
         return pd.DataFrame(
             {
@@ -482,6 +482,18 @@ def train_pq_codebooks(
     return _train_pq_numpy(X, m, k, iters)
 
 
+def _sq_dists(X, C):
+    """Pairwise squared L2 distances (n, k) via the matmul expansion
+    ‖x‖² − 2x·c + ‖c‖² — one BLAS gemm instead of an (n, k, d) broadcast
+    tensor (~10× faster and O(n·k) memory instead of O(n·k·d)). Shared by
+    every PQ/IVF/cluster assignment AND the test replicas, so argmin
+    results are bit-identical across operator and oracle code paths."""
+    x2 = (X * X).sum(1)
+    c2 = (C * C).sum(1)
+    # clamp: cancellation can yield ~-1e-14 for x ≈ c, and sqrt(neg) = NaN
+    return np.maximum(x2[:, None] - 2.0 * (X @ C.T) + c2[None, :], 0.0)
+
+
 def _train_pq_numpy(X, m: int, k: int, iters: int = 10):
     """Deterministic per-subspace Lloyd k-means over an in-memory sample
     (the numpy core shared by raw-vector and residual codebook training)."""
@@ -494,8 +506,7 @@ def _train_pq_numpy(X, m: int, k: int, iters: int = 10):
         Xj = X[:, j * sub : (j + 1) * sub]
         cent = Xj[np.linspace(0, n - 1, k).astype(int)].copy()
         for _ in range(iters):
-            d2 = ((Xj[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
+            assign = _sq_dists(Xj, cent).argmin(1)
             # vectorized Lloyd update (no per-cluster Python loop)
             sums = np.zeros((k, sub))
             np.add.at(sums, assign, Xj)
@@ -523,8 +534,7 @@ def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
         out = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             Xj = X[:, j * sub : (j + 1) * sub]
-            d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-            out[:, j] = d2.argmin(1)
+            out[:, j] = _sq_dists(Xj, books[j]).argmin(1)
         return pd.Series(list(out))
 
     return embeddings.select("vec_id", enc("embedding").alias("codes"))
@@ -573,8 +583,7 @@ def ann_pq(
         codes = np.empty((len(X), m), dtype=np.int64)
         for j in range(m):
             Xj = X[:, j * sub : (j + 1) * sub]
-            d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-            codes[:, j] = d2.argmin(1)
+            codes[:, j] = _sq_dists(Xj, books[j]).argmin(1)
         # (n, Q): for each query, sum the per-subspace LUT entries
         out = np.stack(
             [luts[qi][jj[None, :], codes].sum(1) for qi in range(n_q)], 1
@@ -647,7 +656,7 @@ def ann_ivf_pq(
         embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
     )
     X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
-    assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    assign = _sq_dists(X, C).argmin(1)
     books = _train_pq_numpy(X - C[assign], m, n_centroids)
     mm, kk, sub = books.shape
 
@@ -655,7 +664,7 @@ def ann_ivf_pq(
     q_ids = [int(r["vec_id"]) for r in qrows]
     n_q = len(q_ids)
     Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    qd2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    qd2 = _sq_dists(Q, C)
     probe_mask = np.zeros((n_q, nlist), dtype=bool)
     luts = np.full((n_q, nlist, mm, kk), np.inf)
     for qi in range(n_q):
@@ -668,12 +677,12 @@ def ann_ivf_pq(
     @F.pandas_udf("array<double>")
     def adc_probe(s: pd.Series) -> pd.Series:
         Xb = np.asarray(s.tolist(), dtype=np.float64)
-        b = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        b = _sq_dists(Xb, C).argmin(1)
         R = Xb - C[b]
         codes = np.empty((len(Xb), mm), dtype=np.int64)
         for j in range(mm):
             Rj = R[:, j * sub : (j + 1) * sub]
-            codes[:, j] = ((Rj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1).argmin(1)
+            codes[:, j] = _sq_dists(Rj, books[j]).argmin(1)
         out = np.full((len(Xb), n_q), np.inf)
         for qi in range(n_q):
             sel = probe_mask[qi][b]

@@ -58,7 +58,7 @@ def test_ann_ivf_pq_probe_and_quantization(spark, sf_dir):
     X = np.asarray([r["embedding"] for r in data], dtype=np.float64)
     crows = sorted(S.label_centroids(emb).collect(), key=lambda r: r["label"])
     C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
-    bucket = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    bucket = S._sq_dists(X, C).argmin(1)
     qidx = {ids[i]: i for i in range(len(ids))}
     got = {}
     for q_id, rank, vec_id, _ in rows1:
@@ -67,7 +67,7 @@ def test_ann_ivf_pq_probe_and_quantization(spark, sf_dir):
     hits = total = 0
     for q_id in got:
         qi = qidx[q_id]
-        qd = ((C - X[qi]) ** 2).sum(1)
+        qd = S._sq_dists(X[qi][None, :], C)[0]
         probed = set(np.argsort(qd, kind="stable")[:2])
         cand = [i for i in range(len(ids)) if bucket[i] in probed and ids[i] != q_id]
         d2 = ((X[cand] - X[qi]) ** 2).sum(1)

@@ -17,7 +17,7 @@ def _replica(X, ids, sample_n=2048):
     order = np.argsort(ids, kind="stable")
     Xs = X[order][:sample_n]
     C = S._train_pq_numpy(Xs, 1, N_CLUSTERS)[0]
-    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    d2 = S._sq_dists(X, C)
     cl = d2.argmin(1)
     cdist = np.sqrt(d2[np.arange(len(cl)), cl])
     nrm = np.sqrt((X**2).sum(1))
