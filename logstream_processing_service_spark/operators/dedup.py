@@ -389,31 +389,24 @@ def duplicate_spans(
     attribution-in-the-aggregate trick as ``paragraph_dedup``: a NON-dup
     span (df == 1) lives in exactly one document, and ``min(doc_id)`` in
     the df aggregate IS that document — so per-doc unique-span counts come
-    straight out of the (already reduced) aggregate, per-doc totals are an
-    in-row ``size(array_distinct(...))``, and ``n_dup = n_spans −
-    n_uniq``. The span stream shuffles ONCE (the df aggregate); there is
-    no instance-grain flag join and no per-doc re-aggregation of span
-    instances. For ``min_docs > 2`` a df<min_docs span can span several
-    docs, so the general form falls back to the flag join. Either way the
-    scan+hash subtree runs once per consumer (two branches with different
-    pruned shapes — ReuseExchange cannot apply); at 100 TB materialize
-    ``shingle_table`` to parquet first and both passes become cheap
-    columnar rescans of longs.
+    straight out of the (already reduced) aggregate, and ``n_dup = n_spans
+    − n_uniq``. Per-doc totals are a ``groupBy(doc_id)`` count over the
+    SAME shingle stream, which is ``persist()``-ed so the md5 word-hash
+    scan — the CPU-dominant part of the plan — executes exactly ONCE; both
+    consumers are columnar ``InMemoryTableScan``s over (doc_id, s) longs.
+    (An un-materialized two-branch form re-hashes the whole corpus: the
+    branches prune differently, so ReuseExchange can never apply. At
+    100 TB the same one-scan shape holds by staging ``shingle_table`` to
+    parquet instead of the block-manager cache.) For ``min_docs > 2`` a
+    df<min_docs span can span several docs, so the general form falls back
+    to the flag join — already single-scan, no cache needed.
     """
     sh = shingle_table(documents, n, max_doc_freq=0)
     if min_docs == 2:
-        # let-bound: the md5 word-hash array evaluates ONCE per doc even
-        # after CollapseProject (see functions/text.py let_sql — a plain
-        # two-level select collapses and re-evaluates the array per
-        # element-access, ~n× per span)
-        n_spans_sql = T.let_sql(
-            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark"),
-            "wh",
-            f"size(array_distinct({T.shingle_hash_array_sql('wh', n)}))",
+        sh = sh.persist()
+        totals = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_spans")
         )
-        totals = documents.select(
-            "doc_id", F.expr(n_spans_sql).cast("bigint").alias("n_spans")
-        ).filter(F.col("n_spans") > 0)
         uniq = (
             sh.groupBy("s")
             .agg(F.count(F.lit(1)).alias("_df"), F.min("doc_id").alias("doc_id"))

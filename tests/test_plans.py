@@ -313,6 +313,61 @@ def test_c4_and_gopher_reports_zero_exchange(spark):
         assert "Exchange" not in plan
 
 
+def test_cheapest_supplier_per_part_single_agg(spark):
+    """The decorrelated min_by form must stay ONE aggregation: at most 2
+    exchanges (partial+final agg shuffle; AQE may add a read), no Window,
+    no join — the r2 re-plan (4.16s→0.69s) must not silently regress."""
+    from logstream_processing_service_spark.catalog import all_specs
+    from logstream_processing_service_spark.plans.inspect import count_exchanges
+
+    specs = {s.name: s for s in all_specs()}
+    df = specs["cheapest_supplier_per_part"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 2
+    assert "partial_min_by" in plan
+
+
+def test_single_failed_supplier_orders_no_self_join(spark):
+    """EXISTS/NOT-EXISTS decorrelation must stay window-over-one-agg: the
+    lineitem fact is scanned ONCE and never self-joined."""
+    from logstream_processing_service_spark.catalog import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    plan = _plan(specs["single_failed_supplier_orders"].fn(spark, SF_DIR))
+    assert "Join" not in plan
+    scan_count = sum(
+        1 for l in plan.splitlines() if "FileScan parquet" in l
+    )
+    assert scan_count == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_spans_single_md5_scan(spark):
+    """min_docs=2 duplicate_spans materializes the shingle stream once:
+    both consumers (per-doc totals, span-df attribution) must read the
+    cache (InMemoryTableScan), so the md5 word-hash subtree executes
+    exactly once — the r3 single-scan re-plan must not regress."""
+    from logstream_processing_service_spark.catalog import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    df = specs["duplicate_spans"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") == 2
+    # no md5 evaluation OUTSIDE the cached subtree: the toString prints
+    # each InMemoryTableScan's cached child plan once (one md5 Project
+    # line per cache print) — any md5 beyond one-per-cache-print would be
+    # a live re-evaluation in a consumer branch
+    lines = plan.splitlines()
+    md5_idx = [i for i, l in enumerate(lines) if "md5" in l]
+    imr_idx = [i for i, l in enumerate(lines) if "InMemoryRelation" in l]
+    assert len(md5_idx) <= len(imr_idx)
+    # and every md5 print sits below (nested under) a cache-relation line
+    for i in md5_idx:
+        assert any(j < i for j in imr_idx), lines[i]
+
+
 def test_ann_pq_single_shuffle(spark):
     """PQ ADC: one exchange total (the per-query top-k window); the scan
     side never joins a fat LUT column."""
