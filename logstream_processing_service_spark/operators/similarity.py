@@ -285,10 +285,14 @@ def semantic_dedup(
     (vec_id, cluster, centroid_dist, keep).
 
     Scale shape: clustering is what makes semantic dedup tractable — the
-    within-cluster pair expansion is O(Σ|c|²), so the cluster count is
-    chosen to keep |c| ≈ N/k small (the paper uses 50k clusters for LAION;
-    ``max_cluster`` guards degenerate clusters exactly like the LSH
-    ``max_bucket``). Centroids are trained driver-side on a deterministic
+    within-cluster pair expansion is O(Σ|c|²), so SIZE ``n_clusters`` TO
+    THE CORPUS: n_clusters ≈ N / 5_000 (≤5k members per cluster keeps the
+    in-row pair expansion ≤ 25M struct comparisons per cluster task; the
+    paper uses 50k clusters for LAION-440M, i.e. ~9k per cluster). The
+    default 64 fits the sf0.1 test corpus only — at 100 TB pass
+    n_clusters explicitly; ``max_cluster`` guards degenerate clusters
+    exactly like the LSH ``max_bucket`` and makes under-clustering fail
+    loudly (oversized clusters are excluded, shrinking the output). Centroids are trained driver-side on a deterministic
     ``sample_n`` prefix (dimension-sized state, rides as a closure
     constant); assignment is ONE Arrow pass; pair expansion is in-cluster
     array math over (id, priority) structs ONLY — embeddings never ride
@@ -547,11 +551,19 @@ def ann_pq(
     m: int = 16,
     n_centroids: int = 256,
     codebooks=None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: scan the CODES (m bytes/vector),
     score each against a per-query lookup table, exact-rank by approximate
     L2 — the memory-bound scale path where even IVF's probed buckets are
     too big to hold raw floats.
+
+    Driver-side bound: the LUT stack is O(|Q|·m·n_centroids) float64 on
+    the driver AND in every task's closure — |Q|=10k queries at m=16,
+    k=256 is ~330 MB, the practical ceiling. The ``max_queries`` guard
+    fails loudly past it (mirror of ``embedding_near_dup_pairs``'s row
+    cap); for larger query sets, chunk the query side and union, or flip
+    to the symmetric form (encode queries too and join code-to-code).
 
     Scale shape: ONE Arrow-batched pass over the corpus encodes each vector
     and scores it against every query's LUT in the same vectorized numpy
@@ -566,7 +578,15 @@ def ann_pq(
         codebooks = train_pq_codebooks(embeddings, m=m, k=n_centroids)
     m, kk, sub = codebooks.shape
     books = codebooks
-    qrows = queries.select("vec_id", "embedding").collect()
+    qrows = (
+        queries.select("vec_id", "embedding").limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ann_pq: query side exceeds max_queries={max_queries}; the "
+            "per-query LUT stack is O(|Q|*m*n_centroids) driver/closure "
+            "memory — chunk the query set and union the results"
+        )
     q_ids = [int(r["vec_id"]) for r in qrows]
     luts = np.empty((len(qrows), m, kk))
     for qi, r in enumerate(qrows):
@@ -615,6 +635,7 @@ def ann_ivf_pq(
     nprobe: int = 2,
     sample_n: int = 2048,
     coarse: DataFrame | None = None,
+    max_queries: int = 2_000,
 ) -> DataFrame:
     """IVF+PQ (Jégou et al. 2011 §IV): coarse-quantize each vector to its
     nearest centroid, PQ-encode the RESIDUAL (x − centroid), and score a
@@ -639,7 +660,11 @@ def ann_ivf_pq(
     ride as closure constants — dimension-sized state, no fat joined
     columns. The LUT stack here is a dense (|Q|, nlist, m, k) array because
     the demo nlist is tiny; at a real nlist (2¹⁶) key it by the |Q|·nprobe
-    probed pairs only. At 100 TB the bucket+codes table would be
+    probed pairs only — the dense form's O(|Q|·nlist·m·k) driver/closure
+    memory is why ``max_queries`` here is tighter than ``ann_pq``'s (2k
+    queries × 16 buckets × 16 × 256 float64 ≈ 2.7 GB is already past
+    comfortable closure size; the guard fails loudly well before).
+    At 100 TB the bucket+codes table would be
     materialized PARTITIONED BY bucket (compose ``build_ivf_index`` +
     ``pq_encode``) so the probe prunes partition directories before IO —
     the streaming-compute form here shows the semantics; the storage
@@ -660,7 +685,16 @@ def ann_ivf_pq(
     books = _train_pq_numpy(X - C[assign], m, n_centroids)
     mm, kk, sub = books.shape
 
-    qrows = queries.select("vec_id", "embedding").collect()
+    qrows = (
+        queries.select("vec_id", "embedding").limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ann_ivf_pq: query side exceeds max_queries={max_queries}; "
+            "the dense LUT stack is O(|Q|*nlist*m*n_centroids) "
+            "driver/closure memory — chunk the query set, or materialize "
+            "the index (build_ivf_index + pq_encode) and probe it"
+        )
     q_ids = [int(r["vec_id"]) for r in qrows]
     n_q = len(q_ids)
     Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)

@@ -85,25 +85,74 @@ def q_kmeans_refit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_and_assign(_t(spark, sf_dir, "embeddings"), k=10)
 
 
+def _array_digest(col: str):
+    """Driver-stable scalar digest of an ``array<float>`` column: rounded
+    to 6 decimals, JSON-encoded, xxhash64'd. The driver's canonicalizer
+    sorts every output column with pandas, which cannot key on raw numpy
+    arrays (r2: ``TypeError: unhashable type``); a long digest keeps the
+    rows-only row count AND gives a value-sensitive fingerprint."""
+    from pyspark.sql import functions as F
+
+    return F.xxhash64(
+        F.to_json(F.transform(col, lambda x: F.round(x, 6)))
+    )
+
+
 @spec("embed_documents", None, "M1", "M2", "rows-only")
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-featurizer embedding column over documents
-    (pandas_udf — Python boundary, rows-only check)."""
+    (pandas_udf — Python boundary, rows-only check). The raw
+    ``array<float>`` ride stays inside the plan; the driver-facing
+    projection is all scalars (digest + l2 norm) so the rows-only check
+    can count and hash rows."""
     from pyspark.sql import functions as F
 
     from .ml.embedding import hash_featurizer
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", hash_featurizer(64)(F.col("text")).alias("embedding"))
+    emb = docs.select(
+        "doc_id", hash_featurizer(64)(F.col("text")).alias("embedding")
+    )
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        _array_digest("embedding").alias("embedding_digest"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    )
 
 
 @spec("multimodal_features", None, "multimodal", "rows-only")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via mapInPandas (decode stubbed —
-    see operators/multimodal.py)."""
+    see operators/multimodal.py). Scalar projection (digest + checksum)
+    for the same driver-canonicalizer reason as ``embed_documents``."""
+    from pyspark.sql import functions as F
+
     from .operators.multimodal import media_feature_pipeline
 
-    return media_feature_pipeline(_t(spark, sf_dir, "documents"))
+    feats = media_feature_pipeline(_t(spark, sf_dir, "documents"))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        _array_digest("features").alias("features_digest"),
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            6,
+        ).alias("features_sum"),
+    )
 
 
 def _image_dimensions_oracle() -> str:

@@ -78,3 +78,17 @@ def test_ann_ivf_pq_probe_and_quantization(spark, sf_dir):
     recall = hits / total
     # ~0.68 measured (same as flat PQ on raw vectors); pinned loosely
     assert recall >= 0.55, f"IVF+PQ probe-restricted recall@5 too low: {recall}"
+
+
+def test_pq_query_cap_guards(spark, sf_dir):
+    """The O(|Q|·m·k) LUT closure bound must fail loudly, not OOM."""
+    import pytest
+
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.limit(3)
+    with pytest.raises(ValueError, match="max_queries"):
+        S.ann_pq(emb, q, k=2, max_queries=2)
+    with pytest.raises(ValueError, match="max_queries"):
+        S.ann_ivf_pq(emb, q, k=2, max_queries=2)

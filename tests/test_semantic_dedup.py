@@ -37,6 +37,37 @@ def _replica(X, ids, sample_n=2048):
     return cl, keep
 
 
+def test_semantic_dedup_planted_duplicates(spark):
+    """Hand-computable fixture: 4 well-separated direction groups, each
+    with one exact duplicate pair planted (cos=1 within the pair, ≈0
+    across groups, threshold 0.9). Exactly one member of each pair must
+    be dropped, every singleton kept — the expected drop SET is knowable
+    without running any part of the pipeline."""
+    import itertools
+
+    rows = []
+    vid = 0
+    for axis in range(4):
+        base = [0.0] * 8
+        base[axis] = 1.0
+        # two exact duplicates along the axis + one near-orthogonal single
+        rows.append((vid, [v * 2.0 for v in base])); vid += 1
+        rows.append((vid, [v * 3.0 for v in base])); vid += 1  # same direction
+        single = [0.05] * 8
+        single[axis + 4] = 1.0
+        rows.append((vid, single)); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(emb, n_clusters=4, threshold=0.9, sample_n=12)
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert len(got) == 12
+    # each planted pair (3k, 3k+1) loses exactly one member
+    for k in range(4):
+        a, b = got[3 * k], got[3 * k + 1]
+        assert a != b, f"pair {3*k},{3*k+1}: exactly one must drop, got {a},{b}"
+        assert got[3 * k + 2], f"singleton {3*k+2} must be kept"
+    assert sum(1 for v in got.values() if not v) == 4
+
+
 def test_semantic_dedup_matches_numpy_replica(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = S.semantic_dedup(emb, n_clusters=N_CLUSTERS, threshold=THRESHOLD)
