@@ -42,31 +42,37 @@ def spec(name: str, oracle: str | None, *tags: str):
 
 
 # The driver's correctness run verifies the FIRST 50 registered specs, so
-# registration order is a coverage decision. The priority window holds (a)
-# every LLM-data-pipeline query (dedup / text / curation / vector / ML — the
-# layer round 1 left unverified) and (b) the analytics queries whose output
-# representation or plan changed and must be re-verified. Long-green
-# relational/analytics shapes take the tail.
+# registration order is a coverage decision. Round-3 rotation: (a) the 18
+# queries that have NEVER had a driver row in any round (r2 VERDICT "What's
+# wrong #2") lead the window, (b) then everything whose output shape or plan
+# changed this round (array→digest projections, the single-scan
+# duplicate_spans re-plan, the new MERGE batch twin), (c) the remaining
+# slots re-verify the LLM-pipeline vector/ML layer and the decimal-fixed
+# analytics. Double-green unchanged text/curation shapes rotate to the tail.
 _PRIORITY: tuple[str, ...] = (
-    # text/dedup layer (queries_text registration order)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_simhash", "language_id", "text_quality",
-    "token_counts", "doc_fingerprints", "doc_stats", "top_tokens",
-    "tfidf_top_terms", "template_match", "train_test_split",
-    "stratified_sample_docs", "decontaminate_report", "duplicate_spans",
-    "repetition_scores",
-    # curation layer
-    "pack_sequences", "packing_efficiency", "sensitive_term_scrub",
-    "domain_mix_plan", "domain_mix_sample", "unigram_logprob",
-    "curation_funnel",
-    # vector layer
+    # (a) never driver-checked — warehouse shapes (r2 additions)
+    "nation_trade_volume", "returned_item_customers",
+    "linestatus_priority_split", "customer_order_distribution",
+    "part_supplier_counts", "bracketed_discount_revenue",
+    "heavy_shippers_of_part_family",
+    # (a) never driver-checked — curation/text additions
+    "gopher_quality_report", "oov_rate", "c4_line_stats", "bigram_logprob",
+    "dedup_paragraphs", "doc_length_quartiles", "span_dup_profile",
+    "audio_metadata",
+    # (a) never driver-checked — rows-only ANN/SemDeDup
+    "ann_pq", "semantic_dedup", "ann_ivf_pq",
+    # (b) output-shape / plan changes this round
+    "embed_documents", "multimodal_features", "duplicate_spans",
+    "merge_events_upsert",
+    # (c) vector/ML layer re-verify
     "nearest_centroid", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
-    "embedding_norm_stats", "embedding_near_dup_lsh",
-    # ML layer
-    "anomaly_flags", "clustering_quality", "kmeans_refit_assign",
-    "embed_documents", "multimodal_features", "image_dimensions",
+    "embedding_norm_stats", "embedding_near_dup_lsh", "anomaly_flags",
+    "clustering_quality", "kmeans_refit_assign", "image_dimensions",
     "standardize_value", "onehot_event_type",
-    # representation-fixed / re-planned analytics + sessionization
+    # (c) dedup core re-verify
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "decontaminate_report",
+    # (c) decimal-fixed analytics + sessionization re-verify
     "user_sessions", "pricing_summary", "top_revenue_orders",
     "customer_order_stats", "promo_revenue", "large_volume_customers",
     "part_value_share", "grouping_sets_volume", "supplier_part_revenue",

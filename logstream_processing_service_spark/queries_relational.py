@@ -579,3 +579,49 @@ def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.value_histogram(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "merge_events_upsert",
+    """
+    WITH t AS (
+        SELECT event_id, event_type, round(value, 6) AS value
+        FROM events WHERE event_id % 10 < 6
+    ),
+    s AS (
+        SELECT event_id, event_type, round(value + 1, 6) AS value
+        FROM events WHERE event_id % 10 >= 4
+    )
+    SELECT COALESCE(t.event_id, s.event_id) AS event_id,
+           CASE WHEN s.event_id IS NOT NULL THEN s.event_type
+                ELSE t.event_type END AS event_type,
+           CASE WHEN s.event_id IS NOT NULL THEN s.value
+                ELSE t.value END AS value
+    FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+    """,
+    "S6", "merge", "T7",
+)
+def q_merge_events_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the MERGE sink family (sources/tables.py merge_full,
+    streaming/pipeline.py merge_sink, streaming/dedup.py registry): WHEN
+    MATCHED UPDATE + WHEN NOT MATCHED INSERT over overlapping event
+    slices — the full-outer one-pass clause evaluation is what every
+    incremental registry/upsert in this repo persists with, here exposed
+    oracle-paired so the driver checks MERGE semantics directly.
+
+    Reference parity: the dual embedding-upsert/cluster-update write,
+    src/db/log_ops.py:66-81."""
+    from pyspark.sql import functions as F
+
+    from .sources.tables import merge_full
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 6).alias("value"),
+    )
+    target = ev.filter(F.col("event_id") % 10 < 6)
+    source = ev.filter(F.col("event_id") % 10 >= 4).withColumn(
+        "value", F.round(F.col("value") + 1, 6)
+    )
+    return merge_full(target, source, "event_id")
