@@ -33,25 +33,37 @@ from pyspark.sql.types import (
 
 from ..session import apply_runtime_conf
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, src: str) -> StructType:
+    """The stream source needs an explicit schema; derive the ts column's
+    physical shape from a batch peek at the same files (TIMESTAMP(NANOS)
+    parquet arrives as LongType under nanosAsLong; micros arrives as a
+    native timestamp) so the stream normalizes exactly like ``load_table``
+    regardless of which the generator wrote."""
+    ts_type = next(
+        f.dataType
+        for f in spark.read.parquet(src).schema.fields
+        if f.name == "ts"
+    )
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over the events table; ns→µs ts normalization
-    identical to the batch loader."""
+    """File-source stream over the events table; ts normalization identical
+    to the batch loader (adaptive nanos-long vs native-timestamp)."""
     apply_runtime_conf(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    schema = _events_schema(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the file stream source wants a DIRECTORY; testdata keeps every table
@@ -69,9 +81,14 @@ def read_events_stream(
     if not os.path.exists(link):
         os.symlink(src, link)
     df = reader.parquet(stage)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    if isinstance(schema["ts"].dataType, LongType):
+        # integer division first: the ns value exceeds double precision
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
 
 
 def windowed_volume(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
