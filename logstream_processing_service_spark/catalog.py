@@ -64,14 +64,14 @@ _PRIORITY: tuple[str, ...] = (
     # (b) output-shape / plan changes this round
     "embed_documents", "multimodal_features", "duplicate_spans",
     "merge_events_upsert",
+    # (b) round-3 additions (driver row on first registration)
+    "charclass_profile", "pii_scan", "contamination_overlap",
+    "dedup_keep_table", "weighted_sample_docs", "shard_assignment",
+    "embedding_int8_report",
     # (c) vector/ML layer re-verify
     "nearest_centroid", "ann_bruteforce", "ann_ivf", "embedding_near_dup",
     "embedding_norm_stats", "embedding_near_dup_lsh", "anomaly_flags",
-    "clustering_quality", "kmeans_refit_assign", "image_dimensions",
-    "standardize_value", "onehot_event_type",
-    # (c) dedup core re-verify
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "decontaminate_report",
+    "clustering_quality", "kmeans_refit_assign", "dedup_clusters",
     # (c) decimal-fixed analytics + sessionization re-verify
     "user_sessions", "pricing_summary", "top_revenue_orders",
     "customer_order_stats", "promo_revenue", "large_volume_customers",

@@ -591,6 +591,109 @@ def decontaminate_report(
     )
 
 
+def contamination_overlap(
+    documents: DataFrame,
+    n: int = 5,
+    test_threshold_hex: str = "1a",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Per-document contamination SCORE: for every TRAIN document, the
+    fraction of its distinct word n-grams that also occur anywhere in the
+    EVAL split — the graded upgrade of ``decontaminate_report``'s binary
+    flag (the GPT-3 appendix-C style overlap measure: pipelines drop above
+    a ratio threshold rather than on any single shared n-gram).
+
+    Scale shape: the eval n-gram set is benchmark-sized → broadcast; the
+    train shingle stream takes ONE left join carrying only a presence flag
+    and ONE doc-keyed aggregate — same exchange budget as
+    ``duplicate_spans``'s general form. No window, no distinct at instance
+    grain (shingles are already distinct-in-doc from ``shingle_table``'s
+    in-row array_distinct).
+    """
+    from .sampling import split_bucket
+
+    # the split label is a PURE FUNCTION of doc_id (keyed md5 hash), so it
+    # is recomputed in-row on the shingle stream — no corpus-grain join
+    sh = shingle_table(documents, n, max_doc_freq=0).withColumn(
+        "split",
+        F.when(
+            split_bucket("doc_id", salt) < test_threshold_hex, "test"
+        ).otherwise("train"),
+    )
+    eval_sh = (
+        sh.filter(F.col("split") == "test")
+        .select("s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        sh.filter(F.col("split") == "train")
+        .join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_matched"),
+        )
+        .withColumn(
+            "overlap_ratio",
+            F.round(F.col("n_matched") / F.col("n_grams").cast("double"), 6),
+        )
+    )
+
+
+def dedup_keep_table(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware keep/drop partition of the WHOLE corpus: resolve
+    MinHash-LSH near-dup clusters, then keep the highest-QUALITY member of
+    each cluster (``quality_col`` DESC, doc_id ASC tie-break) instead of
+    ``dedup_clusters``'s arbitrary min-id keeper — the decision table a
+    curation pipeline actually joins against before training (near-dup
+    groups usually contain one clean original and N degraded copies; id
+    order has no reason to pick the clean one).
+
+    Every document gets a row: singletons keep themselves (keep=true,
+    cluster_size=1). Scale shape: the cluster table is the (small) dedup
+    output, broadcast back onto the corpus — the full scan takes no
+    exchange; the per-cluster argmax is a ``max_by`` aggregate over the
+    cluster table only (no window over the corpus).
+    """
+    pairs = minhash_lsh_pairs(documents, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    clustered = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).join(documents.select("doc_id", quality_col), "doc_id")
+    keepers = clustered.groupBy("cluster_id").agg(
+        F.expr(
+            f"max_by(doc_id, struct({quality_col}, -doc_id))"
+        ).alias("_keeper"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    decided = clustered.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("_keeper")).alias("keep"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(F.broadcast(decided), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("bigint").alias(
+                "cluster_size"
+            ),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 25, reliable: bool = False
 ) -> DataFrame:

@@ -22,7 +22,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,3 +93,91 @@ def sample_oracle_case(
         for v, hx in sorted(fractions_hex.items(), reverse=True)
     )
     return f"CASE {arms}ELSE '{default_hex}' END"
+
+
+def _uniform01(key_col: str, salt: str) -> F.Column:
+    """Deterministic uniform draw in (0, 1]: the 48-bit md5-derived integer
+    (functions/text.py hash48 — portable bit-for-bit to DuckDB) + 1, scaled
+    by 2^-48. +1 keeps ln(u) finite at the bottom of the range."""
+    from ..functions.text import hash48_sql
+
+    h = F.expr(
+        hash48_sql(f"concat('{salt}:', cast({key_col} as string))")
+    )
+    return (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+
+
+def uniform01_oracle_sql(key_col: str, salt: str) -> str:
+    """The DuckDB twin of ``_uniform01`` (same md5 arithmetic)."""
+    from ..functions.text import hash48_sql
+
+    h = hash48_sql(f"concat('{salt}:', CAST({key_col} AS VARCHAR))")
+    return f"(({h}) + 1) / {float(1 << 48)}"
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted random sampling without replacement, top-k by exponential
+    sort key (Efraimidis & Spirakis 2006, the A-ES scheme): draw u ~
+    U(0,1] per row from the stable keyed hash, rank by ln(u)/w descending,
+    keep the k best. Inclusion probability is proportional to weight, the
+    draw is reproducible run-to-run, and extending the corpus never
+    changes an existing row's key — the properties quality-weighted
+    subsampling of a 100 TB corpus needs (sample by quality score, not
+    uniformly).
+
+    Scale shape: the sort key is one in-row hash + ln; the top-k is
+    TakeOrdered (per-partition heap + driver merge of k·P rows) — no
+    global sort, no window, no shuffle of the corpus. Rows with
+    non-positive weight are excluded (they cannot be drawn).
+    """
+    # the key is rounded to 6 dp BEFORE ranking (id tie-break after) so the
+    # selected set is insensitive to last-ulp ln() differences between
+    # engines — the oracle orders by the same rounded value
+    key = F.round(
+        F.log(_uniform01(key_col, salt)) / F.col(weight_col).cast("double"), 6
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(key_col))
+        .limit(k)
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 32,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic training-order assignment: every row gets a shard
+    (stable keyed hash mod n_shards — a reproducible global shuffle) and a
+    position within its shard (rank by a second hash draw). Together
+    (shard, pos) define a reproducible random read order for training:
+    shards are balanced by construction (md5 uniformity), and the order
+    never changes when the job reruns or the cluster resizes — which
+    ``rand()``-ordered exports cannot guarantee.
+
+    Scale shape: one exchange on the shard id (balanced, n_shards chosen ≈
+    output file count), an in-shard sort for row_number — exactly the
+    write pattern of a sharded training-data export (one sorted file per
+    shard). At 100 TB this IS the final repartition before the sink, so
+    the exchange is not extra cost.
+    """
+    from ..functions.text import hash48_sql
+
+    h = F.expr(hash48_sql(f"concat('{salt}:', cast({key_col} as string))"))
+    shard = (h % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("order_key", key_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("order_key", h)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("order_key")
+    )

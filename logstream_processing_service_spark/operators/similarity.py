@@ -741,3 +741,45 @@ def ann_ivf_pq(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", F.round("adc", 6).alias("adc_dist"))
     )
+
+
+def embedding_int8_report(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization audit: per vector, the max-abs scale, the
+    worst per-dimension reconstruction error, and the reconstruction MSE of
+    ``q = clip(round(x / scale), -127, 127)``; ``recon = q * scale``.
+
+    Why it's a first-class operator: storing a 100 TB float32 embedding
+    corpus as int8 + one scale per vector is a 4× IO cut for every ANN /
+    near-dup pass over it, and whether that's safe is exactly what this
+    report measures (max_abs_err vs the near-dup cosine margin). The same
+    arithmetic is the per-vector half of PQ's codebook quantization.
+
+    Scale shape: pure in-row array arithmetic (transform/aggregate), zero
+    shuffle, no Python — streams off the scan at any scale.
+    """
+    scale_sql = "array_max(transform(embedding, x -> abs(x))) / 127.0d"
+    q = (
+        "transform(embedding, x -> greatest(least(round(x / _scale), 127.0d),"
+        " -127.0d))"
+    )
+    err = "zip_with(embedding, _q, (x, v) -> abs(x - v * _scale))"
+    return (
+        embeddings.select(
+            "vec_id", "embedding", F.expr(scale_sql).alias("_scale")
+        )
+        .filter(F.col("_scale") > 0)
+        .withColumn("_q", F.expr(q))
+        .withColumn("_err", F.expr(err))
+        .select(
+            "vec_id",
+            F.round("_scale", 9).alias("scale"),
+            F.round(F.expr("array_max(_err)"), 9).alias("max_abs_err"),
+            F.round(
+                F.expr(
+                    "aggregate(_err, 0.0d, (a, e) -> a + e * e)"
+                    " / size(_err)"
+                ),
+                12,
+            ).alias("mse"),
+        )
+    )

@@ -281,3 +281,68 @@ def doc_length_quartiles(documents: DataFrame) -> DataFrame:
             ).alias("quartile"),
         )
     )
+
+
+def charclass_profile(documents: DataFrame) -> DataFrame:
+    """Per-document character-class composition: counts and ratios of
+    letters / digits / whitespace / other. The cheapest corpus-health
+    signal there is — OCR garbage, binary spill, and markup-heavy pages
+    all show up as an anomalous non-letter ratio long before any
+    model-based quality score runs.
+
+    Scale shape: four regexp_replace length differences per row, zero
+    shuffle, fully codegen'd — streams straight off the scan at any scale.
+    """
+    total = F.length("text")
+    n_alpha = total - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    n_digit = total - F.length(F.regexp_replace("text", "[0-9]", ""))
+    n_space = total - F.length(F.regexp_replace("text", "[ \\t\\n]", ""))
+    return documents.select(
+        "doc_id",
+        total.cast("bigint").alias("n_chars"),
+        n_alpha.cast("bigint").alias("n_alpha"),
+        n_digit.cast("bigint").alias("n_digit"),
+        n_space.cast("bigint").alias("n_space"),
+        (total - n_alpha - n_digit - n_space).cast("bigint").alias("n_other"),
+        F.round(n_alpha / F.greatest(total, F.lit(1)), 6).alias("alpha_ratio"),
+    )
+
+
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction audit: per document, counts of email and
+    phone-shaped spans and the 48-bit fingerprint of the REDACTED text
+    (emails → ``<EMAIL>``, phones → ``<PHONE>``) so a downstream diff can
+    prove redaction actually changed exactly the flagged docs.
+
+    The regexes are deliberately the portable subset (character classes +
+    bounded repeats) that Java's and RE2-family engines agree on, so the
+    DuckDB oracle replays them bit-for-bit; a production pass swaps in the
+    full presidio-style pattern bank behind the same column contract.
+
+    Scale shape: in-row regexp work only, zero shuffle; the fingerprint is
+    the same dual-dialect hash48 used everywhere else.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        redacted.alias("_red"),
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.expr(T.hash48_sql("_red")).alias("redacted_fp"),
+    )

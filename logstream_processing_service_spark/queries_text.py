@@ -622,3 +622,215 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.doc_length_quartiles(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "charclass_profile",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS n_alpha,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digit,
+           length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g'))
+               AS n_space,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'), '[ \t\n]', '', 'g'))
+               AS n_other,
+           round((length(text) - length(regexp_replace(text, '[A-Za-z]', '',
+               'g'))) / greatest(length(text), 1), 6) AS alpha_ratio
+    FROM documents
+    """,
+    "north-star", "text-quality", "charclass",
+)
+def q_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.charclass_profile(_t(spark, sf_dir, "documents"))
+
+
+def _pii_aug_sql() -> str:
+    # planted, doc_id-derived PII so the extraction path is exercised on a
+    # corpus that contains none organically; doc_id % 2 picks email
+    # carriers, % 3 picks phone carriers — mixed counts, not all-ones
+    return (
+        "text || (CASE WHEN doc_id % 2 = 0 THEN ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+    )
+
+
+def _pii_oracle() -> str:
+    email, phone = TA.PII_EMAIL_RE, TA.PII_PHONE_RE
+    red = (
+        f"regexp_replace(regexp_replace(aug, '{email}', '<EMAIL>', 'g'), "
+        f"'{phone}', '<PHONE>', 'g')"
+    )
+    return f"""
+    WITH a AS (SELECT doc_id, {_pii_aug_sql()} AS aug FROM documents),
+    r AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{email}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(aug, '{phone}')) AS BIGINT)
+                   AS n_phones,
+               {red} AS red
+        FROM a
+    )
+    SELECT doc_id, n_emails, n_phones,
+           {T.hash48_sql('red')} AS redacted_fp
+    FROM r
+    """
+
+
+@spec("pii_scan", _pii_oracle(), "north-star", "pii", "redaction")
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect+redact over a deterministically augmented corpus (the
+    synthetic documents carry no organic PII; the planted spans make the
+    extraction path a real end-to-end check, like the fixture PNGs in
+    image_dimensions)."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return TA.pii_scan(aug)
+
+
+def _contamination_overlap_oracle() -> str:
+    wh5 = T.shingle_hash_array_sql("wh", 5, "duckdb")
+    return f"""
+    WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    whs AS (
+        SELECT doc_id, {T.word_hash_array_sql('w', 'duckdb')} AS wh
+        FROM words
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({wh5}) AS s,
+               CASE WHEN md5(concat('split-v1:', CAST(doc_id AS VARCHAR)))
+                    < '1a' THEN 'test' ELSE 'train' END AS split
+        FROM whs
+    ),
+    ev AS (SELECT DISTINCT s, 1 AS _hit FROM sh WHERE split = 'test')
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(COALESCE(_hit, 0)) AS BIGINT) AS n_matched,
+           round(sum(COALESCE(_hit, 0)) / CAST(count(*) AS DOUBLE), 6)
+               AS overlap_ratio
+    FROM sh LEFT JOIN ev USING (s)
+    WHERE split = 'train'
+    GROUP BY sh.doc_id
+    """
+
+
+@spec(
+    "contamination_overlap",
+    _contamination_overlap_oracle(),
+    "north-star", "decontamination", "graded",
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.contamination_overlap(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_keep_table_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_cte()},
+    prs AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM prs
+        UNION ALL SELECT d2, d1 FROM prs
+    ),
+    cc(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, cc.label FROM cc JOIN edges e ON cc.node = e.dst
+    ),
+    canon AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+    ranked AS (
+        SELECT c.doc_id, c.cluster_id,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        FROM canon c JOIN documents d USING (doc_id)
+    )
+    SELECT d.doc_id,
+           COALESCE(r.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COALESCE(r.cluster_size, 1) AS BIGINT) AS cluster_size,
+           COALESCE(r.rn = 1, TRUE) AS keep
+    FROM documents d LEFT JOIN ranked r USING (doc_id)
+    """
+
+
+@spec(
+    "dedup_keep_table",
+    _dedup_keep_table_oracle(),
+    "north-star", "dedup", "quality-keeper",
+)
+def q_dedup_keep_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_keep_table(_t(spark, sf_dir, "documents"))
+
+
+def _weighted_sample_oracle(k: int = 50) -> str:
+    u = S.uniform01_oracle_sql("doc_id", "wsample-v1")
+    return f"""
+    WITH u AS (
+        SELECT doc_id, source, n_chars,
+               round(ln({u}) / n_chars, 6) AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT * FROM u ORDER BY sample_key DESC, doc_id LIMIT {k}
+    """
+
+
+@spec(
+    "weighted_sample_docs",
+    _weighted_sample_oracle(),
+    "north-star", "sampling", "A-ES",
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (n_chars-proportional) reproducible top-50 sample."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return S.weighted_sample(docs, "doc_id", "n_chars", 50)
+
+
+def _shard_assignment_oracle(n_shards: int = 8) -> str:
+    h = T.hash48_sql("concat('shard-v1:', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH h AS (
+        SELECT doc_id, source, {h} AS hk FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(hk % {n_shards} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hk % {n_shards}
+               ORDER BY hk, doc_id) AS BIGINT) AS pos
+    FROM h
+    """
+
+
+@spec(
+    "shard_assignment",
+    _shard_assignment_oracle(),
+    "north-star", "training-order", "sharding",
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return S.shard_assignment(docs, "doc_id", n_shards=8)

@@ -216,3 +216,33 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return S.ann_ivf_pq(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+@spec(
+    "embedding_int8_report",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) / CAST(127 AS DOUBLE) AS scale
+        FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> abs(x - least(greatest(round(x / scale),
+                                               CAST(-127 AS DOUBLE)),
+                                      CAST(127 AS DOUBLE)) * scale)) AS err
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           round(list_max(err), 9) AS max_abs_err,
+           round(list_sum(list_transform(err, v -> v * v)) / len(err), 12)
+               AS mse
+    FROM e
+    """,
+    "north-star", "quantization", "storage",
+)
+def q_embedding_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_int8_report(_t(spark, sf_dir, "embeddings"))

@@ -1,0 +1,200 @@
+"""Round-3 training-pipeline operators: weighted sampling, shard order,
+charclass/PII scans, graded contamination, quality-keeper dedup, int8
+quantization audit — semantics on constructed fixtures + plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+from logstream_processing_service_spark.sources.tables import load_table
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from logstream_processing_service_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _docs(spark).select("doc_id", "n_chars")
+    a = weighted_sample(docs, "doc_id", "n_chars", 30).collect()
+    b = weighted_sample(docs, "doc_id", "n_chars", 30).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 30
+    # weight bias: the sampled mean weight must exceed the corpus mean
+    # (inclusion probability ∝ n_chars)
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_sample = sum(r["n_chars"] for r in a) / len(a)
+    assert mean_sample > mean_all
+    # the top-k is TakeOrdered, never a global sort
+    plan = _plan(weighted_sample(docs, "doc_id", "n_chars", 30))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    from logstream_processing_service_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 10)], "id long, w long"
+    )
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {3, 4}
+
+
+def test_shard_assignment_dense_and_stable(spark):
+    from logstream_processing_service_spark.operators.sampling import (
+        shard_assignment,
+    )
+
+    docs = _docs(spark).select("doc_id")
+    out = shard_assignment(docs, "doc_id", n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # stability: a second run yields the identical assignment
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in out.collect()}
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows} == again
+
+
+def test_charclass_profile_hand_check(spark):
+    from logstream_processing_service_spark.operators.textanalysis import (
+        charclass_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab1 c!"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in charclass_profile(df).collect()}
+    r = got[1]
+    assert (r["n_chars"], r["n_alpha"], r["n_digit"], r["n_space"],
+            r["n_other"]) == (6, 3, 1, 1, 1)
+    assert got[2]["n_chars"] == 0 and got[2]["alpha_ratio"] == 0.0
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from logstream_processing_service_spark.operators.textanalysis import (
+        pii_scan,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org call 555-1234"),
+            (2, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 1
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+    # redaction changes the fingerprint only where PII was found
+    from logstream_processing_service_spark.functions.text import hash48_sql
+
+    plain = df.select(
+        "doc_id", F.expr(hash48_sql("text")).alias("fp")
+    ).collect()
+    plain_fp = {r["doc_id"]: r["fp"] for r in plain}
+    assert got[1]["redacted_fp"] != plain_fp[1]
+    assert got[2]["redacted_fp"] == plain_fp[2]
+
+
+def test_contamination_overlap_planted_copy(spark):
+    """A train doc that verbatim-copies an eval doc must score ~1.0; an
+    unrelated doc scores 0. Split membership is forced via doc_ids chosen
+    by probing the real md5 split."""
+    from logstream_processing_service_spark.operators.dedup import (
+        contamination_overlap,
+    )
+    from logstream_processing_service_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    split = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(ids, "doc_id").collect()
+    }
+    eval_id = next(i for i in sorted(split) if split[i] == "test")
+    train_copy = next(i for i in sorted(split) if split[i] == "train")
+    train_clean = next(
+        i for i in sorted(split) if split[i] == "train" and i != train_copy
+    )
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (eval_id, shared),
+        (train_copy, shared),
+        (train_clean, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in contamination_overlap(df, n=5).collect()}
+    assert got[train_copy]["overlap_ratio"] == 1.0
+    assert got[train_clean]["overlap_ratio"] == 0.0
+    assert eval_id not in got  # eval docs are not scored
+
+
+def test_dedup_keep_table_quality_keeper(spark):
+    from logstream_processing_service_spark.operators.dedup import (
+        dedup_keep_table,
+    )
+
+    docs = _docs(spark)
+    out = dedup_keep_table(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # full partition of the corpus
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    quality = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1, cid
+        if len(members) > 1:
+            # the keeper carries the max quality (doc_id tie-break asc)
+            best = max(
+                members, key=lambda r: (quality[r["doc_id"]], -r["doc_id"])
+            )
+            assert keepers[0]["doc_id"] == best["doc_id"], cid
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_int8_quantization_bound(spark):
+    """Reconstruction error of symmetric int8 must respect the half-step
+    bound: |x - q*scale| <= scale/2 (+ float slack)."""
+    from logstream_processing_service_spark.operators.similarity import (
+        embedding_int8_report,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = embedding_int8_report(emb)
+    bad = out.filter(
+        F.col("max_abs_err") > F.col("scale") / 2 + F.lit(1e-7)
+    ).count()
+    assert bad == 0
+    assert out.count() == emb.count()
+
+
+def test_new_scan_ops_zero_exchange(spark):
+    """charclass_profile and pii_scan are pure scan projections."""
+    from logstream_processing_service_spark.operators.textanalysis import (
+        charclass_profile,
+        pii_scan,
+    )
+
+    docs = _docs(spark)
+    for df in (charclass_profile(docs), pii_scan(docs)):
+        assert "Exchange" not in _plan(df)
