@@ -53,6 +53,15 @@ HEADLINE = [
     "c4_line_stats",
     "ann_pq",
     "doc_length_quartiles",
+    # round-3 additions (keep above list stable for cross-round diffs)
+    "merge_events_upsert",
+    "contamination_overlap",
+    "dedup_keep_table",
+    "weighted_sample_docs",
+    "shard_assignment",
+    "charclass_profile",
+    "pii_scan",
+    "embedding_int8_report",
 ]
 
 
