@@ -358,6 +358,61 @@ def flag_anomalies(
     )
 
 
+def robust_anomaly_stats(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Median/MAD outlier report per event_type — the robust twin of the
+    mean/std z-score path: one contaminated batch shifts a mean and
+    inflates a std (masking the very outliers under test), while the
+    median and the median-absolute-deviation have a 50% breakdown point.
+    Flags |x − med| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
+    normality — the standard robust-z convention).
+
+    Scale shape: three narrow (event_type, value) passes — median, MAD,
+    flag count — each reducing map-side to |event_type| rows, with the
+    tiny stat frames broadcast back between passes (the MAD needs the
+    median first and the flags need the MAD: the dependency chain is
+    inherent, not a plan artifact). ``percentile`` is exact interpolated,
+    the DuckDB ``quantile_cont`` twin (interpolation commutes with
+    power-of-two scaling, so the doubles agree bit-for-bit).
+    """
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "_ad", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile("_ad", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = (
+        dev.join(
+            F.broadcast(stats.select("event_type", F.col("mad").alias("_mad"))),
+            "event_type",
+        )
+        .filter(F.col("_ad") > F.lit(k) * F.lit(1.4826) * F.col("_mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n",
+            F.coalesce("n_outliers", F.lit(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+            F.round(
+                F.coalesce("n_outliers", F.lit(0)) / F.col("n").cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.4 J1-J3) + upsert semantics (S6/S7)
 # ---------------------------------------------------------------------------

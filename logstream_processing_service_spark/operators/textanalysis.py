@@ -346,3 +346,93 @@ def pii_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "n_phones",
         F.expr(T.hash48_sql("_red")).alias("redacted_fp"),
     )
+
+
+# GPT-2-style pretokenizer (Radford et al. 2019 / tiktoken's base split),
+# restricted to the lookahead-free subset both Java regex and RE2 support
+# bit-identically: contractions, space-prefixed letter/number runs,
+# space-prefixed punctuation runs, whitespace runs.
+GPT2_PRETOKEN_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
+
+def subword_token_counts(documents: DataFrame) -> DataFrame:
+    """LLM token budgeting, one step up from chars/4: count GPT-2
+    pretokenizer segments (the units a BPE vocabulary merges within —
+    subword token count is bounded below by this and the two track each
+    other closely on natural text), alongside the whitespace and chars/4
+    estimates so the three budgets can be compared per document.
+
+    Scale shape: one regexp scan per row, zero shuffle, codegen'd.
+    """
+    segs = F.size(
+        F.regexp_extract_all("text", F.lit(GPT2_PRETOKEN_RE), 0)
+    ).cast("bigint")
+    w = _word_col()
+    return documents.select(
+        "doc_id",
+        segs.alias("pretoken_segments"),
+        F.size(w).cast("bigint").alias("ws_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias(
+            "bpe_est_tokens"
+        ),
+        F.round(
+            F.length("text")
+            / F.greatest(segs, F.lit(1)).cast("double"),
+            6,
+        ).alias("chars_per_segment"),
+    )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Per-source dataset card: the one-page summary a data curator reads
+    before mixing a source into a training run — volume, length profile
+    (mean + exact interpolated median), language mix, and the exact-dup
+    rate within the source.
+
+    Scale shape: two grouped aggregates over the scan (doc grain → source
+    grain) plus a tiny source-grain join; the language mode and dup rate
+    both reduce map-side. ``percentile`` is the exact interpolated median
+    (matches DuckDB ``quantile_cont`` bit-for-bit on integer inputs —
+    same determinism argument as ``doc_length_quartiles``).
+    """
+    base = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.expr(T.hash48_sql("text")).alias("_h"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    lang_mode = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.expr("max_by(lang, struct(_n, lang))").alias("top_lang")
+        )
+    )
+    dup = (
+        base.groupBy("source", "_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.col("_c") - 1) / F.sum("_c").cast("double")
+            ).alias("_dup_frac")
+        )
+        .select("source", F.round("_dup_frac", 6).alias("exact_dup_frac"))
+    )
+    return (
+        per_source.join(lang_mode, "source")
+        .join(dup, "source")
+        .orderBy("source")
+    )

@@ -625,3 +625,46 @@ def q_merge_events_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.round(F.col("value") + 1, 6)
     )
     return merge_full(target, source, "event_id")
+
+
+def _robust_anomaly_oracle(k: float = 3.0) -> str:
+    # the SAME folded double constant on both sides: Catalyst folds
+    # k*1.4826 in binary; injecting the Python product (identical IEEE
+    # multiply) keeps the flag comparison bit-for-bit aligned
+    kk = repr(k * 1.4826)
+    return f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)
+    ),
+    st AS (
+        SELECT event_type, any_value(med) AS med,
+               quantile_cont(ad, 0.5) AS mad, count(*) AS n
+        FROM dev GROUP BY event_type
+    ),
+    fl AS (
+        SELECT dev.event_type, count(*) AS n_outliers
+        FROM dev JOIN st USING (event_type)
+        WHERE dev.ad > {kk} * st.mad
+        GROUP BY dev.event_type
+    )
+    SELECT st.event_type, round(st.med, 6) AS med, round(st.mad, 6) AS mad,
+           CAST(st.n AS BIGINT) AS n,
+           CAST(COALESCE(fl.n_outliers, 0) AS BIGINT) AS n_outliers,
+           round(COALESCE(fl.n_outliers, 0) / CAST(st.n AS DOUBLE), 6)
+               AS outlier_rate
+    FROM st LEFT JOIN fl USING (event_type)
+    """
+
+
+@spec(
+    "robust_anomaly_stats",
+    _robust_anomaly_oracle(),
+    "M9-robust", "median-mad",
+)
+def q_robust_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.robust_anomaly_stats(_t(spark, sf_dir, "events"))

@@ -834,3 +834,71 @@ def _shard_assignment_oracle(n_shards: int = 8) -> str:
 def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return S.shard_assignment(docs, "doc_id", n_shards=8)
+
+
+def _subword_oracle() -> str:
+    pat = TA.GPT2_PRETOKEN_RE.replace("'", "''")  # SQL-literal escape
+    segs = f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+    SELECT doc_id,
+           CAST({segs} AS BIGINT) AS pretoken_segments,
+           CAST(len({_WORDS_DUCK}) AS BIGINT) AS ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens,
+           round(length(text) / CAST(greatest({segs}, 1) AS DOUBLE), 6)
+               AS chars_per_segment
+    FROM documents
+    """
+
+
+@spec(
+    "subword_token_counts",
+    _subword_oracle(),
+    "north-star", "tokenization", "gpt2-pretokenizer",
+)
+def q_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.subword_token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _dataset_card_oracle() -> str:
+    h = T.hash48_sql("text")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, length(text) AS n_chars, {h} AS h
+        FROM documents
+    ),
+    ps AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 6) AS mean_chars,
+               quantile_cont(n_chars, 0.5) AS p50_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base GROUP BY source
+    ),
+    lm AS (
+        SELECT source, lang AS top_lang FROM (
+            SELECT source, lang, count(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n DESC, lang DESC) AS rn
+            FROM base GROUP BY source, lang
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT source,
+               round(sum(c - 1) / CAST(sum(c) AS DOUBLE), 6)
+                   AS exact_dup_frac
+        FROM (SELECT source, h, count(*) AS c FROM base GROUP BY source, h)
+        GROUP BY source
+    )
+    SELECT ps.*, lm.top_lang, dup.exact_dup_frac
+    FROM ps JOIN lm USING (source) JOIN dup USING (source)
+    """
+
+
+@spec(
+    "dataset_card",
+    _dataset_card_oracle(),
+    "north-star", "curation", "data-card",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.dataset_card(_t(spark, sf_dir, "documents"))

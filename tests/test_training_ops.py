@@ -198,3 +198,49 @@ def test_new_scan_ops_zero_exchange(spark):
     docs = _docs(spark)
     for df in (charclass_profile(docs), pii_scan(docs)):
         assert "Exchange" not in _plan(df)
+
+
+def test_subword_token_counts_hand_check(spark):
+    from logstream_processing_service_spark.operators.textanalysis import (
+        subword_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "it's 42 words, ok"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in subword_token_counts(df).collect()}
+    # it | 's | " 42" | " words" | "," | " ok"  -> 6 segments
+    assert got[1]["pretoken_segments"] == 6
+    assert got[1]["ws_tokens"] == 4
+    assert got[2]["pretoken_segments"] == 0
+
+
+def test_dataset_card_shape(spark):
+    from logstream_processing_service_spark.operators.textanalysis import (
+        dataset_card,
+    )
+
+    docs = _docs(spark)
+    out = dataset_card(docs)
+    rows = out.collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        assert 0.0 <= r["exact_dup_frac"] < 1.0
+        assert r["n_docs"] > 0 and r["total_chars"] > 0
+        assert r["p50_chars"] <= r["n_docs"] * 0  or r["p50_chars"] > 0
+
+
+def test_robust_anomaly_stats_planted_outlier(spark):
+    from logstream_processing_service_spark.operators.relational import (
+        robust_anomaly_stats,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 22)] + [("a", 1000.0)]
+    rows += [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r["event_type"]: r for r in robust_anomaly_stats(df).collect()}
+    a = got["a"]
+    assert a["med"] == 11.5  # median of 1..21 + outlier
+    assert a["n_outliers"] == 1 and a["n"] == 22
+    b = got["b"]
+    assert b["mad"] == 0.0 and b["n_outliers"] == 0
