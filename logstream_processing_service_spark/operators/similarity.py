@@ -783,3 +783,151 @@ def embedding_int8_report(embeddings: DataFrame) -> DataFrame:
             ).alias("mse"),
         )
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    m: int = 16,
+    n_centroids: int = 256,
+    sample_n: int = 2048,
+):
+    """Materialize the production ANN layout: IVF partitioning × PQ codes.
+    Each vector is coarse-assigned to its nearest centroid bucket, its
+    RESIDUAL (x − centroid) is PQ-encoded to ``m`` small ints, and the
+    (vec_id, codes) table is written PARTITIONED BY bucket. Returns the
+    residual codebooks (the trained state a caller persists beside the
+    index; ``search_ivfpq_index`` needs them back).
+
+    This is the composition FAISS IVFPQ stores in RAM, expressed as a
+    parquet layout: at 100 TB the float corpus never gets re-read — probes
+    prune bucket directories (PartitionFilters) and the scan IO is the
+    codes table, ~m/(4·dim) of the float bytes (16/256 = 6% at dim=64,
+    and row-group column pruning drops the rest).
+
+    One Arrow pass assigns + encodes (coarse centroids and codebooks ride
+    as closure constants); the only exchange is the partitioned write's
+    file routing.
+    """
+    crows = sorted(centroids.collect(), key=lambda r: r["label"])
+    C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    labels = np.asarray([int(r["label"]) for r in crows])
+
+    rows = (
+        embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
+    )
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    assign = _sq_dists(X, C).argmin(1)
+    books = _train_pq_numpy(X - C[assign], m, n_centroids)
+    mm, kk, sub = books.shape
+
+    @F.pandas_udf("struct<bucket:int, codes:array<int>>")
+    def enc(s: pd.Series) -> pd.DataFrame:
+        Xb = np.asarray(s.tolist(), dtype=np.float64)
+        b = _sq_dists(Xb, C).argmin(1)
+        R = Xb - C[b]
+        codes = np.empty((len(Xb), mm), dtype=np.int32)
+        for j in range(mm):
+            Rj = R[:, j * sub : (j + 1) * sub]
+            codes[:, j] = _sq_dists(Rj, books[j]).argmin(1)
+        return pd.DataFrame(
+            {"bucket": labels[b].astype(np.int32), "codes": list(codes)}
+        )
+
+    (
+        embeddings.select("vec_id", enc("embedding").alias("_e"))
+        .select("vec_id", "_e.bucket", "_e.codes")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return books
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    books,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    max_queries: int = 2_000,
+) -> DataFrame:
+    """Probe a materialized IVF+PQ index: rank ``nprobe`` buckets per
+    query, scan ONLY those bucket partitions of the CODES table, and
+    ADC-score codes against per-(query, probed-bucket) LUTs. Same
+    semantics as the in-memory ``ann_ivf_pq``; the difference is what the
+    cluster reads — pruned partitions of m-int codes instead of the float
+    corpus.
+
+    LUTs are keyed by the |Q|·nprobe probed pairs only (not dense over
+    nlist), so closure memory is O(|Q|·nprobe·m·k); ``max_queries``
+    guards it exactly like ``ann_ivf_pq``.
+    """
+    crows = sorted(centroids.collect(), key=lambda r: r["label"])
+    C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    labels = [int(r["label"]) for r in crows]
+    lab_to_idx = {lab: i for i, lab in enumerate(labels)}
+    mm, kk, sub = books.shape
+
+    qrows = (
+        queries.select("vec_id", "embedding").limit(max_queries + 1).collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"search_ivfpq_index: query side exceeds max_queries="
+            f"{max_queries}; chunk the query set and union"
+        )
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    n_q = len(q_ids)
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    qd2 = _sq_dists(Q, C)
+    # sparse LUTs: only the probed (query, bucket) pairs exist
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    probed_buckets: set[int] = set()
+    for qi in range(n_q):
+        for bi in np.argsort(qd2[qi], kind="stable")[:nprobe]:
+            bi = int(bi)
+            probed_buckets.add(labels[bi])
+            r = Q[qi] - C[bi]
+            lut = np.empty((mm, kk))
+            for j in range(mm):
+                lut[j] = ((books[j] - r[j * sub : (j + 1) * sub]) ** 2).sum(1)
+            luts[(qi, bi)] = lut
+
+    index = spark.read.parquet(path)
+    scoped = index.filter(F.col("bucket").isin(sorted(probed_buckets)))
+    jj = np.arange(mm)
+
+    @F.pandas_udf("array<double>")
+    def adc(bucket: pd.Series, codes: pd.Series) -> pd.Series:
+        cd = np.asarray(codes.tolist(), dtype=np.int64)
+        bk = bucket.to_numpy()
+        out = np.full((len(cd), n_q), np.inf)
+        for lab in np.unique(bk):
+            bi = lab_to_idx[int(lab)]
+            sel = bk == lab
+            csel = cd[sel]
+            for qi in range(n_q):
+                lut = luts.get((qi, bi))
+                if lut is not None:
+                    out[sel, qi] = lut[jj[None, :], csel].sum(1)
+        return pd.Series(list(out))
+
+    q_id_arr = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        scoped.select(
+            "vec_id", F.posexplode(adc("bucket", "codes")).alias("qi", "adc")
+        )
+        .filter(F.col("adc") != F.lit(float("inf")))
+        .withColumn("q_id", F.element_at(q_id_arr, F.col("qi") + 1))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.round("adc", 6).alias("adc_dist"))
+    )

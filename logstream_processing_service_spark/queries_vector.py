@@ -246,3 +246,29 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_int8_report(_t(spark, sf_dir, "embeddings"))
+
+
+@spec("ann_ivfpq_index", None, "similarity", "pq", "ivf", "index", "rows-only")
+def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF+PQ: build the partitioned codes index into a temp
+    dir, then probe it — the end-to-end storage-layout path (rows-only:
+    trained codebooks; equality with the in-memory ann_ivf_pq and the
+    partition-pruning proof are asserted in tests/test_pq.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import (
+        build_ivfpq_index,
+        label_centroids,
+        search_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    path = tempfile.mkdtemp(prefix="ivfpq-index-")
+    books = build_ivfpq_index(emb, cents, path, m=8, n_centroids=16)
+    return search_ivfpq_index(
+        spark, path, cents, books, emb.filter(F.col("vec_id") < 10), k=5,
+        nprobe=2,
+    )

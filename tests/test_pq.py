@@ -92,3 +92,35 @@ def test_pq_query_cap_guards(spark, sf_dir):
         S.ann_pq(emb, q, k=2, max_queries=2)
     with pytest.raises(ValueError, match="max_queries"):
         S.ann_ivf_pq(emb, q, k=2, max_queries=2)
+
+
+def test_ivfpq_materialized_index_matches_inmemory(spark, sf_dir, tmp_path):
+    """The materialized codes index must (a) partition-prune unprobed
+    buckets and (b) return exactly the in-memory ann_ivf_pq results
+    (same centroids, same deterministic codebook training)."""
+    from logstream_processing_service_spark.operators.similarity import (
+        ann_ivf_pq,
+        build_ivfpq_index,
+        label_centroids,
+        search_ivfpq_index,
+    )
+    from logstream_processing_service_spark.plans import partition_filters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "ivfpq")
+    books = build_ivfpq_index(emb, cents, path, m=8, n_centroids=16)
+    got = search_ivfpq_index(
+        spark, path, cents, books, queries, k=3, nprobe=2
+    )
+    assert "bucket" in partition_filters(got)
+    want = ann_ivf_pq(
+        emb, queries, k=3, m=8, n_centroids=16, nprobe=2, coarse=cents
+    )
+    got_m = {(r["q_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    want_m = {(r["q_id"], r["rank"]): r["vec_id"] for r in want.collect()}
+    assert got_m == want_m
+    # codes table is skinny: no embedding column in the index schema
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "codes", "bucket"}
