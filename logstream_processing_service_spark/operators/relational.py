@@ -727,3 +727,59 @@ def value_histogram(df: DataFrame, n_bins: int = 20, lo: float = 0.0, hi: float 
         )
         .orderBy("bin")
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 AFTER step 1, then step 3 after that — strict event-order
+    sequence matching, the product-analytics primitive a bag-of-events
+    count can't express (a user who purchased before signing up is NOT a
+    stage-3 conversion).
+
+    Plan: non-funnel events are filtered BEFORE the one user-keyed
+    exchange; each user's step sequence folds in-row through an integer
+    state machine (advance on step == state+1 over the (ts, event_id)-
+    ordered list — one pass, no joins-per-step, no window). The final
+    per-stage rollup is a single tiny aggregate. The k-join SQL funnel
+    runs k shuffles; this shape runs one at any k.
+    """
+    step_map = F.lit(0)
+    for i, s in enumerate(reversed(steps)):
+        step_map = F.when(
+            F.col("event_type") == s, F.lit(len(steps) - i)
+        ).otherwise(step_map)
+    mapped = events.select(
+        "user_id", "ts", "event_id", step_map.cast("int").alias("step")
+    ).filter(F.col("step") > 0)
+    per_user = (
+        mapped.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, "
+                "step))), e -> e.step)"
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate(seq, 0, (a, x) -> a + (CASE WHEN x = a + 1 "
+                "THEN 1 ELSE 0 END))"
+            ).alias("max_stage"),
+        )
+    )
+    k = len(steps)
+    sums = per_user.agg(
+        *[
+            F.sum(F.when(F.col("max_stage") >= s, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_s{s}")
+            for s in range(1, k + 1)
+        ]
+    )
+    stack_args = ", ".join(f"{s}, _s{s}" for s in range(1, k + 1))
+    return sums.select(
+        F.expr(f"stack({k}, {stack_args}) AS (stage, n_users)")
+    ).select(F.col("stage").cast("int"), F.col("n_users").cast("bigint"))

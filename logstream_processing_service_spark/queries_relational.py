@@ -668,3 +668,38 @@ def _robust_anomaly_oracle(k: float = 3.0) -> str:
 )
 def q_robust_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.robust_anomaly_stats(_t(spark, sf_dir, "events"))
+
+
+def _funnel_oracle(steps: tuple[str, ...] = ("signup", "view", "purchase")) -> str:
+    arms = " ".join(
+        f"WHEN event_type = '{s}' THEN {i + 1}" for i, s in enumerate(steps)
+    )
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    k = len(steps)
+    return f"""
+    WITH m AS (
+        SELECT user_id, ts, event_id, CASE {arms} ELSE 0 END AS step
+        FROM events WHERE event_type IN ({in_list})
+    ),
+    o AS (
+        SELECT user_id, list(step ORDER BY ts, event_id) AS seq
+        FROM m GROUP BY user_id
+    ),
+    f AS (
+        SELECT user_id,
+               list_reduce(list_prepend(0, seq),
+                   (a, x) -> a + CASE WHEN x = a + 1 THEN 1 ELSE 0 END)
+                   AS max_stage
+        FROM o
+    )
+    SELECT CAST(s.range AS INT) AS stage,
+           CAST(sum(CASE WHEN f.max_stage >= s.range THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users
+    FROM f, range(1, {k + 1}) s
+    GROUP BY 1
+    """
+
+
+@spec("funnel_stages", _funnel_oracle(), "sequence", "funnel", "A-ext")
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.funnel_stages(_t(spark, sf_dir, "events"))

@@ -244,3 +244,29 @@ def test_robust_anomaly_stats_planted_outlier(spark):
     assert a["n_outliers"] == 1 and a["n"] == 22
     b = got["b"]
     assert b["mad"] == 0.0 and b["n_outliers"] == 0
+
+
+def test_funnel_stages_strict_order(spark):
+    from logstream_processing_service_spark.operators.relational import (
+        funnel_stages,
+    )
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 00:00:00", 1, "signup"),
+        (1, "2024-01-01 01:00:00", 2, "view"),
+        (1, "2024-01-01 02:00:00", 3, "purchase"),
+        # user 2: purchase BEFORE signup — must stop at stage 1
+        (2, "2024-01-01 00:00:00", 4, "purchase"),
+        (2, "2024-01-01 01:00:00", 5, "signup"),
+        # user 3: signup then purchase (no view) — stage 1 only
+        (3, "2024-01-01 00:00:00", 6, "signup"),
+        (3, "2024-01-01 01:00:00", 7, "purchase"),
+        # user 4: never enters the funnel
+        (4, "2024-01-01 00:00:00", 8, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r["stage"]: r["n_users"] for r in funnel_stages(df).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
