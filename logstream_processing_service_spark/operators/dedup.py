@@ -882,3 +882,45 @@ def paragraph_dedup(
             F.col("n_dup_paras").cast("double") / F.col("n_paras"),
         )
     )
+
+
+def cross_source_dup_matrix(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Provenance view of near-duplication: for every (unordered) pair of
+    sources, how many MinHash near-dup pairs span them — the report that
+    tells a curator WHICH feeds copy from each other (syndication,
+    mirrors, scraper overlap) vs which merely self-duplicate
+    (source_a = source_b rows).
+
+    Scale shape: the pair list is the (small) dedup output; attaching the
+    two source labels is two joins against a skinny (doc_id, source)
+    projection — broadcast when the pair list is small, shuffled hash
+    joins otherwise (AQE picks); the final matrix aggregate is
+    |sources|² rows at most.
+    """
+    pairs = minhash_lsh_pairs(documents, n=n, threshold=threshold)
+    src = documents.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("d1"), F.col("source").alias("_s1")
+            ),
+            "d1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("d2"), F.col("source").alias("_s2")
+            ),
+            "d2",
+        )
+        .select(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -902,3 +902,28 @@ def _dataset_card_oracle() -> str:
 )
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.dataset_card(_t(spark, sf_dir, "documents"))
+
+
+def _cross_source_oracle() -> str:
+    return f"""
+    WITH {_minhash_cte()},
+    prs AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.8),
+    lab AS (
+        SELECT least(a.source, b.source) AS source_a,
+               greatest(a.source, b.source) AS source_b
+        FROM prs
+        JOIN documents a ON prs.d1 = a.doc_id
+        JOIN documents b ON prs.d2 = b.doc_id
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM lab GROUP BY source_a, source_b
+    """
+
+
+@spec(
+    "cross_source_dup_matrix",
+    _cross_source_oracle(),
+    "north-star", "dedup", "provenance",
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.cross_source_dup_matrix(_t(spark, sf_dir, "documents"))

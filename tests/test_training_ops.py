@@ -270,3 +270,18 @@ def test_funnel_stages_strict_order(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     got = {r["stage"]: r["n_users"] for r in funnel_stages(df).collect()}
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_cross_source_dup_matrix_consistent_with_pairs(spark):
+    from logstream_processing_service_spark.operators.dedup import (
+        cross_source_dup_matrix,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark)
+    mat = cross_source_dup_matrix(docs)
+    rows = mat.collect()
+    n_pairs = minhash_lsh_pairs(docs, threshold=0.8).count()
+    assert sum(r["n_dup_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
