@@ -374,16 +374,26 @@ def robust_anomaly_stats(events: DataFrame, k: float = 3.0) -> DataFrame:
     the DuckDB ``quantile_cont`` twin (interpolation commutes with
     power-of-two scaling, so the doubles agree bit-for-bit).
     """
-    med = events.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    # the tiny per-type stat frames are persisted: both are consumed by
+    # two downstream branches, and without materialization each consumer
+    # re-runs the whole upstream pass (6 fact scans instead of the 3 the
+    # dependency chain requires)
+    med = (
+        events.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("med"))
+        .persist()
     )
     dev = events.join(F.broadcast(med), "event_type").withColumn(
         "_ad", F.abs(F.col("value") - F.col("med"))
     )
-    stats = dev.groupBy("event_type").agg(
-        F.first("med").alias("med"),
-        F.percentile("_ad", F.lit(0.5)).alias("mad"),
-        F.count(F.lit(1)).alias("n"),
+    stats = (
+        dev.groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile("_ad", F.lit(0.5)).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist()
     )
     flagged = (
         dev.join(

@@ -398,13 +398,17 @@ def dataset_card(documents: DataFrame) -> DataFrame:
     (matches DuckDB ``quantile_cont`` bit-for-bit on integer inputs —
     same determinism argument as ``doc_length_quartiles``).
     """
+    # persisted: three different grouping grains (source / source,lang /
+    # source,hash) consume this doc-grain frame — without materialization
+    # each one re-scans and re-md5s the full text column (the
+    # duplicate_spans lesson). ~25 B/doc in cache; at 100 TB stage the
+    # same projection to parquet instead of the block manager.
     base = documents.select(
-        "doc_id",
         "source",
         "lang",
         F.length("text").alias("n_chars"),
         F.expr(T.hash48_sql("text")).alias("_h"),
-    )
+    ).persist()
     per_source = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
