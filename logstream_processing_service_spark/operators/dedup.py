@@ -570,7 +570,7 @@ def decontaminate_report(
         F.explode(
             F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
         ).alias("s"),
-    )
+    ).persist()  # two consumers (eval set + train semi-join): one md5 scan
     eval_sh = sh.filter(F.col("split") == "test").select("s").distinct()
     contaminated = (
         sh.filter(F.col("split") == "train")
@@ -613,12 +613,19 @@ def contamination_overlap(
     from .sampling import split_bucket
 
     # the split label is a PURE FUNCTION of doc_id (keyed md5 hash), so it
-    # is recomputed in-row on the shingle stream — no corpus-grain join
-    sh = shingle_table(documents, n, max_doc_freq=0).withColumn(
-        "split",
-        F.when(
-            split_bucket("doc_id", salt) < test_threshold_hex, "test"
-        ).otherwise("train"),
+    # is recomputed in-row on the shingle stream — no corpus-grain join.
+    # persist(): the eval branch and the train branch both consume this
+    # stream; un-materialized each re-runs the md5 shingle scan (the
+    # duplicate_spans lesson — at 100 TB stage to parquet instead)
+    sh = (
+        shingle_table(documents, n, max_doc_freq=0)
+        .withColumn(
+            "split",
+            F.when(
+                split_bucket("doc_id", salt) < test_threshold_hex, "test"
+            ).otherwise("train"),
+        )
+        .persist()
     )
     eval_sh = (
         sh.filter(F.col("split") == "test")
