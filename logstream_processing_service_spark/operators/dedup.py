@@ -110,9 +110,13 @@ def ngram_jaccard_pairs(
 
     Scale: the join is keyed on shingle; the frequency cap bounds each key's
     group size, so worst-case candidate pairs per shingle ≤ cap². Pair
-    aggregation shuffles on (d1, d2).
+    aggregation shuffles on (d1, d2). The capped shingle stream is
+    persisted — three consumers (per-doc sizes + both inverted-index join
+    sides); un-materialized each re-runs the md5 shingle scan (AQE
+    exchange reuse does not apply: the consumers sit under differently-
+    keyed exchanges). At 100 TB stage it to parquet instead.
     """
-    sh = shingle_table(documents, n, max_doc_freq)
+    sh = shingle_table(documents, n, max_doc_freq).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
@@ -205,6 +209,9 @@ def minhash_lsh_pairs(
         shingle_table(documents, n, max_doc_freq=0)
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("ss"))
+        .persist()  # 4 consumers (hot, signatures, both verify sides):
+        # AQE ReuseExchange recovers only some branches (measured 2 of 4
+        # at sf0.1); the pinned doc-set frame guarantees ONE md5 pass
     )
     # hot shingles (doc frequency > 500) from the exploded sets: map-side
     # partial aggregation compresses each hot key to one row per task; the
