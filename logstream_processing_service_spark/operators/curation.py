@@ -345,6 +345,11 @@ def bigram_logprob(
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
+    # NOT persisted, by measurement: pinning per_doc/bgfreq was tried and
+    # came out 1.25× SLOWER warm at sf0.1 — the doc×bigram frame is wide
+    # enough that the cache write costs more than the branch re-run AQE
+    # already partially reuses. (Contrast the dedup paths, where persist
+    # won 2.9×: there the re-run is the md5 scan, pure CPU.)
     per_doc = pairs.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
