@@ -176,3 +176,62 @@ def test_stratified_sample_salt_and_subset(spark):
     assert 0.35 * n_a < len(rows) < 0.65 * n_a
     other = stratified_sample(df, "k", "cls", {"a": "80"}, salt="sample-v2")
     assert {r["k"] for r in other.collect()} != {r["k"] for r in rows}
+
+
+def test_round3_ops_repartition_invariant(spark):
+    """Partitioning must never change results: weighted sampling, shard
+    assignment, and the quality-keeper dedup table are all keyed on
+    stable hashes, so an arbitrary repartition (cluster resize, skewed
+    input layout) yields the identical output — the reproducibility
+    contract a 100 TB curation rerun depends on."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.dedup import (
+        dedup_keep_table,
+    )
+    from logstream_processing_service_spark.operators.sampling import (
+        shard_assignment,
+        weighted_sample,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    scrambled = docs.repartition(7, F.col("n_chars"))
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = docs.select("doc_id", "source", "n_chars")
+    b = scrambled.select("doc_id", "source", "n_chars")
+    assert rows(weighted_sample(a, "doc_id", "n_chars", 40)) == rows(
+        weighted_sample(b, "doc_id", "n_chars", 40)
+    )
+    assert rows(shard_assignment(a, "doc_id", 8)) == rows(
+        shard_assignment(b, "doc_id", 8)
+    )
+    assert rows(dedup_keep_table(docs)) == rows(dedup_keep_table(scrambled))
+
+
+def test_funnel_repartition_and_subset_monotone(spark):
+    """funnel_stages is order-insensitive to physical layout, and stage
+    counts are monotonically non-increasing."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.relational import (
+        funnel_stages,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    got1 = {r["stage"]: r["n_users"] for r in funnel_stages(ev).collect()}
+    got2 = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(ev.repartition(11, F.col("value"))).collect()
+    }
+    assert got1 == got2
+    stages = sorted(got1)
+    assert all(got1[stages[i]] >= got1[stages[i + 1]] for i in range(len(stages) - 1))
