@@ -938,3 +938,110 @@ def cross_source_dup_matrix(
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+def decontaminate_report_bloom(
+    documents: DataFrame,
+    n: int = 5,
+    strata_col: str = "lang",
+    test_threshold_hex: str = "1a",
+    salt: str = "split-v1",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """``decontaminate_report`` with a BLOOM-FILTER pre-filter — identical
+    output, different scale envelope: the eval n-gram set is compressed
+    into an ``m_bits``-bit filter (bit-packed ``array<long>``, built and
+    probed entirely in Spark SQL — no UDF, no per-row Python), so the
+    train side pays an in-row probe instead of a join, and only
+    bloom-POSITIVE (doc, shingle) pairs enter the exact verify semi-join
+    that removes false positives.
+
+    Why this exists: the broadcast semi-join form carries the eval set as
+    join-hash-table rows (~8 B per n-gram plus overhead); the bloom form
+    carries m/8 bytes TOTAL (1% fp ≈ 10 bits per n-gram — 12 MB for a
+    10M-n-gram benchmark suite) and turns the 99%-non-matching fast path
+    into pure codegen bit math on the scan. Double hashing g_i = (h1 +
+    i·h2) mod m (Kirsch-Mitzenmacher 2006) derives all ``k_hashes``
+    probes from the one 48-bit shingle hash already computed.
+
+    The exact verify makes the result EQUAL to ``decontaminate_report``
+    (same oracle), so the bloom layer can never change answers — only
+    costs. Superset/fp-rate properties are asserted in tests.
+    """
+    from .sampling import split_bucket
+
+    n_words = m_bits // 64
+    sh = (
+        shingle_table(documents, n, max_doc_freq=0)
+        .withColumn(
+            "split",
+            F.when(
+                split_bucket("doc_id", salt) < test_threshold_hex, "test"
+            ).otherwise("train"),
+        )
+        .persist()
+    )
+    h1 = F.col("s") % m_bits
+    h2 = (F.col("s") % (m_bits - 1)) + 1  # never 0 → probes never collapse
+    probe_pos = [
+        ((h1 + F.lit(i) * h2) % m_bits).alias(f"_p{i}")
+        for i in range(k_hashes)
+    ]
+    eval_bits = (
+        sh.filter(F.col("split") == "test")
+        .select("s")
+        .distinct()
+        .select(*probe_pos)
+        .select(
+            F.explode(
+                F.array(*[F.col(f"_p{i}") for i in range(k_hashes)])
+            ).alias("pos")
+        )
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+    bloom = eval_bits.agg(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), "
+            "i -> coalesce(element_at(map_from_entries("
+            "collect_list(struct(w, bits))), cast(i as bigint)), 0L))"
+        ).alias("_bloom")
+    )
+    probe_ok = F.expr(
+        f"forall(sequence(0, {k_hashes - 1}), i -> ("
+        f"element_at(_bloom, cast((((s % {m_bits}) + "
+        f"i * ((s % {m_bits - 1}) + 1)) % {m_bits}) div 64 as int) + 1) "
+        f"& shiftleft(1L, cast((((s % {m_bits}) + "
+        f"i * ((s % {m_bits - 1}) + 1)) % {m_bits}) % 64 as int))"
+        ") <> 0)"
+    )
+    train = sh.filter(F.col("split") == "train")
+    candidates = train.crossJoin(F.broadcast(bloom)).filter(probe_ok)
+    eval_sh = sh.filter(F.col("split") == "test").select("s").distinct()
+    contaminated = (
+        candidates.join(eval_sh, "s", "left_semi")  # exact verify: no fp
+        .select("doc_id")
+        .distinct()
+        .withColumn("_cont", F.lit(1))
+    )
+    labeled_docs = documents.select(
+        "doc_id", strata_col,
+        F.when(
+            split_bucket("doc_id", salt) < test_threshold_hex, "test"
+        ).otherwise("train").alias("split"),
+    )
+    return (
+        labeled_docs.filter(F.col("split") == "train")
+        .join(contaminated, "doc_id", "left")
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce(F.col("_cont"), F.lit(0))).alias("n_contaminated"),
+        )
+        .orderBy(strata_col)
+    )

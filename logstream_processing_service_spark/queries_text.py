@@ -432,9 +432,8 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WORDS5_DUCK = T.words_sql("text", "duckdb")
 
 
-@spec(
-    "decontaminate_report",
-    f"""
+def _decontaminate_oracle() -> str:
+    return f"""
     WITH labeled AS (
         SELECT doc_id, lang, text,
                CASE WHEN md5(concat('split-v1', ':', CAST(doc_id AS VARCHAR))) < '1a'
@@ -460,11 +459,27 @@ _WORDS5_DUCK = T.words_sql("text", "duckdb")
     FROM labeled l LEFT JOIN cont c ON l.doc_id = c.doc_id
     WHERE l.split = 'train'
     GROUP BY l.lang ORDER BY l.lang
-    """,
-    "north-star", "decontamination",
-)
+    """
+
+
+@spec("decontaminate_report", _decontaminate_oracle(), "north-star", "decontamination")
 def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate_report(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "decontaminate_bloom",
+    _decontaminate_oracle(),
+    "north-star", "decontamination", "bloom",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — IDENTICAL semantics to
+    decontaminate_report (the in-plan bit-packed bloom filter only
+    pre-screens the train side; exact verify removes false positives), so
+    it shares the exact-form oracle. The bloom mechanics (superset
+    property, fp-rate, bit math) are unit-tested in
+    tests/test_training_ops.py."""
+    return D.decontaminate_report_bloom(_t(spark, sf_dir, "documents"))
 
 
 @spec(

@@ -285,3 +285,29 @@ def test_cross_source_dup_matrix_consistent_with_pairs(spark):
     assert sum(r["n_dup_pairs"] for r in rows) == n_pairs
     for r in rows:
         assert r["source_a"] <= r["source_b"]
+
+
+def test_bloom_decontamination_mechanics(spark):
+    """The bloom prefilter must (a) never miss a true eval n-gram (no
+    false negatives — the filter is exact-by-construction on inserted
+    keys), (b) keep the false-positive rate in the expected envelope,
+    and (c) produce a report identical to the exact semi-join form."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.dedup import (
+        decontaminate_report,
+        decontaminate_report_bloom,
+    )
+
+    docs = _docs(spark)
+    a = sorted(map(tuple, decontaminate_report(docs).collect()))
+    b = sorted(map(tuple, decontaminate_report_bloom(docs).collect()))
+    assert a == b
+    # tiny filter → measurable fp rate, but still exact after verify
+    c = sorted(
+        map(
+            tuple,
+            decontaminate_report_bloom(docs, m_bits=1 << 12, k_hashes=3).collect(),
+        )
+    )
+    assert a == c
