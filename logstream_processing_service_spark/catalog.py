@@ -69,9 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_keep_table", "weighted_sample_docs", "shard_assignment",
     "embedding_int8_report", "subword_token_counts", "dataset_card",
     "robust_anomaly_stats", "ann_ivfpq_index", "funnel_stages",
-    "cross_source_dup_matrix",
+    "cross_source_dup_matrix", "decontaminate_bloom",
     # (c) vector/ML layer re-verify
-    "embedding_near_dup",
     "embedding_near_dup_lsh", "clustering_quality", "kmeans_refit_assign",
     # (c) decimal-fixed analytics + sessionization re-verify
     "user_sessions", "pricing_summary", "top_revenue_orders",
