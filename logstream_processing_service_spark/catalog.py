@@ -70,8 +70,9 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_int8_report", "subword_token_counts", "dataset_card",
     "robust_anomaly_stats", "ann_ivfpq_index", "funnel_stages",
     "cross_source_dup_matrix", "decontaminate_bloom",
+    "distinct_actors_hll_registry",
     # (c) vector/ML layer re-verify
-    "embedding_near_dup_lsh", "clustering_quality", "kmeans_refit_assign",
+    "embedding_near_dup_lsh", "clustering_quality",
     # (c) decimal-fixed analytics + sessionization re-verify
     "user_sessions", "pricing_summary", "top_revenue_orders",
     "customer_order_stats", "promo_revenue", "large_volume_customers",

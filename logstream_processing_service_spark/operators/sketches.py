@@ -1,0 +1,62 @@
+"""Mergeable-sketch operators (Apache DataSketches via Spark SQL builtins).
+
+The 100 TB pattern these enable: distinct-count questions are answered
+from PRE-AGGREGATED sketch tables, never by re-scanning raw events. A
+daily job reduces each (key, day) slice to a KB-sized HLL sketch; any
+later rollup — per key over a year, global over everything — is a
+sketch UNION, milliseconds over megabytes instead of a shuffle over
+terabytes. Sketches are commutative+associative (true map-side combine)
+and closed under union, which exact distinct sets are not.
+
+Reference parity: the reference computes ``nunique()`` driver-side over
+fetched frames (src/ml/volume_analyzer.py:111, src/db/incident_ops.py:88)
+— the sketch registry is its scale-correct replacement, with
+``relational.distinct_actors`` as the exact twin the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_daily_registry(
+    events: DataFrame,
+    key_col: str = "event_type",
+    actor_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """The incremental state table: one HLL sketch per (key, day).
+
+    One shuffle keyed on (key, day) with full map-side partial
+    aggregation; each output row is ~2^lg_k bytes regardless of row
+    count. Persist this table daily; never rebuild history.
+    """
+    return (
+        events.groupBy(
+            F.col(key_col).alias("key"), F.to_date("ts").alias("day")
+        )
+        .agg(F.expr(f"hll_sketch_agg({actor_col}, {lg_k})").alias("sketch"))
+    )
+
+
+def hll_rollup(registry: DataFrame) -> DataFrame:
+    """Roll the registry up to per-key distinct estimates + a grand total
+    row (key = NULL) — pure sketch unions over the tiny registry, no raw
+    data touched. ``allowDifferentLgConfigK=true`` lets registries built
+    at different precisions merge (union degrades to the coarser one).
+    """
+    per_key = registry.groupBy("key").agg(
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sketch, true))"
+        ).cast("bigint").alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    total = registry.agg(
+        F.lit(None).cast("string").alias("key"),
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sketch, true))"
+        ).cast("bigint").alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    return per_key.unionByName(total).orderBy(F.col("key").asc_nulls_last())

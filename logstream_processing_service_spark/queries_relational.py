@@ -703,3 +703,13 @@ def _funnel_oracle(steps: tuple[str, ...] = ("signup", "view", "purchase")) -> s
 @spec("funnel_stages", _funnel_oracle(), "sequence", "funnel", "A-ext")
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.funnel_stages(_t(spark, sf_dir, "events"))
+
+
+@spec("distinct_actors_hll_registry", None, "A6-approx", "sketch-registry", "rows-only")
+def q_distinct_actors_hll_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL registry → per-type + grand-total distinct estimates
+    (rows-only: DataSketches estimates have no DuckDB twin; ≤5% relative
+    error vs exact is asserted in tests/test_training_ops.py)."""
+    from .operators.sketches import hll_daily_registry, hll_rollup
+
+    return hll_rollup(hll_daily_registry(_t(spark, sf_dir, "events")))

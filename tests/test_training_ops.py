@@ -311,3 +311,33 @@ def test_bloom_decontamination_mechanics(spark):
         )
     )
     assert a == c
+
+
+def test_hll_registry_rollup_accuracy(spark):
+    """Union-of-daily-sketches estimates must land within 5% of exact
+    distinct counts, per key and for the grand total."""
+    from logstream_processing_service_spark.operators.sketches import (
+        hll_daily_registry,
+        hll_rollup,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        r["key"]: r["approx_distinct"]
+        for r in hll_rollup(hll_daily_registry(ev)).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact[None] = ev.select("user_id").distinct().count()
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+    # the registry itself is tiny: one row per (key, day)
+    reg = hll_daily_registry(ev)
+    assert reg.count() == ev.select(
+        "event_type", F.to_date("ts")
+    ).distinct().count()
