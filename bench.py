@@ -62,6 +62,13 @@ HEADLINE = [
     "charclass_profile",
     "pii_scan",
     "embedding_int8_report",
+    "funnel_stages",
+    "robust_anomaly_stats",
+    "dataset_card",
+    "subword_token_counts",
+    "cross_source_dup_matrix",
+    "decontaminate_bloom",
+    "distinct_actors_hll_registry",
 ]
 
 

@@ -14,6 +14,8 @@ SimHash, n-gram Jaccard) is the north-star extension, built so that:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -960,10 +962,17 @@ def decontaminate_report_bloom(
     Why this exists: the broadcast semi-join form carries the eval set as
     join-hash-table rows (~8 B per n-gram plus overhead); the bloom form
     carries m/8 bytes TOTAL (1% fp ≈ 10 bits per n-gram — 12 MB for a
-    10M-n-gram benchmark suite) and turns the 99%-non-matching fast path
-    into pure codegen bit math on the scan. Double hashing g_i = (h1 +
-    i·h2) mod m (Kirsch-Mitzenmacher 2006) derives all ``k_hashes``
-    probes from the one 48-bit shingle hash already computed.
+    10M-n-gram benchmark suite). Double hashing g_i = (h1 + i·h2) mod m
+    (Kirsch-Mitzenmacher 2006) derives all ``k_hashes`` probes from the
+    one 48-bit shingle hash already computed.
+
+    The filter is BUILT in pure Spark SQL (bit_or aggregate over
+    bit-packed words) and PROBED by an Arrow-batched numpy closure: the
+    word array rides the task closure once per task. The first version
+    cross-joined the words in as an array<long> column — Spark copies
+    the array value into EVERY joined row, which measured 10× slower
+    than the closure form (the same lesson as ann_pq's LUT: constants go
+    in closures, never in joined columns).
 
     The exact verify makes the result EQUAL to ``decontaminate_report``
     (same oracle), so the bloom layer can never change answers — only
@@ -1005,23 +1014,24 @@ def decontaminate_report_bloom(
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
-    bloom = eval_bits.agg(
-        F.expr(
-            f"transform(sequence(0, {n_words - 1}), "
-            "i -> coalesce(element_at(map_from_entries("
-            "collect_list(struct(w, bits))), cast(i as bigint)), 0L))"
-        ).alias("_bloom")
-    )
-    probe_ok = F.expr(
-        f"forall(sequence(0, {k_hashes - 1}), i -> ("
-        f"element_at(_bloom, cast((((s % {m_bits}) + "
-        f"i * ((s % {m_bits - 1}) + 1)) % {m_bits}) div 64 as int) + 1) "
-        f"& shiftleft(1L, cast((((s % {m_bits}) + "
-        f"i * ((s % {m_bits - 1}) + 1)) % {m_bits}) % 64 as int))"
-        ") <> 0)"
-    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    for r in eval_bits.collect():  # bounded: m_bits/64 rows max
+        words[int(r["w"])] = np.uint64(r["bits"])
+
+    @F.pandas_udf("boolean")
+    def probe(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype=np.uint64)
+        h1 = x % np.uint64(m_bits)
+        h2 = x % np.uint64(m_bits - 1) + np.uint64(1)
+        ok = np.ones(len(x), dtype=bool)
+        for i in range(k_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            w = words[(pos >> np.uint64(6)).astype(np.int64)]
+            ok &= ((w >> (pos & np.uint64(63))) & np.uint64(1)) != 0
+        return pd.Series(ok)
+
     train = sh.filter(F.col("split") == "train")
-    candidates = train.crossJoin(F.broadcast(bloom)).filter(probe_ok)
+    candidates = train.filter(probe(F.col("s")))
     eval_sh = sh.filter(F.col("split") == "test").select("s").distinct()
     contaminated = (
         candidates.join(eval_sh, "s", "left_semi")  # exact verify: no fp
