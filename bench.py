@@ -100,6 +100,12 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist() intermediate frames (shingle streams, stat
+        # frames); the cache lifecycle contract is CALLER-owned — drop them
+        # here so a 49-query run doesn't accumulate dead cached frames that
+        # compete with shuffle/execution memory (each query builds fresh
+        # DataFrames, so there is never cross-query cache reuse to keep)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -674,10 +674,14 @@ def dedup_keep_table(
     order has no reason to pick the clean one).
 
     Every document gets a row: singletons keep themselves (keep=true,
-    cluster_size=1). Scale shape: the cluster table is the (small) dedup
-    output, broadcast back onto the corpus — the full scan takes no
-    exchange; the per-cluster argmax is a ``max_by`` aggregate over the
-    cluster table only (no window over the corpus).
+    cluster_size=1). Scale shape: the per-cluster argmax is a ``max_by``
+    aggregate over the cluster table only (no window over the corpus),
+    and the join strategy for decision-table-back-onto-corpus is left to
+    AQE — on web crawls, near-dup clusters routinely cover 30–50% of all
+    documents, so ``decided`` is O(corpus) rows and a mandatory broadcast
+    would OOM at 100 TB; AQE broadcasts it only when the measured size is
+    actually small, and falls back to a shuffled hash join (both sides
+    keyed on doc_id) otherwise.
     """
     pairs = minhash_lsh_pairs(documents, n=n, threshold=threshold)
     cc = connected_components(pairs)
@@ -698,7 +702,7 @@ def dedup_keep_table(
     )
     return (
         documents.select("doc_id")
-        .join(F.broadcast(decided), "doc_id", "left")
+        .join(decided, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
@@ -1016,7 +1020,11 @@ def decontaminate_report_bloom(
     )
     words = np.zeros(n_words, dtype=np.uint64)
     for r in eval_bits.collect():  # bounded: m_bits/64 rows max
-        words[int(r["w"])] = np.uint64(r["bits"])
+        # Spark's bit_or returns a SIGNED long, so any word with bit 63 set
+        # arrives as a negative Python int; mask to the unsigned 64-bit
+        # range BEFORE the np.uint64 cast (negative-int -> uint64 is
+        # deprecated on numpy 1.26 and an OverflowError on numpy >= 2.0).
+        words[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
 
     @F.pandas_udf("boolean")
     def probe(s: pd.Series) -> pd.Series:

@@ -781,9 +781,14 @@ def funnel_stages(
         )
     )
     k = len(steps)
+    # coalesce: a slice with ZERO funnel events still reports k stages of
+    # 0 users (a global agg over an empty frame sums to NULL, not 0)
     sums = per_user.agg(
         *[
-            F.sum(F.when(F.col("max_stage") >= s, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("max_stage") >= s, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("bigint")
             .alias(f"_s{s}")
             for s in range(1, k + 1)

@@ -136,11 +136,16 @@ def weighted_sample(
     global sort, no window, no shuffle of the corpus. Rows with
     non-positive weight are excluded (they cannot be drawn).
     """
-    # the key is rounded to 6 dp BEFORE ranking (id tie-break after) so the
+    # the key is rounded BEFORE ranking (id tie-break after) so the
     # selected set is insensitive to last-ulp ln() differences between
-    # engines — the oracle orders by the same rounded value
+    # engines — the oracle orders by the same rounded value. 12 dp: large
+    # weights (n_chars in the thousands) put |key| near 1e-4..1e-9, where
+    # a 6 dp round would quantize most keys into a handful of tie groups
+    # broken by id — silently reverting to lowest-id selection instead of
+    # the A-ES inclusion probabilities. 12 dp keeps ~1e-12 granularity
+    # (far above the ~1e-18 cross-engine ln() ulp, far below key spacing).
     key = F.round(
-        F.log(_uniform01(key_col, salt)) / F.col(weight_col).cast("double"), 6
+        F.log(_uniform01(key_col, salt)) / F.col(weight_col).cast("double"), 12
     )
     return (
         df.filter(F.col(weight_col) > 0)

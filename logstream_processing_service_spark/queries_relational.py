@@ -695,7 +695,7 @@ def _funnel_oracle(steps: tuple[str, ...] = ("signup", "view", "purchase")) -> s
     SELECT CAST(s.range AS INT) AS stage,
            CAST(sum(CASE WHEN f.max_stage >= s.range THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_users
-    FROM f, range(1, {k + 1}) s
+    FROM range(1, {k + 1}) s LEFT JOIN f ON true
     GROUP BY 1
     """
 

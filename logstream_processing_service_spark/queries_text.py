@@ -809,7 +809,7 @@ def _weighted_sample_oracle(k: int = 50) -> str:
     return f"""
     WITH u AS (
         SELECT doc_id, source, n_chars,
-               round(ln({u}) / n_chars, 6) AS sample_key
+               round(ln({u}) / n_chars, 12) AS sample_key
         FROM documents WHERE n_chars > 0
     )
     SELECT * FROM u ORDER BY sample_key DESC, doc_id LIMIT {k}

@@ -381,3 +381,27 @@ def test_ann_pq_single_shuffle(spark):
     ]
     assert len(exchanges) == 1, exchanges
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_keep_table_no_mandatory_broadcast(spark):
+    """The decision table is O(corpus) rows on high-dup-fraction corpora
+    (web crawls: 30–50% of docs live in near-dup clusters), so the
+    corpus-side join must carry NO broadcast hint — AQE may still choose
+    broadcast when the measured size is small, but nothing forces it.
+    The assertion targets the analyzed logical plan: a user hint appears
+    there as ResolvedHint before the optimizer folds it into the Join."""
+    from logstream_processing_service_spark.operators.dedup import (
+        dedup_keep_table,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = dedup_keep_table(docs)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # the corpus<-decided join is the root-most LeftOuter join; a user
+    # broadcast hint would print inline on that Join node (rightHint=...).
+    outer = next(
+        l for l in optimized.splitlines() if "Join LeftOuter" in l
+    )
+    assert "hint" not in outer.lower(), outer

@@ -272,6 +272,21 @@ def test_funnel_stages_strict_order(spark):
     assert got == {1: 3, 2: 1, 3: 1}
 
 
+def test_funnel_stages_empty_slice_reports_zero(spark):
+    """A slice with NO funnel events must still report every stage with
+    0 users (a global agg over an empty frame sums to NULL, not 0)."""
+    from logstream_processing_service_spark.operators.relational import (
+        funnel_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "error")],
+        "user_id long, ts string, event_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r["stage"]: r["n_users"] for r in funnel_stages(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
 def test_cross_source_dup_matrix_consistent_with_pairs(spark):
     from logstream_processing_service_spark.operators.dedup import (
         cross_source_dup_matrix,
@@ -311,6 +326,34 @@ def test_bloom_decontamination_mechanics(spark):
         )
     )
     assert a == c
+
+
+def test_bloom_high_bit_words_no_numpy_deprecation(spark):
+    """Spark's ``bit_or`` returns SIGNED longs, so a filter word with bit
+    63 set arrives as a negative Python int; ``np.uint64(negative)`` is
+    deprecated on numpy 1.26 and an OverflowError on numpy >= 2.0. Force
+    the failure mode deterministically — a 256-bit filter saturates under
+    the fixture's eval shingles, so EVERY word has bit 63 set — and
+    assert no DeprecationWarning escapes the driver-side word assembly."""
+    import warnings
+
+    from logstream_processing_service_spark.operators.dedup import (
+        decontaminate_report,
+        decontaminate_report_bloom,
+    )
+
+    docs = _docs(spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        got = sorted(
+            map(
+                tuple,
+                decontaminate_report_bloom(
+                    docs, m_bits=1 << 8, k_hashes=5
+                ).collect(),
+            )
+        )
+    assert got == sorted(map(tuple, decontaminate_report(docs).collect()))
 
 
 def test_hll_registry_rollup_accuracy(spark):
