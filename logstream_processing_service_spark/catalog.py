@@ -42,42 +42,35 @@ def spec(name: str, oracle: str | None, *tags: str):
 
 
 # The driver's correctness run verifies the FIRST 50 registered specs, so
-# registration order is a coverage decision. Round-3 rotation: (a) the 18
-# queries that have NEVER had a driver row in any round (r2 VERDICT "What's
-# wrong #2") lead the window, (b) then everything whose output shape or plan
-# changed this round (array→digest projections, the single-scan
-# duplicate_spans re-plan, the new MERGE batch twin), (c) the remaining
-# slots re-verify the LLM-pipeline vector/ML layer and the decimal-fixed
-# analytics. Double-green unchanged text/curation shapes rotate to the tail.
+# registration order is a coverage decision. Round-4 rotation (r3 VERDICT
+# "Next round" #4): (a) the 36 core-relational queries whose latest driver
+# row is from r1 — their plans are unchanged and locally parity-checked
+# every round, but their only driver rows predate the r2 decimal/
+# representation harness fixes; (b) every query whose plan or semantics
+# changed this round (A-ES key precision, funnel empty-slice, keep-table
+# join strategy, bloom word masking, shard guard); (c) queries NEW this
+# round (driver row on first registration). Double-green r3 shapes rotate
+# to the tail.
 _PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked — warehouse shapes (r2 additions)
-    "nation_trade_volume", "returned_item_customers",
-    "linestatus_priority_split", "customer_order_distribution",
-    "part_supplier_counts", "bracketed_discount_revenue",
-    "heavy_shippers_of_part_family",
-    # (a) never driver-checked — curation/text additions
-    "gopher_quality_report", "oov_rate", "c4_line_stats", "bigram_logprob",
-    "dedup_paragraphs", "doc_length_quartiles", "span_dup_profile",
-    "audio_metadata",
-    # (a) never driver-checked — rows-only ANN/SemDeDup
-    "ann_pq", "semantic_dedup", "ann_ivf_pq",
-    # (b) output-shape / plan changes this round
-    "embed_documents", "multimodal_features", "duplicate_spans",
-    "merge_events_upsert",
-    # (b) round-3 additions (driver row on first registration)
-    "charclass_profile", "pii_scan", "contamination_overlap",
-    "dedup_keep_table", "weighted_sample_docs", "shard_assignment",
-    "embedding_int8_report", "subword_token_counts", "dataset_card",
-    "robust_anomaly_stats", "ann_ivfpq_index", "funnel_stages",
-    "cross_source_dup_matrix", "decontaminate_bloom",
-    "distinct_actors_hll_registry",
-    # (c) vector/ML layer re-verify
-    "embedding_near_dup_lsh", "clustering_quality",
-    # (c) decimal-fixed analytics + sessionization re-verify
-    "user_sessions", "pricing_summary", "top_revenue_orders",
-    "customer_order_stats", "promo_revenue", "large_volume_customers",
-    "part_value_share", "grouping_sets_volume", "supplier_part_revenue",
-    "cheapest_supplier_per_part", "single_failed_supplier_orders",
+    # (a) r1-stale core relational layer
+    "scan_slice", "watermark_bounds", "log_templates", "json_key_volume",
+    "batch_volume", "hourly_volume", "decayed_volume", "value_counts_topk",
+    "distinct_actors", "distinct_actors_approx", "crosstab_counts",
+    "volume_zscore", "volume_history_window", "value_percentiles",
+    "value_percentiles_approx", "value_histogram", "pattern_mining",
+    "pattern_mining_incremental", "incident_upsert_split",
+    "upsert_append_dedup", "keyed_overwrite", "actor_setops",
+    "asof_signup_before_error", "events_in_windows", "rollup_volume",
+    "cube_volume", "revenue_by_nation", "top_quarter_suppliers",
+    "priority_order_counts", "customers_without_orders",
+    "first_order_per_customer", "orders_with_error_events",
+    "small_quantity_part_revenue", "national_market_share",
+    "idle_rich_customers", "brand_priciest_part",
+    # (b) plan/semantics changed in r4
+    "weighted_sample_docs", "funnel_stages", "dedup_keep_table",
+    "decontaminate_bloom", "shard_assignment",
+    # (c) new in r4
+    "streaming_dedup_registry_twin", "dedup_substrings",
 )
 
 

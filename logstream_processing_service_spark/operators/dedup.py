@@ -149,13 +149,15 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, max_doc_freq: int = 500
+) -> DataFrame:
     """Per-doc MinHash signature (16 perms over 48-bit shingle hashes).
 
     The shingle hash IS the minhash input — no second hashing pass; the 16
     linear perms are integer ops over the already-materialized long.
     """
-    sh = shingle_table(documents, n)
+    sh = shingle_table(documents, n, max_doc_freq)
     h = F.col("s")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(T.MINHASH_PRIME)).alias(f"mh_{j}")
@@ -165,15 +167,23 @@ def minhash_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_band_keys(
-    documents: DataFrame, n: int = 3, bands: int | None = None
+    documents: DataFrame,
+    n: int = 3,
+    bands: int | None = None,
+    max_doc_freq: int = 500,
 ) -> DataFrame:
     """(doc_id, band, bkey) LSH band keys from per-doc MinHash signatures —
     the blocking keys shared by batch pair-generation and the streaming
     dedup registry (streaming/dedup.py). One posexplode over the band-key
-    array, so the signature subtree appears once in the plan."""
+    array, so the signature subtree appears once in the plan.
+
+    ``max_doc_freq=0`` disables the hot-shingle cap — required when band
+    keys must be reproducible regardless of how the corpus is sliced into
+    micro-batches (a per-batch doc-frequency cap depends on the slicing).
+    """
     bands = bands or T.MINHASH_BANDS
     rows = len(T.MINHASH_PERMS) // bands
-    sig = minhash_signatures(documents, n)
+    sig = minhash_signatures(documents, n, max_doc_freq)
     keys = F.array(
         *[
             F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])

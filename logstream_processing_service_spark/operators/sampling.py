@@ -160,6 +160,7 @@ def shard_assignment(
     key_col: str,
     n_shards: int = 32,
     salt: str = "shard-v1",
+    max_rows_per_shard: int = 50_000_000,
 ) -> DataFrame:
     """Deterministic training-order assignment: every row gets a shard
     (stable keyed hash mod n_shards — a reproducible global shuffle) and a
@@ -173,10 +174,26 @@ def shard_assignment(
     output file count), an in-shard sort for row_number — exactly the
     write pattern of a sharded training-data export (one sorted file per
     shard). At 100 TB this IS the final repartition before the sink, so
-    the exchange is not extra cost.
+    the exchange is not extra cost — BUT each shard is sorted in ONE
+    task, so n_shards bounds per-task volume: the default 32 on a 100 TB
+    corpus would hand ~3 TB to each sort task and die. The guard fails
+    loudly when expected rows/shard exceeds ``max_rows_per_shard``
+    (default 50M ≈ low-GB task at doc-metadata row widths) instead of
+    spilling for hours; at corpus scale pass n_shards in the thousands —
+    the shard count IS the output file count, so that is the natural
+    choice anyway.
     """
     from ..functions.text import hash48_sql
 
+    n_rows = df.count()
+    if n_rows > n_shards * max_rows_per_shard:
+        raise ValueError(
+            f"shard_assignment: {n_rows} rows over {n_shards} shards = "
+            f"{n_rows // n_shards} rows/shard, above the single-task sort "
+            f"bound of {max_rows_per_shard}; raise n_shards (≈ output "
+            "file count — thousands at corpus scale) or "
+            "max_rows_per_shard if the rows are known to be narrow"
+        )
     h = F.expr(hash48_sql(f"concat('{salt}:', cast({key_col} as string))"))
     shard = (h % n_shards).cast("int")
     w = Window.partitionBy("shard").orderBy("order_key", key_col)

@@ -942,3 +942,104 @@ def _cross_source_oracle() -> str:
 )
 def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cross_source_dup_matrix(_t(spark, sf_dir, "documents"))
+
+
+def _streaming_registry_twin_oracle(n_batches: int = 3) -> str:
+    """The streaming registry's keep set, UNROLLED over a fixed batch
+    split (batch = doc_id % n_batches): batch b's survivors are the docs
+    with no band key in the registry minted by batches < b; within the
+    batch, first-wins per band key over the survivor set (one-pass chain
+    rule — keep iff minimum doc_id on EVERY owned key). Docs with no
+    shingles (shorter than n words) carry no band keys and are always
+    kept. max_doc_freq=0 on both sides: a per-batch hot-shingle cap would
+    make results depend on the slicing."""
+    rows = len(T.MINHASH_PERMS) // T.MINHASH_BANDS
+    mh_cols = ", ".join(
+        f"min({T.minhash_value_sql('s', T.MINHASH_PERMS[j])}) AS mh_{j}"
+        for j in range(len(T.MINHASH_PERMS))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        + ") AS bkey FROM sig_all"
+        for bi in range(T.MINHASH_BANDS)
+    )
+    ctes = [
+        f"""{_SHINGLE_CTE},
+    sig_all AS (SELECT doc_id, {mh_cols} FROM sh_all GROUP BY doc_id),
+    banded_all AS ({band_selects}),
+    bat AS (SELECT doc_id, band, bkey,
+                   CAST(doc_id % {n_batches} AS INT) AS b FROM banded_all)"""
+    ]
+    kept_unions = []
+    for b in range(n_batches):
+        if b == 0:
+            ctes.append("s0 AS (SELECT * FROM bat WHERE b = 0)")
+        else:
+            reg = " UNION ".join(
+                f"SELECT DISTINCT band, bkey FROM bat "
+                f"JOIN k{i} USING (doc_id)"
+                for i in range(b)
+            )
+            ctes.append(f"r{b} AS ({reg})")
+            ctes.append(
+                f"""s{b} AS (
+        SELECT * FROM bat WHERE b = {b} AND doc_id NOT IN (
+            SELECT t.doc_id FROM bat t
+            JOIN r{b} USING (band, bkey) WHERE t.b = {b}))"""
+            )
+        ctes.append(
+            f"""k{b} AS (
+        SELECT DISTINCT d.doc_id FROM s{b} d WHERE NOT EXISTS (
+            SELECT 1 FROM s{b} a JOIN s{b} x
+            ON a.band = x.band AND a.bkey = x.bkey
+            WHERE a.doc_id = d.doc_id AND x.doc_id < d.doc_id))"""
+        )
+        kept_unions.append(f"SELECT doc_id FROM k{b}")
+    kept_unions.append(
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM banded_all)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id, CAST(doc_id % {n_batches} AS INT) AS batch
+    FROM ({" UNION ALL ".join(kept_unions)})
+    ORDER BY doc_id
+    """
+    )
+
+
+@spec(
+    "streaming_dedup_registry_twin",
+    _streaming_registry_twin_oracle(),
+    "north-star", "streaming", "dedup", "T7-ext",
+)
+def q_streaming_dedup_registry_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL streaming registry sink (streaming/dedup.py
+    minhash_dedup_sink — the foreachBatch component) over 3 deterministic
+    micro-batches (batch = doc_id % 3, processed in order) and return the
+    accepted set. The oracle unrolls the same first-arrival-wins registry
+    semantics in SQL, so the driver hash-checks the streaming component's
+    keep decisions end-to-end — registry persistence, replay guard, and
+    in-batch chain rule included. Reruns are idempotent by the sink's own
+    replay design (batch 0 filters the registry to batch_id < 0 = empty)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from .streaming.dedup import minhash_dedup_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    out = f"/tmp/logstream_registry_twin_{tag}"
+    sink = minhash_dedup_sink(out, n=3, max_doc_freq=0)
+    for b in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == b), b)
+    kept = spark.read.parquet(f"{out}/kept")
+    return (
+        kept.select(
+            "doc_id", F.col("_batch").cast("int").alias("batch")
+        ).orderBy("doc_id")
+    )

@@ -67,16 +67,26 @@ def _atomic_overwrite(df: DataFrame, target: str) -> None:
         shutil.rmtree(backup)
 
 
-def minhash_dedup_sink(out_dir: str, n: int = 3, bands: int | None = None):
+def minhash_dedup_sink(
+    out_dir: str,
+    n: int = 3,
+    bands: int | None = None,
+    max_doc_freq: int = 500,
+):
     """foreachBatch sink: accept only documents whose LSH band keys are all
     unseen; maintain the bucket registry. Writes
     ``{out_dir}/kept`` and ``{out_dir}/dropped`` (both partitioned by
-    ``_batch``) and ``{out_dir}/registry/data``."""
+    ``_batch``) and ``{out_dir}/registry/data``.
+
+    ``max_doc_freq`` is the per-BATCH hot-shingle cap (at ingest time only
+    the batch is visible); pass 0 to disable when results must not depend
+    on how the stream was sliced into batches (the batch-twin parity
+    query does)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         reg_path = f"{out_dir}/registry/data"
-        bk = minhash_band_keys(batch_df, n, bands)
+        bk = minhash_band_keys(batch_df, n, bands, max_doc_freq)
         try:
             reg = spark.read.parquet(reg_path)
         except Exception:

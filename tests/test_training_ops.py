@@ -71,6 +71,25 @@ def test_shard_assignment_dense_and_stable(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows} == again
 
 
+def test_shard_assignment_per_shard_volume_guard(spark):
+    """Each shard sorts in ONE task, so undersized n_shards must fail
+    loudly instead of handing a multi-TB sort to a single task."""
+    from logstream_processing_service_spark.operators.sampling import (
+        shard_assignment,
+    )
+
+    docs = _docs(spark).select("doc_id")
+    with pytest.raises(ValueError, match="rows/shard"):
+        shard_assignment(docs, "doc_id", n_shards=2, max_rows_per_shard=10)
+    # explicit override admits the same sizing
+    assert (
+        shard_assignment(
+            docs, "doc_id", n_shards=2, max_rows_per_shard=10**9
+        ).count()
+        == docs.count()
+    )
+
+
 def test_charclass_profile_hand_check(spark):
     from logstream_processing_service_spark.operators.textanalysis import (
         charclass_profile,
