@@ -1073,3 +1073,93 @@ def decontaminate_report_bloom(
         )
         .orderBy(strata_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-grain exact dedup (whole-document containment)
+# ---------------------------------------------------------------------------
+
+
+def substring_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    max_df: int = 5000,
+) -> DataFrame:
+    """Whole-document exact-substring dedup: (contained_id, container_id)
+    pairs where the contained document's WORD SEQUENCE appears contiguously
+    inside the container's — the dedup grain between exact-doc equality
+    (``dedup_exact``) and shared-span profiling (``duplicate_spans``): a
+    short article quoted wholesale inside a digest is a full-containment
+    duplicate that neither of those surfaces as such. Suffix-array
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") is the char-grain sequential analogue; this
+    is its distributed word-grain form.
+
+    Blocking (never all-pairs): if A ⊑ B then EVERY n-shingle of A is a
+    shingle of B — so A's globally RAREST shingle (min document
+    frequency, shingle-hash tie-break) is a complete blocking key:
+    candidates(A) = docs sharing that one shingle, |candidates(A)| =
+    df(rarest) - 1, minimal over all of A's shingles by construction.
+    Verification is exact and char-cheap: word sequences re-joined with
+    single spaces and flanking-space sentinels turn word-subsequence
+    containment into plain ``contains()`` (the sentinels pin word
+    boundaries: 'ab cd' never matches inside 'xab cd'). Identical texts
+    count as mutual containment resolved to the lower-id container.
+
+    Scale shape: one groupBy(s) for document frequency (map-side partial
+    combine — a boilerplate shingle contributes one row per map task, not
+    df rows to one reducer), one groupBy(doc_id) struct-min for the
+    rarest key, one s-keyed candidate join bounded per doc by ``max_df``,
+    and two skinny id-keyed joins to bring in the normalized texts for
+    the final filter. Docs whose rarest shingle has df > ``max_df``
+    (every shingle boilerplate — pathological) are EXCLUDED from the
+    contained side, mirrored exactly in the oracle; raise ``max_df`` to
+    widen coverage. Docs with fewer than ``n`` words carry only the
+    zero-padded short-doc shingle and are excluded from the contained
+    side (``dedup_exact`` still catches their identical twins).
+    """
+    norm = documents.select(
+        "doc_id",
+        F.expr(T.words_sql("text", "spark")).alias("w"),
+    ).select(
+        "doc_id",
+        F.concat(F.lit(" "), F.concat_ws(" ", "w"), F.lit(" ")).alias("ns"),
+        F.size("w").alias("nw"),
+    )
+    sh = shingle_table(documents, n, max_doc_freq=0)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rarest = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "s")).alias("m"))
+        .select("doc_id", F.col("m.s").alias("s"), F.col("m.df").alias("df"))
+        .filter(F.col("df") <= max_df)
+        # contained side must have >= n real words (short docs carry only
+        # the padded shingle, which is not a real blocking key)
+        .join(norm.filter(F.col("nw") >= n).select("doc_id"), "doc_id")
+    )
+    cand = (
+        rarest.select(F.col("doc_id").alias("a"), "s")
+        .join(sh.select(F.col("doc_id").alias("b"), "s"), "s")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    na = norm.select(F.col("doc_id").alias("a"), F.col("ns").alias("ns_a"))
+    nb = norm.select(F.col("doc_id").alias("b"), F.col("ns").alias("ns_b"))
+    return (
+        cand.join(na, "a")
+        .join(nb, "b")
+        .filter(
+            F.col("ns_b").contains(F.col("ns_a"))
+            & (
+                (F.length("ns_a") < F.length("ns_b"))
+                | ((F.col("ns_a") == F.col("ns_b")) & (F.col("a") > F.col("b")))
+            )
+        )
+        .select(
+            F.col("a").alias("contained_id"),
+            F.col("b").alias("container_id"),
+        )
+        .orderBy("contained_id", "container_id")
+    )

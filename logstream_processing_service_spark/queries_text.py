@@ -1043,3 +1043,49 @@ def q_streaming_dedup_registry_twin(spark: SparkSession, sf_dir: str) -> DataFra
             "doc_id", F.col("_batch").cast("int").alias("batch")
         ).orderBy("doc_id")
     )
+
+
+def _substring_containment_oracle(n: int = 3, max_df: int = 5000) -> str:
+    """Rarest-shingle blocking + sentinel-space contains() verify — the
+    same two phases as the Spark operator, constant-for-constant."""
+    return f"""
+    WITH {_SHINGLE_CTE},
+    dfreq AS (SELECT s, count(*) AS df FROM sh_all GROUP BY s),
+    normd AS (
+        SELECT doc_id, ' ' || array_to_string(w, ' ') || ' ' AS ns,
+               len(w) AS nw
+        FROM words
+    ),
+    rarest AS (
+        SELECT doc_id, s, df FROM (
+            SELECT t.doc_id, t.s, d.df,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id ORDER BY d.df, t.s) AS rn
+            FROM sh_all t JOIN dfreq d USING (s)
+        ) WHERE rn = 1 AND df <= {max_df}
+    ),
+    cand AS (
+        SELECT DISTINCT r.doc_id AS a, t.doc_id AS b
+        FROM rarest r
+        JOIN normd na ON r.doc_id = na.doc_id AND na.nw >= {n}
+        JOIN sh_all t ON r.s = t.s AND t.doc_id <> r.doc_id
+    )
+    SELECT a AS contained_id, b AS container_id
+    FROM cand
+    JOIN normd x ON cand.a = x.doc_id
+    JOIN normd y ON cand.b = y.doc_id
+    WHERE contains(y.ns, x.ns)
+      AND (length(x.ns) < length(y.ns) OR (x.ns = y.ns AND a > b))
+    ORDER BY contained_id, container_id
+    """
+
+
+@spec(
+    "dedup_substrings",
+    _substring_containment_oracle(),
+    "north-star", "dedup", "substring-grain",
+)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document substring containment (the word-grain distributed
+    form of suffix-array substring dedup)."""
+    return D.substring_containment_pairs(_t(spark, sf_dir, "documents"))

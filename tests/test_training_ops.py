@@ -403,3 +403,26 @@ def test_hll_registry_rollup_accuracy(spark):
     assert reg.count() == ev.select(
         "event_type", F.to_date("ts")
     ).distinct().count()
+
+
+def test_substring_containment_planted_fixture(spark):
+    """Hand-computable containment set: word-grain containment found,
+    word-boundary fragment NOT matched, identical texts resolve to the
+    lower-id container, sub-n-word docs excluded from the contained side."""
+    from logstream_processing_service_spark.operators.dedup import (
+        substring_containment_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),                  # contained in 2, 4
+        (2, "intro alpha beta gamma delta outro"),      # container
+        (3, "xalpha beta gamma delta boundary check"),  # 'xalpha' != 'alpha'
+        (4, "intro alpha beta gamma delta outro"),      # == 2 → (4, 2)
+        (5, "alpha beta"),                              # < 3 words: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in substring_containment_pairs(df).collect()
+    }
+    assert got == {(1, 2), (1, 4), (4, 2)}
