@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_bloom", "shard_assignment",
     # (c) new in r4
     "streaming_dedup_registry_twin", "dedup_substrings",
+    "leakage_safe_split", "quality_feature_matrix", "embedding_pca",
 )
 
 

@@ -203,3 +203,55 @@ def shard_assignment(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("order_key")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    test_threshold_hex: str = "1a",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/test split at NEAR-DUP-CLUSTER grain: every document inherits
+    the split decision of its cluster's canonical id (singletons split by
+    their own id). A per-document split lets one member of a near-dup
+    cluster land in train while its twin lands in test — the benchmark
+    leakage that silently inflates eval scores; splitting the CLUSTER
+    keeps every near-dup family on one side by construction.
+
+    Output: (doc_id, split_unit_id, split) — ``split_unit_id`` is the id
+    whose hash decided the split (cluster canonical id or own id), kept so
+    audits can group by decision unit.
+
+    Scale shape: the cluster resolution is ``dedup_clusters`` (banded LSH
+    + pointer-jumping components — never all-pairs); the split itself adds
+    one doc_id-keyed left join and an in-row md5. The same stability
+    contract as ``deterministic_split`` holds at cluster grain: growing
+    the corpus never flips an existing cluster's side unless the growth
+    MERGES clusters (then the merged family re-decides together — which is
+    exactly the leakage-safe behavior).
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(documents, n=n, threshold=threshold).select(
+        F.col("doc_id").alias("_cluster_doc"), "canonical_id"
+    )
+    return (
+        documents.select(key_col)
+        .join(clusters, F.col(key_col) == F.col("_cluster_doc"), "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("canonical_id"), F.col(key_col)).alias(
+                "split_unit_id"
+            ),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                split_bucket("split_unit_id", salt) < test_threshold_hex,
+                "test",
+            ).otherwise("train"),
+        )
+        .orderBy(key_col)
+    )

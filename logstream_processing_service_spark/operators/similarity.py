@@ -931,3 +931,148 @@ def search_ivfpq_index(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", F.round("adc", 6).alias("adc_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding corpus
+# ---------------------------------------------------------------------------
+
+
+def pca_model(
+    embeddings: DataFrame, emb_col: str = "embedding", k: int = 8
+):
+    """Exact PCA of the embedding corpus, computed the distributed way: a
+    single Arrow-batched pass produces one (n, Σx, XᵀX) moment partial PER
+    TASK, the d²+d moment cells are summed by a grouped aggregate (never
+    on the driver), and only the d×d covariance — KBs, corpus-size-
+    independent — reaches the driver for the numpy eigensolve.
+
+    Why moments and not gram-matrix-on-driver: XᵀX partials are additive,
+    so the full pass is one map + one tiny keyed aggregate — the same
+    mergeable-sketch shape as the HLL registry; the driver never sees a
+    row count proportional to the corpus.
+
+    Sign convention: each eigenvector is flipped so its largest-magnitude
+    coordinate is positive — removes the ±v eigensolver ambiguity, making
+    the model reproducible across runs and partitionings (up to float
+    summation order).
+
+    Returns (mean, components[k×d], eigenvalues[d], var_explained[d]) as
+    numpy arrays; eigenvalues/var_explained cover ALL d components so
+    callers can audit the cutoff choice.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = embeddings.select(F.size(emb_col).alias("d")).first()["d"]
+
+    def moments(batches):
+        n = 0
+        s = np.zeros(d)
+        m = np.zeros((d, d))
+        for pdf in batches:
+            X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            m += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "m": [m.ravel().tolist()]}
+            )
+
+    partials = embeddings.select(emb_col).mapInPandas(
+        moments, schema="n long, s array<double>, m array<double>"
+    )
+    # distributed moment-cell sum in ONE aggregate (cell 0 = n, cells
+    # 1..d = Σx, d+1.. = XᵀX) — a second action on `partials` would
+    # re-run the whole moment pass
+    cells = (
+        partials.select(
+            F.posexplode(
+                F.concat(
+                    F.array(F.col("n").cast("double")), F.col("s"), F.col("m")
+                )
+            ).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+    )
+    flat = np.zeros(1 + d + d * d)
+    for r in cells.collect():  # exactly 1+d+d² rows
+        flat[r["i"]] = r["v"]
+    total_n = flat[0]
+    mean = flat[1 : d + 1] / total_n
+    cov = flat[d + 1 :].reshape(d, d) / total_n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.maximum(eigvals[order], 0.0)
+    eigvecs = eigvecs[:, order]
+    for j in range(d):
+        if eigvecs[np.argmax(np.abs(eigvecs[:, j])), j] < 0:
+            eigvecs[:, j] = -eigvecs[:, j]
+    var_explained = eigvals / max(eigvals.sum(), 1e-300)
+    return mean, eigvecs[:, :k].T.copy(), eigvals, var_explained
+
+
+def embedding_pca_report(
+    embeddings: DataFrame, emb_col: str = "embedding", k: int = 8
+) -> DataFrame:
+    """Per-component PCA audit of the embedding corpus: eigenvalue,
+    variance-explained, cumulative variance, plus the corpus-wide
+    reconstruction RMSE using the top-(component+1) subspace — the table
+    that answers "how many PCA dimensions does this embedding column
+    actually need" before committing to a truncated index layout
+    (Matryoshka-style dimension cuts, IVF on projected vectors).
+
+    Two passes over the corpus: the moment pass in ``pca_model`` and one
+    projection pass for the per-k reconstruction errors (a single
+    Arrow-batched UDF computes all k prefix-RMSEs at once — the k
+    subspaces are nested, so error_j is a running sum over components).
+    Outputs are rounded (6 dp) so the report is stable across partition
+    layouts (float summation order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    mean, comps, eigvals, var_exp = pca_model(embeddings, emb_col, k)
+
+    @F.pandas_udf("array<double>")
+    def sq_err_prefixes(s: pd.Series) -> pd.Series:
+        X = np.stack(s.to_numpy()).astype(np.float64) - mean
+        # projections onto each component: (rows, k)
+        P = X @ comps.T
+        total = (X * X).sum(axis=1)
+        # nested subspaces: residual_j = ||x||² - Σ_{i<=j} p_i²
+        cum = np.cumsum(P * P, axis=1)
+        res = np.maximum(total[:, None] - cum, 0.0)
+        return pd.Series(list(res))
+
+    errs = (
+        embeddings.select(sq_err_prefixes(F.col(emb_col)).alias("e"))
+        .select(F.posexplode("e").alias("component", "sq"))
+        .groupBy("component")
+        .agg(F.avg("sq").alias("mse"))
+    )
+    meta = embeddings.sparkSession.createDataFrame(
+        [
+            (
+                j,
+                float(eigvals[j]),
+                float(var_exp[j]),
+                float(var_exp[: j + 1].sum()),
+            )
+            for j in range(k)
+        ],
+        "component int, eigenvalue double, var_explained double, cum_var double",
+    )
+    return (
+        meta.join(errs, "component")
+        .select(
+            "component",
+            F.round("eigenvalue", 6).alias("eigenvalue"),
+            F.round("var_explained", 6).alias("var_explained"),
+            F.round("cum_var", 6).alias("cum_var"),
+            F.round(F.sqrt("mse"), 6).alias("recon_rmse"),
+        )
+        .orderBy("component")
+    )

@@ -18,13 +18,10 @@ def _word_col() -> F.Column:
     return T.words(F.col("text"))
 
 
-def language_id(documents: DataFrame) -> DataFrame:
-    """Stopword-overlap language heuristic.
-
-    Scores each language by the count of distinct tokens found in its
-    stopword set; ties resolve by fixed priority order. (Real pipelines
-    swap in fastText/CLD3 behind the same column contract.)
-    """
+def _langid_cols() -> tuple[dict[str, F.Column], F.Column]:
+    """(per-language score columns, pred_lang column) — shared by
+    ``language_id`` and ``quality_feature_matrix`` so the heuristic
+    cannot drift between the two."""
     w = F.array_distinct(_word_col())
     scores = {
         lang: F.size(
@@ -39,21 +36,27 @@ def language_id(documents: DataFrame) -> DataFrame:
         s = scores[lang]
         pred = F.when(s >= best, F.lit(lang)).otherwise(pred)
         best = F.greatest(best, s)
-    out = documents.select(
+    return scores, F.when(best > 0, pred).otherwise(F.lit("unknown"))
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language heuristic.
+
+    Scores each language by the count of distinct tokens found in its
+    stopword set; ties resolve by fixed priority order. (Real pipelines
+    swap in fastText/CLD3 behind the same column contract.)
+    """
+    scores, pred = _langid_cols()
+    return documents.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in T.LANG_PRIORITY],
-        F.when(best > 0, pred).otherwise(F.lit("unknown")).alias("pred_lang"),
+        pred.alias("pred_lang"),
     )
-    return out
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Heuristic quality features + composite score.
-
-    Features mirror standard corpus-filtering recipes: length, mean word
-    length, stopword ratio, type-token ratio. The composite is a fixed
-    linear blend; ``low_quality`` flags the filter decision.
-    """
+def _quality_cols() -> list[F.Column]:
+    """Aliased quality-feature columns — shared by ``quality_scores`` and
+    ``quality_feature_matrix``."""
     w = _word_col()
     n_words = F.size(w)
     n_chars = F.length(F.col("text"))
@@ -78,8 +81,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     # so the bits are reproducible across engines/cluster sizes — while
     # round() itself differs between engines near half-boundaries (Spark
     # HALF_UP on the exact binary value vs DuckDB's decimal-string view).
-    return documents.select(
-        "doc_id",
+    return [
         n_words.alias("n_words"),
         n_chars.alias("n_chars"),
         mean_wlen.alias("mean_word_len"),
@@ -87,7 +89,17 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         ttr.alias("type_token_ratio"),
         score.alias("quality_score"),
         (score < 0.35).alias("low_quality"),
-    )
+    ]
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score.
+
+    Features mirror standard corpus-filtering recipes: length, mean word
+    length, stopword ratio, type-token ratio. The composite is a fixed
+    linear blend; ``low_quality`` flags the filter decision.
+    """
+    return documents.select("doc_id", *_quality_cols())
 
 
 def token_counts(documents: DataFrame) -> DataFrame:
@@ -293,19 +305,24 @@ def charclass_profile(documents: DataFrame) -> DataFrame:
     Scale shape: four regexp_replace length differences per row, zero
     shuffle, fully codegen'd — streams straight off the scan at any scale.
     """
+    return documents.select("doc_id", *_charclass_cols())
+
+
+def _charclass_cols() -> list[F.Column]:
+    """Aliased character-class columns — shared by ``charclass_profile``
+    and ``quality_feature_matrix``."""
     total = F.length("text")
     n_alpha = total - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
     n_digit = total - F.length(F.regexp_replace("text", "[0-9]", ""))
     n_space = total - F.length(F.regexp_replace("text", "[ \\t\\n]", ""))
-    return documents.select(
-        "doc_id",
+    return [
         total.cast("bigint").alias("n_chars"),
         n_alpha.cast("bigint").alias("n_alpha"),
         n_digit.cast("bigint").alias("n_digit"),
         n_space.cast("bigint").alias("n_space"),
         (total - n_alpha - n_digit - n_space).cast("bigint").alias("n_other"),
         F.round(n_alpha / F.greatest(total, F.lit(1)), 6).alias("alpha_ratio"),
-    )
+    ]
 
 
 PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
@@ -439,4 +456,42 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         per_source.join(lang_mode, "source")
         .join(dup, "source")
         .orderBy("source")
+    )
+
+
+def quality_feature_matrix(documents: DataFrame) -> DataFrame:
+    """The wide per-document feature frame a quality-filter model trains
+    on: heuristic quality features, predicted language, character-class
+    composition, and token-budget estimates, side by side with the
+    ``source``/``lang`` labels — one row per document, ready for a
+    classifier fit or a threshold sweep.
+
+    Built as ONE zero-exchange projection sharing the exact column
+    builders of ``quality_scores`` / ``language_id`` /
+    ``charclass_profile`` / ``subword_token_counts`` — joining those four
+    operators would scan the text 4× and shuffle the doc grain 3×; this
+    computes every feature in-row off a single scan (the column-builder
+    refactor exists precisely so the matrix cannot drift from the
+    per-family operators).
+    """
+    _, pred_lang = _langid_cols()
+    charclass = [
+        c for c in _charclass_cols()
+        # quality cols already carry n_chars
+        if "AS n_chars" not in c._jc.toString()
+    ]
+    segs = F.size(
+        F.regexp_extract_all("text", F.lit(GPT2_PRETOKEN_RE), 0)
+    ).cast("bigint")
+    return documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        *_quality_cols(),
+        pred_lang.alias("pred_lang"),
+        *charclass,
+        segs.alias("pretoken_segments"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("bigint").alias(
+            "bpe_est_tokens"
+        ),
     )

@@ -1089,3 +1089,130 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document substring containment (the word-grain distributed
     form of suffix-array substring dedup)."""
     return D.substring_containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _leakage_safe_split_oracle() -> str:
+    """Cluster canonical ids via the recursive-CTE component resolution,
+    then the same md5 threshold split on coalesce(canonical, own id)."""
+    return f"""
+    WITH RECURSIVE {_minhash_cte()},
+    prs AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM prs
+        UNION ALL SELECT d2, d1 FROM prs
+    ),
+    cc(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, cc.label FROM cc JOIN edges e ON cc.node = e.dst
+    ),
+    canon AS (
+        SELECT node AS doc_id, min(label) AS canonical_id
+        FROM cc GROUP BY node
+    )
+    SELECT d.doc_id,
+           coalesce(c.canonical_id, d.doc_id) AS split_unit_id,
+           CASE WHEN md5(concat_ws(':', 'split-v1',
+                    CAST(coalesce(c.canonical_id, d.doc_id) AS VARCHAR)))
+                    < '1a'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN canon c USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@spec(
+    "leakage_safe_split",
+    _leakage_safe_split_oracle(),
+    "north-star", "sampling", "dedup", "leakage",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-grain train/test split — no near-dup family ever
+    straddles the split boundary."""
+    return S.leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
+def _quality_feature_matrix_oracle() -> str:
+    """Combined single-SELECT oracle for the wide feature frame — the same
+    fragments as the text_quality / language_id / charclass_profile /
+    subword_token_counts oracles, assembled over one ``words`` CTE."""
+    langid_scores = []
+    for lang in T.LANG_PRIORITY:
+        stops = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS[lang])
+        langid_scores.append(
+            f"len(list_filter(list_distinct(w), "
+            f"x -> list_contains([{stops}], x))) AS score_{lang}"
+        )
+    names = [f"score_{lang}" for lang in T.LANG_PRIORITY]
+    ge = {
+        "en": "score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en >= score_zh",
+        "de": "score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh",
+        "fr": "score_fr >= score_es AND score_fr >= score_zh",
+        "es": "score_es >= score_zh",
+    }
+    pat = TA.GPT2_PRETOKEN_RE.replace("'", "''")
+    return f"""
+    WITH words AS (
+        SELECT doc_id, source, lang, text, {_WORDS_DUCK} AS w FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, source, lang, text, w,
+               CAST(len(w) AS INT) AS n_words,
+               CAST(length(text) AS INT) AS n_chars_q,
+               CASE WHEN len(w) > 0
+                    THEN (length(text) - (len(w) - 1)) * 1.0 / len(w)
+                    ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(w) > 0
+                    THEN len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 / len(w)
+                    ELSE 0.0 END AS stop_ratio,
+               CASE WHEN len(w) > 0
+                    THEN len(list_distinct(w)) * 1.0 / len(w)
+                    ELSE 0.0 END AS ttr,
+               {", ".join(langid_scores)},
+               length(text) AS cc_total,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS cc_alpha,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS cc_digit,
+               length(text) - length(regexp_replace(text, '[ \\t\\n]', '', 'g')) AS cc_space,
+               len(regexp_extract_all(text, '{pat}')) AS segs
+        FROM words
+    )
+    SELECT doc_id, source, lang,
+           n_words, n_chars_q AS n_chars,
+           mean_word_len,
+           stop_ratio AS stopword_ratio,
+           ttr AS type_token_ratio,
+           least(n_words / 100.0, 1.0) * 0.3 + least(mean_word_len / 8.0, 1.0) * 0.2
+                 + stop_ratio * 0.2 + ttr * 0.3 AS quality_score,
+           (least(n_words / 100.0, 1.0) * 0.3 + least(mean_word_len / 8.0, 1.0) * 0.2
+                 + stop_ratio * 0.2 + ttr * 0.3) < 0.35 AS low_quality,
+           CASE WHEN greatest({", ".join(names)}) = 0 THEN 'unknown'
+                WHEN {ge["en"]} THEN 'en'
+                WHEN {ge["de"]} THEN 'de'
+                WHEN {ge["fr"]} THEN 'fr'
+                WHEN {ge["es"]} THEN 'es'
+                ELSE 'zh' END AS pred_lang,
+           CAST(cc_alpha AS BIGINT) AS n_alpha,
+           CAST(cc_digit AS BIGINT) AS n_digit,
+           CAST(cc_space AS BIGINT) AS n_space,
+           CAST(cc_total - cc_alpha - cc_digit - cc_space AS BIGINT) AS n_other,
+           round(cc_alpha * 1.0 / greatest(cc_total, 1), 6) AS alpha_ratio,
+           CAST(segs AS BIGINT) AS pretoken_segments,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+    FROM feat
+    """
+
+
+@spec(
+    "quality_feature_matrix",
+    _quality_feature_matrix_oracle(),
+    "north-star", "curation", "features",
+)
+def q_quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan wide per-doc feature frame (quality + lang + charclass +
+    token budgets) for quality-filter training."""
+    from pyspark.sql import functions as F
+
+    out = TA.quality_feature_matrix(_t(spark, sf_dir, "documents"))
+    return out.withColumn("n_words", F.col("n_words").cast("int")).withColumn(
+        "n_chars", F.col("n_chars").cast("int")
+    )

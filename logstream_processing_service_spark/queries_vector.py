@@ -272,3 +272,13 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, cents, books, emb.filter(F.col("vec_id") < 10), k=5,
         nprobe=2,
     )
+
+
+@spec("embedding_pca", None, "vector", "pca", "rows-only")
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-moment PCA audit (eigensolve on a d×d covariance only;
+    no corpus-sized data ever reaches the driver). Rows-only: DuckDB has
+    no eigensolver — correctness is pinned by tests/test_pca.py (exact
+    parity vs an in-memory numpy PCA at test scale, orthonormality,
+    partitioning invariance)."""
+    return S.embedding_pca_report(_t(spark, sf_dir, "embeddings"), k=8)

@@ -405,3 +405,14 @@ def test_dedup_keep_table_no_mandatory_broadcast(spark):
         l for l in optimized.splitlines() if "Join LeftOuter" in l
     )
     assert "hint" not in outer.lower(), outer
+
+
+def test_quality_feature_matrix_zero_exchange_single_scan(spark):
+    """The wide feature frame must stay a single-scan projection — a join
+    of the per-family operators would shuffle the doc grain 3x."""
+    from logstream_processing_service_spark.catalog import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    plan = _plan(specs["quality_feature_matrix"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1

@@ -426,3 +426,28 @@ def test_substring_containment_planted_fixture(spark):
         for r in substring_containment_pairs(df).collect()
     }
     assert got == {(1, 2), (1, 4), (4, 2)}
+
+
+def test_leakage_safe_split_no_straddling_families(spark):
+    """No near-dup pair may straddle the split, and every doc's side is
+    decided by its split_unit_id hash (cluster canonical or own id)."""
+    import hashlib
+
+    from logstream_processing_service_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from logstream_processing_service_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _docs(spark)
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert len(out) == docs.count()
+    pairs = minhash_lsh_pairs(docs, threshold=0.8).collect()
+    assert pairs, "fixture corpus must contain near-dups"
+    for p in pairs:
+        assert out[p["d1"]]["split"] == out[p["d2"]]["split"], p
+        assert out[p["d1"]]["split_unit_id"] == out[p["d2"]]["split_unit_id"]
+    for r in out.values():
+        h = hashlib.md5(f"split-v1:{r['split_unit_id']}".encode()).hexdigest()
+        assert r["split"] == ("test" if h < "1a" else "train")
