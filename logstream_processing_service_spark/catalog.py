@@ -72,6 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     # (c) new in r4
     "streaming_dedup_registry_twin", "dedup_substrings",
     "leakage_safe_split", "quality_feature_matrix", "embedding_pca",
+    "value_quantiles_kll_registry", "perplexity_buckets", "snapshot_diff",
+    # (d) r2-stale backfill: the round-3 perf-flagged flagship dedup path
+    "dedup_minhash_lsh",
 )
 
 

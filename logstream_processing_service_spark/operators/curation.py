@@ -627,3 +627,51 @@ def c4_line_stats(
         has_brace.alias("has_brace"),
         ((n_kept >= min_kept_lines) & ~has_lorem & ~has_brace).alias("keep_doc"),
     )
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style LM-quality bucketing (Wenzek et al. 2020): score every
+    document by mean bigram surprisal, split each LANGUAGE into
+    head / middle / tail terciles by per-lang thresholds (low surprisal =
+    head = cleanest). The bucket label is what mixture plans key on
+    ("train mostly on head+middle, sample tail").
+
+    Tercile thresholds come from a per-lang KLL quantile sketch (one
+    map-combined aggregate, KB-sized state, ~0.8% rank error at k=200)
+    broadcast back for an in-row comparison — never a per-lang NTILE
+    (a per-lang total sort is a single-task stage for any big language;
+    exact interpolated terciles also aren't engine-portable at p=1/3,
+    unlike the binary-exact quartiles in ``doc_length_quartiles``).
+    Rank error moves only docs within ~1% of a boundary one bucket over —
+    immaterial for a tercile mixture policy.
+    """
+    lp = bigram_logprob(documents)
+    labeled = documents.select("doc_id", "lang").join(lp, "doc_id")
+    th = (
+        labeled.groupBy("lang")
+        .agg(
+            F.expr("kll_sketch_agg_double(avg_surprisal, 200)").alias("_sk")
+        )
+        .select(
+            "lang",
+            F.expr(
+                "kll_sketch_get_quantile_double(_sk, cast(1.0/3 as double))"
+            ).alias("_t1"),
+            F.expr(
+                "kll_sketch_get_quantile_double(_sk, cast(2.0/3 as double))"
+            ).alias("_t2"),
+        )
+    )
+    return (
+        labeled.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_surprisal",
+            F.when(F.col("avg_surprisal") <= F.col("_t1"), "head")
+            .when(F.col("avg_surprisal") <= F.col("_t2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

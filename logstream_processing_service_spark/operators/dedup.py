@@ -1163,3 +1163,42 @@ def substring_containment_pairs(
         )
         .orderBy("contained_id", "container_id")
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus snapshot delta: per document id, whether the new snapshot
+    ``added`` / ``removed`` / ``changed`` / kept it ``unchanged`` — the
+    primitive an incremental curation pipeline runs between crawl
+    snapshots to reprocess ONLY the delta (re-dedup, re-score, re-shard
+    the changed slice) instead of the full corpus.
+
+    Scale shape: both sides reduce to (id, 48-bit content fingerprint)
+    at the scan — the full-outer join shuffles 16-byte rows, never text;
+    AQE picks the strategy. Change detection is fingerprint equality
+    (2^-48 collision odds per pair; re-verify texts on the 'changed' set
+    downstream if bytes matter).
+    """
+    o = old.select(
+        F.col(key_col).alias("id"),
+        F.expr(T.hash48_sql("text")).alias("old_fp"),
+    )
+    n = new.select(
+        F.col(key_col).alias("id"),
+        F.expr(T.hash48_sql("text")).alias("new_fp"),
+    )
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            F.col("id").alias(key_col),
+            F.when(F.col("old_fp").isNull(), "added")
+            .when(F.col("new_fp").isNull(), "removed")
+            .when(F.col("old_fp") != F.col("new_fp"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+            "old_fp",
+            "new_fp",
+        )
+        .orderBy(key_col)
+    )

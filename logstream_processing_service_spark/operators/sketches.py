@@ -60,3 +60,69 @@ def hll_rollup(registry: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_sketches"),
     )
     return per_key.unionByName(total).orderBy(F.col("key").asc_nulls_last())
+
+
+def kll_daily_registry(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 200,
+) -> DataFrame:
+    """Quantile twin of ``hll_daily_registry``: one KLL sketch of
+    ``value_col`` per (key, day). Same contract — KB-sized rows,
+    commutative/associative map-side combine, closed under merge — so
+    percentile questions over any key/time slice are answered from the
+    registry, never by re-sorting raw events (an exact percentile is a
+    global sort; a KLL merge is milliseconds over megabytes).
+
+    KLL (Karnin-Lang-Liberty 2016) gives rank error ~1.65/k at k=200 ≈
+    0.8% — tails included, which reservoir sampling cannot promise.
+    """
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                f"kll_sketch_agg_double({value_col}, {k})"
+            ).alias("sketch")
+        )
+    )
+
+
+def kll_rollup(
+    registry: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Merge the registry to per-key quantile estimates + a grand-total
+    row (key = NULL) — sketch merges over the tiny registry only."""
+    qcols = [
+        F.round(
+            F.expr(f"kll_sketch_get_quantile_double(_m, {q}d)"), 6
+        ).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    per_key = (
+        registry.groupBy("key")
+        .agg(
+            F.expr("kll_merge_agg_double(sketch)").alias("_m"),
+            F.count(F.lit(1)).alias("n_sketches"),
+        )
+        .select(
+            "key",
+            F.expr("kll_sketch_get_n_double(_m)").alias("n_values"),
+            *qcols,
+            "n_sketches",
+        )
+    )
+    total = (
+        registry.agg(
+            F.expr("kll_merge_agg_double(sketch)").alias("_m"),
+            F.count(F.lit(1)).alias("n_sketches"),
+        )
+        .select(
+            F.lit(None).cast("string").alias("key"),
+            F.expr("kll_sketch_get_n_double(_m)").alias("n_values"),
+            *qcols,
+            "n_sketches",
+        )
+    )
+    return per_key.unionByName(total).orderBy(F.col("key").asc_nulls_last())

@@ -379,3 +379,13 @@ def q_c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         require_terminal_punct=False,
         min_kept_lines=1,
     )
+
+
+@spec("perplexity_buckets", None, "north-star", "curation", "ccnet", "rows-only")
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail LM-quality terciles per language (rows-only:
+    KLL tercile thresholds have no DuckDB twin; bucket-fraction balance is
+    asserted in tests/test_training_ops.py)."""
+    from .operators.curation import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))

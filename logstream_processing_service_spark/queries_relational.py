@@ -713,3 +713,13 @@ def q_distinct_actors_hll_registry(spark: SparkSession, sf_dir: str) -> DataFram
     from .operators.sketches import hll_daily_registry, hll_rollup
 
     return hll_rollup(hll_daily_registry(_t(spark, sf_dir, "events")))
+
+
+@spec("value_quantiles_kll_registry", None, "A8-approx", "sketch-registry", "rows-only")
+def q_value_quantiles_kll_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile registry → per-type + grand-total p50/p90/p99
+    (rows-only: DataSketches estimates have no DuckDB twin; rank error
+    vs exact percentiles is asserted in tests/test_training_ops.py)."""
+    from .operators.sketches import kll_daily_registry, kll_rollup
+
+    return kll_rollup(kll_daily_registry(_t(spark, sf_dir, "events")))

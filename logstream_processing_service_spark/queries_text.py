@@ -1216,3 +1216,48 @@ def q_quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_words", F.col("n_words").cast("int")).withColumn(
         "n_chars", F.col("n_chars").cast("int")
     )
+
+
+def _snapshot_diff_oracle() -> str:
+    h = T.hash48_sql("text")
+    h2 = T.hash48_sql("concat(text, ' v2')")
+    return f"""
+    WITH old AS (
+        SELECT doc_id, {h} AS old_fp FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN {h2} ELSE {h} END AS new_fp
+        FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp <> n.new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_fp, n.new_fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """
+
+
+@spec(
+    "snapshot_diff",
+    _snapshot_diff_oracle(),
+    "north-star", "incremental", "delta",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta on synthetic old/new views of the corpus
+    (old = ids not divisible by 7; new = ids not divisible by 5 with every
+    third doc's text revised)."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return D.snapshot_diff(old, new)

@@ -451,3 +451,62 @@ def test_leakage_safe_split_no_straddling_families(spark):
     for r in out.values():
         h = hashlib.md5(f"split-v1:{r['split_unit_id']}".encode()).hexdigest()
         assert r["split"] == ("test" if h < "1a" else "train")
+
+
+def test_kll_registry_rollup_accuracy(spark):
+    """Merged-registry quantile estimates must land within ~1% RANK error
+    of exact: the exact rank of each estimated quantile value is close to
+    the requested rank (value-space deltas can be large in sparse tails —
+    rank space is KLL's actual guarantee)."""
+    from logstream_processing_service_spark.operators.sketches import (
+        kll_daily_registry,
+        kll_rollup,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        r["key"]: r for r in kll_rollup(kll_daily_registry(ev)).collect()
+    }
+    vals = sorted(
+        r["value"]
+        for r in ev.select("value").collect()
+        if r["value"] is not None
+    )
+    n = len(vals)
+    import bisect
+
+    for q in (0.5, 0.9, 0.99):
+        est = got[None][f"p{int(q * 100)}"]
+        rank = bisect.bisect_right(vals, est) / n
+        assert abs(rank - q) <= 0.015, (q, est, rank)
+    assert got[None]["n_values"] == n
+
+
+def test_perplexity_buckets_tercile_balance(spark):
+    """Every language splits into three non-empty buckets with roughly
+    tercile mass (KLL rank error + boundary ties allow slack), and bucket
+    order respects the surprisal order (head <= middle <= tail)."""
+    from logstream_processing_service_spark.operators.curation import (
+        perplexity_buckets,
+    )
+
+    rows = perplexity_buckets(_docs(spark)).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        if n < 30:
+            continue
+        frac = {
+            b: sum(1 for r in rs if r["bucket"] == b) / n
+            for b in ("head", "middle", "tail")
+        }
+        for b, f in frac.items():
+            assert 0.2 <= f <= 0.47, (lang, b, frac)
+        hi = {b: max(r["avg_surprisal"] for r in rs if r["bucket"] == b)
+              for b in ("head", "middle", "tail")}
+        lo = {b: min(r["avg_surprisal"] for r in rs if r["bucket"] == b)
+              for b in ("head", "middle", "tail")}
+        assert hi["head"] <= lo["middle"] and hi["middle"] <= lo["tail"]
