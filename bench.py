@@ -69,6 +69,15 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "decontaminate_bloom",
     "distinct_actors_hll_registry",
+    # round-4 additions
+    "streaming_dedup_registry_twin",
+    "dedup_substrings",
+    "leakage_safe_split",
+    "quality_feature_matrix",
+    "embedding_pca",
+    "value_quantiles_kll_registry",
+    "perplexity_buckets",
+    "snapshot_diff",
 ]
 
 
