@@ -78,6 +78,8 @@ HEADLINE = [
     "value_quantiles_kll_registry",
     "perplexity_buckets",
     "snapshot_diff",
+    "image_pixel_stats",
+    "audio_pcm_stats",
 ]
 
 

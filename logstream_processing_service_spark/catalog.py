@@ -66,15 +66,16 @@ _PRIORITY: tuple[str, ...] = (
     "first_order_per_customer", "orders_with_error_events",
     "small_quantity_part_revenue", "national_market_share",
     "idle_rich_customers", "brand_priciest_part",
-    # (b) plan/semantics changed in r4
+    # (b) plan/semantics changed in r4 (shard_assignment's guard is
+    # behavior-neutral and its r3 row is green — rotated out to fit the
+    # real-decode queries)
     "weighted_sample_docs", "funnel_stages", "dedup_keep_table",
-    "decontaminate_bloom", "shard_assignment",
+    "decontaminate_bloom",
     # (c) new in r4
     "streaming_dedup_registry_twin", "dedup_substrings",
     "leakage_safe_split", "quality_feature_matrix", "embedding_pca",
     "value_quantiles_kll_registry", "perplexity_buckets", "snapshot_diff",
-    # (d) r2-stale backfill: the round-3 perf-flagged flagship dedup path
-    "dedup_minhash_lsh",
+    "image_pixel_stats", "audio_pcm_stats",
 )
 
 

@@ -4,9 +4,12 @@ Design: media is an opaque ``binary`` column + a typed metadata struct;
 decode/feature-extract run as Arrow-batched ``mapInPandas`` so bytes never
 round-trip through Python row-by-row and the pipeline scales by partition.
 
-The actual codecs (PIL / torchaudio / ffmpeg) are NOT in this container —
-``decode_media`` is the clearly-marked stub seam: a deterministic
-byte-level featurizer stands in, and real decoders plug into the same
+Codec status (round 4): PNG and 16-bit PCM WAV decode is REAL and
+stdlib-only — ``decode_png`` (zlib inflate + scanline unfilter 0-4) and
+``decode_wav`` (struct) — verified pixel-/sample-exact against
+closed-form oracles (queries ``image_pixel_stats`` / ``audio_pcm_stats``).
+JPEG (DCT) and MP4 (codecs) remain the genuinely-gated seams: those need
+PIL/pyav, absent in this container, and raise loudly at the same
 ``mapInPandas`` signature (schema, batching, partitioning all real and
 tested).
 """
@@ -179,16 +182,24 @@ def synthetic_wav(n_channels: int, sample_rate: int, n_frames: int) -> bytes:
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB: real decoders (PIL.Image.open / librosa.load / pyav frame
-    sampling) are not available in this container. Raises for real media
-    types; the deterministic byte-histogram fake covers the plumbing."""
-    if media_type in ("image/png", "image/jpeg", "audio/wav", "video/mp4"):
+    """Feature extraction per media type. PNG and 16-bit PCM WAV decode is
+    REAL (stdlib zlib/struct — see decode_png / decode_wav below): the
+    16-bin histogram is computed over decoded PIXELS / quantized SAMPLES.
+    JPEG (DCT) and MP4 (codecs) remain the genuinely-gated seams — those
+    need PIL/pyav, absent in this container. Unknown types fall back to a
+    byte-level histogram."""
+    if media_type == "image/png":
+        arr = decode_png(bytes(payload)).ravel()
+    elif media_type == "audio/wav":
+        wave, _ = decode_wav(bytes(payload))
+        arr = np.clip((wave[:, 0] + 1.0) * 128.0, 0, 255).astype(np.uint8)
+    elif media_type in ("image/jpeg", "video/mp4"):
         raise NotImplementedError(
             f"decoder for {media_type} not available in this environment; "
-            "install PIL/librosa/av and replace this branch"
+            "install PIL/av and replace this branch"
         )
-    # deterministic fake: normalized 16-bin byte histogram
-    arr = np.frombuffer(payload, dtype=np.uint8)
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr // N_BINS, minlength=N_BINS).astype(np.float64)
     total = hist.sum()
     return (hist / total if total else hist).astype(np.float32)
@@ -406,17 +417,25 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize plumbing (images): same mapInPandas shape as
-    ``extract_features``; the PIL resize is the stub seam. The deterministic
-    stand-in truncates/pads the payload to ``width*height`` bytes so batch
-    sizing, schema, and downstream wiring are all real and testable."""
+    """Image resize over the Arrow lane. PNG is REAL: decode (stdlib),
+    nearest-neighbor resample via numpy index grids, re-encode with
+    ``encode_png``. JPEG stays gated (DCT needs PIL). Non-image payloads
+    use the deterministic truncate/pad stand-in so the batch sizing and
+    schema wiring stay exercised for every type."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             out_payload = []
             for p, m in zip(pdf["payload"], pdf["media_type"]):
-                if m in ("image/png", "image/jpeg"):
+                if m == "image/png":
+                    px = decode_png(bytes(p))
+                    h, w = px.shape[:2]
+                    yi = (np.arange(height) * h) // height
+                    xi = (np.arange(width) * w) // width
+                    out_payload.append(encode_png(px[yi][:, xi]))
+                    continue
+                if m == "image/jpeg":
                     raise NotImplementedError(
                         "PIL not available here; plug Image.open(...).resize "
                         "into this branch"
@@ -455,6 +474,12 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8
                         "into this branch"
                     )
                 b = bytes(p)
+                if m == "audio/wav":
+                    # REAL PCM frame sampling: every_n_bytes is the window
+                    # stride in BYTES over the decoded int16 mono stream
+                    wave, _ = decode_wav(b)
+                    mono = (wave[:, 0] * 32768.0).astype("<i2").tobytes()
+                    b = mono
                 for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
                     ids.append(d)
                     idxs.append(i)
@@ -465,3 +490,328 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8
         "doc_id", "payload", F.col("meta.media_type").alias("media_type")
     )
     return flat.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib decoders (round 4): PNG (zlib inflate + per-row unfilter) and
+# 16-bit PCM WAV (struct) need NO external media library — the decode seam
+# is only genuinely gated for JPEG (DCT) and MP4 (codecs).
+# ---------------------------------------------------------------------------
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """Minimal PNG encoder: 8-bit grayscale (h, w) or RGB (h, w, 3),
+    filter type 0 on every scanline, one zlib IDAT."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        color_type, channels = 0, 1
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError("encode_png supports (h,w) gray or (h,w,3) RGB")
+    h, w = pixels.shape[:2]
+    raw = pixels.astype(np.uint8).reshape(h, w * channels)
+    scanlines = b"".join(b"\x00" + row.tobytes() for row in raw)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> "np.ndarray":
+    """REAL PNG decode, stdlib-only: walk chunks, zlib-inflate the IDAT
+    stream, reverse scanline filters 0-4 (None/Sub/Up/Average/Paeth).
+    Supports the non-interlaced 8-bit grayscale and RGB subset (what
+    ``encode_png`` emits and the overwhelmingly common web case);
+    anything else raises loudly."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, idat, meta = 8, [], None
+    while i + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, color, interlace)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + size
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or color not in (0, 2) or interlace:
+        raise NotImplementedError(
+            "decode_png supports non-interlaced 8-bit gray/RGB only"
+        )
+    ch = 1 if color == 0 else 3
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
+        ftype, line = row[0], np.frombuffer(
+            row[1:], dtype=np.uint8
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                bb = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + bb) // 2) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        bb if pb <= pc else c
+                    )
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
+
+
+def synthetic_png_gradient(width: int, height: int, seed: int = 0) -> bytes:
+    """A REAL grayscale PNG whose pixel (x, y) = (3x + 7y + seed) mod 256 —
+    an integer formula an independent oracle can recompute exactly, so
+    the full decode path (inflate + unfilter) is verifiable end-to-end."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    px = ((3 * x[None, :] + 7 * y[:, None] + seed) % 256).astype(np.uint8)
+    return encode_png(px)
+
+
+def decode_wav(b: bytes) -> tuple["np.ndarray", int]:
+    """REAL 16-bit PCM WAV decode, stdlib-only: returns (float64 array of
+    shape (n_frames, n_channels) scaled to [-1, 1), sample_rate)."""
+    meta = parse_wav_meta(b)
+    if meta is None:
+        raise ValueError("not a PCM WAV")
+    ch, rate, bits, n_frames = meta
+    if bits != 16:
+        raise NotImplementedError("decode_wav supports 16-bit PCM only")
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        tag = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if tag == b"data":
+            raw = np.frombuffer(
+                b[i + 8 : i + 8 + size], dtype="<i2"
+            ).astype(np.float64)
+            return raw.reshape(-1, ch) / 32768.0, rate
+        i += 8 + size + (size & 1)
+    raise ValueError("WAV missing data chunk")
+
+
+def synthetic_wav_tone(
+    n_channels: int,
+    sample_rate: int,
+    n_frames: int,
+    freq_hz: int,
+    amp: float,
+) -> bytes:
+    """A REAL sine-tone 16-bit PCM WAV: sample i (every channel) =
+    floor(32767·amp·sin(2π·freq·i/rate) + 0.5) — an integer-quantized
+    closed form an oracle can recompute sample-for-sample."""
+    import math
+    import struct
+
+    samples = [
+        math.floor(
+            32767.0 * amp * math.sin(2.0 * math.pi * freq_hz * i / sample_rate)
+            + 0.5
+        )
+        for i in range(n_frames)
+    ]
+    frames = b"".join(
+        struct.pack("<" + "h" * n_channels, *([s] * n_channels))
+        for s in samples
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("mean_px", DoubleType()),
+        StructField("min_px", LongType()),
+        StructField("max_px", LongType()),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Pixel-grain image statistics over DECODED pixels (real inflate +
+    unfilter per image, Arrow-batched) — the proof that the PNG lane
+    decodes content, not just headers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(bytes(p)).astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        int(px.size),
+                        round(float(px.mean()), 6),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "mean_px", "min_px", "max_px"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, PIXEL_STATS_SCHEMA
+    )
+
+
+PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def audio_pcm_stats(media: DataFrame) -> DataFrame:
+    """Waveform statistics over DECODED PCM samples (not headers): frame
+    count, duration, RMS and peak of the normalized waveform — the proof
+    that the audio lane decodes content."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                wave, rate = decode_wav(bytes(p))
+                mono = wave[:, 0]
+                rows.append(
+                    (
+                        int(d),
+                        int(wave.shape[0]),
+                        int(wave.shape[1]),
+                        round(wave.shape[0] / rate, 6),
+                        round(float(np.sqrt((mono**2).mean())), 6),
+                        round(float(np.abs(mono).max()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_channels",
+                    "duration_s", "rms", "peak",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, PCM_STATS_SCHEMA
+    )
+
+
+def with_gradient_image_payload(documents: DataFrame) -> DataFrame:
+    """Fixture image corpus with CONTENT: per doc a real grayscale PNG,
+    w = doc_id%48+8, h = doc_id%37+8, pixel(x,y) = (3x+7y+doc_id%256)%256
+    — integer closed forms an oracle recomputes without any decoder."""
+
+    @F.pandas_udf(BinaryType())
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(
+            lambda d: synthetic_png_gradient(
+                int(d) % 48 + 8, int(d) % 37 + 8, int(d) % 256
+            )
+        )
+
+    payload = make_png(F.col("doc_id"))
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            F.length(payload).alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def with_tone_audio_payload(documents: DataFrame) -> DataFrame:
+    """Fixture audio corpus with CONTENT: per doc a real sine-tone PCM WAV
+    (rate 8000, frames = 400+doc_id%200, freq = 100+doc_id%200,
+    amp = (1+doc_id%8)/10, channels = doc_id%2+1) — the quantized sample
+    formula is oracle-recomputable sample-for-sample."""
+
+    @F.pandas_udf(BinaryType())
+    def make_wav(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(
+            lambda d: synthetic_wav_tone(
+                int(d) % 2 + 1,
+                8000,
+                int(d) % 200 + 400,
+                int(d) % 200 + 100,
+                (1 + int(d) % 8) / 10.0,
+            )
+        )
+
+    payload = make_wav(F.col("doc_id"))
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("media_type"),
+            F.length(payload).alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )

@@ -255,3 +255,79 @@ def q_onehot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     return onehot(ev, "event_type").drop("event_type")
+
+
+def _image_pixel_stats_oracle() -> str:
+    """The gradient PNG's pixels in closed form: the oracle recomputes
+    every pixel value without any decoder, so a hash match PROVES the
+    Spark side's zlib-inflate + unfilter decode is byte-correct."""
+    return """
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS BIGINT) AS min_px, CAST(max(v) AS BIGINT) AS max_px
+    FROM (
+      SELECT doc_id, ((i % w) * 3 + (i // w) * 7 + seed) % 256 AS v
+      FROM (
+        SELECT doc_id, doc_id % 48 + 8 AS w, doc_id % 37 + 8 AS h,
+               doc_id % 256 AS seed, unnest(range(0, (doc_id % 48 + 8) * (doc_id % 37 + 8))) AS i
+        FROM documents
+      )
+    )
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@spec(
+    "image_pixel_stats",
+    _image_pixel_stats_oracle(),
+    "multimodal", "image-decode", "north-star",
+)
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG content decode (stdlib inflate + unfilter) verified
+    pixel-for-pixel against the closed-form oracle."""
+    from .operators.multimodal import (
+        image_pixel_stats,
+        with_gradient_image_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_pixel_stats(with_gradient_image_payload(docs)).orderBy(
+        "doc_id"
+    )
+
+
+def _audio_pcm_stats_oracle() -> str:
+    """The sine tone's int16 samples in closed form (floor(32767·amp·
+    sin(2π·f·i/rate) + 0.5)); RMS/peak over samples/32768."""
+    return """
+    SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS n_channels,
+           round(n / 8000.0, 6) AS duration_s,
+           round(sqrt(avg(pow(s / 32768.0, 2))), 6) AS rms,
+           round(max(abs(s)) / 32768.0, 6) AS peak
+    FROM (
+      SELECT doc_id, n,
+             floor(32767.0 * amp * sin(2 * pi() * f * i / 8000.0) + 0.5) AS s
+      FROM (
+        SELECT doc_id, doc_id % 200 + 400 AS n, doc_id % 200 + 100 AS f,
+               (1 + doc_id % 8) / 10.0 AS amp,
+               unnest(range(0, doc_id % 200 + 400)) AS i
+        FROM documents
+      )
+    )
+    GROUP BY doc_id, n ORDER BY doc_id
+    """
+
+
+@spec(
+    "audio_pcm_stats",
+    _audio_pcm_stats_oracle(),
+    "multimodal", "audio-decode", "north-star",
+)
+def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM content decode verified sample-for-sample against the
+    closed-form sine oracle."""
+    from .operators.multimodal import audio_pcm_stats, with_tone_audio_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_pcm_stats(with_tone_audio_payload(docs)).orderBy("doc_id")

@@ -294,9 +294,12 @@ def test_multimodal_pipeline(spark):
         assert len(r["features"]) == 16
         assert abs(sum(r["features"]) - 1.0) < 1e-5
         assert r["n_bytes"] > 0
-    # the stub seam: real media types must loudly refuse, not silently fake
-    with pytest.raises(NotImplementedError):
+    # r4: PNG decode is REAL (stdlib) — malformed bytes fail loudly, and
+    # the genuinely-gated types (JPEG/MP4) still refuse, never fake
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG...", "image/png")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
 class TestFeatureLayer:
