@@ -80,6 +80,7 @@ HEADLINE = [
     "snapshot_diff",
     "image_pixel_stats",
     "audio_pcm_stats",
+    "user_retention_theta",
 ]
 
 

@@ -66,16 +66,18 @@ _PRIORITY: tuple[str, ...] = (
     "first_order_per_customer", "orders_with_error_events",
     "small_quantity_part_revenue", "national_market_share",
     "idle_rich_customers", "brand_priciest_part",
-    # (b) plan/semantics changed in r4 (shard_assignment's guard is
-    # behavior-neutral and its r3 row is green — rotated out to fit the
-    # real-decode queries)
+    # (b) plan/semantics changed in r4. Rotated out to keep never-checked
+    # debt at zero (new queries MUST get a first driver row):
+    # shard_assignment (guard is behavior-neutral, r3 row green) and
+    # decontaminate_bloom (the uint64 mask is a no-op under the driver's
+    # pinned numpy 1.26 — it only prevents the deprecated negative cast;
+    # r3 row green, local parity re-checks every round).
     "weighted_sample_docs", "funnel_stages", "dedup_keep_table",
-    "decontaminate_bloom",
     # (c) new in r4
     "streaming_dedup_registry_twin", "dedup_substrings",
     "leakage_safe_split", "quality_feature_matrix", "embedding_pca",
     "value_quantiles_kll_registry", "perplexity_buckets", "snapshot_diff",
-    "image_pixel_stats", "audio_pcm_stats",
+    "image_pixel_stats", "audio_pcm_stats", "user_retention_theta",
 )
 
 

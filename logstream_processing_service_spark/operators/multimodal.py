@@ -650,17 +650,22 @@ def synthetic_wav_tone(
     import math
     import struct
 
-    samples = [
-        math.floor(
-            32767.0 * amp * math.sin(2.0 * math.pi * freq_hz * i / sample_rate)
-            + 0.5
-        )
-        for i in range(n_frames)
-    ]
-    frames = b"".join(
-        struct.pack("<" + "h" * n_channels, *([s] * n_channels))
-        for s in samples
+    # math.sin (not np.sin) deliberately: the closed-form oracle matches
+    # this exact libm ulp behavior; numpy's SIMD sin can differ by 1 ulp,
+    # enough to flip the floor(x+0.5) quantizer on boundary samples. The
+    # PACKING is vectorized (per-sample struct.pack dominated the cost).
+    samples = np.array(
+        [
+            math.floor(
+                32767.0 * amp
+                * math.sin(2.0 * math.pi * freq_hz * i / sample_rate)
+                + 0.5
+            )
+            for i in range(n_frames)
+        ],
+        dtype="<i2",
     )
+    frames = np.repeat(samples, n_channels).tobytes()
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, sample_rate,
         sample_rate * n_channels * 2, n_channels * 2, 16,

@@ -126,3 +126,54 @@ def kll_rollup(
         )
     )
     return per_key.unionByName(total).orderBy(F.col("key").asc_nulls_last())
+
+
+def theta_daily_registry(
+    events: DataFrame, actor_col: str = "user_id", lg_k: int = 12
+) -> DataFrame:
+    """Set-operation twin of the HLL registry: one Theta sketch of active
+    actors per day. Theta sketches estimate INTERSECTIONS and DIFFERENCES,
+    not just unions — the primitive behind retention / churn / overlap
+    questions that HLL cannot answer (HLL only unions)."""
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr(f"theta_sketch_agg({actor_col}, {lg_k})").alias("sketch")
+    )
+
+
+def retention_report(registry: DataFrame) -> DataFrame:
+    """Day-over-day actor retention from the theta registry alone: for
+    each consecutive day pair, |active(d)|, |active(d+1)|, the estimated
+    intersection, and the retention rate — a self-join of KB-sized sketch
+    rows, no raw-event rescans. The exact form of this query is a
+    COUNT(DISTINCT) over a self-joined event table — two shuffles of the
+    full actor stream; this reads a registry thousands of times smaller.
+    """
+    a = registry.select(
+        F.col("day").alias("day"), F.col("sketch").alias("s_a")
+    )
+    b = registry.select(
+        F.date_sub(F.col("day"), 1).alias("day"), F.col("sketch").alias("s_b")
+    )
+    return (
+        a.join(b, "day")
+        .select(
+            "day",
+            F.expr("cast(theta_sketch_estimate(s_a) as bigint)").alias(
+                "n_day"
+            ),
+            F.expr("cast(theta_sketch_estimate(s_b) as bigint)").alias(
+                "n_next"
+            ),
+            F.expr(
+                "cast(theta_sketch_estimate("
+                "theta_intersection(s_a, s_b)) as bigint)"
+            ).alias("n_retained"),
+        )
+        .withColumn(
+            "retention",
+            F.round(
+                F.col("n_retained") / F.greatest(F.col("n_day"), F.lit(1)), 4
+            ),
+        )
+        .orderBy("day")
+    )

@@ -723,3 +723,14 @@ def q_value_quantiles_kll_registry(spark: SparkSession, sf_dir: str) -> DataFram
     from .operators.sketches import kll_daily_registry, kll_rollup
 
     return kll_rollup(kll_daily_registry(_t(spark, sf_dir, "events")))
+
+
+@spec("user_retention_theta", None, "sketch-registry", "theta", "rows-only")
+def q_user_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day actor retention from a mergeable Theta-sketch registry
+    (rows-only: DataSketches intersection estimates have no DuckDB twin;
+    accuracy vs exact self-join intersection is asserted in
+    tests/test_training_ops.py)."""
+    from .operators.sketches import retention_report, theta_daily_registry
+
+    return retention_report(theta_daily_registry(_t(spark, sf_dir, "events")))

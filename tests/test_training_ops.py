@@ -510,3 +510,36 @@ def test_perplexity_buckets_tercile_balance(spark):
         lo = {b: min(r["avg_surprisal"] for r in rs if r["bucket"] == b)
               for b in ("head", "middle", "tail")}
         assert hi["head"] <= lo["middle"] and hi["middle"] <= lo["tail"]
+
+
+def test_theta_retention_accuracy(spark):
+    """Theta-intersection retention estimates must track the exact
+    day-over-day distinct-actor intersection within 5% relative error."""
+    from logstream_processing_service_spark.operators.sketches import (
+        retention_report,
+        theta_daily_registry,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        r["day"]: r
+        for r in retention_report(theta_daily_registry(ev)).collect()
+    }
+    assert got, "events span multiple days"
+    rows = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct().collect()
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    checked = 0
+    for d, nxt in zip(days, days[1:], strict=False):
+        if d not in got:
+            continue
+        exact = len(by_day[d] & by_day[nxt])
+        est = got[d]["n_retained"]
+        assert abs(est - exact) <= max(0.05 * exact, 2), (d, est, exact)
+        checked += 1
+    assert checked >= 3
