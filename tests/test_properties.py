@@ -235,3 +235,75 @@ def test_funnel_repartition_and_subset_monotone(spark):
     assert got1 == got2
     stages = sorted(got1)
     assert all(got1[stages[i]] >= got1[stages[i + 1]] for i in range(len(stages) - 1))
+
+
+def test_round4_ops_repartition_invariant(spark):
+    """Physical layout must not change answers: substring containment,
+    snapshot diff, quality feature matrix, leakage-safe split."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.dedup import (
+        snapshot_diff,
+        substring_containment_pairs,
+    )
+    from logstream_processing_service_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    from logstream_processing_service_spark.operators.textanalysis import (
+        quality_feature_matrix,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    scrambled = docs.repartition(13, F.col("lang"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(substring_containment_pairs(docs)) == rows(
+        substring_containment_pairs(scrambled)
+    )
+    assert rows(quality_feature_matrix(docs)) == rows(
+        quality_feature_matrix(scrambled)
+    )
+    assert rows(leakage_safe_split(docs)) == rows(leakage_safe_split(scrambled))
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    assert rows(snapshot_diff(old, new)) == rows(
+        snapshot_diff(old.repartition(7), new.repartition(5))
+    )
+
+
+def test_skewed_corpus_stress(spark):
+    """Worst-case dedup input: many exact copies of one document plus a
+    boilerplate phrase shared by EVERY document. The banded/capped paths
+    must complete without a quadratic blowup and still resolve the copy
+    cluster correctly."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.dedup import (
+        dedup_keep_table,
+        substring_containment_pairs,
+    )
+
+    boiler = "all rights reserved terms of service apply click here now"
+    rows = [(i, f"unique text number {i} alpha beta {boiler}") for i in range(200)]
+    rows += [(1000 + i, f"the same viral copied document body {boiler}")
+             for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    keep = {r["doc_id"]: r for r in dedup_keep_table(df).collect()}
+    assert len(keep) == 350
+    copies = [keep[1000 + i] for i in range(150)]
+    assert sum(1 for r in copies if r["keep"]) == 1
+    assert len({r["cluster_id"] for r in copies}) == 1
+    # substring containment: the 150 identical docs form mutual-containment
+    # pairs resolved to the lowest id; no quadratic candidate explosion
+    # because the copies' rarest shingle has df=150 (< max_df)
+    pairs = substring_containment_pairs(df).collect()
+    contained = {p["contained_id"] for p in pairs}
+    assert set(range(1001, 1150)) <= contained
+    assert 1000 not in contained  # the lowest-id copy is the container
