@@ -81,6 +81,7 @@ HEADLINE = [
     "image_pixel_stats",
     "audio_pcm_stats",
     "user_retention_theta",
+    "curate_corpus",
 ]
 
 

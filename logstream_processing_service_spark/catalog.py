@@ -55,9 +55,12 @@ _PRIORITY: tuple[str, ...] = (
     # (a) r1-stale core relational layer
     "scan_slice", "watermark_bounds", "log_templates", "json_key_volume",
     "batch_volume", "hourly_volume", "decayed_volume", "value_counts_topk",
+    # (value_percentiles_approx rotated out: rows-only signal regardless
+    # of freshness, and its exact twin value_percentiles — same plan
+    # shape — stays in the window)
     "distinct_actors", "distinct_actors_approx", "crosstab_counts",
     "volume_zscore", "volume_history_window", "value_percentiles",
-    "value_percentiles_approx", "value_histogram", "pattern_mining",
+    "value_histogram", "pattern_mining",
     "pattern_mining_incremental", "incident_upsert_split",
     "upsert_append_dedup", "keyed_overwrite", "actor_setops",
     "asof_signup_before_error", "events_in_windows", "rollup_volume",
@@ -78,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "leakage_safe_split", "quality_feature_matrix", "embedding_pca",
     "value_quantiles_kll_registry", "perplexity_buckets", "snapshot_diff",
     "image_pixel_stats", "audio_pcm_stats", "user_retention_theta",
+    "curate_corpus",
 )
 
 

@@ -675,3 +675,93 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def curate_corpus(
+    documents: DataFrame,
+    min_words: int = 20,
+    max_dup_ratio: float = 0.2,
+    min_stop_ratio: float = 0.03,
+    n: int = 3,
+    threshold: float = 0.8,
+    quality_col: str = "n_chars",
+    test_threshold_hex: str = "1a",
+    salt: str = "split-v1",
+    n_shards: int = 8,
+) -> DataFrame:
+    """The END-TO-END curation pipeline as one operator: quality-funnel
+    filter → MinHash near-dup clusters → quality-keeper dedup →
+    leakage-safe cluster-grain split → deterministic shard manifest of
+    the train side. Output (doc_id, cluster_id, shard, pos) IS the
+    training manifest a 100 TB run writes as its final artifact — this
+    operator is the engine's marquee composition, and every stage's
+    semantics are the already-verified building blocks (curation_funnel
+    rules, dedup_keep_table keeper, leakage_safe_split unit,
+    shard_assignment order).
+
+    Composition efficiency: the near-dup CLUSTERS are computed ONCE and
+    feed both the keeper decision and the split unit — calling
+    dedup_keep_table then leakage_safe_split would run the whole MinHash
+    pipeline twice. Survivors are persisted (three consumers: the minhash
+    scan, the quality join, the final left join); at 100 TB stage the
+    survivor frame to parquet instead.
+    """
+    from .dedup import connected_components, minhash_lsh_pairs
+    from .sampling import shard_assignment, split_bucket
+
+    wcol = T.words(F.col("text"))
+    docs = documents.withColumn(
+        "_wh",
+        F.expr(T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")),
+    )
+    sh = F.expr(T.shingle_hash_array_sql("_wh", 3))
+    n_words = F.size(wcol)
+    dup_ratio = (F.size(sh) - F.size(F.array_distinct(sh))) / F.greatest(
+        F.size(sh), F.lit(1)
+    ).cast("double")
+    stops = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+    stop_ratio = F.size(
+        F.filter(wcol, lambda x: x.isin(*stops))
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    surv = (
+        docs.filter(
+            ~(n_words < min_words)
+            & ~(dup_ratio > max_dup_ratio)
+            & ~(stop_ratio < min_stop_ratio)
+        )
+        .select("doc_id", "text", quality_col)
+        .persist()
+    )
+    pairs = minhash_lsh_pairs(surv, n=n, threshold=threshold)
+    cc = connected_components(pairs)
+    clustered = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).join(surv.select("doc_id", quality_col), "doc_id")
+    keepers = clustered.groupBy("cluster_id").agg(
+        F.expr(f"max_by(doc_id, struct({quality_col}, -doc_id))").alias(
+            "_keeper"
+        )
+    )
+    decided = clustered.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("_keeper")).alias("keep"),
+    )
+    full = (
+        surv.select("doc_id")
+        .join(decided, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
+    train_kept = full.filter(
+        F.col("keep")
+        & (split_bucket("cluster_id", salt) >= test_threshold_hex)
+    ).select("doc_id", "cluster_id")
+    return (
+        shard_assignment(train_kept, "doc_id", n_shards=n_shards)
+        .select("doc_id", "cluster_id", "shard", "pos")
+        .orderBy("doc_id")
+    )

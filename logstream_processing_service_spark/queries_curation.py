@@ -389,3 +389,82 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import perplexity_buckets
 
     return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def _curate_corpus_oracle() -> str:
+    """The composed pipeline oracle: funnel-rule survivors feed the
+    shared minhash CTE (restricted via a survivor join), whose clusters
+    drive both the quality-keeper and the split unit, then the shard
+    formula — each fragment identical to its standalone query's oracle."""
+    from .queries_text import _minhash_cte
+
+    mh = _minhash_cte().replace(
+        "FROM documents", "FROM documents JOIN surv USING (doc_id)", 1
+    )
+    shard_h = T.hash48_sql("concat('shard-v1:', CAST(doc_id AS VARCHAR))")
+    sh_arr = T.shingle_hash_array_sql("wh", 3, "duckdb")
+    return f"""
+    WITH RECURSIVE
+    fw AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
+    fwh AS (SELECT doc_id, w, {T.word_hash_array_sql('w', 'duckdb')} AS wh FROM fw),
+    ffeat AS (
+        SELECT doc_id, len(w) AS n_words,
+               (len({sh_arr}) - len(list_distinct({sh_arr})))
+                   / CAST(greatest(len({sh_arr}), 1) AS DOUBLE) AS dup_ratio,
+               len(list_filter(w, x -> list_contains({_FUNNEL_STOPS}, x)))
+                   / CAST(greatest(len(w), 1) AS DOUBLE) AS stop_ratio
+        FROM fwh
+    ),
+    surv AS (
+        SELECT doc_id FROM ffeat
+        WHERE NOT (n_words < 20) AND NOT (dup_ratio > 0.2)
+              AND NOT (stop_ratio < 0.03)
+    ),
+    {mh},
+    prs AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.8),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM prs
+        UNION ALL SELECT d2, d1 FROM prs
+    ),
+    cc(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, cc.label FROM cc JOIN edges e ON cc.node = e.dst
+    ),
+    canon AS (SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node),
+    ranked AS (
+        SELECT c.doc_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        FROM canon c JOIN documents d USING (doc_id)
+    ),
+    keepdec AS (
+        SELECT s.doc_id,
+               COALESCE(r.cluster_id, s.doc_id) AS cluster_id,
+               COALESCE(r.rn = 1, TRUE) AS keep
+        FROM surv s LEFT JOIN ranked r USING (doc_id)
+    ),
+    train_kept AS (
+        SELECT doc_id, cluster_id FROM keepdec
+        WHERE keep AND NOT (md5(concat_ws(':', 'split-v1',
+                  CAST(cluster_id AS VARCHAR))) < '1a')
+    ),
+    sharded AS (SELECT doc_id, cluster_id, {shard_h} AS hk FROM train_kept)
+    SELECT doc_id, cluster_id,
+           CAST(hk % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hk % 8
+               ORDER BY hk, doc_id) AS BIGINT) AS pos
+    FROM sharded ORDER BY doc_id
+    """
+
+
+@spec(
+    "curate_corpus",
+    _curate_corpus_oracle(),
+    "north-star", "curation", "pipeline", "flagship",
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus manifest: funnel filter → near-dup
+    quality-keeper → leakage-safe split → shard order, in one pass over
+    the near-dup clusters."""
+    return C.curate_corpus(_t(spark, sf_dir, "documents"))

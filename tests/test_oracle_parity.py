@@ -26,6 +26,9 @@ def con():
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
 def test_oracle_parity(spark, con, spec):
     report = compare_one(spark, con, spec.name, spec.fn, spec.oracle, SF_DIR_ORACLE)
+    # cache lifecycle is caller-owned: drop each query's persisted frames
+    # so the 117-query sweep never accumulates dead cached blocks
+    spark.catalog.clearCache()
     assert report["status"] == "OK", report
 
 

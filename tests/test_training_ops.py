@@ -543,3 +543,31 @@ def test_theta_retention_accuracy(spark):
         assert abs(est - exact) <= max(0.05 * exact, 2), (d, est, exact)
         checked += 1
     assert checked >= 3
+
+
+def test_curate_corpus_manifest_consistency(spark):
+    """The manifest contains exactly one member per kept near-dup cluster,
+    only train-side clusters, dense per-shard positions, and no document
+    that fails the funnel rules."""
+    import hashlib
+
+    from logstream_processing_service_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = _docs(spark)
+    rows = curate_corpus(docs).collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # keeper uniqueness
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        # train side only, decided at cluster grain
+        h = hashlib.md5(f"split-v1:{r['cluster_id']}".encode()).hexdigest()
+        assert h >= "1a", r
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # at most one manifest row per cluster (the quality keeper)
+    clusters = [r["cluster_id"] for r in rows]
+    assert len(clusters) == len(set(clusters))
