@@ -82,6 +82,9 @@ HEADLINE = [
     "audio_pcm_stats",
     "user_retention_theta",
     "curate_corpus",
+    # round-4 continuation
+    "scd2_user_state",
+    "events_in_windows_bucketed",
 ]
 
 

@@ -58,13 +58,13 @@ _PRIORITY: tuple[str, ...] = (
     # (value_percentiles_approx rotated out: rows-only signal regardless
     # of freshness, and its exact twin value_percentiles — same plan
     # shape — stays in the window)
-    "distinct_actors", "distinct_actors_approx", "crosstab_counts",
+    "distinct_actors", "crosstab_counts",
     "volume_zscore", "volume_history_window", "value_percentiles",
     "value_histogram", "pattern_mining",
     "pattern_mining_incremental", "incident_upsert_split",
     "upsert_append_dedup", "keyed_overwrite", "actor_setops",
     "asof_signup_before_error", "events_in_windows", "rollup_volume",
-    "cube_volume", "revenue_by_nation", "top_quarter_suppliers",
+    "revenue_by_nation", "top_quarter_suppliers",
     "priority_order_counts", "customers_without_orders",
     "first_order_per_customer", "orders_with_error_events",
     "small_quantity_part_revenue", "national_market_share",
@@ -82,6 +82,11 @@ _PRIORITY: tuple[str, ...] = (
     "value_quantiles_kll_registry", "perplexity_buckets", "snapshot_diff",
     "image_pixel_stats", "audio_pcm_stats", "user_retention_theta",
     "curate_corpus",
+    # (c continued) new in the r4 continuation session. Slots freed by
+    # displacing r1-stale queries whose plan-twin stays in the window:
+    # distinct_actors_approx (exact twin distinct_actors stays) and
+    # cube_volume (rollup_volume — same grouping-sets machinery — stays).
+    "scd2_user_state", "events_in_windows_bucketed",
 )
 
 

@@ -798,3 +798,84 @@ def funnel_stages(
     return sums.select(
         F.expr(f"stack({k}, {stack_args}) AS (stage, n_users)")
     ).select(F.col("stage").cast("int"), F.col("n_users").cast("bigint"))
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2: collapse each key's event stream
+    into validity intervals [valid_from, valid_to) per observed state,
+    opening a new version only when the attribute actually changes.
+
+    The reference keeps only current state and overwrites in place
+    (keyed UPDATE, src/db/incident_ops.py); SCD2 is the warehouse answer
+    to "what was this user's state WHEN the incident fired" — the history
+    the overwrite destroys. Output: one row per (key, state run) with
+    version numbers and an is_current flag.
+
+    Plan: ONE exchange on the key — lag() to detect change points,
+    lead()/row_number() over the filtered change stream; both windows
+    share the same (key, ts, id) sort order so the sorter runs once.
+    Per-key state is bounded by the run count, never materializing the
+    raw stream anywhere but the sort — at 100 TB this is exactly one
+    shuffle of the fact table, same cost as any per-key window.
+    Determinism: ties on ts break by the unique event id.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    changes = (
+        df.select(key_col, attr_col, ts_col, id_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(~F.col("_prev").eqNullSafe(F.col(attr_col)))
+    )
+    return changes.select(
+        F.col(key_col),
+        F.col(attr_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().cast("int").alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    lo_col: str = "win_start",
+    hi_col: str = "win_end",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Point-in-interval join for LARGE interval sets — the bucketized
+    overlap strategy `events_in_maintenance_windows` documents for when
+    broadcast is impossible (both sides big).
+
+    Each interval is exploded to the fixed-width time buckets it overlaps
+    (an interval of length L covers ceil(L/W)+1 buckets); each point has
+    exactly ONE bucket, so the bucket equi-join followed by the exact
+    range re-check emits every matching pair exactly once — no dedup
+    pass. Same shape as the LSH band trick: turn a range predicate into
+    an equi-key Spark can hash-partition, never a broadcast nested loop.
+
+    Scale: shuffle cost is |points| + sum(interval spans)/W rows; pick W
+    near the median interval length so the replication factor stays ~2.
+    Skewed buckets (a burst hour) are AQE skew-split like any hot key.
+    """
+    bucket = lambda c: (  # noqa: E731
+        F.unix_micros(c.cast("timestamp")) / F.lit(60_000_000 * bucket_minutes)
+    ).cast("bigint")
+    exploded = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(bucket(F.col(lo_col)), bucket(F.col(hi_col)))
+        ).alias("_bucket"),
+    )
+    pts = points.withColumn("_bucket", bucket(F.col(point_ts)))
+    return (
+        pts.join(exploded, "_bucket")
+        .filter((F.col(point_ts) >= F.col(lo_col)) & (F.col(point_ts) < F.col(hi_col)))
+        .drop("_bucket")
+    )

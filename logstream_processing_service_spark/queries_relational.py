@@ -734,3 +734,85 @@ def q_user_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import retention_report, theta_daily_registry
 
     return retention_report(theta_daily_registry(_t(spark, sf_dir, "events")))
+
+
+@spec(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(lead(ts) OVER w IS NULL AS INT) AS is_current,
+           CAST(row_number() OVER w AS INT) AS version
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "scd2", "W-ext", "S7",
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.scd2_history(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "events_in_windows_bucketed",
+    """
+    -- naive range join: DuckDB's IEJoin handles sf0.01; the Spark side
+    -- must produce identical pairs via the bucketized equi-join
+    WITH b AS (SELECT min(ts) AS t0 FROM events),
+    w AS (
+        SELECT CAST(r.range AS INT) AS win_id,
+               t0 + INTERVAL ((r.range * 97) % 7919) MINUTE AS win_start,
+               t0 + INTERVAL ((r.range * 97) % 7919 + 30 + (r.range % 13) * 15)
+                   MINUTE AS win_end
+        FROM b, range(400) r
+    )
+    SELECT w.win_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM events e JOIN w ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.win_id ORDER BY w.win_id
+    """,
+    "range-join", "J-ext", "bucketized",
+)
+def q_events_in_windows_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """400 overlapping deterministic windows — too many for the broadcast
+    nested loop to stay honest at scale; exercises the bucketized
+    overlap join (equi-join on time bucket + exact re-check)."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.agg(F.min("ts").alias("t0"))
+    wins = (
+        base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(399))).alias("win_id"), "t0"
+        )
+        .select(
+            F.col("win_id").cast("int").alias("win_id"),
+            F.expr(
+                "timestampadd(MINUTE, CAST((win_id * 97) % 7919 AS INT), t0)"
+            ).alias("win_start"),
+            F.expr(
+                "timestampadd(MINUTE, CAST((win_id * 97) % 7919 + 30 "
+                "+ (win_id % 13) * 15 AS INT), t0)"
+            ).alias("win_end"),
+        )
+    )
+    joined = R.range_join_bucketed(ev, wins)
+    return (
+        joined.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+        .orderBy("win_id")
+    )

@@ -77,8 +77,10 @@ def jdbc_table(
     ``log_id BETWEEN`` batch slicing, generalized) so the scan parallelizes
     across executors instead of one driver-side ``pd.read_sql`` fetch
     (src/db/log_ops.py:5-14). Predicates/projections still push down to the
-    database via Catalyst's JDBC rules. Untested here (no database in this
-    environment); parquet is the hot path.
+    database via Catalyst's JDBC rules. Exercised end-to-end against the
+    embedded Derby engine Spark ships (tests/test_jdbc.py: round trip,
+    8-way range-partitioned scan, PushedFilters, append); parquet is the
+    hot path in this environment.
     """
     reader = (
         spark.read.format("jdbc").option("url", url).option("dbtable", table)

@@ -1,0 +1,115 @@
+"""JDBC source/sink exercised for real against embedded Derby.
+
+The reference reads/writes Postgres through a single driver-side
+SQLAlchemy connection (src/db/connection.py:10-19, src/db/log_ops.py:5-14).
+`jdbc_table` (sources/tables.py) is the distributed swap-in: range-
+partitioned parallel scans with Catalyst pushing filters/projections into
+the database. No Postgres exists in this container, but Spark ships the
+Derby embedded engine on its classpath (derby-10.16.x in pyspark/jars),
+so the JDBC path — dialect mapping, partitioned reads, pushdown, write
+round-trip — is testable end-to-end without any install.
+
+Derby is single-JVM; in production the same code points at Postgres by
+changing the URL/driver. What these tests pin is OUR side of the
+contract: the reader emits `numPartitions` range predicates, pushes
+WHERE clauses into the scan, and the write→read round trip preserves
+values exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from logstream_processing_service_spark.sources import jdbc_table, load_table
+
+DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db_dir = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+@pytest.fixture(scope="module")
+def events_in_derby(spark, sf_dir, derby_url):
+    """Write a deterministic events slice into Derby via df.write.jdbc."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .where("event_id < 2000")
+    )
+    # Derby's default string mapping is CLOB, which is not comparable —
+    # pin VARCHAR so pushed-down equality predicates are legal SQL.
+    ev.write.format("jdbc").option("url", derby_url).option(
+        "dbtable", "events_jdbc"
+    ).option("driver", DRIVER).option(
+        "createTableColumnTypes", "event_type VARCHAR(64)"
+    ).mode("overwrite").save()
+    return ev.orderBy("event_id").collect()
+
+
+def _read(spark, derby_url, **kw):
+    return jdbc_table(spark, derby_url, "events_jdbc", driver=DRIVER, **kw)
+
+
+def test_jdbc_roundtrip_exact(spark, derby_url, events_in_derby):
+    got = _read(spark, derby_url).orderBy("event_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in events_in_derby]
+
+
+def test_jdbc_range_partitioned_scan(spark, derby_url, events_in_derby):
+    """partitionColumn/bounds split the scan into parallel range queries —
+    the distributed replacement for the reference's one-connection fetch."""
+    lo = 0
+    hi = max(r["event_id"] for r in events_in_derby) + 1
+    df = _read(
+        spark,
+        derby_url,
+        partition_column="event_id",
+        num_partitions=8,
+        lower_bound=lo,
+        upper_bound=hi,
+    )
+    assert df.rdd.getNumPartitions() == 8
+    # no rows lost or duplicated across the range slices
+    assert df.count() == len(events_in_derby)
+    assert df.select("event_id").distinct().count() == len(events_in_derby)
+
+
+def test_jdbc_filter_pushdown(spark, derby_url, events_in_derby):
+    """Catalyst pushes the WHERE into the database query (the scan node
+    advertises PushedFilters), so Derby/Postgres does the filtering — the
+    100 TB behavior: don't ship rows you'll drop."""
+    df = _read(spark, derby_url).where("event_type = 'error'").select(
+        "event_id", "value"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_type" in plan
+    expect = sorted(
+        (r["event_id"], r["value"])
+        for r in events_in_derby
+        if r["event_type"] == "error"
+    )
+    got = sorted((r["event_id"], r["value"]) for r in df.collect())
+    assert got == expect
+
+
+def test_jdbc_predicate_partitioned_append(spark, derby_url, events_in_derby):
+    """Append mode adds rows without recreating the table (the reference's
+    incremental insert path, src/db/log_ops.py)."""
+    import pyspark.sql.functions as F
+
+    add = spark.createDataFrame(
+        [(10_000_001, 7, "synthetic", 1.5)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    add.write.format("jdbc").option("url", derby_url).option(
+        "dbtable", "events_jdbc"
+    ).option("driver", DRIVER).mode("append").save()
+    n = (
+        _read(spark, derby_url)
+        .where(F.col("event_id") == 10_000_001)
+        .count()
+    )
+    assert n == 1

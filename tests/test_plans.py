@@ -416,3 +416,32 @@ def test_quality_feature_matrix_zero_exchange_single_scan(spark):
     plan = _plan(specs["quality_feature_matrix"].fn(spark, SF_DIR))
     assert "Exchange" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_scd2_single_exchange(spark):
+    """SCD2 runs ONE user_id exchange; lag + lead/row_number share it."""
+    from logstream_processing_service_spark.operators.relational import scd2_history
+
+    plan = _plan(scd2_history(_events(spark)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    # column pruning: the scan never reads value/props
+    scan_line = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    assert "value" not in scan_line and "props" not in scan_line
+
+
+def test_range_join_bucketed_is_equi_join(spark):
+    """The bucketized overlap join must plan as a hash equi-join on the
+    bucket key — never BroadcastNestedLoop/Cartesian on the range
+    predicate (the thing that dies with two large sides)."""
+    from logstream_processing_service_spark.catalog import all_specs
+
+    specs = {s.name: s for s in all_specs()}
+    df = specs["events_in_windows_bucketed"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the join on _bucket is a hash join (broadcast or shuffled — AQE
+    # picks; either is an equi-join, which is the property under test)
+    assert "HashJoin" in plan
+    joins = [l for l in plan.splitlines() if "NestedLoop" in l]
+    assert not joins, joins
