@@ -85,6 +85,8 @@ HEADLINE = [
     # round-4 continuation
     "scd2_user_state",
     "events_in_windows_bucketed",
+    "bpe_token_counts",
+    "heavy_hitter_words",
 ]
 
 

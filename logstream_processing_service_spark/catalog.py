@@ -60,10 +60,10 @@ _PRIORITY: tuple[str, ...] = (
     # shape — stays in the window)
     "distinct_actors", "crosstab_counts",
     "volume_zscore", "volume_history_window", "value_percentiles",
-    "value_histogram", "pattern_mining",
+    "pattern_mining",
     "pattern_mining_incremental", "incident_upsert_split",
     "upsert_append_dedup", "keyed_overwrite", "actor_setops",
-    "asof_signup_before_error", "events_in_windows", "rollup_volume",
+    "asof_signup_before_error", "rollup_volume",
     "revenue_by_nation", "top_quarter_suppliers",
     "priority_order_counts", "customers_without_orders",
     "first_order_per_customer", "orders_with_error_events",
@@ -84,9 +84,14 @@ _PRIORITY: tuple[str, ...] = (
     "curate_corpus",
     # (c continued) new in the r4 continuation session. Slots freed by
     # displacing r1-stale queries whose plan-twin stays in the window:
-    # distinct_actors_approx (exact twin distinct_actors stays) and
-    # cube_volume (rollup_volume — same grouping-sets machinery — stays).
-    "scd2_user_state", "events_in_windows_bucketed",
+    # distinct_actors_approx (exact twin distinct_actors stays),
+    # cube_volume (rollup_volume — same grouping-sets machinery — stays),
+    # events_in_windows (its range-join semantics re-enter through the
+    # new bucketized twin, which exercises the same predicate),
+    # value_histogram (pure integer binning, plan unchanged since r1,
+    # locally parity-green every round).
+    "scd2_user_state", "events_in_windows_bucketed", "bpe_token_counts",
+    "heavy_hitter_words",
 )
 
 

@@ -177,3 +177,103 @@ def retention_report(registry: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (Misra-Gries) — the sketch family member Spark's
+# DataSketches builtins don't cover. Mergeable summaries per Agarwal et
+# al. 2013: per-partition MG dicts (bounded k entries), merged by
+# pointwise sum; per-partition decrement totals carry the error bound.
+# The 100 TB use: boilerplate/top-domain/hot-token detection where exact
+# value_counts over the item domain would shuffle billions of distinct
+# keys — MG shuffles at most k rows per partition, period.
+# ---------------------------------------------------------------------------
+
+
+def mg_partials(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries summaries via one Arrow pass: ≤k
+    (item, cnt) rows per partition plus one (item=NULL, cnt=err) row
+    carrying that partition's total decrement. cnt is a LOWER bound on
+    the partition-local true count; true ≤ cnt + err always.
+
+    Stream-order note: MG contents depend on row order within each
+    partition, so this is deterministic for a fixed file layout but not
+    across layouts — which is fine: the bounds hold for EVERY order, and
+    the coverage guarantee (any item with true share > 1/(k+1) survives)
+    is order-free.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            for item in pdf[item_col]:
+                if item is None:
+                    continue
+                if item in counts:
+                    counts[item] += 1
+                elif len(counts) < k:
+                    counts[item] = 1
+                else:
+                    # decrement-all: drop zeros, charge one error unit
+                    err += 1
+                    dead = []
+                    for it in counts:
+                        counts[it] -= 1
+                        if counts[it] == 0:
+                            dead.append(it)
+                    for it in dead:
+                        del counts[it]
+        out = pd.DataFrame(
+            {"item": list(counts) + [None], "cnt": list(counts.values()) + [err]}
+        )
+        yield out
+
+    return df.select(F.col(item_col).alias(item_col)).mapInPandas(
+        summarize, "item string, cnt bigint"
+    )
+
+
+def mg_topk(partials: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-partition summaries → global top-k with bounds.
+
+    Pointwise sum per item (≤ k·P rows into the shuffle), total error =
+    sum of partition decrements; report [est_lower, est_upper] where
+    upper = lower + total_err. Everything after the partials is
+    KB-sized — the registry property the HLL/KLL/Theta twins share.
+    """
+    err_total = (
+        partials.filter(F.col("item").isNull())
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("err"))
+    )
+    merged = (
+        partials.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est_lower"))
+        .orderBy(F.desc("est_lower"), "item")
+        .limit(k)
+    )
+    return (
+        merged.crossJoin(F.broadcast(err_total))
+        .select(
+            "item",
+            "est_lower",
+            (F.col("est_lower") + F.col("err")).alias("est_upper"),
+        )
+        .orderBy(F.desc("est_lower"), "item")
+    )
+
+
+def heavy_hitter_words(documents: DataFrame, k: int = 64) -> DataFrame:
+    """Corpus-scale hot-token report: MG over the exploded word stream.
+    The exact twin (value_counts over words) shuffles every distinct word;
+    this shuffles ≤ k rows per partition. Coverage: any word with share
+    > 1/(k+1) of the stream is guaranteed present (asserted with planted
+    boilerplate in tests/test_mg.py)."""
+    from ..functions import text as T
+
+    words = documents.select(
+        F.explode(T.words(F.col("text"))).alias("word")
+    )
+    return mg_topk(mg_partials(words, "word", k), k)

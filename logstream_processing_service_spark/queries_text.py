@@ -1261,3 +1261,38 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return D.snapshot_diff(old, new)
+
+
+@spec(
+    "bpe_token_counts",
+    None,
+    "north-star", "tokenization", "bpe-training", "rows-only",
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 24-merge BPE tokenizer on the corpus's word-frequency table
+    (distributed iterations over DISTINCT words only — the corpus is read
+    once), then encode every document with it. Rows-only: the iterative
+    argmax loop has no single-SQL DuckDB twin; exact merge-list and
+    token-count parity vs a pure-Python reference is asserted in
+    tests/test_bpe.py."""
+    from .operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=24, min_pair_count=2)
+    return bpe.bpe_token_counts(docs, merges)
+
+
+@spec(
+    "heavy_hitter_words",
+    None,
+    "north-star", "sketch-registry", "misra-gries", "rows-only",
+)
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-64 corpus tokens from mergeable Misra-Gries partials (≤k rows
+    shuffled per partition — never the distinct-word domain). Rows-only:
+    MG contents depend on stream order, so no DuckDB twin; the
+    lower/upper-bound and coverage invariants (order-free) are asserted
+    vs exact counts in tests/test_mg.py."""
+    from .operators import sketches as SK
+
+    return SK.heavy_hitter_words(_t(spark, sf_dir, "documents"), k=64)
