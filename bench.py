@@ -87,6 +87,8 @@ HEADLINE = [
     "events_in_windows_bucketed",
     "bpe_token_counts",
     "heavy_hitter_words",
+    "quality_classifier_report",
+    "sample_k_per_source",
 ]
 
 

@@ -60,9 +60,8 @@ _PRIORITY: tuple[str, ...] = (
     # shape — stays in the window)
     "distinct_actors", "crosstab_counts",
     "volume_zscore", "volume_history_window", "value_percentiles",
-    "pattern_mining",
-    "pattern_mining_incremental", "incident_upsert_split",
-    "upsert_append_dedup", "keyed_overwrite", "actor_setops",
+    "pattern_mining", "incident_upsert_split",
+    "upsert_append_dedup", "actor_setops",
     "asof_signup_before_error", "rollup_volume",
     "revenue_by_nation", "top_quarter_suppliers",
     "priority_order_counts", "customers_without_orders",
@@ -89,9 +88,13 @@ _PRIORITY: tuple[str, ...] = (
     # events_in_windows (its range-join semantics re-enter through the
     # new bucketized twin, which exercises the same predicate),
     # value_histogram (pure integer binning, plan unchanged since r1,
-    # locally parity-green every round).
+    # locally parity-green every round), pattern_mining_incremental
+    # (twin pattern_mining — same join machinery — stays), keyed_overwrite
+    # (J3 keyed-state machinery re-enters via the NEW scd2_user_state;
+    # MERGE semantics r3-green via merge_events_upsert).
     "scd2_user_state", "events_in_windows_bucketed", "bpe_token_counts",
-    "heavy_hitter_words",
+    "heavy_hitter_words", "quality_classifier_report",
+    "sample_k_per_source",
 )
 
 

@@ -255,3 +255,48 @@ def leakage_safe_split(
         )
         .orderBy(key_col)
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "ksample-v1",
+    over_select: float = 4.0,
+) -> DataFrame:
+    """Exact uniform k-per-group sample (deterministic reservoir): rank
+    rows within each group by the stable keyed hash draw, keep the k
+    smallest — per-group uniform without replacement, reproducible
+    run-to-run.
+
+    Scale shape — the naive form (row_number over every group) sorts
+    ENTIRE groups in single tasks, the shard_assignment failure mode. The
+    k-th smallest of n uniform draws concentrates at k/n, so: one tiny
+    group-size aggregate → per-group cutoff ``min(1, over_select*k/n)``
+    joined back (AQE broadcasts the group-cardinality frame when small)
+    → the window sorts only the ~over_select*k survivors per group.
+    With over_select=4 the probability any group keeps fewer than k
+    candidates is Chernoff-tiny (< e^{-k}); groups with n ≤ 4k take the
+    t=1 branch and are exact trivially. Result is bit-identical to the
+    naive form — the oracle runs the naive form.
+    """
+    u = _uniform01(key_col, salt)
+    base = df.withColumn("_u", u)
+    thresh = (
+        base.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0), F.lit(over_select * k) / F.col("_n").cast("double")
+            ).alias("_t"),
+        )
+    )
+    cand = base.join(thresh, group_col).filter(F.col("_u") <= F.col("_t"))
+    w = Window.partitionBy(group_col).orderBy("_u", key_col)
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_u", "_t")
+    )

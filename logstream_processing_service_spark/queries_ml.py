@@ -331,3 +331,19 @@ def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return audio_pcm_stats(with_tone_audio_payload(docs)).orderBy("doc_id")
+
+
+@spec(
+    "quality_classifier_report",
+    None,
+    "north-star", "quality-filter", "mllib", "rows-only",
+)
+def q_quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the Gopher rules into an L-BFGS logistic model over the
+    one-scan feature matrix; emit the held-out audit metrics. Rows-only:
+    float gradient reductions aren't bit-stable across partitionings;
+    the AUC >= 0.9 floor and decision-rule consistency are asserted in
+    tests/test_classifier.py."""
+    from .ml.classifier import quality_classifier_report
+
+    return quality_classifier_report(_t(spark, sf_dir, "documents"))

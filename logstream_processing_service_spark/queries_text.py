@@ -1296,3 +1296,34 @@ def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketches as SK
 
     return SK.heavy_hitter_words(_t(spark, sf_dir, "documents"), k=64)
+
+
+def _ksample_oracle(k: int = 40) -> str:
+    u = S.uniform01_oracle_sql("doc_id", "ksample-v1")
+    return f"""
+    WITH u AS (SELECT doc_id, source, {u} AS _u FROM documents),
+    r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER
+                   (PARTITION BY source ORDER BY _u, doc_id) AS INT)
+                   AS sample_rank
+        FROM u
+    )
+    SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= {k}
+    """
+
+
+@spec(
+    "sample_k_per_source",
+    _ksample_oracle(),
+    "north-star", "sampling", "reservoir",
+)
+def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic 40-per-source sample via the cutoff-prefilter
+    reservoir (the window sorts ~160 candidate rows per group, never the
+    group). The oracle runs the naive full-window form — equality IS the
+    correctness claim."""
+    docs = _t(spark, sf_dir, "documents")
+    return S.sample_k_per_group(docs, "source", "doc_id", 40).select(
+        "doc_id", "source", "sample_rank"
+    )

@@ -307,3 +307,45 @@ def test_skewed_corpus_stress(spark):
     contained = {p["contained_id"] for p in pairs}
     assert set(range(1001, 1150)) <= contained
     assert 1000 not in contained  # the lowest-id copy is the container
+
+
+def test_sample_k_per_group_equals_naive_and_invariant(spark):
+    """Cutoff-prefilter reservoir == naive full-window top-k, at every
+    partitioning; groups smaller than k keep everything with dense ranks."""
+    from pyspark.sql import Window
+
+    from logstream_processing_service_spark.operators.sampling import (
+        _uniform01,
+        sample_k_per_group,
+    )
+
+    rows = [(i, f"g{i % 7}") for i in range(2000)] + [
+        (10_000 + i, "tiny") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k = 25
+
+    naive = (
+        df.withColumn("_u", _uniform01("doc_id", "ksample-v1"))
+        .withColumn(
+            "sample_rank",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("_u", "doc_id"))
+            .cast("int"),
+        )
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "source", "sample_rank")
+    )
+    expect = sorted(map(tuple, naive.collect()))
+    for parts in (1, 7, 64):
+        got = sorted(
+            map(
+                tuple,
+                sample_k_per_group(
+                    df.repartition(parts), "source", "doc_id", k
+                ).select("doc_id", "source", "sample_rank").collect(),
+            )
+        )
+        assert got == expect
+    tiny = [t for t in expect if t[1] == "tiny"]
+    assert len(tiny) == 5 and {t[2] for t in tiny} == {1, 2, 3, 4, 5}
