@@ -89,6 +89,8 @@ HEADLINE = [
     "heavy_hitter_words",
     "quality_classifier_report",
     "sample_k_per_source",
+    "profile_events",
+    "vocab_growth_report",
 ]
 
 

@@ -58,10 +58,10 @@ _PRIORITY: tuple[str, ...] = (
     # (value_percentiles_approx rotated out: rows-only signal regardless
     # of freshness, and its exact twin value_percentiles — same plan
     # shape — stays in the window)
-    "distinct_actors", "crosstab_counts",
+    "distinct_actors",
     "volume_zscore", "volume_history_window", "value_percentiles",
     "pattern_mining", "incident_upsert_split",
-    "upsert_append_dedup", "actor_setops",
+    "actor_setops",
     "asof_signup_before_error", "rollup_volume",
     "revenue_by_nation", "top_quarter_suppliers",
     "priority_order_counts", "customers_without_orders",
@@ -92,9 +92,12 @@ _PRIORITY: tuple[str, ...] = (
     # (twin pattern_mining — same join machinery — stays), keyed_overwrite
     # (J3 keyed-state machinery re-enters via the NEW scd2_user_state;
     # MERGE semantics r3-green via merge_events_upsert).
+    # crosstab_counts (A7 machinery r3-green via clustering_quality) and
+    # upsert_append_dedup (S6 idempotent-upsert semantics r3-green via
+    # merge_events_upsert) free the last two slots.
     "scd2_user_state", "events_in_windows_bucketed", "bpe_token_counts",
     "heavy_hitter_words", "quality_classifier_report",
-    "sample_k_per_source",
+    "sample_k_per_source", "profile_events", "vocab_growth_report",
 )
 
 

@@ -755,3 +755,104 @@ def heavy_shippers_of_part_family(
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-level data-profiling report (the Deequ/Great-Expectations
+    primitive an analytics engine owes its users): per column — row/null
+    counts, exact distinct cardinality, and type-appropriate min/max
+    (numerics as DOUBLE, strings as-is, timestamps as epoch micros so the
+    output is engine-portable; no double→string formatting anywhere).
+
+    Scale shape: ONE aggregate computes every metric for every column in
+    a single scan; the k exact count_distincts expand the shuffle k-fold
+    (Spark's expand operator) — at 100 TB swap ``F.count_distinct`` for
+    ``approx_count_distinct``/HLL registry (one pass, no expand) and keep
+    the rest unchanged. The per-column unpivot is a stack over ONE row.
+    """
+    fields = [
+        f for f in df.schema.fields if columns is None or f.name in columns
+    ]
+    aggs: list = [F.count(F.lit(1)).alias("_rows")]
+    for f in fields:
+        c, t = f.name, f.dataType.typeName()
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        if t in ("long", "integer", "double", "float", "short", "decimal"):
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min_num"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max_num"))
+        elif t in ("timestamp", "timestamp_ntz"):
+            aggs.append(
+                F.unix_micros(F.min(c).cast("timestamp")).alias(f"{c}__min_num")
+            )
+            aggs.append(
+                F.unix_micros(F.max(c).cast("timestamp")).alias(f"{c}__max_num")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__min_num"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__max_num"))
+        if t == "string":
+            aggs.append(F.min(c).alias(f"{c}__min_str"))
+            aggs.append(F.max(c).alias(f"{c}__max_str"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min_str"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max_str"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{f.name}', {f.name}__nulls, {f.name}__distinct, "
+        f"CAST({f.name}__min_num AS DOUBLE), CAST({f.name}__max_num AS DOUBLE), "
+        f"{f.name}__min_str, {f.name}__max_str"
+        for f in fields
+    )
+    return one.select(
+        F.col("_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(fields)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+        ),
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    ).orderBy("col_name")
+
+
+def vocab_growth_report(documents: DataFrame) -> DataFrame:
+    """Per-source lexical profile: token/type counts, type-token ratio,
+    and hapax fraction (share of types seen exactly once — the Heaps'-law
+    tail a tokenizer vocabulary decision needs). Two-level aggregation:
+    (source, word) counts reduce map-side, then one tiny source-grain agg;
+    the doc counts ride a separate skinny agg joined at source grain.
+    """
+    from ..functions import text as T
+
+    words = documents.select(
+        "source", F.explode(T.words(F.col("text"))).alias("word")
+    )
+    types = (
+        words.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum((F.col("cnt") == 1).cast("bigint")).alias("n_hapax"),
+        )
+    )
+    docs = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        types.join(docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens").cast("double"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(F.col("n_hapax") / F.col("n_types").cast("double"), 6).alias(
+                "hapax_frac"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -592,3 +592,39 @@ def q_heavy_shippers_of_part_family(spark: SparkSession, sf_dir: str) -> DataFra
         _t(spark, sf_dir, "part"),
         _t(spark, sf_dir, "lineitem"),
     )
+
+
+def _profile_events_oracle() -> str:
+    def num(c):
+        return f"CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+
+    def ts(c):
+        return f"CAST(epoch_us(min({c})) AS DOUBLE) AS min_num, CAST(epoch_us(max({c})) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+
+    def s(c):
+        return f"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, min({c}) AS min_str, max({c}) AS max_str"
+
+    cols = [
+        ("event_id", num), ("ts", ts), ("user_id", num),
+        ("event_type", s), ("value", num), ("props", s),
+    ]
+    parts = [
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_nulls,
+            CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, {fn(c)}
+            FROM events"""
+        for c, fn in cols
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@spec(
+    "profile_events",
+    _profile_events_oracle(),
+    "profiling", "A-ext", "engine-extension",
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over events: one scan computes null/distinct/
+    min-max for every column (Deequ-style data-quality primitive)."""
+    return A.profile_table(_t(spark, sf_dir, "events"))

@@ -1327,3 +1327,34 @@ def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sample_k_per_group(docs, "source", "doc_id", 40).select(
         "doc_id", "source", "sample_rank"
     )
+
+
+@spec(
+    "vocab_growth_report",
+    f"""
+    WITH w AS (
+        SELECT source, unnest({_WORDS_DUCK}) AS word FROM documents
+    ),
+    t AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
+    s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax
+        FROM t GROUP BY source
+    ),
+    d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT s.source, d.n_docs, s.n_tokens, s.n_types, s.n_hapax,
+           round(s.n_types / CAST(s.n_tokens AS DOUBLE), 6)
+               AS type_token_ratio,
+           round(s.n_hapax / CAST(s.n_types AS DOUBLE), 6) AS hapax_frac
+    FROM s JOIN d USING (source) ORDER BY s.source
+    """,
+    "north-star", "corpus-stats", "A-ext",
+)
+def q_vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical profile (types, tokens, hapax fraction) — the
+    Heaps'-law inputs to vocabulary sizing."""
+    from .operators import analytics as A2
+
+    return A2.vocab_growth_report(_t(spark, sf_dir, "documents"))
