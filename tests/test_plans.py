@@ -445,3 +445,31 @@ def test_range_join_bucketed_is_equi_join(spark):
     assert "HashJoin" in plan
     joins = [l for l in plan.splitlines() if "NestedLoop" in l]
     assert not joins, joins
+
+
+def test_dynamic_partition_pruning_on_date_layout(spark, tmp_path):
+    """Date-partitioned fact + selective dim filter ⇒ Spark injects a
+    dynamicpruning subquery into the fact scan's PartitionFilters — the
+    runtime companion to static partition pruning: at 100 TB the fact
+    directories for non-qualifying days are never listed, driven by the
+    dim filter's runtime values."""
+    from logstream_processing_service_spark.sources import load_table
+    from logstream_processing_service_spark.sources.tables import write_partitioned
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "fact")
+    write_partitioned(ev, path, partition_cols=("event_date",))
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("event_date").distinct()
+        .withColumn("is_hot", F.dayofmonth("event_date") <= 2)
+    )
+    joined = fact.join(dim.filter("is_hot"), "event_date").groupBy(
+        "event_date"
+    ).count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the join itself stays a broadcast hash join on the partition key
+    assert "BroadcastHashJoin" in plan
