@@ -91,6 +91,7 @@ HEADLINE = [
     "sample_k_per_source",
     "profile_events",
     "vocab_growth_report",
+    "temperature_mix_plan",
 ]
 
 

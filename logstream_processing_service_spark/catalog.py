@@ -53,7 +53,7 @@ def spec(name: str, oracle: str | None, *tags: str):
 # to the tail.
 _PRIORITY: tuple[str, ...] = (
     # (a) r1-stale core relational layer
-    "scan_slice", "watermark_bounds", "log_templates", "json_key_volume",
+    "scan_slice", "log_templates", "json_key_volume",
     "batch_volume", "hourly_volume", "decayed_volume", "value_counts_topk",
     # (value_percentiles_approx rotated out: rows-only signal regardless
     # of freshness, and its exact twin value_percentiles — same plan
@@ -97,7 +97,10 @@ _PRIORITY: tuple[str, ...] = (
     # merge_events_upsert) free the last two slots.
     "scd2_user_state", "events_in_windows_bucketed", "bpe_token_counts",
     "heavy_hitter_words", "quality_classifier_report",
+    # watermark_bounds (S3 global min/max scalar — the same scan+agg
+    # machinery every in-window aggregate exercises) frees the last slot.
     "sample_k_per_source", "profile_events", "vocab_growth_report",
+    "temperature_mix_plan",
 )
 
 

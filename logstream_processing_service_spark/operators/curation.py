@@ -765,3 +765,50 @@ def curate_corpus(
         .select("doc_id", "cluster_id", "shard", "pos")
         .orderBy("doc_id")
     )
+
+
+def temperature_mix_plan(
+    documents: DataFrame,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixing (Conneau & Lample 2019; the mT5/LLaMA
+    multi-source recipe): instead of hand-set targets, the share of
+    domain d is n_d^alpha / Σ n^alpha — alpha < 1 flattens the natural
+    distribution, upweighting tail domains without starving the head.
+    Emits the same rate table :func:`domain_mix_plan` does, with the
+    learned shares alongside the naturals for the recipe audit.
+
+    Scale shape identical to domain_mix_plan: one map-side-combined
+    groupBy to ~|domains| rows, one broadcast of the 1-row totals; the
+    pow/divide arithmetic runs on the dimension table only.
+    """
+    tokens = F.size(T.words(F.col("text")))
+    per = documents.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens).alias("n_tokens"),
+    )
+    total = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_z"),
+    )
+    share = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("_z")
+    natural = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        share * F.col("total_tokens") * F.lit(budget_frac) / F.col("n_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            F.round(natural, 6).alias("natural_share"),
+            F.round(share, 6).alias("target_share"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(rate * F.col("n_tokens"), 2).alias("expected_tokens"),
+        )
+        .orderBy(strata_col)
+    )

@@ -468,3 +468,41 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-keeper → leakage-safe split → shard order, in one pass over
     the near-dup clusters."""
     return C.curate_corpus(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "temperature_mix_plan",
+    f"""
+    WITH toks AS (
+        SELECT source, CAST(len({_WORDS_DUCK}) AS INT) AS n_tokens
+        FROM documents
+    ),
+    per AS (
+        SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        FROM toks GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n_tokens) AS total_tokens,
+               sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z
+        FROM per
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_tokens / CAST(total_tokens AS DOUBLE), 6)
+               AS natural_share,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 6) AS target_share,
+           round(least(1.0, pow(CAST(n_tokens AS DOUBLE), 0.3) / z
+                 * total_tokens * 0.5 / n_tokens), 6) AS sample_rate,
+           round(least(1.0, pow(CAST(n_tokens AS DOUBLE), 0.3) / z
+                 * total_tokens * 0.5 / n_tokens) * n_tokens, 2)
+               AS expected_tokens
+    FROM per, tot ORDER BY source
+    """,
+    "north-star", "curation", "mixing", "temperature",
+)
+def q_temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.3 temperature mixing over sources: targets computed FROM
+    the corpus (n^alpha renormalized), not hand-set — the multilingual-LM
+    tail-upweighting recipe."""
+    return C.temperature_mix_plan(_t(spark, sf_dir, "documents"))
