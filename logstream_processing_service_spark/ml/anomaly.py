@@ -5,11 +5,13 @@ signal — `operators.relational.volume_zscore` + `flag_anomalies` reproduce
 the reference's flag rule (z < −1 vs batch, cap 3, ratio guard 0.3,
 volume_analyzer.py:126-147 + incident_ops.py:87-97) without any model.
 
-Parity path (optional): the reference scores features with an
-IsolationForest (volume_analyzer.py:17-24). sklearn is not in this
-container, so the wrapper is import-gated; the feature matrix it would see
-is one row per cluster — tiny — so it runs driver-side on collected
-features when available.
+Parity path: the reference scores features with an IsolationForest
+(volume_analyzer.py:17-24). Two implementations exist — the sklearn
+wrapper below (import-gated, absent here) and ``ml.iforest``, a native
+numpy Isolation Forest (Liu/Ting/Zhou 2008: subsampled random trees,
+2^(−E[h]/c(psi)) scoring, seeded/deterministic) with driver-side bounded
+fit and Arrow-distributed scoring — no dependency, tested in
+tests/test_iforest.py. M9 no longer requires sklearn.
 """
 
 from __future__ import annotations

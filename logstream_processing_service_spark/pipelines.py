@@ -180,7 +180,9 @@ def run_training_batch(
     stage_to_csv(embed_events(batch, dim), staged_path)
     staged = read_staged_csv(spark, staged_path)
 
-    # M7 fit: distributed KMeans refit replaces the one-core DenStream loop
+    # M7 fit: distributed KMeans refit as the global-clustering path;
+    # ml/denstream.py provides the reference's actual fading-micro-cluster
+    # algorithm (per-key applyInPandas / applyInPandasWithState)
     centroids = fit_kmeans_centroids(staged, k=k)
 
     # score path: broadcast nearest-centroid (M3 batch form)

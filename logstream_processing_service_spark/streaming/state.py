@@ -341,3 +341,70 @@ def decayed_volume_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DenStream (M7, the reference's actual algorithm — river's
+# DenStream inside its training loop): micro-cluster state packed as JSON
+# per key, carried across micro-batches. ml/denstream.py owns the math;
+# this is the applyInPandasWithState wiring. Batch-replay == micro-batch
+# replay is asserted in tests/test_denstream.py via the same JSON state
+# round trip this function performs.
+# ---------------------------------------------------------------------------
+
+DENSTREAM_STATE_SCHEMA = StructType([StructField("model", StringType())])
+
+DENSTREAM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_core", LongType()),
+        StructField("n_outlier", LongType()),
+        StructField("n_offline_clusters", LongType()),
+        StructField("total_weight", DoubleType()),
+    ]
+)
+
+
+def denstream_fn(key: tuple, pdfs, state: GroupState):
+    import numpy as np
+    import pandas as pd
+
+    from ..ml import denstream as DS
+
+    model = (
+        DS.DenStream.from_json(state.get[0]) if state.exists else DS.DenStream()
+    )
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts_s", kind="mergesort")
+        if len(pdf):
+            X = np.stack(pdf["vec"].to_numpy()).astype(float)
+            DS.run_sequence(X, pdf["ts_s"].to_numpy(dtype=float), model=model)
+    state.update((model.to_json(),))
+    labels = model.offline_clusters()
+    yield pd.DataFrame(
+        [
+            (
+                str(key[0]),
+                len(model.p),
+                len(model.o),
+                len(set(labels)),
+                round(sum(m.w for m in model.p), 6),
+            )
+        ],
+        columns=[
+            "key", "n_core", "n_outlier", "n_offline_clusters", "total_weight",
+        ],
+    )
+
+
+def denstream_stream(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Per-key streaming density clustering over (key, vec, ts_s) rows;
+    emits the micro-cluster census per key each micro-batch (update mode:
+    the census is a running summary, not an append log)."""
+    return df.groupBy(key_col).applyInPandasWithState(
+        denstream_fn,
+        outputStructType=DENSTREAM_OUTPUT_SCHEMA,
+        stateStructType=DENSTREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
