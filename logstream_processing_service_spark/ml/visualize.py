@@ -32,17 +32,21 @@ def purity_heatmap_data(assigned: DataFrame, truth_col: str, cluster_col: str, t
 def tsne_projection(assigned: DataFrame, emb_col: str = "embedding", sample: int = 1000, seed: int = 42):
     """t-SNE 2-D projection of a ≤``sample`` driver-side sample
     (visualise_results.py:49-63: perplexity=30, init='pca', seed 42).
-    Import-gated: raises unless sklearn is installed."""
-    try:
-        from sklearn.manifold import TSNE  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "sklearn is not installed in this environment; t-SNE is a "
-            "driver-side inspection tool, not an engine operator"
-        ) from exc
-
-    import numpy as np  # pragma: no cover - needs sklearn
+    Uses sklearn when installed (reference parity mode); otherwise the
+    native exact implementation in ``ml.tsne`` — same perplexity/init/
+    seed contract, tested in tests/test_tsne.py. M13 no longer requires
+    sklearn."""
+    import numpy as np
 
     pdf = assigned.select(emb_col).limit(sample).toPandas()
     mat = np.asarray([list(v) for v in pdf[emb_col]])
-    return TSNE(n_components=2, perplexity=30, init="pca", random_state=seed).fit_transform(mat)
+    try:
+        from sklearn.manifold import TSNE  # noqa: F401
+
+        return TSNE(
+            n_components=2, perplexity=30, init="pca", random_state=seed
+        ).fit_transform(mat)  # pragma: no cover - needs sklearn
+    except ImportError:
+        from .tsne import tsne_exact
+
+        return tsne_exact(mat, perplexity=30.0, seed=seed)

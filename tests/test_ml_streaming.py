@@ -439,16 +439,10 @@ def test_viz_prep_and_gate(spark):
     rows = prep.collect()
     assert len(rows) > 0
     assert {r["cluster"] for r in rows} <= set(range(7))
-    try:
-        import sklearn  # noqa: F401
-        has = True
-    except ImportError:
-        has = False
-    if not has:
-        import pytest as _pt
-
-        with _pt.raises(NotImplementedError):
-            tsne_projection(emb)
+    # M13 is no longer sklearn-gated: the native exact t-SNE (ml/tsne.py)
+    # projects the sample on either path; deep coverage in tests/test_tsne.py
+    Y = tsne_projection(emb, sample=60)
+    assert Y.shape[1] == 2 and len(Y) > 0
 
 
 def test_streaming_count_windows(spark, tmpdir):
