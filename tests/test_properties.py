@@ -349,3 +349,60 @@ def test_sample_k_per_group_equals_naive_and_invariant(spark):
         assert got == expect
     tiny = [t for t in expect if t[1] == "tiny"]
     assert len(tiny) == 5 and {t[2] for t in tiny} == {1, 2, 3, 4, 5}
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Zs")
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_bpe_train_parity_fuzz(spark, texts, k):
+    """Random unicode corpora: the distributed trainer's merge list equals
+    the pure-Python twin's, at any merge count."""
+    from logstream_processing_service_spark.operators import bpe
+    from .test_bpe import py_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = {r["word"]: r["n"] for r in bpe.word_frequency_table(docs).collect()}
+    expected = py_train(wc, num_merges=k, min_pair_count=2)
+    got = [
+        (m.rank, m.left, m.right, m.pair_count)
+        for m in bpe.bpe_train(docs, num_merges=k, min_pair_count=2)
+    ]
+    assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=16),
+)
+def test_mg_invariants_fuzz(spark, items, k):
+    """MG bounds/coverage hold for ANY stream and any k: lower ≤ true ≤
+    upper per reported item; every item with share > 1/(k+1) reported."""
+    from collections import Counter
+
+    from logstream_processing_service_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(f"w{i}",) for i in items], "item string")
+    out = {
+        r["item"]: (r["est_lower"], r["est_upper"])
+        for r in SK.mg_topk(SK.mg_partials(df, "item", k), k).collect()
+    }
+    exact = Counter(f"w{i}" for i in items)
+    for item, (lo, hi) in out.items():
+        assert lo <= exact[item] <= hi
+    must = {w for w, n in exact.items() if n > len(items) / (k + 1)}
+    assert must <= set(out)
