@@ -92,6 +92,7 @@ HEADLINE = [
     "profile_events",
     "vocab_growth_report",
     "temperature_mix_plan",
+    "jpeg_pixel_stats",
 ]
 
 

@@ -54,7 +54,7 @@ def spec(name: str, oracle: str | None, *tags: str):
 _PRIORITY: tuple[str, ...] = (
     # (a) r1-stale core relational layer
     "scan_slice", "log_templates", "json_key_volume",
-    "batch_volume", "hourly_volume", "decayed_volume", "value_counts_topk",
+    "batch_volume", "decayed_volume", "value_counts_topk",
     # (value_percentiles_approx rotated out: rows-only signal regardless
     # of freshness, and its exact twin value_percentiles — same plan
     # shape — stays in the window)
@@ -99,8 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     "heavy_hitter_words", "quality_classifier_report",
     # watermark_bounds (S3 global min/max scalar — the same scan+agg
     # machinery every in-window aggregate exercises) frees the last slot.
+    # hourly_volume (same scan+group-count machinery as in-window
+    # batch_volume; r1-green) frees the jpeg slot.
     "sample_k_per_source", "profile_events", "vocab_growth_report",
-    "temperature_mix_plan",
+    "temperature_mix_plan", "jpeg_pixel_stats",
 )
 
 

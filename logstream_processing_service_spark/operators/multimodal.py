@@ -182,21 +182,28 @@ def synthetic_wav(n_channels: int, sample_rate: int, n_frames: int) -> bytes:
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
-    """Feature extraction per media type. PNG and 16-bit PCM WAV decode is
-    REAL (stdlib zlib/struct — see decode_png / decode_wav below): the
-    16-bin histogram is computed over decoded PIXELS / quantized SAMPLES.
-    JPEG (DCT) and MP4 (codecs) remain the genuinely-gated seams — those
-    need PIL/pyav, absent in this container. Unknown types fall back to a
-    byte-level histogram."""
+    """Feature extraction per media type. PNG, 16-bit PCM WAV, and
+    baseline grayscale JPEG decode are REAL (stdlib zlib/struct + the
+    native DCT/Huffman codec in operators/jpegcodec.py): the 16-bin
+    histogram is computed over decoded PIXELS / quantized SAMPLES.
+    Color/progressive JPEG and MP4 (codecs) remain the genuinely-gated
+    seams — those need PIL/pyav, absent in this container. Unknown types
+    fall back to a byte-level histogram."""
     if media_type == "image/png":
         arr = decode_png(bytes(payload)).ravel()
     elif media_type == "audio/wav":
         wave, _ = decode_wav(bytes(payload))
         arr = np.clip((wave[:, 0] + 1.0) * 128.0, 0, 255).astype(np.uint8)
-    elif media_type in ("image/jpeg", "video/mp4"):
+    elif media_type == "image/jpeg":
+        from .jpegcodec import decode_jpeg_gray
+
+        # baseline grayscale decodes natively; color/progressive raise
+        # NotImplementedError from the codec itself (the honest gate)
+        arr = decode_jpeg_gray(bytes(payload)).ravel()
+    elif media_type == "video/mp4":
         raise NotImplementedError(
-            f"decoder for {media_type} not available in this environment; "
-            "install PIL/av and replace this branch"
+            "video codec decode not available in this environment; "
+            "install pyav and replace this branch"
         )
     else:
         arr = np.frombuffer(payload, dtype=np.uint8)

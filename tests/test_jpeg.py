@@ -1,0 +1,88 @@
+"""Baseline grayscale JPEG codec: exactness where exactness is provable,
+bounded loss elsewhere, loud gates on unsupported features."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logstream_processing_service_spark.operators import jpegcodec as J
+
+
+def test_constant_and_block_images_roundtrip_exactly():
+    px = np.full((16, 24), 77, dtype=np.uint8)
+    assert np.array_equal(J.decode_jpeg_gray(J.encode_jpeg_gray(px, 100)), px)
+    b = J.synthetic_jpeg_blocks(48, 32, seed=5)
+    bx, by = np.arange(6), np.arange(4)
+    v = (3 * bx[None, :] + 7 * by[:, None] + 5) % 256
+    exp = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint8)
+    assert np.array_equal(J.decode_jpeg_gray(b), exp)
+
+
+def test_quality100_roundtrip_is_tightly_bounded():
+    rng = np.random.default_rng(0)
+    grad = ((np.arange(40)[:, None] * 3 + np.arange(56)[None, :] * 7) % 256).astype(
+        np.uint8
+    )
+    noise = rng.integers(0, 256, size=(24, 24)).astype(np.uint8)
+    for img in (grad, noise):
+        out = J.decode_jpeg_gray(J.encode_jpeg_gray(img, 100)).astype(int)
+        assert np.abs(out - img.astype(int)).max() <= 2
+
+
+def test_lossy_quality_monotone_and_odd_dims():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(13, 21)).astype(np.uint8)
+    out100 = J.decode_jpeg_gray(J.encode_jpeg_gray(img, 100))
+    out50 = J.decode_jpeg_gray(J.encode_jpeg_gray(img, 50))
+    assert out100.shape == out50.shape == (13, 21)
+    e100 = np.abs(out100.astype(int) - img.astype(int)).mean()
+    e50 = np.abs(out50.astype(int) - img.astype(int)).mean()
+    assert e100 < e50
+    # smaller quality → smaller stream (on noise)
+    assert len(J.encode_jpeg_gray(img, 50)) < len(J.encode_jpeg_gray(img, 100))
+
+
+def test_unsupported_features_raise_loudly():
+    b = bytearray(J.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    i = b.find(bytes([0xFF, 0xC0]))
+    prog = bytes(b[:i]) + b"\xff\xc2" + bytes(b[i + 2 :])
+    with pytest.raises(NotImplementedError, match="baseline"):
+        J.decode_jpeg_gray(prog)
+    ncomp = bytearray(b)
+    ncomp[i + 9] = 3  # claim 3 components
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        J.decode_jpeg_gray(bytes(ncomp))
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(b"\x00\x01not a jpeg")
+
+
+def test_byte_stuffing_survives_ff_bytes_in_stream():
+    # images engineered to emit 0xFF bytes in the entropy stream somewhere:
+    # many random tries, all must round-trip within the q=100 bound
+    rng = np.random.default_rng(2)
+    saw_stuffed = False
+    for _ in range(20):
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+        enc = J.encode_jpeg_gray(img, 100)
+        body = enc[enc.find(b"\xff\xda") + 14 : -2]
+        saw_stuffed = saw_stuffed or b"\xff\x00" in body
+        out = J.decode_jpeg_gray(enc).astype(int)
+        assert np.abs(out - img.astype(int)).max() <= 2
+    assert saw_stuffed, "no stuffed byte ever produced — test corpus too tame"
+
+
+def test_spark_pixel_stats_pipeline(spark, sf_dir):
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    out = J.jpeg_pixel_stats(J.with_blocky_jpeg_payload(docs)).collect()
+    assert len(out) == 60
+    for r in out:
+        d = r["doc_id"]
+        w, h = 8 * (d % 6 + 2), 8 * (d % 4 + 2)
+        assert r["n_px"] == w * h
+        bx, by = np.arange(w // 8), np.arange(h // 8)
+        v = (3 * bx[None, :] + 7 * by[:, None] + d % 256) % 256
+        assert r["min_px"] == int(v.min()) and r["max_px"] == int(v.max())
+        assert abs(r["mean_px"] - round(float(v.mean()), 6)) < 1e-9

@@ -294,12 +294,14 @@ def test_multimodal_pipeline(spark):
         assert len(r["features"]) == 16
         assert abs(sum(r["features"]) - 1.0) < 1e-5
         assert r["n_bytes"] > 0
-    # r4: PNG decode is REAL (stdlib) — malformed bytes fail loudly, and
-    # the genuinely-gated types (JPEG/MP4) still refuse, never fake
+    # r4: PNG and baseline-JPEG decode are REAL — malformed bytes fail
+    # loudly on both; MP4 stays the gated type (never fake)
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG...", "image/png")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "video/mp4")
 
 
 class TestFeatureLayer:

@@ -118,12 +118,22 @@ def test_frame_sample_real_pcm(spark):
         assert len(arr) == 128 and np.abs(arr).max() > 0
 
 
-def test_jpeg_and_mp4_remain_gated(spark):
+def test_jpeg_decodes_natively_and_mp4_remains_gated(spark):
+    import numpy as np
+
+    from logstream_processing_service_spark.operators.jpegcodec import (
+        synthetic_jpeg_blocks,
+    )
     from logstream_processing_service_spark.operators.multimodal import (
         decode_media,
     )
 
-    with pytest.raises(NotImplementedError):
+    # baseline grayscale JPEG now decodes through the native codec: the
+    # histogram feature comes from real pixels, and sums to 1
+    feats = decode_media(synthetic_jpeg_blocks(16, 16, seed=3), "image/jpeg")
+    assert abs(float(np.sum(feats)) - 1.0) < 1e-6
+    # truncated/garbage JPEG and any MP4 still raise loudly
+    with pytest.raises((ValueError, NotImplementedError, IndexError)):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "video/mp4")
