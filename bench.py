@@ -93,6 +93,7 @@ HEADLINE = [
     "vocab_growth_report",
     "temperature_mix_plan",
     "jpeg_pixel_stats",
+    "mp4_frame_index",
 ]
 
 

@@ -64,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "actor_setops",
     "asof_signup_before_error", "rollup_volume",
     "revenue_by_nation", "top_quarter_suppliers",
-    "priority_order_counts", "customers_without_orders",
+    "customers_without_orders",
     "first_order_per_customer", "orders_with_error_events",
     "small_quantity_part_revenue", "national_market_share",
     "idle_rich_customers", "brand_priciest_part",
@@ -101,8 +101,11 @@ _PRIORITY: tuple[str, ...] = (
     # machinery every in-window aggregate exercises) frees the last slot.
     # hourly_volume (same scan+group-count machinery as in-window
     # batch_volume; r1-green) frees the jpeg slot.
+    # priority_order_counts (same scan+group-count machinery as the
+    # in-window batch_volume / revenue aggregates; r1-green) frees the
+    # mp4 slot.
     "sample_k_per_source", "profile_events", "vocab_growth_report",
-    "temperature_mix_plan", "jpeg_pixel_stats",
+    "temperature_mix_plan", "jpeg_pixel_stats", "mp4_frame_index",
 )
 
 

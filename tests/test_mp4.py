@@ -1,0 +1,75 @@
+"""MP4 container parsing: box-tree walk, sample-table assembly, content-
+verified offsets, malformed-input behavior."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from logstream_processing_service_spark.operators import mp4box as M
+
+
+def test_fixture_roundtrip_closed_form():
+    for doc in (0, 7, 13, 255):
+        b = M.synthetic_mp4(doc)
+        idx = M.parse_sample_table(b)
+        n = doc % 6 + 3
+        assert len(idx) == n
+        off, t = M.MDAT_DATA_OFFSET, 0
+        for i, (si, o, s, pts) in enumerate(idx):
+            assert si == i and o == off and pts == t
+            assert s == 100 + (doc + i) % 50
+            assert b[o] == (doc + i) % 256  # ranged read hits the frame
+            off += s
+            t += 33 + (i % 3)
+
+
+def test_multi_sample_chunks_and_fixed_stsz():
+    """The parser handles layouts our muxer doesn't emit: several samples
+    per chunk (stsc runs) and fixed-size stsz."""
+    frames = [bytes([i]) * 10 for i in range(6)]
+    b = M.mux_mp4_frames(frames, [40] * 6)
+    # rewrite stsc to 2 chunks × 3 samples and stco accordingly
+    s, e = M._find(b, [b"moov", b"trak", b"mdia", b"minf", b"stbl"], 0, len(b))
+    tables = {t: (bs, be) for t, bs, be in M._walk(b, s, e)}
+    out = bytearray(b)
+    bs, be = tables[b"stsc"]
+    # our muxer writes one 1-sample-per-chunk run (16-byte payload after
+    # version/flags); patch it in place to one 3-samples-per-chunk run —
+    # the parser must then consume only the first 2 of the 6 stco chunks
+    # (trailing chunk entries are simply never reached)
+    assert be - bs == 20
+    out[bs + 4 : be] = struct.pack(">IIII", 1, 1, 3, 1)
+    bs, be = tables[b"stco"]
+    chunk0 = M.MDAT_DATA_OFFSET
+    chunk1 = M.MDAT_DATA_OFFSET + 30
+    out[bs + 8 : bs + 16] = struct.pack(">II", chunk0, chunk1)
+    idx = M.parse_sample_table(bytes(out))
+    assert [(o, s) for _, o, s, _ in idx] == [
+        (chunk0, 10), (chunk0 + 10, 10), (chunk0 + 20, 10),
+        (chunk1, 10), (chunk1 + 10, 10), (chunk1 + 20, 10),
+    ]
+
+
+def test_malformed_inputs_raise():
+    b = M.synthetic_mp4(3)
+    with pytest.raises(ValueError):
+        M.parse_sample_table(b[:40])
+    with pytest.raises(ValueError):
+        M.parse_sample_table(b"\x00\x00\x00\x01abcd")
+
+
+def test_spark_frame_index(spark, sf_dir):
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = M.mp4_frame_index(M.with_synthetic_mp4_payload(docs)).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 40
+    for d, rows in by_doc.items():
+        assert len(rows) == d % 6 + 3
+        for r in sorted(rows, key=lambda r: r["frame_idx"]):
+            assert r["first_byte"] == (d + r["frame_idx"]) % 256
