@@ -73,3 +73,37 @@ def test_spark_frame_index(spark, sf_dir):
         assert len(rows) == d % 6 + 3
         for r in sorted(rows, key=lambda r: r["frame_idx"]):
             assert r["first_byte"] == (d + r["frame_idx"]) % 256
+
+
+def test_co64_offsets_supported():
+    """64-bit chunk offsets (co64) parse identically to stco — synthesize
+    by rewriting the fixture's stco box into co64 in place (same total
+    size: count 2 entries -> need payload growth, so rebuild moov)."""
+    frames = [bytes([i + 1]) * 12 for i in range(3)]
+    b = M.mux_mp4_frames(frames, [40, 40, 40])
+    s, e = M._find(b, [b"moov", b"trak", b"mdia", b"minf", b"stbl"], 0, len(b))
+    tables = {t: (bs, be) for t, bs, be in M._walk(b, s, e)}
+    bs, be = tables[b"stco"]
+    offs = [M.MDAT_DATA_OFFSET + 12 * i for i in range(3)]
+    payload = struct.pack(">II", 0, 3) + b"".join(
+        struct.pack(">Q", o) for o in offs
+    )
+    co64 = struct.pack(">I4s", len(payload) + 8, b"co64") + payload
+    grow = len(co64) - (be - bs + 8)
+    out = bytearray(b[: bs - 8] + co64 + b[be:])
+    # patch every ancestor box length (moov/trak/mdia/minf/stbl) + none
+    # after mdat moved (moov is last)
+    for path in (
+        [b"moov"],
+        [b"moov", b"trak"],
+        [b"moov", b"trak", b"mdia"],
+        [b"moov", b"trak", b"mdia", b"minf"],
+        [b"moov", b"trak", b"mdia", b"minf", b"stbl"],
+    ):
+        ps, pe = M._find(b, path, 0, len(b))
+        old = struct.unpack(">I", b[ps - 8 : ps - 4])[0]
+        out[ps - 8 : ps - 4] = struct.pack(">I", old + grow)
+    idx = M.parse_sample_table(bytes(out))
+    assert [(o, sz) for _, o, sz, _ in idx] == [(offs[i], 12) for i in range(3)]
+    for i, (si, o, sz, _) in enumerate(idx):
+        assert bytes(out)[o] == i + 1
