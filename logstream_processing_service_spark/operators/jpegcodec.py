@@ -4,10 +4,12 @@ Closes the JPEG half of the multimodal content-decode gap the same way
 decode_png closed PNG's: a real codec (forward/inverse 8×8 DCT, IJG
 quality-scaled quantization, canonical Huffman entropy coding with byte
 stuffing, full JFIF marker framing) verified against a closed-form pixel
-oracle. Scope is stated honestly: baseline sequential, 8-bit, one
-component (luminance). Color (YCbCr + subsampling) and progressive scans
-raise loudly — those are the PIL-gated remainder, but the hard parts
-(DCT, Huffman, marker machinery) are real and exercised end-to-end.
+oracle. Scope is stated honestly: baseline sequential, 8-bit,
+grayscale AND 4:4:4 YCbCr color (interleaved MCUs, Annex-K chroma
+tables, JFIF BT.601 transform). Chroma-subsampled (h,v != 1,1) and
+progressive scans raise loudly — the PIL-gated remainder — but the hard
+parts (DCT, Huffman, color transform, marker machinery) are real and
+exercised end-to-end.
 
 Why a closed-form oracle is possible for a LOSSY codec: a block-constant
 image at quality 100 is DC-only — the constant c encodes as the exact
@@ -447,3 +449,267 @@ def jpeg_pixel_stats(media):
     return media.mapInPandas(
         run, "doc_id bigint, n_px bigint, mean_px double, min_px bigint, max_px bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Color (YCbCr 4:4:4) extension: interleaved 3-component MCUs with the
+# Annex K chroma quant/Huffman tables and the JFIF full-range BT.601
+# color transform. Chroma subsampling (h2v2 etc.) and progressive scans
+# remain the loud gates.
+# ---------------------------------------------------------------------------
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601; returns float64 (H, W, 3), unrounded."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _component_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n_blocks, 64) zigzagged quantized coefficients for one plane."""
+    ph, pw = plane.shape
+    blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    coeffs = np.einsum("ux,bcxy,vy->bcuv", _M, blocks, _M)
+    return np.round(coeffs / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+
+
+def _encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
+    s, bits = _magnitude(int(zz[0]) - prev_dc)
+    c, ln = dc_codes[s]
+    bw.put(c, ln)
+    if s:
+        bw.put(bits, s)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]
+            bw.put(c, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(bits, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]
+        bw.put(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg_color(rgb: np.ndarray, quality: int = 100) -> bytes:
+    """Baseline JFIF, 3 interleaved YCbCr 4:4:4 components."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ycc = np.clip(np.round(rgb_to_ycbcr(rgb.astype(np.float64))), 0, 255)
+    ql = scaled_quant(quality)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255).astype(np.int64)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
+        for c in range(3)
+    ]
+    zz = [
+        _component_blocks(planes[0], ql),
+        _component_blocks(planes[1], qc),
+        _component_blocks(planes[2], qc),
+    ]
+    dc_l = _canonical_codes(DC_BITS, DC_VALS)
+    ac_l = _canonical_codes(AC_BITS, AC_VALS)
+    dc_c = _canonical_codes(DC_BITS_C, DC_VALS_C)
+    ac_c = _canonical_codes(AC_BITS_C, AC_VALS_C)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for mcu in range(zz[0].shape[0]):
+        prev[0] = _encode_block(bw, zz[0][mcu], prev[0], dc_l, ac_l)
+        prev[1] = _encode_block(bw, zz[1][mcu], prev[1], dc_c, ac_c)
+        prev[2] = _encode_block(bw, zz[2][mcu], prev[2], dc_c, ac_c)
+    data = bw.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+    out += seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += data + b"\xff\xd9"
+    return out
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """General baseline decoder: (H, W) for grayscale, (H, W, 3) RGB for
+    YCbCr 4:4:4 color. Subsampled/progressive/DRI raise loudly."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    dims = None
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    data_start = None
+    while i < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        if i + 4 > len(b):
+            raise ValueError("truncated JPEG stream")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+        seg = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline")
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling (h,v != 1,1) not supported"
+                    )
+                comps.append((cid, tq))
+            dims = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nval = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nval])
+                (ac_tables if tc else dc_tables)[th] = _decode_table(bits, vals)
+                j += 17 + nval
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            ns = seg[0]
+            by_id = {cid: k for k, (cid, _) in enumerate(comps)}
+            for c in range(ns):
+                cid, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((by_id[cid], tda >> 4, tda & 0x0F))
+            data_start = i + 2 + ln
+            break
+        i += 2 + ln
+    if dims is None or data_start is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w = dims
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    n_blocks = (ph // 8) * (pw // 8)
+    br = _BitReader(b[data_start:])
+    flats = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
+    prev = [0] * len(comps)
+    for nb in range(n_blocks):
+        for ci, td, ta in scan:
+            s = _read_code(br, dc_tables[td])
+            prev[ci] += _extend(br.take(s), s)
+            flats[ci][nb, 0] = prev[ci]
+            k = 1
+            while k < 64:
+                sym = _read_code(br, ac_tables[ta])
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, s = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                flats[ci][nb, k] = _extend(br.take(s), s)
+                k += 1
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        blocks = (flats[ci][:, UNZIGZAG].reshape(-1, 8, 8) * qt[tq]).astype(
+            np.float64
+        )
+        spatial = np.einsum("xu,buv,yv->bxy", _M.T, blocks, _M.T) + 128.0
+        planes.append(
+            spatial.reshape(ph // 8, pw // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph, pw)[:h, :w]
+        )
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -195,11 +195,11 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         wave, _ = decode_wav(bytes(payload))
         arr = np.clip((wave[:, 0] + 1.0) * 128.0, 0, 255).astype(np.uint8)
     elif media_type == "image/jpeg":
-        from .jpegcodec import decode_jpeg_gray
+        from .jpegcodec import decode_jpeg
 
-        # baseline grayscale decodes natively; color/progressive raise
-        # NotImplementedError from the codec itself (the honest gate)
-        arr = decode_jpeg_gray(bytes(payload)).ravel()
+        # baseline grayscale AND 4:4:4 color decode natively; subsampled/
+        # progressive raise NotImplementedError from the codec itself
+        arr = decode_jpeg(bytes(payload)).ravel()
     elif media_type == "video/mp4":
         raise NotImplementedError(
             "video codec decode not available in this environment; "

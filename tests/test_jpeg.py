@@ -86,3 +86,43 @@ def test_spark_pixel_stats_pipeline(spark, sf_dir):
         v = (3 * bx[None, :] + 7 * by[:, None] + d % 256) % 256
         assert r["min_px"] == int(v.min()) and r["max_px"] == int(v.max())
         assert abs(r["mean_px"] - round(float(v.mean()), 6)) < 1e-9
+
+
+def test_color_roundtrip_bounded_and_gray_consistency():
+    rng = np.random.default_rng(3)
+    rgb = np.zeros((40, 56, 3), dtype=np.uint8)
+    rgb[..., 0] = (np.arange(56)[None, :] * 3) % 256
+    rgb[..., 1] = (np.arange(40)[:, None] * 5) % 256
+    rgb[..., 2] = 77
+    # q=100 color: only the YCbCr double-rounding remains → ±2 levels
+    out = J.decode_jpeg(J.encode_jpeg_color(rgb, 100)).astype(int)
+    assert out.shape == rgb.shape
+    assert np.abs(out - rgb.astype(int)).max() <= 2
+    # constant color patch: ±1
+    c = np.stack(
+        [np.full((16, 16), v, dtype=np.uint8) for v in (200, 50, 120)], axis=-1
+    )
+    out = J.decode_jpeg(J.encode_jpeg_color(c, 100)).astype(int)
+    assert np.abs(out - c.astype(int)).max() <= 1
+    # grayscale streams decode identically through both entry points
+    g = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    eg = J.encode_jpeg_gray(g, 100)
+    assert np.array_equal(J.decode_jpeg(eg), J.decode_jpeg_gray(eg))
+    # lossy color stays sane and smaller
+    assert len(J.encode_jpeg_color(rgb, 60)) < len(J.encode_jpeg_color(rgb, 100))
+    out60 = J.decode_jpeg(J.encode_jpeg_color(rgb, 60)).astype(int)
+    assert np.abs(out60 - rgb.astype(int)).mean() < 8
+
+
+def test_color_decoder_gates():
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    b = bytearray(J.encode_jpeg_color(rgb, 100))
+    i = b.find(bytes([0xFF, 0xC0]))
+    # claim 2x2 luma sampling → subsampling gate
+    sub = bytearray(b)
+    sub[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        J.decode_jpeg(bytes(sub))
+    # decode_jpeg_gray keeps rejecting color streams
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        J.decode_jpeg_gray(bytes(b))
