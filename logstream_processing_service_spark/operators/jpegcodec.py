@@ -5,11 +5,12 @@ decode_png closed PNG's: a real codec (forward/inverse 8×8 DCT, IJG
 quality-scaled quantization, canonical Huffman entropy coding with byte
 stuffing, full JFIF marker framing) verified against a closed-form pixel
 oracle. Scope is stated honestly: baseline sequential, 8-bit,
-grayscale AND 4:4:4 YCbCr color (interleaved MCUs, Annex-K chroma
-tables, JFIF BT.601 transform). Chroma-subsampled (h,v != 1,1) and
-progressive scans raise loudly — the PIL-gated remainder — but the hard
-parts (DCT, Huffman, color transform, marker machinery) are real and
-exercised end-to-end.
+grayscale, 4:4:4 YCbCr color, and 4:2:0 subsampled color (interleaved
+MCUs with per-component sampling factors ≤ 2, Annex-K chroma tables,
+JFIF BT.601 transform, 2×2 box-averaged chroma). Sampling factors
+beyond 2×2 and progressive scans raise loudly — the PIL-gated
+remainder — but the hard parts (DCT, Huffman, color transform, MCU
+layout, marker machinery) are real and exercised end-to-end.
 
 Why a closed-form oracle is possible for a LOSSY codec: a block-constant
 image at quality 100 is DC-only — the constant c encodes as the exact
@@ -547,34 +548,65 @@ def _encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
     return int(zz[0])
 
 
-def encode_jpeg_color(rgb: np.ndarray, quality: int = 100) -> bytes:
-    """Baseline JFIF, 3 interleaved YCbCr 4:4:4 components."""
+def encode_jpeg_color(
+    rgb: np.ndarray, quality: int = 100, subsampling: str = "444"
+) -> bytes:
+    """Baseline JFIF, 3 interleaved YCbCr components — 4:4:4 (h1v1) or
+    4:2:0 (luma h2v2, 2×2 box-averaged chroma, the web-standard layout)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     rgb = np.asarray(rgb, dtype=np.uint8)
     h, w, _ = rgb.shape
     ycc = np.clip(np.round(rgb_to_ycbcr(rgb.astype(np.float64))), 0, 255)
     ql = scaled_quant(quality)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255).astype(np.int64)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [
-        np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
-        for c in range(3)
-    ]
-    zz = [
-        _component_blocks(planes[0], ql),
-        _component_blocks(planes[1], qc),
-        _component_blocks(planes[2], qc),
-    ]
     dc_l = _canonical_codes(DC_BITS, DC_VALS)
     ac_l = _canonical_codes(AC_BITS, AC_VALS)
     dc_c = _canonical_codes(DC_BITS_C, DC_VALS_C)
     ac_c = _canonical_codes(AC_BITS_C, AC_VALS_C)
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for mcu in range(zz[0].shape[0]):
-        prev[0] = _encode_block(bw, zz[0][mcu], prev[0], dc_l, ac_l)
-        prev[1] = _encode_block(bw, zz[1][mcu], prev[1], dc_c, ac_c)
-        prev[2] = _encode_block(bw, zz[2][mcu], prev[2], dc_c, ac_c)
+    if subsampling == "444":
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [
+            np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
+            for c in range(3)
+        ]
+        zz = [
+            _component_blocks(planes[0], ql),
+            _component_blocks(planes[1], qc),
+            _component_blocks(planes[2], qc),
+        ]
+        for mcu in range(zz[0].shape[0]):
+            prev[0] = _encode_block(bw, zz[0][mcu], prev[0], dc_l, ac_l)
+            prev[1] = _encode_block(bw, zz[1][mcu], prev[1], dc_c, ac_c)
+            prev[2] = _encode_block(bw, zz[2][mcu], prev[2], dc_c, ac_c)
+        luma_hv = b"\x11"
+    else:
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        planes = [
+            np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
+            for c in range(3)
+        ]
+        half = [
+            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)).round()
+            for p in planes[1:]
+        ]
+        zzy = _component_blocks(planes[0], ql)  # (ph/8 * pw/8) row-major
+        zzb = _component_blocks(half[0], qc)
+        zzr = _component_blocks(half[1], qc)
+        ybc = pw // 8  # luma blocks per row
+        cbc = pw // 16
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    idx = (2 * my + by) * ybc + 2 * mx + bx
+                    prev[0] = _encode_block(bw, zzy[idx], prev[0], dc_l, ac_l)
+                cidx = my * cbc + mx
+                prev[1] = _encode_block(bw, zzb[cidx], prev[1], dc_c, ac_c)
+                prev[2] = _encode_block(bw, zzr[cidx], prev[2], dc_c, ac_c)
+        luma_hv = b"\x22"
     data = bw.finish()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -587,7 +619,7 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 100) -> bytes:
     out += seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+        + b"\x01" + luma_hv + b"\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
     )
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
@@ -600,7 +632,9 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 100) -> bytes:
 
 def decode_jpeg(b: bytes) -> np.ndarray:
     """General baseline decoder: (H, W) for grayscale, (H, W, 3) RGB for
-    YCbCr 4:4:4 color. Subsampled/progressive/DRI raise loudly."""
+    YCbCr color at 4:4:4 or subsampled layouts with factors ≤ 2 (incl.
+    the web-standard 4:2:0). Factors beyond 2×2, progressive scans, and
+    restart intervals raise loudly."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     i = 2
@@ -643,11 +677,12 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 raise NotImplementedError("1 or 3 components only")
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling (h,v != 1,1) not supported"
+                        "sampling factors beyond 2x2 not supported"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError("only baseline sequential (SOF0)")
@@ -664,7 +699,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             raise NotImplementedError("restart intervals")
         elif marker == 0xDA:
             ns = seg[0]
-            by_id = {cid: k for k, (cid, _) in enumerate(comps)}
+            by_id = {cid: k for k, (cid, _hi, _vi, _tq) in enumerate(comps)}
             for c in range(ns):
                 cid, tda = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((by_id[cid], tda >> 4, tda & 0x0F))
@@ -674,41 +709,64 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     if dims is None or data_start is None:
         raise ValueError("missing SOF0/SOS")
     h, w = dims
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    n_blocks = (ph // 8) * (pw // 8)
+    h_max = max(hi for _, hi, _, _ in comps)
+    v_max = max(vi for _, _, vi, _ in comps)
+    nmx = -(-w // (8 * h_max))  # MCUs across
+    nmy = -(-h // (8 * v_max))
     br = _BitReader(b[data_start:])
-    flats = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
+    # per-component block grids: (block_rows, block_cols, 64)
+    grids = [
+        np.zeros((nmy * vi, nmx * hi, 64), dtype=np.int64)
+        for _, hi, vi, _ in comps
+    ]
     prev = [0] * len(comps)
-    for nb in range(n_blocks):
-        for ci, td, ta in scan:
-            s = _read_code(br, dc_tables[td])
-            prev[ci] += _extend(br.take(s), s)
-            flats[ci][nb, 0] = prev[ci]
-            k = 1
-            while k < 64:
-                sym = _read_code(br, ac_tables[ta])
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                run, s = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                flats[ci][nb, k] = _extend(br.take(s), s)
-                k += 1
+    for my in range(nmy):
+        for mx in range(nmx):
+            for ci, td, ta in scan:
+                _, hi, vi, _ = comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = grids[ci][my * vi + by, mx * hi + bx]
+                        s = _read_code(br, dc_tables[td])
+                        prev[ci] += _extend(br.take(s), s)
+                        blk[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_code(br, ac_tables[ta])
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            run, s = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.take(s), s)
+                            k += 1
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
-        blocks = (flats[ci][:, UNZIGZAG].reshape(-1, 8, 8) * qt[tq]).astype(
-            np.float64
-        )
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        brows, bcols, _ = grids[ci].shape
+        blocks = (
+            grids[ci].reshape(-1, 64)[:, UNZIGZAG].reshape(-1, 8, 8) * qt[tq]
+        ).astype(np.float64)
         spatial = np.einsum("xu,buv,yv->bxy", _M.T, blocks, _M.T) + 128.0
-        planes.append(
-            spatial.reshape(ph // 8, pw // 8, 8, 8)
+        plane = (
+            spatial.reshape(brows, bcols, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(ph, pw)[:h, :w]
+            .reshape(brows * 8, bcols * 8)
         )
+        # crop to this component's true resolution, then upsample to full
+        ch = -(-h * vi // v_max)
+        cw = -(-w * hi // h_max)
+        plane = plane[:ch, :cw]
+        if vi != v_max or hi != h_max:
+            plane = np.repeat(
+                np.repeat(plane, v_max // vi, axis=0), h_max // hi, axis=1
+            )[:h, :w]
+        else:
+            plane = plane[:h, :w]
+        planes.append(plane)
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))

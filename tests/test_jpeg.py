@@ -118,11 +118,42 @@ def test_color_decoder_gates():
     rgb = np.zeros((8, 8, 3), dtype=np.uint8)
     b = bytearray(J.encode_jpeg_color(rgb, 100))
     i = b.find(bytes([0xFF, 0xC0]))
-    # claim 2x2 luma sampling → subsampling gate
+    # sampling factors beyond 2x2 hit the loud gate
     sub = bytearray(b)
-    sub[i + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    sub[i + 11] = 0x33
+    with pytest.raises(NotImplementedError, match="beyond 2x2"):
         J.decode_jpeg(bytes(sub))
     # decode_jpeg_gray keeps rejecting color streams
     with pytest.raises(NotImplementedError, match="grayscale"):
         J.decode_jpeg_gray(bytes(b))
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 (the web-standard layout): constant color and gray-content
+    images survive chroma halving within ±1; chroma-detailed gradients
+    stay bounded; the stream is smaller than 4:4:4."""
+    rgb = np.zeros((40, 56, 3), dtype=np.uint8)
+    rgb[..., 0] = (np.arange(56)[None, :] * 3) % 256
+    rgb[..., 1] = (np.arange(40)[:, None] * 5) % 256
+    rgb[..., 2] = 77
+    e444 = J.encode_jpeg_color(rgb, 100, "444")
+    e420 = J.encode_jpeg_color(rgb, 100, "420")
+    assert len(e420) < len(e444)
+    d = J.decode_jpeg(e420).astype(int)
+    assert d.shape == rgb.shape
+    assert np.abs(d - rgb.astype(int)).max() <= 8  # chroma halving loss
+    c = np.stack(
+        [np.full((24, 24), v, dtype=np.uint8) for v in (200, 50, 120)], axis=-1
+    )
+    dc = J.decode_jpeg(J.encode_jpeg_color(c, 100, "420")).astype(int)
+    assert np.abs(dc - c.astype(int)).max() <= 1
+    g = ((np.arange(40)[:, None] * 3 + np.arange(56)[None, :] * 7) % 256).astype(
+        np.uint8
+    )
+    g3 = np.repeat(g[:, :, None], 3, axis=2)
+    dg = J.decode_jpeg(J.encode_jpeg_color(g3, 100, "420")).astype(int)
+    assert np.abs(dg - g3.astype(int)).max() <= 1
+    odd = np.zeros((13, 21, 3), dtype=np.uint8)
+    odd[..., 0] = 100
+    odd[..., 1] = (np.arange(21)[None, :] * 9) % 256
+    assert J.decode_jpeg(J.encode_jpeg_color(odd, 100, "420")).shape == (13, 21, 3)
