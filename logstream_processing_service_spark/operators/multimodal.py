@@ -424,29 +424,36 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize over the Arrow lane. PNG is REAL: decode (stdlib),
-    nearest-neighbor resample via numpy index grids, re-encode with
-    ``encode_png``. JPEG stays gated (DCT needs PIL). Non-image payloads
-    use the deterministic truncate/pad stand-in so the batch sizing and
-    schema wiring stay exercised for every type."""
+    """Image resize over the Arrow lane. PNG and baseline JPEG are REAL:
+    decode (stdlib / native DCT codec), nearest-neighbor resample via
+    numpy index grids, re-encode (PNG losslessly; JPEG gray at q=95).
+    Non-image payloads use the deterministic truncate/pad stand-in so
+    the batch sizing and schema wiring stay exercised for every type."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpegcodec import decode_jpeg, encode_jpeg_color, encode_jpeg_gray
+
         target = width * height
         for pdf in batches:
             out_payload = []
             for p, m in zip(pdf["payload"], pdf["media_type"]):
-                if m == "image/png":
-                    px = decode_png(bytes(p))
+                if m in ("image/png", "image/jpeg"):
+                    px = (
+                        decode_png(bytes(p))
+                        if m == "image/png"
+                        else decode_jpeg(bytes(p))
+                    )
                     h, w = px.shape[:2]
                     yi = (np.arange(height) * h) // height
                     xi = (np.arange(width) * w) // width
-                    out_payload.append(encode_png(px[yi][:, xi]))
+                    rs = px[yi][:, xi]
+                    if m == "image/png":
+                        out_payload.append(encode_png(rs))
+                    elif rs.ndim == 2:
+                        out_payload.append(encode_jpeg_gray(rs, quality=95))
+                    else:
+                        out_payload.append(encode_jpeg_color(rs, quality=95))
                     continue
-                if m == "image/jpeg":
-                    raise NotImplementedError(
-                        "PIL not available here; plug Image.open(...).resize "
-                        "into this branch"
-                    )
                 b = bytes(p)[:target]
                 out_payload.append(b + b"\x00" * (target - len(b)))
             yield pd.DataFrame(

@@ -157,3 +157,37 @@ def test_420_subsampled_roundtrip():
     odd[..., 0] = 100
     odd[..., 1] = (np.arange(21)[None, :] * 9) % 256
     assert J.decode_jpeg(J.encode_jpeg_color(odd, 100, "420")).shape == (13, 21, 3)
+
+
+def test_resize_media_real_jpeg(spark, sf_dir):
+    """resize_media now handles JPEG natively: decode → nearest resample
+    → re-encode; output decodes at the target dims with sane content."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import BinaryType, StructType, StructField, StringType, LongType, IntegerType, DoubleType
+
+    from logstream_processing_service_spark.operators.multimodal import (
+        resize_media,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = J.with_blocky_jpeg_payload(docs).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("media_type"),
+            F.length("payload").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+    out = resize_media(media, width=24, height=16).collect()
+    assert len(out) == 5
+    for r in out:
+        px = J.decode_jpeg(bytes(r["payload"]))
+        assert px.shape == (16, 24)
+        d = r["doc_id"]
+        # nearest-neighbor keeps the top-left block's constant value
+        seed = d % 256
+        assert abs(int(px[0, 0]) - seed) <= 2  # q=95 re-encode tolerance
