@@ -7,10 +7,11 @@ stuffing, full JFIF marker framing) verified against a closed-form pixel
 oracle. Scope is stated honestly: baseline sequential, 8-bit,
 grayscale, 4:4:4 YCbCr color, and 4:2:0 subsampled color (interleaved
 MCUs with per-component sampling factors ≤ 2, Annex-K chroma tables,
-JFIF BT.601 transform, 2×2 box-averaged chroma). Sampling factors
-beyond 2×2 and progressive scans raise loudly — the PIL-gated
-remainder — but the hard parts (DCT, Huffman, color transform, MCU
-layout, marker machinery) are real and exercised end-to-end.
+JFIF BT.601 transform, 2×2 box-averaged chroma). Restart intervals (DRI/RSTn) are
+handled on both sides. Sampling factors beyond 2×2 and progressive
+scans raise loudly — the PIL-gated remainder — but the hard parts (DCT,
+Huffman, color transform, MCU layout, marker machinery) are real and
+exercised end-to-end.
 
 Why a closed-form oracle is possible for a LOSSY codec: a block-constant
 image at quality 100 is DC-only — the constant c encodes as the exact
@@ -145,8 +146,13 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def encode_jpeg_gray(pixels: np.ndarray, quality: int = 100) -> bytes:
-    """Baseline JFIF, one luminance component, h1v1."""
+def encode_jpeg_gray(
+    pixels: np.ndarray, quality: int = 100, restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF, one luminance component, h1v1. ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that-many MCUs
+    (byte-aligned, DC predictors reset) — the error-resilience layout
+    most camera/web encoders produce."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     h, w = pixels.shape
     q = scaled_quant(quality)
@@ -164,34 +170,19 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 100) -> bytes:
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
+    chunks: list[bytes] = []
     prev_dc = 0
-    for zz in flat:
-        s, bits = _magnitude(int(zz[0]) - prev_dc)
-        prev_dc = int(zz[0])
-        c, ln = dc_codes[s]
-        bw.put(c, ln)
-        if s:
-            bw.put(bits, s)
-        run = 0
-        last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
-        for k in range(1, last_nz + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                c, ln = ac_codes[0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            s, bits = _magnitude(v)
-            c, ln = ac_codes[(run << 4) | s]
-            bw.put(c, ln)
-            bw.put(bits, s)
-            run = 0
-        if last_nz < 63:
-            c, ln = ac_codes[0x00]  # EOB
-            bw.put(c, ln)
-    data = bw.finish()
+    rst = 0
+    for mcu_no, zz in enumerate(flat):
+        if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+            chunks.append(bw.finish())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            prev_dc = 0
+        prev_dc = _encode_block(bw, zz, prev_dc, dc_codes, ac_codes)
+    chunks.append(bw.finish())
+    data = b"".join(chunks)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -202,6 +193,8 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 100) -> bytes:
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     out += data + b"\xff\xd9"
     return out
@@ -633,8 +626,9 @@ def encode_jpeg_color(
 def decode_jpeg(b: bytes) -> np.ndarray:
     """General baseline decoder: (H, W) for grayscale, (H, W, 3) RGB for
     YCbCr color at 4:4:4 or subsampled layouts with factors ≤ 2 (incl.
-    the web-standard 4:2:0). Factors beyond 2×2, progressive scans, and
-    restart intervals raise loudly."""
+    the web-standard 4:2:0), with or without restart intervals (DRI/RSTn
+    resynchronization). Factors beyond 2×2 and progressive scans raise
+    loudly."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     i = 2
@@ -645,6 +639,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
     data_start = None
+    restart_interval = 0
     while i < len(b):
         if b[i] != 0xFF:
             i += 1
@@ -696,7 +691,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 (ac_tables if tc else dc_tables)[th] = _decode_table(bits, vals)
                 j += 17 + nval
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ns = seg[0]
             by_id = {cid: k for k, (cid, _hi, _vi, _tq) in enumerate(comps)}
@@ -713,15 +708,34 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     v_max = max(vi for _, _, vi, _ in comps)
     nmx = -(-w // (8 * h_max))  # MCUs across
     nmy = -(-h // (8 * v_max))
-    br = _BitReader(b[data_start:])
+    # restart intervals: entropy data is split at RSTn markers into
+    # independently byte-aligned segments with fresh DC predictors. A
+    # real 0xFF in entropy data is always stuffed (FF 00), so FF D0-D7
+    # is unambiguously a restart marker.
+    if restart_interval:
+        import re as _re
+
+        segments = _re.split(b"\xff[\xd0-\xd7]", b[data_start:])
+    else:
+        segments = [b[data_start:]]
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
     # per-component block grids: (block_rows, block_cols, 64)
     grids = [
         np.zeros((nmy * vi, nmx * hi, 64), dtype=np.int64)
         for _, hi, vi, _ in comps
     ]
     prev = [0] * len(comps)
+    mcu_no = 0
     for my in range(nmy):
         for mx in range(nmx):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                try:
+                    br = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("missing restart marker") from None
+                prev = [0] * len(comps)
+            mcu_no += 1
             for ci, td, ta in scan:
                 _, hi, vi, _ = comps[ci]
                 for by in range(vi):

@@ -191,3 +191,24 @@ def test_resize_media_real_jpeg(spark, sf_dir):
         # nearest-neighbor keeps the top-left block's constant value
         seed = d % 256
         assert abs(int(px[0, 0]) - seed) <= 2  # q=95 re-encode tolerance
+
+
+def test_restart_intervals_roundtrip():
+    """DRI streams (the error-resilience layout real encoders emit):
+    RSTn markers every R MCUs, byte-aligned segments, DC predictor
+    resets — decode must reassemble them losslessly (q=100 bound)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 48)).astype(np.uint8)
+    plain = J.decode_jpeg(J.encode_jpeg_gray(img, 100))
+    for R in (1, 3, 7):
+        e = J.encode_jpeg_gray(img, 100, restart_interval=R)
+        assert any(bytes([0xFF, 0xD0 + m]) in e for m in range(8))
+        d = J.decode_jpeg(e)
+        # same coefficients, same reconstruction — DRI framing is
+        # transparent to pixels
+        assert np.array_equal(d, plain)
+    # truncated restart stream fails loudly
+    e = J.encode_jpeg_gray(img, 100, restart_interval=2)
+    cut = e[: e.find(bytes([0xFF, 0xD1]))] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        J.decode_jpeg(cut)
