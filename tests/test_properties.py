@@ -406,3 +406,71 @@ def test_mg_invariants_fuzz(spark, items, k):
         assert lo <= exact[item] <= hi
     must = {w for w, n in exact.items() if n > len(items) / (k + 1)}
     assert must <= set(out)
+
+
+def test_session_ops_skew_stress(spark):
+    """This session's keyed operators under heavy key skew: one user
+    owns 90% of events (scd2), one group owns 95% of rows (reservoir),
+    one word dominates the stream (MG) — results must stay exact/within
+    guarantees, and repartitioning must not change them."""
+    from pyspark.sql import Window
+
+    from logstream_processing_service_spark.operators.relational import (
+        scd2_history,
+    )
+    from logstream_processing_service_spark.operators.sampling import (
+        _uniform01,
+        sample_k_per_group,
+    )
+    from logstream_processing_service_spark.operators import sketches as SK
+
+    # scd2: hot user with 1800 events, 9 cold users with 20 each
+    rows = []
+    eid = 0
+    for u, n in [(0, 1800)] + [(u, 20) for u in range(1, 10)]:
+        for i in range(n):
+            rows.append((eid, u, f"s{(i // 7) % 3}", i * 1000))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+    a = sorted(map(tuple, scd2_history(ev, ts_col="ts").collect()))
+    b = sorted(
+        map(tuple, scd2_history(ev.repartition(64), ts_col="ts").collect())
+    )
+    assert a == b and len(a) > 250  # hot user has many state runs
+
+    # reservoir: 95% of rows in one group — cutoff prefilter still exact
+    rows2 = [(i, "hot" if i % 20 else "cold") for i in range(4000)]
+    df = spark.createDataFrame(rows2, "doc_id long, source string")
+    k = 30
+    naive = (
+        df.withColumn("_u", _uniform01("doc_id", "ksample-v1"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("_u", "doc_id")
+            ),
+        )
+        .filter(F.col("r") <= k)
+        .select("doc_id")
+    )
+    expect = {r["doc_id"] for r in naive.collect()}
+    got = {
+        r["doc_id"]
+        for r in sample_k_per_group(
+            df.repartition(48), "source", "doc_id", k
+        ).collect()
+    }
+    assert got == expect
+
+    # MG: one word is 60% of the stream — must be reported with bounds
+    items = ["the"] * 6000 + [f"w{i % 400}" for i in range(4000)]
+    wdf = spark.createDataFrame([(w,) for w in items], "item string")
+    out = {
+        r["item"]: (r["est_lower"], r["est_upper"])
+        for r in SK.mg_topk(SK.mg_partials(wdf.repartition(32), "item", 16), 16).collect()
+    }
+    assert "the" in out
+    lo, hi = out["the"]
+    assert lo <= 6000 <= hi
