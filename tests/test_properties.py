@@ -474,3 +474,40 @@ def test_session_ops_skew_stress(spark):
     assert "the" in out
     lo, hi = out["the"]
     assert lo <= 6000 <= hi
+
+
+@SLOW
+@given(
+    st.integers(min_value=1, max_value=37),
+    st.integers(min_value=1, max_value=29),
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["gray", "444", "420", "gray-dri"]),
+)
+def test_jpeg_q100_roundtrip_fuzz(spark, w, h, seed, layout):
+    """Random dims (odd, tiny, sub-block) × random content × every
+    supported layout: quality-100 round trips stay within the rounding
+    bound (gray/444: ±2; 420 with constant chroma: ±2) and shapes are
+    exact."""
+    import numpy as np
+
+    from logstream_processing_service_spark.operators import jpegcodec as J
+
+    rng = np.random.default_rng(seed)
+    if layout in ("gray", "gray-dri"):
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ri = 3 if layout == "gray-dri" else 0
+        out = J.decode_jpeg(
+            J.encode_jpeg_gray(img, 100, restart_interval=ri)
+        ).astype(int)
+        assert out.shape == (h, w)
+        assert np.abs(out - img.astype(int)).max() <= 2
+    else:
+        # constant chroma (gray content tinted) so 4:2:0's chroma halving
+        # is lossless and the bound stays tight for both layouts
+        g = rng.integers(0, 256, (h, w)).astype(np.int64)
+        img = np.stack([g, g, g], axis=-1).astype(np.uint8)
+        out = J.decode_jpeg(
+            J.encode_jpeg_color(img, 100, subsampling=layout)
+        ).astype(int)
+        assert out.shape == (h, w, 3)
+        assert np.abs(out - img.astype(int)).max() <= 2
