@@ -94,6 +94,11 @@ HEADLINE = [
     "temperature_mix_plan",
     "jpeg_pixel_stats",
     "mp4_frame_index",
+    # round-4 continuation, second session
+    "bm25_search",
+    "chunk_documents",
+    "fuzzy_customer_pairs",
+    "image_dhash",
 ]
 
 

@@ -54,19 +54,18 @@ def spec(name: str, oracle: str | None, *tags: str):
 _PRIORITY: tuple[str, ...] = (
     # (a) r1-stale core relational layer
     "scan_slice", "log_templates", "json_key_volume",
-    "batch_volume", "decayed_volume", "value_counts_topk",
+    "batch_volume", "decayed_volume",
     # (value_percentiles_approx rotated out: rows-only signal regardless
     # of freshness, and its exact twin value_percentiles — same plan
     # shape — stays in the window)
     "distinct_actors",
-    "volume_zscore", "volume_history_window", "value_percentiles",
+    "volume_zscore", "value_percentiles",
     "pattern_mining", "incident_upsert_split",
     "actor_setops",
     "asof_signup_before_error", "rollup_volume",
     "revenue_by_nation", "top_quarter_suppliers",
-    "customers_without_orders",
     "first_order_per_customer", "orders_with_error_events",
-    "small_quantity_part_revenue", "national_market_share",
+    "national_market_share",
     "idle_rich_customers", "brand_priciest_part",
     # (b) plan/semantics changed in r4. Rotated out to keep never-checked
     # debt at zero (new queries MUST get a first driver row):
@@ -106,6 +105,18 @@ _PRIORITY: tuple[str, ...] = (
     # mp4 slot.
     "sample_k_per_source", "profile_events", "vocab_growth_report",
     "temperature_mix_plan", "jpeg_pixel_stats", "mp4_frame_index",
+    # (c continued) new in the second continuation session. Slots freed
+    # by displacing r1-stale queries whose machinery keeps an in-window
+    # twin (they resume rotation in r5): value_counts_topk (group-count +
+    # top-k — in-window batch_volume + top-N window machinery),
+    # volume_history_window (W1 row_number-per-group — in-window
+    # sample_k_per_source runs the identical ranking machinery),
+    # customers_without_orders (anti join — in-window
+    # incident_upsert_split exercises semi+anti J2), and
+    # small_quantity_part_revenue (agg scalar-subquery join — in-window
+    # pattern_mining is the same J1 shape).
+    "bm25_search", "chunk_documents", "fuzzy_customer_pairs",
+    "image_dhash",
 )
 
 

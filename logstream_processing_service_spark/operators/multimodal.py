@@ -731,6 +731,69 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", StringType()),
+    ]
+)
+
+
+def dhash_bytes(px: "np.ndarray", grid_w: int = 9, grid_h: int = 8) -> str:
+    """64-bit difference hash of a grayscale pixel array as 16 hex chars:
+    nearest-neighbor downsample to (grid_h, grid_w) with the SAME index
+    grids as resize_media (yi = (y*h)//grid_h, xi = (x*w)//grid_w), then
+    bit(y,x) = px[y,x+1] > px[y,x], packed MSB-first per row."""
+    if px.ndim == 3:  # BT.601 integer luma for color inputs
+        px = (299 * px[..., 0].astype(np.int64)
+              + 587 * px[..., 1].astype(np.int64)
+              + 114 * px[..., 2].astype(np.int64)) // 1000
+    h, w = px.shape
+    yi = (np.arange(grid_h) * h) // grid_h
+    xi = (np.arange(grid_w) * w) // grid_w
+    g = px[yi][:, xi].astype(np.int64)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8)
+    return bytes(np.packbits(bits.flatten())).hex()
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual near-duplicate image detection: decode → 9×8 dHash →
+    group by hash. The end-to-end composition of the native codecs with
+    the dedup discipline — visually-identical content collides on a 64-bit
+    key regardless of re-encode/scale, so dedup is a hash groupBy exactly
+    like ``dedup_exact``, never pairwise pixel comparison.
+
+    Scale: decode + hash are in-row Arrow-batched work; the only shuffle
+    is the 16-char-key group count. Output: (doc_id, dhash, n_same) where
+    n_same counts corpus images sharing the hash.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpegcodec import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for d, p, m in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                px = (
+                    decode_jpeg(bytes(p))
+                    if m == "image/jpeg"
+                    else decode_png(bytes(p))
+                )
+                rows.append((int(d), dhash_bytes(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.media_type").alias("media_type")
+    )
+    hashed = flat.mapInPandas(run, DHASH_SCHEMA)
+    counts = hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_same")
+    )
+    return hashed.join(counts, "dhash").select("doc_id", "dhash", "n_same")
+
+
 PCM_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -1,0 +1,211 @@
+"""Corpus retrieval operators: BM25 ranked search over an inverted index
+and RAG-style document chunking.
+
+Reference parity note: the reference service (src/processing/engine.py)
+exposes keyword search only as LIKE-filter scans; these operators are the
+north-star extension a training-data / retrieval pipeline needs — ranked
+lexical retrieval (the dense-retrieval complement to operators/similarity.py)
+and token-window chunking (the unit RAG indexes and context packing consume).
+
+Scale design:
+- BM25 never materializes a doc×query matrix. The term-frequency table IS
+  the inverted index (posting lists keyed by token); the query set is a
+  tiny literal frame broadcast onto it, so the probe is a map-side hash
+  join against corpus-sized postings. Scores shuffle once on
+  (query_id, doc_id) — cardinality ≤ Σ|postings(q_term)|, not |corpus|.
+- Top-k per query is a window over only the scored candidates.
+- Chunking is a zero-join posexplode: each doc row expands to its chunk
+  rows in place; no shuffle at all unless the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# Deterministic demo query set for catalog/bench entries (vocabulary drawn
+# from the synthetic corpus).
+SEARCH_QUERIES: tuple[str, ...] = (
+    "fast table scan",
+    "window agg join",
+    "stream batch merge",
+    "customer order query",
+    "vector hash group",
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_term_score(tc: Column, df: Column, dl: Column, n_docs: Column, avgdl: Column) -> Column:
+    """One term's BM25 contribution — written to mirror the oracle SQL
+    expression tree exactly (same literal constants, same associativity) so
+    both engines round identically at 6 dp."""
+    idf = F.log(F.lit(1) + (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    denom = tc + F.lit(BM25_K1) * (F.lit(0.25) + F.lit(0.75) * dl / avgdl)
+    return idf * (tc * F.lit(2.2)) / denom
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents per query under BM25 (Robertson/Lucene idf form:
+    ln(1 + (N - df + .5)/(df + .5)); k1=1.2, b=0.75).
+
+    Plan shape: corpus scanned once into (doc_id, tok) postings; per-doc tf
+    and doc-length aggregate map-side; the query-term frame (a few literal
+    rows) broadcasts onto the tf table, so only candidate postings survive
+    to the (query_id, doc_id) score shuffle. Corpus stats (N, avgdl) ride
+    along as a broadcast scalar. Ties on the 6-dp rounded score break by
+    doc_id, making the ranking engine-portable.
+    """
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tc"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    q = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(queries)], "query_id INT, qtext STRING"
+    )
+    qterms = q.select(
+        "query_id",
+        F.explode(F.array_distinct(T.words(F.col("qtext")))).alias("tok"),
+    )
+
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            _bm25_term_score(
+                F.col("tc"), F.col("df"), F.col("dl"),
+                F.col("n_docs"), F.col("avgdl"),
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").alias("score_raw"))
+        .withColumn("score", F.round(F.col("score_raw"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_oracle_sql(queries: tuple[str, ...] = SEARCH_QUERIES, k: int = 10) -> str:
+    """DuckDB twin generated from the same constants — see _bm25_term_score
+    for the expression-mirroring contract."""
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(queries))
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {values}) AS t(query_id, qtext)),
+    qterms AS (
+        SELECT DISTINCT query_id, tok FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS tok
+            FROM q
+        )
+    ),
+    toks AS (SELECT doc_id, unnest({words_duck}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tc FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT qterms.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tc * 2.2)
+                   / (tc + {BM25_K1} * (0.25 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM qterms
+        JOIN tf USING (tok)
+        JOIN df USING (tok)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Overlapping token-window chunks (the RAG indexing unit): stride =
+    chunk_tokens - overlap; the final chunk may be short; empty docs emit
+    no chunks.
+
+    Scale: pure in-row expansion — tokenize once, generate start offsets
+    with sequence(), posexplode. No shuffle, no join; output partitioning
+    follows the input scan, so a downstream embed/index stage streams
+    straight out of the scan tasks.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = documents.select(
+        "doc_id", T.words(F.col("text")).alias("arr")
+    ).withColumn("n", F.size("arr")).filter(F.col("n") > 0)
+    starts = toks.select(
+        "doc_id", "arr",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("arr"), F.col("start") + 1, chunk_tokens)
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST(start DIV {stride} AS INT)").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_toks"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def chunk_oracle_sql(
+    chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk_tokens - overlap
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH t AS (SELECT doc_id, {words_duck} AS arr FROM documents),
+    s AS (SELECT doc_id, arr, len(arr) AS n FROM t WHERE len(arr) > 0),
+    st AS (
+        SELECT doc_id, arr, n, unnest(range(0, n, {stride})) AS start FROM s
+    )
+    SELECT doc_id,
+           CAST(start // {stride} AS INT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(len(list_slice(arr, start + 1, start + {chunk_tokens}))
+                AS BIGINT) AS n_toks,
+           array_to_string(list_slice(arr, start + 1, start + {chunk_tokens}),
+                           ' ') AS chunk_text
+    FROM st
+    """

@@ -429,3 +429,58 @@ def q_mp4_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_frame_index(with_synthetic_mp4_payload(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+def _image_dhash_oracle() -> str:
+    """The gradient PNG's 9x8 dHash in closed form: the oracle recomputes
+    the nearest-neighbor downsample (xi = (x*w)//9, yi = (y*h)//8), the
+    adjacent-pixel comparison bits, and the MSB-first byte packing without
+    any decoder — a hash match proves decode + resample + perceptual hash
+    end-to-end."""
+    return """
+    WITH g AS (
+      SELECT doc_id, doc_id % 48 + 8 AS w, doc_id % 37 + 8 AS h,
+             doc_id % 256 AS seed
+      FROM documents
+    ),
+    cell AS (
+      SELECT doc_id, ys.y AS y, xs.x AS x,
+             (((xs.x * w) // 9) * 3 + ((ys.y * h) // 8) * 7 + seed) % 256 AS v
+      FROM g
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys
+      CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xs
+    ),
+    bit AS (
+      SELECT a.doc_id, a.y, a.x,
+             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM cell a JOIN cell b
+        ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    byt AS (
+      SELECT doc_id, y, CAST(sum(bit * (1 << (7 - x))) AS INT) AS byte
+      FROM bit GROUP BY doc_id, y
+    ),
+    hx AS (
+      SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY y) AS dhash
+      FROM byt GROUP BY doc_id
+    )
+    SELECT doc_id, dhash,
+           CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+    FROM hx ORDER BY doc_id
+    """
+
+
+@spec(
+    "image_dhash",
+    _image_dhash_oracle(),
+    "multimodal", "image-decode", "dedup", "north-star",
+)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image detection: native PNG decode → 9x8
+    difference hash → hash-group counts, verified bit-for-bit against the
+    closed-form pixel oracle."""
+    from .operators.multimodal import image_dhash, with_gradient_image_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_dhash(with_gradient_image_payload(docs)).orderBy("doc_id")

@@ -1358,3 +1358,54 @@ def q_vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import analytics as A2
 
     return A2.vocab_growth_report(_t(spark, sf_dir, "documents"))
+
+
+def _bm25_oracle() -> str:
+    from .operators import retrieval as R
+
+    return R.bm25_oracle_sql()
+
+
+@spec("bm25_search", _bm25_oracle(), "north-star", "retrieval", "bench")
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked lexical retrieval: BM25 top-10 per query over the inverted
+    tf table, query terms broadcast onto the postings. The oracle recomputes
+    the full scoring pipeline in SQL with the identical expression tree."""
+    from .operators import retrieval as R
+
+    return R.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+def _chunk_oracle() -> str:
+    from .operators import retrieval as R
+
+    return R.chunk_oracle_sql()
+
+
+@spec("chunk_documents", _chunk_oracle(), "north-star", "retrieval", "rag")
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG token-window chunking (32-token chunks, 8-token overlap):
+    zero-shuffle in-row posexplode; exact string match against the
+    generate_series/list_slice oracle."""
+    from .operators import retrieval as R
+
+    return R.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def _fuzzy_oracle() -> str:
+    from .operators import matching as M
+
+    return M.fuzzy_pairs_oracle_sql("customer", "c_custkey", "c_name", 1)
+
+
+@spec("fuzzy_customer_pairs", _fuzzy_oracle(), "north-star", "entity-resolution")
+def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 entity matching over customer names via COMPLETE
+    delete-neighborhood (SymSpell) blocking + Levenshtein verify; the
+    oracle runs the naive quadratic join, so a hash match proves the
+    blocking loses no pair."""
+    from .operators import matching as M
+
+    return M.fuzzy_pairs(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name", max_ed=1
+    )

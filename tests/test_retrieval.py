@@ -1,0 +1,224 @@
+"""Behavior tests for retrieval (BM25, chunking), fuzzy matching, and
+perceptual image hashing. Oracle parity for the same operators runs in
+test_oracle_parity.py; these pin semantics the oracle can't express
+(guards, completeness vs brute force, hand-computed fixtures)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    from logstream_processing_service_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple banana apple"),
+            (1, "apple cherry plum plum plum plum plum plum"),
+            (2, "cherry plum date fig grape melon kiwi lime"),
+            (3, "unrelated words entirely different tokens here now ok"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = bm25_topk(docs, queries=("apple banana",), k=4).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # doc 0 has both terms with high tf and short length -> rank 1
+    assert by_rank[1]["doc_id"] == 0
+    # doc 3 contains neither term -> absent
+    assert all(r["doc_id"] != 3 for r in out)
+    # scores non-increasing in rank
+    scores = [by_rank[i]["score"] for i in sorted(by_rank)]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_k_bound_and_query_ids(spark):
+    from logstream_processing_service_spark.operators.retrieval import (
+        SEARCH_QUERIES,
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bm25_topk(docs, k=3)
+    rows = out.collect()
+    assert len(rows) == 3 * len(SEARCH_QUERIES)
+    assert {r["query_id"] for r in rows} == set(range(len(SEARCH_QUERIES)))
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_overlap_property(spark):
+    from logstream_processing_service_spark.operators.retrieval import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 24 over 80 tokens -> starts 0,24,48,72
+    assert [r["start_tok"] for r in rows] == [0, 24, 48, 72]
+    assert [r["n_toks"] for r in rows] == [32, 32, 32, 8]
+    # consecutive full chunks overlap by exactly `overlap` tokens
+    a = rows[0]["chunk_text"].split(" ")
+    b = rows[1]["chunk_text"].split(" ")
+    assert a[-8:] == b[:8]
+    # chunks reconstruct the doc: union of tokens in order
+    recon = a + b[8:]
+    assert recon == text.split(" ")[:56]
+
+
+def test_chunk_empty_doc_and_guard(spark):
+    from logstream_processing_service_spark.operators.retrieval import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one two")], "doc_id LONG, text STRING"
+    )
+    rows = chunk_documents(docs).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching (SymSpell delete-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_complete_vs_bruteforce(spark):
+    """The blocking must lose NO pair: compare against the quadratic
+    Python form on a corpus with substitutions, inserts, deletes,
+    transposition-ish edits, and exact dups."""
+    from logstream_processing_service_spark.operators.matching import (
+        fuzzy_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = ["alpha", "bravo", "charli", "delta", "echo12"]
+    keys = []
+    for i in range(60):
+        s = base[i % len(base)]
+        op = i % 4
+        if op == 1 and len(s) > 2:  # substitution
+            j = int(rng.integers(len(s)))
+            s = s[:j] + "x" + s[j + 1:]
+        elif op == 2:  # insertion
+            j = int(rng.integers(len(s) + 1))
+            s = s[:j] + "q" + s[j:]
+        elif op == 3 and len(s) > 2:  # deletion
+            j = int(rng.integers(len(s)))
+            s = s[:j] + s[j + 1:]
+        keys.append((i, s))
+
+    for d in (1, 2):
+        df = spark.createDataFrame(keys, "id LONG, key STRING")
+        got = {
+            (r["id_a"], r["id_b"], r["ed"])
+            for r in fuzzy_pairs(df, "id", "key", max_ed=d).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for i, a in keys
+            for j, b in keys
+            if i < j and _lev(a, b) <= d
+        }
+        assert got == want, f"max_ed={d}"
+
+
+def test_fuzzy_pairs_guards(spark):
+    from logstream_processing_service_spark.operators.matching import (
+        fuzzy_pairs,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, "x" * 100)], "id LONG, key STRING")
+    with pytest.raises(ValueError):
+        fuzzy_pairs(df, "id", "key", max_ed=3)
+    with pytest.raises(Exception) as exc:
+        fuzzy_pairs(df, "id", "key", max_ed=1).collect()
+    assert "normalized key" in str(exc.value)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_bytes_handcomputed():
+    from logstream_processing_service_spark.operators.multimodal import (
+        dhash_bytes,
+    )
+
+    # 8x9 image equal to the sampling grid: gradient increasing in x ->
+    # every adjacent comparison is True -> all bytes 0xff
+    px = np.tile(np.arange(9) * 10, (8, 1))
+    assert dhash_bytes(px) == "ff" * 8
+    # decreasing -> all False
+    assert dhash_bytes(px[:, ::-1].copy()) == "00" * 8
+    # single step up at the last column of the grid -> LSB of each byte
+    px2 = np.zeros((8, 9), dtype=np.int64)
+    px2[:, 8] = 5
+    assert dhash_bytes(px2) == "01" * 8
+
+
+def test_dhash_scale_invariance_and_color():
+    """The perceptual property: the same content at 2x resolution hashes
+    identically (nearest-neighbor sampling hits the same gradient), and
+    the BT.601 luma branch accepts color input."""
+    from logstream_processing_service_spark.operators.multimodal import (
+        dhash_bytes,
+    )
+
+    x = np.arange(18)[None, :] * 5 + np.arange(16)[:, None] * 3
+    small = x[::2, ::2]
+    assert dhash_bytes(small) == dhash_bytes(x)
+    rgb = np.stack([small, small, small], axis=-1)
+    assert dhash_bytes(rgb) == dhash_bytes(small)
+
+
+def test_image_dhash_groups_exact_dups(spark):
+    """Two byte-identical PNGs must land in one dHash group."""
+    from logstream_processing_service_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_png_gradient,
+    )
+
+    png_a = synthetic_png_gradient(20, 15, 7)
+    png_b = synthetic_png_gradient(20, 15, 7)  # identical content
+    png_c = synthetic_png_gradient(20, 15, 7 + 128)  # shifted wrap points
+    rows = [(0, png_a), (1, png_b), (2, png_c)]
+    media = spark.createDataFrame(
+        rows, "doc_id LONG, payload BINARY"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("image/png").alias("media_type")).alias("meta"),
+    )
+    out = {r["doc_id"]: r for r in image_dhash(media).collect()}
+    assert out[0]["dhash"] == out[1]["dhash"]
+    assert out[0]["n_same"] >= 2
