@@ -4,14 +4,14 @@ Closes the JPEG half of the multimodal content-decode gap the same way
 decode_png closed PNG's: a real codec (forward/inverse 8×8 DCT, IJG
 quality-scaled quantization, canonical Huffman entropy coding with byte
 stuffing, full JFIF marker framing) verified against a closed-form pixel
-oracle. Scope is stated honestly: baseline sequential, 8-bit,
-grayscale, 4:4:4 YCbCr color, and 4:2:0 subsampled color (interleaved
-MCUs with per-component sampling factors ≤ 2, Annex-K chroma tables,
-JFIF BT.601 transform, 2×2 box-averaged chroma). Restart intervals (DRI/RSTn) are
-handled on both sides. Sampling factors beyond 2×2 and progressive
-scans raise loudly — the PIL-gated remainder — but the hard parts (DCT,
-Huffman, color transform, MCU layout, marker machinery) are real and
-exercised end-to-end.
+oracle. Scope: baseline sequential (SOF0) AND progressive (SOF2,
+spectral selection + successive approximation with per-scan optimal
+Huffman tables), 8-bit, grayscale, 4:4:4 YCbCr color, and 4:2:0
+subsampled color (interleaved MCUs with per-component sampling factors
+≤ 2, Annex-K chroma tables, JFIF BT.601 transform, 2×2 box-averaged
+chroma). Restart intervals (DRI/RSTn) are handled on both sides. The
+only remaining gates are sampling factors beyond 2×2, arithmetic
+coding, and hierarchical/lossless modes — rare in web corpora.
 
 Why a closed-form oracle is possible for a LOSSY codec: a block-constant
 image at quality 100 is DC-only — the constant c encodes as the exact
@@ -448,7 +448,8 @@ def jpeg_pixel_stats(media):
 # ---------------------------------------------------------------------------
 # Color (YCbCr 4:4:4) extension: interleaved 3-component MCUs with the
 # Annex K chroma quant/Huffman tables and the JFIF full-range BT.601
-# color transform. Chroma subsampling (h2v2 etc.) and progressive scans
+# color transform. Progressive scans live further below; only >2×2
+# sampling factors and arithmetic coding
 # remain the loud gates.
 # ---------------------------------------------------------------------------
 
@@ -627,8 +628,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     """General baseline decoder: (H, W) for grayscale, (H, W, 3) RGB for
     YCbCr color at 4:4:4 or subsampled layouts with factors ≤ 2 (incl.
     the web-standard 4:2:0), with or without restart intervals (DRI/RSTn
-    resynchronization). Factors beyond 2×2 and progressive scans raise
-    loudly."""
+    resynchronization). Progressive (SOF2) streams are delegated to
+    decode_jpeg_progressive. Factors beyond 2×2 raise loudly."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     i = 2
@@ -679,7 +680,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     )
                 comps.append((cid, hi, vi, tq))
             dims = (h, w)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker == 0xC2:
+            return decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xC4:
             j = 0
@@ -785,3 +788,656 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation.
+#
+# Real web JPEGs are very often progressive, so the decode gate mattered.
+# Both directions are implemented from ITU T.81 Annex G (scan script and
+# refinement semantics mirror libjpeg's standard progression) so the round
+# trip is self-verifying: a progressive stream carries EXACTLY the same
+# quantized coefficients as the baseline stream at the same quality, only
+# re-ordered — decoded pixels must be bit-identical to the baseline decode.
+# ---------------------------------------------------------------------------
+
+
+def _entropy_end(b: bytes, pos: int) -> int:
+    """First byte index >= pos where a non-stuffed, non-RST marker starts."""
+    i = pos
+    while i < len(b) - 1:
+        if b[i] == 0xFF and b[i + 1] != 0x00 and not (0xD0 <= b[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return len(b)
+
+
+def _optimal_table(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal length-limited Huffman table per T.81 K.2/K.3 (the
+    jpeg_gen_optimal_table algorithm): returns (BITS[16], HUFFVAL).
+    Progressive scans NEED this — EOBn symbols aren't in the Annex-K
+    baseline tables, which is why every real progressive encoder runs
+    two-pass with optimized tables."""
+    freq = [0] * 257
+    for s, f in freqs.items():
+        freq[s] = f
+    freq[256] = 1  # reserved: guarantees no all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, 10**18
+        for i in range(257):
+            if 0 < freq[i] <= v:
+                v, c1 = freq[i], i
+        c2, v = -1, 10**18
+        for i in range(257):
+            if 0 < freq[i] <= v and i != c1:
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for ln in range(32, 16, -1):  # length-limit to 16 (K.3)
+        while bits[ln] > 0:
+            j = ln - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[ln] -= 2
+            bits[ln - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    ln = 16
+    while bits[ln] == 0:
+        ln -= 1
+    bits[ln] -= 1  # drop the reserved symbol's slot
+    syms = sorted(
+        (s for s in range(256) if codesize[s]),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], syms
+
+
+class _SymStream:
+    """Two-pass scan encoding: first collect (symbol | raw-bit) ops and
+    symbol frequencies, then serialize with the optimal table."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple] = []
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.ops.append(("s", s))
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append(("b", v, n))
+
+    def serialize(self) -> tuple[list[int], list[int], bytes]:
+        bits, vals = _optimal_table(self.freq)
+        codes = _canonical_codes(bits, vals)
+        bw = _BitWriter()
+        for op in self.ops:
+            if op[0] == "s":
+                c, ln = codes[op[1]]
+                bw.put(c, ln)
+            else:
+                bw.put(op[1], op[2])
+        return bits, vals, bw.finish()
+
+
+class _ProgEncoder:
+    """Entropy state for one progressive scan: pending EOB run and
+    buffered correction bits (flushed together, per T.81 G.1.2.3)."""
+
+    def __init__(self, stream: _SymStream) -> None:
+        self.st = stream
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.st.sym(r << 4)
+            if r:
+                self.st.bits(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.st.bits(bit, 1)
+        self.pending = []
+
+
+def _encode_ac_first(enc: _ProgEncoder, band: np.ndarray, al: int) -> None:
+    """One block of an AC first scan (Ah=0): run-length over the point-
+    transformed band, EOB folded into the shared EOB run."""
+    vals = [
+        (abs(int(v)) >> al) * (1 if v >= 0 else -1) for v in band
+    ]
+    nz = [k for k, v in enumerate(vals) if v != 0]
+    if not nz:
+        enc.eobrun += 1
+        if enc.eobrun == 0x7FFF:
+            enc.flush_eobrun()
+        return
+    enc.flush_eobrun()
+    run = 0
+    for k in range(nz[-1] + 1):
+        v = vals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            enc.st.sym(0xF0)
+            run -= 16
+        s, bits = _magnitude(v)
+        enc.st.sym((run << 4) | s)
+        enc.st.bits(bits, s)
+        run = 0
+    if nz[-1] < len(band) - 1:
+        enc.eobrun += 1
+        if enc.eobrun == 0x7FFF:
+            enc.flush_eobrun()
+
+
+def _encode_ac_refine(enc: _ProgEncoder, band: np.ndarray, al: int) -> None:
+    """One block of an AC refinement scan (Ah=Al+1): newly-nonzero
+    coefficients as (run,1) symbols, history coefficients as buffered
+    correction bits (libjpeg encode_mcu_AC_refine)."""
+    absv = [abs(int(v)) >> al for v in band]
+    eob = 0
+    for k, t in enumerate(absv):
+        if t == 1:
+            eob = k
+    run = 0
+    br_bits: list[int] = []
+    for k, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            enc.flush_eobrun()
+            enc.st.sym(0xF0)
+            run -= 16
+            for bit in br_bits:
+                enc.st.bits(bit, 1)
+            br_bits = []
+        if t > 1:  # history coefficient: correction bit
+            br_bits.append(t & 1)
+            continue
+        # newly nonzero (t == 1): flush EOB run, emit (run, 1) + sign
+        enc.flush_eobrun()
+        enc.st.sym((run << 4) | 1)
+        enc.st.bits(0 if band[k] < 0 else 1, 1)
+        for bit in br_bits:
+            enc.st.bits(bit, 1)
+        br_bits = []
+        run = 0
+    if run > 0 or br_bits:
+        enc.eobrun += 1
+        enc.pending.extend(br_bits)
+        if enc.eobrun == 0x7FFF:
+            enc.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 100, subsampling: str = "444"
+) -> bytes:
+    """Progressive JFIF (SOF2), grayscale (H, W) or RGB (H, W, 3) at 4:4:4
+    or 4:2:0 — libjpeg's standard scan script (interleaved DC with one
+    refinement pass; luma AC split 1-5 / 6-63 at Al=2 with two refinement
+    passes; chroma full-band at Al=1 with one). Coefficients equal the
+    baseline encoder's at the same quality, so decode parity with the
+    baseline stream is exact."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if gray:
+        h, w = pixels.shape
+        mcu = 8
+    else:
+        h, w, _ = pixels.shape
+        mcu = 8 if subsampling == "444" else 16
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    ql = scaled_quant(quality)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255).astype(np.int64)
+
+    # per-component zigzag coefficient grids: (block_rows, block_cols, 64)
+    if gray:
+        plane = np.pad(pixels, ((0, ph - h), (0, pw - w)), mode="edge")
+        grids = [
+            _component_blocks(plane.astype(np.float64), ql).reshape(
+                ph // 8, pw // 8, 64
+            )
+        ]
+        hv = [(1, 1)]
+        quants = [ql]
+    else:
+        ycc = np.clip(np.round(rgb_to_ycbcr(pixels.astype(np.float64))), 0, 255)
+        planes = [
+            np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
+            for c in range(3)
+        ]
+        if subsampling == "420":
+            chroma = [
+                p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)).round()
+                for p in planes[1:]
+            ]
+            hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            chroma = planes[1:]
+            hv = [(1, 1), (1, 1), (1, 1)]
+        srcs = [planes[0]] + chroma
+        quants = [ql, qc, qc]
+        grids = [
+            _component_blocks(p, q).reshape(p.shape[0] // 8, p.shape[1] // 8, 64)
+            for p, q in zip(srcs, quants)
+        ]
+    h_max = max(x for x, _ in hv)
+    v_max = max(y for _, y in hv)
+    nmx, nmy = pw // (8 * h_max), ph // (8 * v_max)
+
+    dc_codes = [_canonical_codes(DC_BITS, DC_VALS)] + (
+        [] if gray else [_canonical_codes(DC_BITS_C, DC_VALS_C)] * 2
+    )
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        prev = [0] * len(grids)
+        for my in range(nmy):
+            for mx in range(nmx):
+                for ci, (hi, vi) in enumerate(hv):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(grids[ci][my * vi + by, mx * hi + bx, 0])
+                            t = v >> al  # arithmetic shift (T.81 G.1.2.1)
+                            s, bits = _magnitude(t - prev[ci])
+                            c, ln = dc_codes[ci][s]
+                            bw.put(c, ln)
+                            if s:
+                                bw.put(bits, s)
+                            prev[ci] = t
+        return bw.finish()
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for my in range(nmy):
+            for mx in range(nmx):
+                for ci, (hi, vi) in enumerate(hv):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(grids[ci][my * vi + by, mx * hi + bx, 0])
+                            bw.put((v >> al) & 1, 1)
+        return bw.finish()
+
+    def comp_true_grid(ci: int) -> tuple[int, int]:
+        hi, vi = hv[ci]
+        cw = -(-w * hi // h_max)
+        ch = -(-h * vi // v_max)
+        return -(-ch // 8), -(-cw // 8)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        """One AC scan: two-pass encode with a per-scan OPTIMAL Huffman
+        table (EOBn symbols aren't in the Annex-K baseline tables), the
+        DHT emitted immediately before its SOS — the layout every real
+        progressive encoder produces."""
+        st = _SymStream()
+        enc = _ProgEncoder(st)
+        rows, cols = comp_true_grid(ci)
+        for by in range(rows):
+            for bx in range(cols):
+                band = grids[ci][by, bx, ss : se + 1]
+                if ah == 0:
+                    _encode_ac_first(enc, band, al)
+                else:
+                    _encode_ac_refine(enc, band, al)
+        enc.flush_eobrun()
+        bits, vals, data = st.serialize()
+        ta = 0 if ci == 0 else 1
+        dht = seg(0xFFC4, bytes([0x10 | ta]) + bytes(bits) + bytes(vals))
+        hdr = bytes([1, ci + 1, ta]) + bytes([ss, se, (ah << 4) | al])
+        return dht + seg(0xFFDA, hdr) + data
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int, data: bytes) -> bytes:
+        hdr = bytes([len(comps)])
+        for ci in comps:
+            # component ids 1..3; DC table luma 0 / chroma 1; AC table
+            # unused in DC scans
+            td = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, td << 4])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, hdr) + data
+
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(
+            0xFFDB, b"\x01" + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(grids))
+    for ci, (hi, vi) in enumerate(hv):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xFFC2, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    if not gray:
+        out += seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+
+    all_comps = list(range(len(grids)))
+    out += sos(all_comps, 0, 0, 0, 1, dc_first_scan(1))
+    if gray:
+        out += ac_scan(0, 1, 5, 0, 2)
+        out += ac_scan(0, 6, 63, 0, 2)
+        out += ac_scan(0, 1, 63, 2, 1)
+        out += sos(all_comps, 0, 0, 1, 0, dc_refine_scan(0))
+        out += ac_scan(0, 1, 63, 1, 0)
+    else:
+        out += ac_scan(0, 1, 5, 0, 2)
+        out += ac_scan(1, 1, 63, 0, 1)
+        out += ac_scan(2, 1, 63, 0, 1)
+        out += ac_scan(0, 6, 63, 0, 2)
+        out += ac_scan(0, 1, 63, 2, 1)
+        out += ac_scan(1, 1, 63, 1, 0)
+        out += ac_scan(2, 1, 63, 1, 0)
+        out += sos(all_comps, 0, 0, 1, 0, dc_refine_scan(0))
+        out += ac_scan(0, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return out
+
+
+def decode_jpeg_progressive(b: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) JFIF stream: spectral selection +
+    successive approximation, grayscale or YCbCr color, sampling factors
+    <= 2, optional restart intervals. Coefficient grids accumulate across
+    scans; IDCT runs once at the end, so the result is identical to a
+    baseline decode of the same quantized coefficients."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    dims = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    restart_interval = 0
+    scans = []  # (scan_comps, ss, se, ah, al, dc_snap, ac_snap, entropy, ri)
+    while i < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(b):
+            raise ValueError("truncated JPEG stream")
+        (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+        seg = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if ncomp not in (1, 3):
+                raise NotImplementedError("1 or 3 components only")
+            for c in range(ncomp):
+                cid, hvb, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hi, vi = hvb >> 4, hvb & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        "sampling factors beyond 2x2 not supported"
+                    )
+                comps.append((cid, hi, vi, tq))
+            dims = (h, w)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("decode_jpeg_progressive needs SOF2")
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nval = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nval])
+                (ac_tables if tc else dc_tables)[th] = _decode_table(bits, vals)
+                j += 17 + nval
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            by_id = {cid: k for k, (cid, _h, _v, _t) in enumerate(comps)}
+            scomps = []
+            for c in range(ns):
+                cid, tda = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomps.append((by_id[cid], tda >> 4, tda & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            data_start = i + 2 + ln
+            data_end = _entropy_end(b, data_start)
+            scans.append(
+                (
+                    scomps, ss, se, ahal >> 4, ahal & 0x0F,
+                    dict(dc_tables), dict(ac_tables),
+                    b[data_start:data_end], restart_interval,
+                )
+            )
+            i = data_end
+            continue
+        i += 2 + ln
+    if dims is None or not scans:
+        raise ValueError("missing SOF2/SOS")
+    h, w = dims
+    h_max = max(hi for _, hi, _, _ in comps)
+    v_max = max(vi for _, _, vi, _ in comps)
+    nmx = -(-w // (8 * h_max))
+    nmy = -(-h // (8 * v_max))
+    grids = [
+        np.zeros((nmy * vi, nmx * hi, 64), dtype=np.int64)
+        for _, hi, vi, _ in comps
+    ]
+
+    for scomps, ss, se, ah, al, dct, act, data, ri in scans:
+        if ri:
+            import re as _re
+
+            segments = _re.split(b"\xff[\xd0-\xd7]", data)
+        else:
+            segments = [data]
+        seg_iter = iter(segments)
+        br = _BitReader(next(seg_iter))
+        eobrun = 0
+        prev = [0] * len(comps)
+        unit_no = 0
+
+        def maybe_restart():
+            nonlocal br, eobrun, prev, unit_no
+            if ri and unit_no and unit_no % ri == 0:
+                try:
+                    br = _BitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("missing restart marker") from None
+                eobrun = 0
+                prev = [0] * len(comps)
+            unit_no += 1
+
+        if ss == 0:  # DC scan (interleaved over MCUs, or single component)
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            if len(scomps) > 1 or len(comps) == 1:
+                units = []
+                for my in range(nmy):
+                    for mx in range(nmx):
+                        group = []
+                        for ci, td, _ta in scomps:
+                            _, hi, vi, _ = comps[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    group.append(
+                                        (ci, td, my * vi + by, mx * hi + bx)
+                                    )
+                        units.append(group)
+            else:
+                ci, td, _ta = scomps[0]
+                rows, cols = _true_block_grid(ci, comps, h, w, h_max, v_max)
+                units = [
+                    [(ci, td, by, bx)]
+                    for by in range(rows)
+                    for bx in range(cols)
+                ]
+            for group in units:
+                maybe_restart()
+                for ci, td, byy, bxx in group:
+                    blk = grids[ci][byy, bxx]
+                    if ah == 0:
+                        s = _read_code(br, dct[td])
+                        prev[ci] += _extend(br.take(s), s)
+                        blk[0] = prev[ci] << al
+                    else:
+                        blk[0] |= br.take(1) << al
+        else:  # AC scan: single component, non-interleaved
+            if len(scomps) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci, _td, ta = scomps[0]
+            tbl = act[ta]
+            rows, cols = _true_block_grid(ci, comps, h, w, h_max, v_max)
+            p1 = 1 << al
+            for byy in range(rows):
+                for bxx in range(cols):
+                    maybe_restart()
+                    blk = grids[ci][byy, bxx]
+                    if ah == 0:  # first scan for this band
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _read_code(br, tbl)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.take(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            blk[k] = _extend(br.take(s), s) * p1
+                            k += 1
+                    else:  # refinement scan
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = _read_code(br, tbl)
+                                r, s = sym >> 4, sym & 0x0F
+                                val = 0
+                                if s == 0:
+                                    if r < 15:
+                                        # NOTE: unlike the first-scan path,
+                                        # no -1 here — the correction pass
+                                        # below must still run for THIS
+                                        # block (it decrements at the end)
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.take(r)
+                                        break
+                                    # r == 15: ZRL — skip 16 zero-history
+                                elif s == 1:
+                                    val = p1 if br.take(1) else -p1
+                                else:
+                                    raise ValueError(
+                                        "refinement symbol must have s<=1"
+                                    )
+                                while k <= se:
+                                    coef = int(blk[k])
+                                    if coef != 0:
+                                        if br.take(1) and not (
+                                            abs(coef) & p1
+                                        ):
+                                            blk[k] += p1 if coef > 0 else -p1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val:
+                                    if k > se:
+                                        raise ValueError(
+                                            "refinement run past band end"
+                                        )
+                                    blk[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                coef = int(blk[k])
+                                if coef != 0:
+                                    if br.take(1) and not (abs(coef) & p1):
+                                        blk[k] += p1 if coef > 0 else -p1
+                                k += 1
+                            eobrun -= 1
+
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        brows, bcols, _ = grids[ci].shape
+        blocks = (
+            grids[ci].reshape(-1, 64)[:, UNZIGZAG].reshape(-1, 8, 8) * qt[tq]
+        ).astype(np.float64)
+        spatial = np.einsum("xu,buv,yv->bxy", _M.T, blocks, _M.T) + 128.0
+        plane = (
+            spatial.reshape(brows, bcols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(brows * 8, bcols * 8)
+        )
+        ch = -(-h * vi // v_max)
+        cw = -(-w * hi // h_max)
+        plane = plane[:ch, :cw]
+        if vi != v_max or hi != h_max:
+            plane = np.repeat(
+                np.repeat(plane, v_max // vi, axis=0), h_max // hi, axis=1
+            )[:h, :w]
+        else:
+            plane = plane[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    rgb = ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _true_block_grid(
+    ci: int, comps, h: int, w: int, h_max: int, v_max: int
+) -> tuple[int, int]:
+    """Block grid of a component's TRUE resolution (non-interleaved scans
+    iterate this, not the MCU-padded grid — T.81 A.2.2)."""
+    _, hi, vi, _ = comps[ci]
+    cw = -(-w * hi // h_max)
+    ch = -(-h * vi // v_max)
+    return -(-ch // 8), -(-cw // 8)

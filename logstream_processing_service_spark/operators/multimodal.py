@@ -8,10 +8,12 @@ Codec status (round 4): PNG and 16-bit PCM WAV decode is REAL and
 stdlib-only — ``decode_png`` (zlib inflate + scanline unfilter 0-4) and
 ``decode_wav`` (struct) — verified pixel-/sample-exact against
 closed-form oracles (queries ``image_pixel_stats`` / ``audio_pcm_stats``).
-JPEG (DCT) and MP4 (codecs) remain the genuinely-gated seams: those need
-PIL/pyav, absent in this container, and raise loudly at the same
-``mapInPandas`` signature (schema, batching, partitioning all real and
-tested).
+JPEG decode is also native (operators/jpegcodec.py: baseline AND
+progressive, gray/4:4:4/4:2:0, DRI). Only MP4 codec decode remains
+genuinely gated: it needs pyav, absent in this container, and raises
+loudly at the same ``mapInPandas`` signature (schema, batching,
+partitioning all real and tested; the ISO-BMFF container parse itself is
+native, operators/mp4box.py).
 """
 
 from __future__ import annotations
@@ -186,9 +188,9 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     baseline grayscale JPEG decode are REAL (stdlib zlib/struct + the
     native DCT/Huffman codec in operators/jpegcodec.py): the 16-bin
     histogram is computed over decoded PIXELS / quantized SAMPLES.
-    Color/progressive JPEG and MP4 (codecs) remain the genuinely-gated
-    seams — those need PIL/pyav, absent in this container. Unknown types
-    fall back to a byte-level histogram."""
+    JPEG covers baseline AND progressive, gray/4:4:4/4:2:0; only MP4
+    codec decode remains genuinely gated (needs pyav, absent in this
+    container). Unknown types fall back to a byte-level histogram."""
     if media_type == "image/png":
         arr = decode_png(bytes(payload)).ravel()
     elif media_type == "audio/wav":
@@ -197,8 +199,8 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     elif media_type == "image/jpeg":
         from .jpegcodec import decode_jpeg
 
-        # baseline grayscale AND 4:4:4 color decode natively; subsampled/
-        # progressive raise NotImplementedError from the codec itself
+        # baseline + progressive, gray/444/420 decode natively; only
+        # >2x2 sampling raises NotImplementedError from the codec
         arr = decode_jpeg(bytes(payload)).ravel()
     elif media_type == "video/mp4":
         raise NotImplementedError(
@@ -508,8 +510,9 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8
 
 # ---------------------------------------------------------------------------
 # REAL stdlib decoders (round 4): PNG (zlib inflate + per-row unfilter) and
-# 16-bit PCM WAV (struct) need NO external media library — the decode seam
-# is only genuinely gated for JPEG (DCT) and MP4 (codecs).
+# 16-bit PCM WAV (struct) need NO external media library; JPEG decode is
+# native too (operators/jpegcodec.py) — the decode seam is only genuinely
+# gated for MP4 (codecs).
 # ---------------------------------------------------------------------------
 
 

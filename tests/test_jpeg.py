@@ -212,3 +212,102 @@ def test_restart_intervals_roundtrip():
     cut = e[: e.find(bytes([0xFF, 0xD1]))] + b"\xff\xd9"
     with pytest.raises(ValueError):
         J.decode_jpeg(cut)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decode_identical_to_baseline():
+    """A progressive stream carries the SAME quantized coefficients as the
+    baseline stream at the same quality, only re-ordered across scans —
+    decoded pixels must be bit-identical."""
+    rng = np.random.default_rng(11)
+    cases = [
+        ((np.arange(24)[None, :] * 7 + np.arange(17)[:, None] * 3)
+         .astype(np.uint8), 100, None),
+        (rng.integers(0, 256, (40, 33)).astype(np.uint8), 75, None),
+        (rng.integers(0, 256, (40, 33)).astype(np.uint8), 10, None),
+        (np.zeros((8, 8), np.uint8), 95, None),
+        (np.full((64, 64), 128, np.uint8), 90, None),  # long EOB runs
+        (rng.integers(0, 256, (25, 30, 3)).astype(np.uint8), 85, "444"),
+        (rng.integers(0, 256, (25, 30, 3)).astype(np.uint8), 85, "420"),
+        (rng.integers(0, 256, (16, 16, 3)).astype(np.uint8), 100, "444"),
+        (rng.integers(0, 256, (17, 23, 3)).astype(np.uint8), 60, "420"),
+    ]
+    for img, q, sub in cases:
+        if img.ndim == 2:
+            base = J.decode_jpeg(J.encode_jpeg_gray(img, quality=q))
+            prog_bytes = J.encode_jpeg_progressive(img, quality=q)
+        else:
+            base = J.decode_jpeg(J.encode_jpeg_color(img, q, subsampling=sub))
+            prog_bytes = J.encode_jpeg_progressive(img, q, subsampling=sub)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        prog = J.decode_jpeg(prog_bytes)  # delegation path
+        assert np.array_equal(base, prog), (img.shape, q, sub)
+
+
+def test_progressive_stream_has_multiple_scans_and_optimal_tables():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    b = J.encode_jpeg_progressive(img, 80)
+    assert b.count(b"\xff\xda") == 10  # libjpeg standard 10-scan script
+    # per-scan DHTs: more DHT segments than the 2 up-front DC tables
+    assert b.count(b"\xff\xc4") >= 8
+
+
+def test_progressive_refinement_scans_matter():
+    """Dropping the final luma refinement scan must CHANGE the output —
+    proves successive approximation actually carries information."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    b = J.encode_jpeg_progressive(img, 85)
+    full = J.decode_jpeg_progressive(b)
+    # truncate at the LAST SOS (the Ah=1->Al=0 luma refinement)
+    last_sos = b.rfind(b"\xff\xda")
+    truncated = b[:last_sos] + b"\xff\xd9"
+    partial = J.decode_jpeg_progressive(truncated)
+    assert partial.shape == full.shape
+    assert not np.array_equal(partial, full)
+    # but the preview is already close (that's the point of progressive;
+    # pure noise is the worst case — one dropped refinement bit on most
+    # AC coefficients still lands within a couple of levels per pixel
+    # of quantized-coefficient magnitude)
+    assert np.abs(partial.astype(int) - full.astype(int)).mean() < 32
+
+
+def test_progressive_gray_script_and_point_transform_edge():
+    # all-extreme image exercises large DC diffs through the point
+    # transform and the arithmetic >> on negatives
+    img = np.zeros((16, 24), np.uint8)
+    img[:, 12:] = 255
+    for q in (100, 40, 5):
+        base = J.decode_jpeg(J.encode_jpeg_gray(img, q))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(img, q))
+        assert np.array_equal(base, prog)
+
+
+def test_optimal_table_is_valid_prefix_code():
+    from logstream_processing_service_spark.operators.jpegcodec import (
+        _canonical_codes,
+        _optimal_table,
+    )
+
+    rng = np.random.default_rng(23)
+    for _ in range(20):
+        syms = rng.choice(256, size=rng.integers(1, 60), replace=False)
+        freqs = {int(s): int(rng.integers(1, 1000)) for s in syms}
+        bits, vals = _optimal_table(freqs)
+        assert sum(bits) == len(vals) == len(freqs)
+        assert sorted(vals) == sorted(freqs)
+        codes = _canonical_codes(bits, vals)
+        # prefix-free: no code is a prefix of another
+        as_str = sorted(
+            format(c, f"0{ln}b") for c, ln in codes.values()
+        )
+        for a, b2 in zip(as_str, as_str[1:]):
+            assert not b2.startswith(a)
+        # no all-ones code of its length (JPEG requirement)
+        assert all(c != (1 << ln) - 1 or ln == 0 for c, ln in codes.values())
+        assert max(ln for _, ln in codes.values()) <= 16

@@ -511,3 +511,34 @@ def test_jpeg_q100_roundtrip_fuzz(spark, w, h, seed, layout):
         ).astype(int)
         assert out.shape == (h, w, 3)
         assert np.abs(out - img.astype(int)).max() <= 2
+
+
+@SLOW
+@given(
+    st.integers(min_value=1, max_value=37),
+    st.integers(min_value=1, max_value=29),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from(["gray", "444", "420"]),
+)
+def test_jpeg_progressive_equals_baseline_fuzz(spark, w, h, seed, q5, layout):
+    """Progressive (SOF2) decode must be BIT-IDENTICAL to baseline decode
+    at the same quality for any dims/content/quality/layout — same
+    quantized coefficients, different transmission order."""
+    import numpy as np
+
+    from logstream_processing_service_spark.operators import jpegcodec as J
+
+    rng = np.random.default_rng(seed)
+    q = q5 * 5
+    if layout == "gray":
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg_gray(img, q))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(img, q))
+    else:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg_color(img, q, subsampling=layout))
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(img, q, subsampling=layout)
+        )
+    assert np.array_equal(base, prog)
