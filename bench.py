@@ -99,6 +99,7 @@ HEADLINE = [
     "chunk_documents",
     "fuzzy_customer_pairs",
     "image_dhash",
+    "hourly_resample_ffill",
 ]
 
 

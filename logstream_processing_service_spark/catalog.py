@@ -54,7 +54,10 @@ def spec(name: str, oracle: str | None, *tags: str):
 _PRIORITY: tuple[str, ...] = (
     # (a) r1-stale core relational layer
     "scan_slice", "log_templates", "json_key_volume",
-    "batch_volume", "decayed_volume",
+    # batch_volume displaced for the r4-new hourly_resample_ffill: its A1
+    # scan+group-count machinery keeps in-window twins (revenue_by_nation,
+    # rollup_volume); resumes rotation in r5
+    "decayed_volume",
     # (value_percentiles_approx rotated out: rows-only signal regardless
     # of freshness, and its exact twin value_percentiles — same plan
     # shape — stays in the window)
@@ -116,7 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     # small_quantity_part_revenue (agg scalar-subquery join — in-window
     # pattern_mining is the same J1 shape).
     "bm25_search", "chunk_documents", "fuzzy_customer_pairs",
-    "image_dhash",
+    "image_dhash", "hourly_resample_ffill",
 )
 
 

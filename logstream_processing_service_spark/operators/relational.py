@@ -879,3 +879,51 @@ def range_join_bucketed(
         .filter((F.col(point_ts) >= F.col(lo_col)) & (F.col(point_ts) < F.col(hi_col)))
         .drop("_bucket")
     )
+
+
+def resample_ffill(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Regular-grid resampling with forward fill: hourly buckets per
+    event_type over the GLOBAL observed span, empty buckets carrying the
+    last observed hourly average (NULL before the first observation).
+
+    The warehouse answer to pandas ``resample('1h').mean().ffill()`` —
+    the gap-filling step every time-series feature pipeline needs before
+    a fixed-step model sees the data (reference: the anomaly detector's
+    window_size=5 rolling features assume a gapless series,
+    src/ml/volume_analyzer.py).
+
+    Scale: one (event_type, hour) aggregation; the grid is built from a
+    broadcast 2-row bound scalar crossed with the distinct-type frame
+    (|types| × |hours| rows — the OUTPUT grain, nothing quadratic); the
+    forward fill is one window over that grain. Skew-free: partitions by
+    event_type only at the already-aggregated hourly grain.
+    """
+    ev = df.select(
+        "event_type",
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+        "value",
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("av")
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.round(F.last("av", ignorenulls=True).over(w), 6).alias("value_ffill"),
+        F.col("n").isNull().alias("gap_filled"),
+    )

@@ -482,5 +482,9 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form pixel oracle."""
     from .operators.multimodal import image_dhash, with_gradient_image_payload
 
-    docs = _t(spark, sf_dir, "documents")
+    # codec work is CPU-bound Python: spread it across tasks (the local
+    # testdata parquet is one row group — same fix as jpeg_pixel_stats)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        32, "doc_id"
+    )
     return image_dhash(with_gradient_image_payload(docs)).orderBy("doc_id")

@@ -816,3 +816,40 @@ def q_events_in_windows_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_id")
     )
+
+
+@spec(
+    "hourly_resample_ffill",
+    """
+    WITH ev AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
+    ),
+    hourly AS (
+        SELECT event_type, h, count(*) AS n, avg(value) AS av
+        FROM ev GROUP BY 1, 2
+    ),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM types, b
+    ),
+    j AS (
+        SELECT g.event_type, g.h, hourly.n, hourly.av
+        FROM grid g LEFT JOIN hourly USING (event_type, h)
+    )
+    SELECT event_type, h AS hour_ts,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           round(last_value(av IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS value_ffill,
+           n IS NULL AS gap_filled
+    FROM j
+    """,
+    "timeseries", "W-ext",
+)
+def q_hourly_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resampling with forward fill — the pandas
+    resample().mean().ffill() twin at warehouse grain."""
+    return R.resample_ffill(_t(spark, sf_dir, "events"))

@@ -473,3 +473,45 @@ def test_dynamic_partition_pruning_on_date_layout(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # and the join itself stays a broadcast hash join on the partition key
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    """BM25's postings probe must be a broadcast of the tiny query-term
+    frame onto the corpus tf table — a shuffled join on `tok` would
+    exchange the whole inverted index for a handful of query terms."""
+    from logstream_processing_service_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(bm25_topk(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus text is scanned once: tf, dl and df all derive from one
+    # tokenization subtree (Catalyst may re-scan for independent aggs, but
+    # the scan must only read the needed columns)
+    for line in plan.splitlines():
+        if "FileScan parquet" in line:
+            assert "lang" not in line and "source" not in line
+
+
+def test_chunk_documents_zero_exchange(spark):
+    """Chunking is a pure in-row expansion: no shuffle anywhere."""
+    from logstream_processing_service_spark.operators.retrieval import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """The delete-neighborhood join must stay an equi-join on the variant
+    key — the quadratic form (the oracle) must never appear in the plan."""
+    from logstream_processing_service_spark.operators.matching import fuzzy_pairs
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    plan = _plan(fuzzy_pairs(cust, "c_custkey", "c_name", max_ed=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -222,3 +222,44 @@ def test_image_dhash_groups_exact_dups(spark):
     out = {r["doc_id"]: r for r in image_dhash(media).collect()}
     assert out[0]["dhash"] == out[1]["dhash"]
     assert out[0]["n_same"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling (operators/relational.py) — planted-gap fixture
+# ---------------------------------------------------------------------------
+
+
+def test_resample_ffill_gap_semantics(spark):
+    from datetime import datetime
+
+    from logstream_processing_service_spark.operators.relational import (
+        resample_ffill,
+    )
+
+    rows = [
+        # type a: hours 0 and 3 observed -> hours 1, 2 gap-filled with 10.0
+        (datetime(2024, 1, 1, 0, 15), "a", 8.0),
+        (datetime(2024, 1, 1, 0, 45), "a", 12.0),
+        (datetime(2024, 1, 1, 3, 30), "a", 99.0),
+        # type b: first observation at hour 2 -> hours 0, 1 stay NULL
+        (datetime(2024, 1, 1, 2, 10), "b", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    out = {
+        (r["event_type"], r["hour_ts"].hour): r
+        for r in resample_ffill(ev).collect()
+    }
+    assert len(out) == 8  # 2 types x hours 0..3 (global span)
+    assert out[("a", 0)]["value_ffill"] == 10.0
+    assert not out[("a", 0)]["gap_filled"]
+    for hr in (1, 2):
+        assert out[("a", hr)]["value_ffill"] == 10.0
+        assert out[("a", hr)]["gap_filled"]
+        assert out[("a", hr)]["n_events"] == 0
+    assert out[("a", 3)]["value_ffill"] == 99.0
+    # leading gap: no value to carry -> NULL, still flagged filled
+    assert out[("b", 0)]["value_ffill"] is None
+    assert out[("b", 1)]["value_ffill"] is None
+    assert out[("b", 2)]["value_ffill"] == 5.0
