@@ -100,6 +100,10 @@ HEADLINE = [
     "fuzzy_customer_pairs",
     "image_dhash",
     "hourly_resample_ffill",
+    "zorder_bucket_stats",
+    # eager-build caveat (see ROADMAP): the 8 power iterations run at
+    # fn() build time via localCheckpoint, like bpe_train's merge loop
+    "part_pagerank",
 ]
 
 

@@ -66,8 +66,14 @@ _PRIORITY: tuple[str, ...] = (
     "pattern_mining", "incident_upsert_split",
     "actor_setops",
     "asof_signup_before_error", "rollup_volume",
-    "revenue_by_nation", "top_quarter_suppliers",
-    "first_order_per_customer", "orders_with_error_events",
+    # top_quarter_suppliers displaced for the r4-new zorder_bucket_stats:
+    # its join+agg+HAVING machinery keeps in-window twins
+    # (revenue_by_nation, pattern_mining); resumes rotation in r5
+    "revenue_by_nation",
+    # first_order_per_customer displaced for the r4-new part_pagerank:
+    # its min_by-argmax machinery keeps the in-window max_by twin
+    # brand_priciest_part; resumes rotation in r5
+    "orders_with_error_events",
     "national_market_share",
     "idle_rich_customers", "brand_priciest_part",
     # (b) plan/semantics changed in r4. Rotated out to keep never-checked
@@ -119,7 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     # small_quantity_part_revenue (agg scalar-subquery join — in-window
     # pattern_mining is the same J1 shape).
     "bm25_search", "chunk_documents", "fuzzy_customer_pairs",
-    "image_dhash", "hourly_resample_ffill",
+    "image_dhash", "hourly_resample_ffill", "zorder_bucket_stats",
+    "part_pagerank",
 )
 
 

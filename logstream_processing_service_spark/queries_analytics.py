@@ -628,3 +628,38 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler over events: one scan computes null/distinct/
     min-max for every column (Deequ-style data-quality primitive)."""
     return A.profile_table(_t(spark, sf_dir, "events"))
+
+
+def _zorder_oracle() -> str:
+    from .operators import layout as L
+
+    return L.zorder_bucket_stats_oracle_sql()
+
+
+@spec("zorder_bucket_stats", _zorder_oracle(), "layout", "engine-ext")
+def q_zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave arithmetic verified bit-for-bit: the
+    clustering key behind the OPTIMIZE ZORDER layout (see
+    operators/layout.py; the file-skipping proof lives in
+    tests/test_layout.py against real parquet footer statistics)."""
+    from .operators.layout import zorder_bucket_stats
+
+    return zorder_bucket_stats(_t(spark, sf_dir, "events"))
+
+
+def _pagerank_oracle() -> str:
+    from .operators import graph as G
+
+    return G.pagerank_oracle_sql()
+
+
+@spec("part_pagerank", _pagerank_oracle(), "graph", "iterative", "engine-ext")
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-order graph (8 power-iteration steps,
+    d=0.85): the Pregel message-passing step as one join + one dst-keyed
+    agg per iteration, lineage truncated per step. The oracle unrolls the
+    same iteration into chained CTEs — a full-value hash match after 8
+    float iterations on both engines."""
+    from .operators.graph import co_order_edges, pagerank
+
+    return pagerank(co_order_edges(_t(spark, sf_dir, "lineitem")))
