@@ -104,6 +104,9 @@ HEADLINE = [
     # eager-build caveat (see ROADMAP): the 8 power iterations run at
     # fn() build time via localCheckpoint, like bpe_train's merge loop
     "part_pagerank",
+    "hybrid_search_rrf",
+    "rolling_median_value",
+    "join_overlap_theta",
 ]
 
 

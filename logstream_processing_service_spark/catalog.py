@@ -70,12 +70,18 @@ _PRIORITY: tuple[str, ...] = (
     # its join+agg+HAVING machinery keeps in-window twins
     # (revenue_by_nation, pattern_mining); resumes rotation in r5
     "revenue_by_nation",
-    # first_order_per_customer displaced for the r4-new part_pagerank:
-    # its min_by-argmax machinery keeps the in-window max_by twin
-    # brand_priciest_part; resumes rotation in r5
-    "orders_with_error_events",
-    "national_market_share",
-    "idle_rich_customers", "brand_priciest_part",
+    # first_order_per_customer displaced for the r4-new part_pagerank
+    # (min_by-argmax machinery keeps the in-window max_by twin
+    # brand_priciest_part); orders_with_error_events displaced for the
+    # r4-new hybrid_search_rrf (its EXISTS semi-join machinery keeps the
+    # in-window twin incident_upsert_split). Both resume rotation in r5.
+    # national_market_share displaced for the r4-new join_overlap_theta
+    # (its join+agg+share-ratio machinery keeps the in-window twin
+    # revenue_by_nation); resumes rotation in r5
+    # idle_rich_customers displaced for the r4-new rolling_median_value
+    # (its anti-join + scalar-subquery machinery keeps the in-window twin
+    # incident_upsert_split); resumes rotation in r5
+    "brand_priciest_part",
     # (b) plan/semantics changed in r4. Rotated out to keep never-checked
     # debt at zero (new queries MUST get a first driver row):
     # shard_assignment (guard is behavior-neutral, r3 row green) and
@@ -126,7 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     # pattern_mining is the same J1 shape).
     "bm25_search", "chunk_documents", "fuzzy_customer_pairs",
     "image_dhash", "hourly_resample_ffill", "zorder_bucket_stats",
-    "part_pagerank",
+    "part_pagerank", "hybrid_search_rrf", "rolling_median_value",
+    "join_overlap_theta",
 )
 
 

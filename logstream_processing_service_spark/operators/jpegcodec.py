@@ -6,12 +6,12 @@ quality-scaled quantization, canonical Huffman entropy coding with byte
 stuffing, full JFIF marker framing) verified against a closed-form pixel
 oracle. Scope: baseline sequential (SOF0) AND progressive (SOF2,
 spectral selection + successive approximation with per-scan optimal
-Huffman tables), 8-bit, grayscale, 4:4:4 YCbCr color, and 4:2:0
-subsampled color (interleaved MCUs with per-component sampling factors
-≤ 2, Annex-K chroma tables, JFIF BT.601 transform, 2×2 box-averaged
-chroma). Restart intervals (DRI/RSTn) are handled on both sides. The
-only remaining gates are sampling factors beyond 2×2, arithmetic
-coding, and hierarchical/lossless modes — rare in web corpora.
+Huffman tables), 8-bit, grayscale and YCbCr color at 4:4:4 / 4:2:2 /
+4:2:0 / 4:1:1 (generic interleaved MCUs over per-component sampling
+factors in {1,2,4}, Annex-K chroma tables, JFIF BT.601 transform,
+per-axis box-averaged chroma). Restart intervals (DRI/RSTn) are handled on both sides. The
+only remaining gates are arithmetic coding and hierarchical/lossless
+modes — essentially absent from web corpora.
 
 Why a closed-form oracle is possible for a LOSSY codec: a block-constant
 image at quality 100 is DC-only — the constant c encodes as the exact
@@ -542,65 +542,87 @@ def _encode_block(bw, zz, prev_dc, dc_codes, ac_codes) -> int:
     return int(zz[0])
 
 
+SUBSAMPLING_LAYOUTS = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+    "411": ((4, 1), (1, 1), (1, 1)),
+}
+
+
+def _prep_color_planes(
+    rgb: np.ndarray, subsampling: str
+) -> tuple[list[np.ndarray], tuple, int, int]:
+    """YCbCr planes for a given chroma layout: luma at full padded
+    resolution, chroma box-averaged by the per-axis sampling ratio.
+    Returns (planes, hv, ph, pw) with ph/pw the MCU-padded luma dims."""
+    if subsampling not in SUBSAMPLING_LAYOUTS:
+        raise ValueError(f"subsampling must be one of {sorted(SUBSAMPLING_LAYOUTS)}")
+    hv = SUBSAMPLING_LAYOUTS[subsampling]
+    h_max = max(x for x, _ in hv)
+    v_max = max(y for _, y in hv)
+    h, w, _ = rgb.shape
+    mw, mh = 8 * h_max, 8 * v_max
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    ycc = np.clip(np.round(rgb_to_ycbcr(rgb.astype(np.float64))), 0, 255)
+    full = [
+        np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
+        for c in range(3)
+    ]
+    planes = []
+    for c, (hi, vi) in enumerate(hv):
+        ry, rx = v_max // vi, h_max // hi
+        p = full[c]
+        if ry > 1 or rx > 1:
+            p = (
+                p.reshape(ph // ry, ry, pw // rx, rx)
+                .mean(axis=(1, 3))
+                .round()
+            )
+        planes.append(p)
+    return planes, hv, ph, pw
+
+
 def encode_jpeg_color(
     rgb: np.ndarray, quality: int = 100, subsampling: str = "444"
 ) -> bytes:
-    """Baseline JFIF, 3 interleaved YCbCr components — 4:4:4 (h1v1) or
-    4:2:0 (luma h2v2, 2×2 box-averaged chroma, the web-standard layout)."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    """Baseline JFIF, 3 interleaved YCbCr components at 4:4:4, 4:2:2,
+    4:2:0 (the web-standard layout) or 4:1:1 — one generic MCU loop over
+    per-component sampling factors, chroma box-averaged per axis."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     h, w, _ = rgb.shape
-    ycc = np.clip(np.round(rgb_to_ycbcr(rgb.astype(np.float64))), 0, 255)
+    planes, hv, ph, pw = _prep_color_planes(rgb, subsampling)
+    h_max = max(x for x, _ in hv)
+    v_max = max(y for _, y in hv)
     ql = scaled_quant(quality)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255).astype(np.int64)
-    dc_l = _canonical_codes(DC_BITS, DC_VALS)
-    ac_l = _canonical_codes(AC_BITS, AC_VALS)
-    dc_c = _canonical_codes(DC_BITS_C, DC_VALS_C)
-    ac_c = _canonical_codes(AC_BITS_C, AC_VALS_C)
+    quants = [ql, qc, qc]
+    dc_codes = [
+        _canonical_codes(DC_BITS, DC_VALS),
+        _canonical_codes(DC_BITS_C, DC_VALS_C),
+        _canonical_codes(DC_BITS_C, DC_VALS_C),
+    ]
+    ac_codes = [
+        _canonical_codes(AC_BITS, AC_VALS),
+        _canonical_codes(AC_BITS_C, AC_VALS_C),
+        _canonical_codes(AC_BITS_C, AC_VALS_C),
+    ]
+    zz = [_component_blocks(p, q) for p, q in zip(planes, quants)]
+    bcols = [p.shape[1] // 8 for p in planes]  # blocks per row, per comp
     bw = _BitWriter()
     prev = [0, 0, 0]
-    if subsampling == "444":
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        planes = [
-            np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
-            for c in range(3)
-        ]
-        zz = [
-            _component_blocks(planes[0], ql),
-            _component_blocks(planes[1], qc),
-            _component_blocks(planes[2], qc),
-        ]
-        for mcu in range(zz[0].shape[0]):
-            prev[0] = _encode_block(bw, zz[0][mcu], prev[0], dc_l, ac_l)
-            prev[1] = _encode_block(bw, zz[1][mcu], prev[1], dc_c, ac_c)
-            prev[2] = _encode_block(bw, zz[2][mcu], prev[2], dc_c, ac_c)
-        luma_hv = b"\x11"
-    else:
-        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
-        planes = [
-            np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
-            for c in range(3)
-        ]
-        half = [
-            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)).round()
-            for p in planes[1:]
-        ]
-        zzy = _component_blocks(planes[0], ql)  # (ph/8 * pw/8) row-major
-        zzb = _component_blocks(half[0], qc)
-        zzr = _component_blocks(half[1], qc)
-        ybc = pw // 8  # luma blocks per row
-        cbc = pw // 16
-        for my in range(ph // 16):
-            for mx in range(pw // 16):
-                for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                    idx = (2 * my + by) * ybc + 2 * mx + bx
-                    prev[0] = _encode_block(bw, zzy[idx], prev[0], dc_l, ac_l)
-                cidx = my * cbc + mx
-                prev[1] = _encode_block(bw, zzb[cidx], prev[1], dc_c, ac_c)
-                prev[2] = _encode_block(bw, zzr[cidx], prev[2], dc_c, ac_c)
-        luma_hv = b"\x22"
+    for my in range(ph // (8 * v_max)):
+        for mx in range(pw // (8 * h_max)):
+            for ci, (hi, vi) in enumerate(hv):
+                for by in range(vi):
+                    for bx in range(hi):
+                        idx = (my * vi + by) * bcols[ci] + mx * hi + bx
+                        prev[ci] = _encode_block(
+                            bw, zz[ci][idx], prev[ci],
+                            dc_codes[ci], ac_codes[ci],
+                        )
+    luma_hv = bytes([(hv[0][0] << 4) | hv[0][1]])
     data = bw.finish()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -626,10 +648,10 @@ def encode_jpeg_color(
 
 def decode_jpeg(b: bytes) -> np.ndarray:
     """General baseline decoder: (H, W) for grayscale, (H, W, 3) RGB for
-    YCbCr color at 4:4:4 or subsampled layouts with factors ≤ 2 (incl.
-    the web-standard 4:2:0), with or without restart intervals (DRI/RSTn
-    resynchronization). Progressive (SOF2) streams are delegated to
-    decode_jpeg_progressive. Factors beyond 2×2 raise loudly."""
+    YCbCr color at 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 (any per-component
+    sampling factors in {1,2,4}), with or without restart intervals
+    (DRI/RSTn resynchronization). Progressive (SOF2) streams are
+    delegated to decode_jpeg_progressive."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     i = 2
@@ -674,9 +696,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 hi, vi = hv >> 4, hv & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        "sampling factors beyond 2x2 not supported"
+                        "sampling factors beyond 4x4 not supported"
                     )
                 comps.append((cid, hi, vi, tq))
             dims = (h, w)
@@ -1003,21 +1025,16 @@ def encode_jpeg_progressive(
     baseline stream is exact."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     gray = pixels.ndim == 2
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    if gray:
-        h, w = pixels.shape
-        mcu = 8
-    else:
-        h, w, _ = pixels.shape
-        mcu = 8 if subsampling == "444" else 16
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    if subsampling not in SUBSAMPLING_LAYOUTS:
+        raise ValueError(f"subsampling must be one of {sorted(SUBSAMPLING_LAYOUTS)}")
     ql = scaled_quant(quality)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255).astype(np.int64)
 
     # per-component zigzag coefficient grids: (block_rows, block_cols, 64)
     if gray:
+        h, w = pixels.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         plane = np.pad(pixels, ((0, ph - h), (0, pw - w)), mode="edge")
         grids = [
             _component_blocks(plane.astype(np.float64), ql).reshape(
@@ -1027,21 +1044,8 @@ def encode_jpeg_progressive(
         hv = [(1, 1)]
         quants = [ql]
     else:
-        ycc = np.clip(np.round(rgb_to_ycbcr(pixels.astype(np.float64))), 0, 255)
-        planes = [
-            np.pad(ycc[..., c], ((0, ph - h), (0, pw - w)), mode="edge")
-            for c in range(3)
-        ]
-        if subsampling == "420":
-            chroma = [
-                p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)).round()
-                for p in planes[1:]
-            ]
-            hv = [(2, 2), (1, 1), (1, 1)]
-        else:
-            chroma = planes[1:]
-            hv = [(1, 1), (1, 1), (1, 1)]
-        srcs = [planes[0]] + chroma
+        h, w, _ = pixels.shape
+        srcs, hv, ph, pw = _prep_color_planes(pixels, subsampling)
         quants = [ql, qc, qc]
         grids = [
             _component_blocks(p, q).reshape(p.shape[0] // 8, p.shape[1] // 8, 64)
@@ -1164,8 +1168,8 @@ def encode_jpeg_progressive(
 
 def decode_jpeg_progressive(b: bytes) -> np.ndarray:
     """Decode a progressive (SOF2) JFIF stream: spectral selection +
-    successive approximation, grayscale or YCbCr color, sampling factors
-    <= 2, optional restart intervals. Coefficient grids accumulate across
+    successive approximation, grayscale or YCbCr color, sampling
+    factors in {1,2,4}, optional restart intervals. Coefficient grids accumulate across
     scans; IDCT runs once at the end, so the result is identical to a
     baseline decode of the same quantized coefficients."""
     if b[:2] != b"\xff\xd8":
@@ -1211,9 +1215,9 @@ def decode_jpeg_progressive(b: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hvb, tq = seg[6 + 3 * c : 9 + 3 * c]
                 hi, vi = hvb >> 4, hvb & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise NotImplementedError(
-                        "sampling factors beyond 2x2 not supported"
+                        "sampling factors beyond 4x4 not supported"
                     )
                 comps.append((cid, hi, vi, tq))
             dims = (h, w)

@@ -927,3 +927,32 @@ def resample_ffill(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.round(F.last("av", ignorenulls=True).over(w), 6).alias("value_ffill"),
         F.col("n").isNull().alias("gap_filled"),
     )
+
+
+def rolling_median(df: DataFrame, frame: int = 5) -> DataFrame:
+    """Exact rolling median of ``value`` over the last ``frame`` events
+    per user (ordered by ts, event_id) — the robust twin of the rolling
+    mean in volume_zscore, and the window shape Spark has no built-in
+    exact aggregate for.
+
+    Implementation: collect the frame into an in-row array, sort, take
+    (arr[(n+1) div 2] + arr[n div 2 + 1]) / 2 — interpolating on even
+    counts exactly like DuckDB's windowed median over DOUBLE. The frame
+    is a small constant, so the array never exceeds ``frame`` elements
+    per row: state is O(frame), the window shuffles once on user_id.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(frame - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return df.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round((lo + hi) / 2, 6).alias("rolling_median"),
+    )

@@ -209,3 +209,202 @@ def chunk_oracle_sql(
                            ' ') AS chunk_text
     FROM st
     """
+
+
+RRF_K = 60
+RRF_POOL = 50
+
+
+def tfidf_cosine_topk(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = RRF_POOL,
+) -> DataFrame:
+    """Dense-side stand-in that stays oracle-expressible: cosine between
+    the query's idf vector and each document's tf-idf vector (sparse dot
+    via the token join, norms aggregated per side). Same broadcast-probe
+    shape as bm25_topk; ties on the 6-dp cosine break by doc_id."""
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tc"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_dt = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "tok",
+            (F.col("tc") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    dnorm = w_dt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
+    )
+    q = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(queries)], "query_id INT, qtext STRING"
+    )
+    qterms = q.select(
+        "query_id",
+        F.explode(F.array_distinct(T.words(F.col("qtext")))).alias("tok"),
+    )
+    qw = (
+        qterms.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id", "tok",
+            F.log(F.col("n_docs") / F.col("df")).alias("qw"),
+        )
+    )
+    qnorm = qw.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm")
+    )
+    dot = (
+        w_dt.join(F.broadcast(qw), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    scored = (
+        dot.join(dnorm, "doc_id")
+        .join(F.broadcast(qnorm), "query_id")
+        .withColumn(
+            "cos", F.round(F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", F.col("cos").alias("score"))
+    )
+
+
+def hybrid_search_rrf(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+    pool: int = RRF_POOL,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Two-stage hybrid retrieval with Reciprocal Rank Fusion (the
+    standard lexical+dense fusion): union the BM25 and cosine top-``pool``
+    candidate sets, score each doc Σ 1/(k_rrf + rank_r) over the rankings
+    it appears in, return the fused top-k.
+
+    Scale: both rankings share the broadcast-probe-then-window shape; the
+    fusion itself is a full outer join on (query_id, doc_id) over two
+    |queries|×pool frames — constant-size, independent of corpus."""
+    a = bm25_topk(documents, queries, k=pool).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_a")
+    )
+    b = tfidf_cosine_topk(documents, queries, k=pool).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_b")
+    )
+    fused = (
+        a.join(b, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", F.col("rrf").alias("score"))
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+    pool: int = RRF_POOL,
+    k_rrf: int = RRF_K,
+) -> str:
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(queries))
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {values}) AS t(query_id, qtext)),
+    qterms AS (
+        SELECT DISTINCT query_id, tok FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS tok
+            FROM q
+        )
+    ),
+    toks AS (SELECT doc_id, unnest({words_duck}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tc FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    ndocs AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    bm AS (
+        SELECT qterms.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5))
+                   * (tc * 2.2)
+                   / (tc + {BM25_K1} * (0.25 + 0.75 * dl / avgdl))
+               ), 6) AS score
+        FROM qterms
+        JOIN tf USING (tok)
+        JOIN df USING (tok)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    ),
+    ra AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rank_a
+        FROM bm QUALIFY rank_a <= {pool}
+    ),
+    wdt AS (
+        SELECT doc_id, tok, tc * ln(n_docs * 1.0 / df) AS w
+        FROM tf JOIN df USING (tok) CROSS JOIN ndocs
+    ),
+    dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM wdt GROUP BY 1),
+    qw AS (
+        SELECT query_id, tok, ln(n_docs * 1.0 / df) AS qw
+        FROM qterms JOIN df USING (tok) CROSS JOIN ndocs
+    ),
+    qnorm AS (SELECT query_id, sqrt(sum(qw * qw)) AS qnorm FROM qw GROUP BY 1),
+    dots AS (
+        SELECT qw.query_id, wdt.doc_id, sum(w * qw) AS dot
+        FROM wdt JOIN qw USING (tok) GROUP BY 1, 2
+    ),
+    cosr AS (
+        SELECT d.query_id, d.doc_id,
+               round(dot / (dnorm.dnorm * qnorm.qnorm), 6) AS cos
+        FROM dots d
+        JOIN dnorm ON d.doc_id = dnorm.doc_id
+        JOIN qnorm ON d.query_id = qnorm.query_id
+    ),
+    rb AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, doc_id
+               ) AS rank_b
+        FROM cosr QUALIFY rank_b <= {pool}
+    ),
+    fused AS (
+        SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+               coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({k_rrf} + rank_a), 0.0)
+                     + coalesce(1.0 / ({k_rrf} + rank_b), 0.0), 6) AS rrf
+        FROM ra FULL OUTER JOIN rb
+          ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf AS score FROM (
+        SELECT query_id, doc_id, rrf,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf DESC, doc_id
+               ) AS rank
+        FROM fused
+    ) WHERE rank <= {k}
+    """

@@ -277,3 +277,40 @@ def heavy_hitter_words(documents: DataFrame, k: int = 64) -> DataFrame:
         F.explode(T.words(F.col("text"))).alias("word")
     )
     return mg_topk(mg_partials(words, "word", k), k)
+
+
+def join_key_overlap_estimate(
+    left: DataFrame,
+    lkey: str,
+    right: DataFrame,
+    rkey: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Pre-shuffle join planning: estimate |distinct(lkey) ∩ distinct(rkey)|
+    from two KB-sized Theta sketches instead of shuffling either side —
+    the "how selective is this join?" question answered at sketch cost
+    (each side aggregates map-side into ONE sketch row; the intersection
+    is a driver-sized cross of two rows). Returns one row:
+    (n_left_keys, n_right_keys, n_overlap_est, overlap_frac)."""
+    sl = left.agg(F.expr(f"theta_sketch_agg({lkey}, {lg_k})").alias("s_l"))
+    sr = right.agg(F.expr(f"theta_sketch_agg({rkey}, {lg_k})").alias("s_r"))
+    both = sl.crossJoin(F.broadcast(sr))
+    return both.select(
+        F.expr("cast(theta_sketch_estimate(s_l) as bigint)").alias(
+            "n_left_keys"
+        ),
+        F.expr("cast(theta_sketch_estimate(s_r) as bigint)").alias(
+            "n_right_keys"
+        ),
+        F.expr(
+            "cast(theta_sketch_estimate(theta_intersection(s_l, s_r)) "
+            "as bigint)"
+        ).alias("n_overlap_est"),
+        F.round(
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(s_l, s_r)) / "
+                "greatest(theta_sketch_estimate(s_l), 1.0)"
+            ),
+            4,
+        ).alias("overlap_frac"),
+    )

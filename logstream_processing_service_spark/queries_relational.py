@@ -853,3 +853,37 @@ def q_hourly_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly resampling with forward fill — the pandas
     resample().mean().ffill() twin at warehouse grain."""
     return R.resample_ffill(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "rolling_median_value",
+    """
+    SELECT event_id, user_id, value,
+           round(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 6) AS rolling_median
+    FROM events
+    """,
+    "W-ext", "robust",
+)
+def q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median per user (5-event frame): sorted in-row frame
+    array with even-count interpolation matching DuckDB's windowed
+    median over DOUBLE."""
+    return R.rolling_median(_t(spark, sf_dir, "events"))
+
+
+@spec("join_overlap_theta", None, "sketch-registry", "theta", "rows-only")
+def q_join_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle join selectivity from two Theta sketches: distinct
+    l_partkey of lineitem vs partkeys of BRAND#1-filtered part — the
+    estimate a planner wants BEFORE committing to a shuffle. Accuracy vs
+    the exact twin is asserted in tests/test_sketches_join.py."""
+    from .operators.sketches import join_key_overlap_estimate
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    pt = _t(spark, sf_dir, "part").filter("p_brand = 'Brand#1'").select(
+        "p_partkey"
+    )
+    return join_key_overlap_estimate(li, "l_partkey", pt, "p_partkey")

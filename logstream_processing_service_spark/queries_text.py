@@ -1409,3 +1409,20 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.fuzzy_pairs(
         _t(spark, sf_dir, "customer"), "c_custkey", "c_name", max_ed=1
     )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .operators import retrieval as R
+
+    return R.hybrid_rrf_oracle_sql()
+
+
+@spec("hybrid_search_rrf", _hybrid_rrf_oracle(), "north-star", "retrieval")
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 + tf-idf-cosine candidate pools
+    fused by Reciprocal Rank Fusion — the full pipeline (both rankers,
+    both rank windows, the fusion outer join) hash-matched against one
+    DuckDB query."""
+    from .operators import retrieval as R
+
+    return R.hybrid_search_rrf(_t(spark, sf_dir, "documents"))

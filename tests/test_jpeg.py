@@ -121,7 +121,7 @@ def test_color_decoder_gates():
     # sampling factors beyond 2x2 hit the loud gate
     sub = bytearray(b)
     sub[i + 11] = 0x33
-    with pytest.raises(NotImplementedError, match="beyond 2x2"):
+    with pytest.raises(NotImplementedError, match="beyond 4x4"):
         J.decode_jpeg(bytes(sub))
     # decode_jpeg_gray keeps rejecting color streams
     with pytest.raises(NotImplementedError, match="grayscale"):
@@ -311,3 +311,28 @@ def test_optimal_table_is_valid_prefix_code():
         # no all-ones code of its length (JPEG requirement)
         assert all(c != (1 << ln) - 1 or ln == 0 for c, ln in codes.values())
         assert max(ln for _, ln in codes.values()) <= 16
+
+
+def test_422_411_layouts_roundtrip_and_progressive_parity():
+    """The generalized sampling-factor machinery: 4:2:2 and 4:1:1 (the
+    DV/camera layouts) round-trip within the constant-chroma bound, and
+    progressive streams decode bit-identically to baseline for every
+    layout."""
+    rng = np.random.default_rng(31)
+    for sub in ("422", "411"):
+        for dims in ((40, 33), (17, 23)):
+            g = rng.integers(0, 256, dims).astype(np.int64)
+            img = np.stack([g, g, g], axis=-1).astype(np.uint8)
+            base = J.decode_jpeg(J.encode_jpeg_color(img, 100, subsampling=sub))
+            assert base.shape == img.shape
+            assert np.abs(base.astype(int) - img.astype(int)).max() <= 2
+            prog = J.decode_jpeg(
+                J.encode_jpeg_progressive(img, 100, subsampling=sub)
+            )
+            assert np.array_equal(base, prog)
+    # noisy chroma content: still exact baseline<->progressive parity
+    c = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for sub in ("422", "411"):
+        b1 = J.decode_jpeg(J.encode_jpeg_color(c, 90, subsampling=sub))
+        b2 = J.decode_jpeg(J.encode_jpeg_progressive(c, 90, subsampling=sub))
+        assert np.array_equal(b1, b2)

@@ -519,7 +519,7 @@ def test_jpeg_q100_roundtrip_fuzz(spark, w, h, seed, layout):
     st.integers(min_value=1, max_value=29),
     st.integers(min_value=0, max_value=3),
     st.integers(min_value=1, max_value=20),
-    st.sampled_from(["gray", "444", "420"]),
+    st.sampled_from(["gray", "444", "422", "420", "411"]),
 )
 def test_jpeg_progressive_equals_baseline_fuzz(spark, w, h, seed, q5, layout):
     """Progressive (SOF2) decode must be BIT-IDENTICAL to baseline decode

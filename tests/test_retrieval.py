@@ -263,3 +263,41 @@ def test_resample_ffill_gap_semantics(spark):
     assert out[("b", 0)]["value_ffill"] is None
     assert out[("b", 1)]["value_ffill"] is None
     assert out[("b", 2)]["value_ffill"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# Hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_rewards_agreement(spark):
+    """A doc present in BOTH candidate pools must outrank a doc that tops
+    only one pool when the solo ranks aren't dominant — the defining RRF
+    property — and every fused score must equal 1/(60+ra) + 1/(60+rb)."""
+    from logstream_processing_service_spark.operators.retrieval import (
+        bm25_topk,
+        hybrid_search_rrf,
+        tfidf_cosine_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qs = ("fast table scan",)
+    a = {r["doc_id"]: r["rank"] for r in bm25_topk(docs, qs, k=50).collect()}
+    b = {
+        r["doc_id"]: r["rank"]
+        for r in tfidf_cosine_topk(docs, qs, k=50).collect()
+    }
+    fused = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in hybrid_search_rrf(docs, qs, k=50).collect()
+    }
+    for d, (rank, score) in fused.items():
+        want = 0.0
+        if d in a:
+            want += 1.0 / (60 + a[d])
+        if d in b:
+            want += 1.0 / (60 + b[d])
+        assert abs(score - round(want, 6)) < 1e-9, d
+    # the fused top-1 appears in both pools (agreement dominates here)
+    top1 = min(fused, key=lambda d: fused[d][0])
+    assert top1 in a and top1 in b
