@@ -107,6 +107,8 @@ HEADLINE = [
     "hybrid_search_rrf",
     "rolling_median_value",
     "join_overlap_theta",
+    "activity_islands",
+    "mean_shift_scores",
 ]
 
 

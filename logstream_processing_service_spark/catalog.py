@@ -55,21 +55,25 @@ _PRIORITY: tuple[str, ...] = (
     # (a) r1-stale core relational layer
     "scan_slice", "log_templates", "json_key_volume",
     # batch_volume displaced for the r4-new hourly_resample_ffill: its A1
-    # scan+group-count machinery keeps in-window twins (revenue_by_nation,
-    # rollup_volume); resumes rotation in r5
+    # scan+group-count machinery keeps the in-window twin rollup_volume;
+    # resumes rotation in r5
     "decayed_volume",
     # (value_percentiles_approx rotated out: rows-only signal regardless
     # of freshness, and its exact twin value_percentiles — same plan
     # shape — stays in the window)
-    "distinct_actors",
+    # distinct_actors displaced for the r4-new activity_islands (exact
+    # count-distinct machinery keeps in-window twins profile_events and
+    # vocab_growth_report); resumes rotation in r5
     "volume_zscore", "value_percentiles",
     "pattern_mining", "incident_upsert_split",
     "actor_setops",
     "asof_signup_before_error", "rollup_volume",
+    # revenue_by_nation displaced for the r4-new mean_shift_scores (its
+    # join+agg machinery keeps the in-window twin pattern_mining);
+    # resumes rotation in r5
     # top_quarter_suppliers displaced for the r4-new zorder_bucket_stats:
-    # its join+agg+HAVING machinery keeps in-window twins
-    # (revenue_by_nation, pattern_mining); resumes rotation in r5
-    "revenue_by_nation",
+    # its join+agg+HAVING machinery keeps the in-window twin
+    # pattern_mining; resumes rotation in r5
     # first_order_per_customer displaced for the r4-new part_pagerank
     # (min_by-argmax machinery keeps the in-window max_by twin
     # brand_priciest_part); orders_with_error_events displaced for the
@@ -77,7 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     # in-window twin incident_upsert_split). Both resume rotation in r5.
     # national_market_share displaced for the r4-new join_overlap_theta
     # (its join+agg+share-ratio machinery keeps the in-window twin
-    # revenue_by_nation); resumes rotation in r5
+    # pattern_mining); resumes rotation in r5
     # idle_rich_customers displaced for the r4-new rolling_median_value
     # (its anti-join + scalar-subquery machinery keeps the in-window twin
     # incident_upsert_split); resumes rotation in r5
@@ -133,7 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_search", "chunk_documents", "fuzzy_customer_pairs",
     "image_dhash", "hourly_resample_ffill", "zorder_bucket_stats",
     "part_pagerank", "hybrid_search_rrf", "rolling_median_value",
-    "join_overlap_theta",
+    "join_overlap_theta", "activity_islands", "mean_shift_scores",
 )
 
 

@@ -956,3 +956,83 @@ def rolling_median(df: DataFrame, frame: int = 5) -> DataFrame:
         "value",
         F.round((lo + hi) / 2, 6).alias("rolling_median"),
     )
+
+
+def activity_islands(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Gaps-and-islands: contiguous runs of hourly activity per user —
+    the classic island id = hour_index − dense_rank trick, fully
+    window-expressible (one user_id exchange; the island GROUP BY reuses
+    the same partitioning).
+
+    Output: one row per (user_id, island) with start/end hour, length in
+    hours, and total events inside the island.
+    """
+    hours = (
+        df.select(
+            "user_id", F.date_trunc("hour", F.col(ts_col)).alias("h")
+        )
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "hour_idx",
+            (F.unix_timestamp("h") / F.lit(3600)).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("hour_idx")
+    islands = hours.withColumn(
+        "island", F.col("hour_idx") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("h").alias("start_hour"),
+            F.max("h").alias("end_hour"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .drop("island")
+    )
+
+
+def mean_shift_scores(
+    df: DataFrame, ts_col: str = "ts", frame: int = 6
+) -> DataFrame:
+    """Sliding mean-shift changepoint score per event_type: |avg of the
+    last ``frame`` hourly counts − avg of the previous ``frame``|,
+    normalized by the pooled std over the full 2×frame window. The
+    window-expressible changepoint detector (CUSUM's recursion is not a
+    SQL window; this is the standard sliding twin monitoring pipelines
+    deploy). One event_type exchange; both frame averages share it.
+    """
+    hourly = (
+        df.select("event_type", F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = Window.partitionBy("event_type").orderBy("h")
+    recent = order.rowsBetween(-(frame - 1), 0)
+    prior = order.rowsBetween(-(2 * frame - 1), -frame)
+    both = order.rowsBetween(-(2 * frame - 1), 0)
+    out = hourly.select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.count(F.lit(1)).over(both).alias("_n"),
+        F.avg("cnt").over(recent).alias("_ma"),
+        F.avg("cnt").over(prior).alias("_mb"),
+        F.stddev_pop("cnt").over(both).alias("_sd"),
+    )
+    # score only where both frames are full; NULL during warm-up
+    return out.select(
+        "event_type",
+        "hour_ts",
+        "cnt",
+        F.round(
+            F.when(
+                F.col("_n") >= 2 * frame,
+                F.abs(F.col("_ma") - F.col("_mb"))
+                / (F.col("_sd") + F.lit(1e-9)),
+            ),
+            6,
+        ).alias("shift_score"),
+    )

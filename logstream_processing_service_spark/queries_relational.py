@@ -887,3 +887,64 @@ def q_join_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     return join_key_overlap_estimate(li, "l_partkey", pt, "p_partkey")
+
+
+@spec(
+    "activity_islands",
+    """
+    WITH hours AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT user_id, h, n_events,
+               CAST(epoch(h) / 3600 AS BIGINT) AS hour_idx
+        FROM hours
+    ),
+    isl AS (
+        SELECT user_id, h, n_events,
+               hour_idx - row_number() OVER (
+                   PARTITION BY user_id ORDER BY hour_idx
+               ) AS island
+        FROM idx
+    )
+    SELECT user_id, min(h) AS start_hour, max(h) AS end_hour,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, island
+    """,
+    "W-ext", "sessionization",
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous hourly-activity runs per user via the
+    hour_idx - row_number island id."""
+    return R.activity_islands(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "mean_shift_scores",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, h AS hour_ts, CAST(cnt AS BIGINT) AS cnt,
+           round(CASE WHEN count(*) OVER (
+                     PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) >= 12
+               THEN abs(
+                   avg(cnt) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                   - avg(cnt) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 11 PRECEDING AND 6 PRECEDING))
+                   / (stddev_pop(cnt) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) + 1e-9)
+               END, 6) AS shift_score
+    FROM hourly
+    """,
+    "W-ext", "changepoint", "monitoring",
+)
+def q_mean_shift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding mean-shift changepoint score over hourly volume per
+    event_type (6h-vs-6h frames, pooled-std normalized, NULL warm-up)."""
+    return R.mean_shift_scores(_t(spark, sf_dir, "events"))

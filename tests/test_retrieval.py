@@ -301,3 +301,64 @@ def test_rrf_rewards_agreement(spark):
     # the fused top-1 appears in both pools (agreement dominates here)
     top1 = min(fused, key=lambda d: fused[d][0])
     assert top1 in a and top1 in b
+
+
+def test_activity_islands_planted(spark):
+    from datetime import datetime
+
+    from logstream_processing_service_spark.operators.relational import (
+        activity_islands,
+    )
+
+    rows = [
+        # user 1: hours 0,1,2 then a gap, then hour 5 -> islands [0-2], [5]
+        (datetime(2024, 1, 1, 0, 5), 1),
+        (datetime(2024, 1, 1, 0, 55), 1),
+        (datetime(2024, 1, 1, 1, 30), 1),
+        (datetime(2024, 1, 1, 2, 10), 1),
+        (datetime(2024, 1, 1, 5, 0), 1),
+        # user 2: single hour
+        (datetime(2024, 1, 1, 3, 20), 2),
+    ]
+    ev = spark.createDataFrame(rows, "ts TIMESTAMP, user_id LONG")
+    out = sorted(
+        activity_islands(ev).collect(),
+        key=lambda r: (r["user_id"], r["start_hour"]),
+    )
+    assert len(out) == 3
+    a, b, c = out
+    assert (a["user_id"], a["n_hours"], a["n_events"]) == (1, 3, 4)
+    assert a["start_hour"].hour == 0 and a["end_hour"].hour == 2
+    assert (b["user_id"], b["n_hours"], b["n_events"]) == (1, 1, 1)
+    assert b["start_hour"].hour == 5
+    assert (c["user_id"], c["n_hours"], c["n_events"]) == (2, 1, 1)
+
+
+def test_mean_shift_detects_level_change(spark):
+    """A volume step (5/hour -> 50/hour) must score highest exactly at
+    the shift frontier, and warm-up rows stay NULL."""
+    from datetime import datetime, timedelta
+
+    from logstream_processing_service_spark.operators.relational import (
+        mean_shift_scores,
+    )
+
+    rows = []
+    t0 = datetime(2024, 1, 1)
+    for hr in range(24):
+        n = 5 if hr < 12 else 50
+        for i in range(n):
+            rows.append((t0 + timedelta(hours=hr, minutes=i % 60), "click"))
+    ev = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    out = sorted(
+        mean_shift_scores(ev).collect(), key=lambda r: r["hour_ts"]
+    )
+    assert len(out) == 24
+    # first 11 hours: window not full -> NULL
+    assert all(r["shift_score"] is None for r in out[:11])
+    scores = {r["hour_ts"].hour: r["shift_score"] for r in out[11:]}
+    # the peak score lands when the recent frame is fully post-shift and
+    # the prior frame fully pre-shift: hour 17 (12..17 vs 6..11)
+    assert max(scores, key=scores.get) == 17
+    # steady state (all-same frames) scores ~0 before the shift
+    assert scores[11] < 0.01
