@@ -109,6 +109,8 @@ HEADLINE = [
     "join_overlap_theta",
     "activity_islands",
     "mean_shift_scores",
+    # eager caveat: the 3 sink micro-batches run at fn() build time
+    "streaming_bm25_twin",
 ]
 
 

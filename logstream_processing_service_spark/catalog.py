@@ -64,7 +64,11 @@ _PRIORITY: tuple[str, ...] = (
     # distinct_actors displaced for the r4-new activity_islands (exact
     # count-distinct machinery keeps in-window twins profile_events and
     # vocab_growth_report); resumes rotation in r5
-    "volume_zscore", "value_percentiles",
+    # volume_zscore displaced for the r4-new streaming_bm25_twin (its
+    # W2-W5 rolling-frame machinery keeps in-window twins
+    # rolling_median_value and mean_shift_scores — the same avg/stddev
+    # window frames); resumes rotation in r5
+    "value_percentiles",
     "pattern_mining", "incident_upsert_split",
     "actor_setops",
     "asof_signup_before_error", "rollup_volume",
@@ -138,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "image_dhash", "hourly_resample_ffill", "zorder_bucket_stats",
     "part_pagerank", "hybrid_search_rrf", "rolling_median_value",
     "join_overlap_theta", "activity_islands", "mean_shift_scores",
+    "streaming_bm25_twin",
 )
 
 

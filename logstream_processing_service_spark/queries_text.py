@@ -1426,3 +1426,36 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import retrieval as R
 
     return R.hybrid_search_rrf(_t(spark, sf_dir, "documents"))
+
+
+def _streaming_bm25_oracle() -> str:
+    from .operators import retrieval as R
+
+    return R.bm25_oracle_sql()
+
+
+@spec(
+    "streaming_bm25_twin",
+    _streaming_bm25_oracle(),
+    "north-star", "streaming", "retrieval", "T-ext",
+)
+def q_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL streaming index sink (streaming/search_index.py)
+    over 3 deterministic micro-batches (batch = doc_id % 3), then serve
+    BM25 from the registry alone. BM25's corpus stats are additive across
+    disjoint batches, so the ranking must hash-match the FULL-corpus BM25
+    oracle — proving the incremental index loses nothing. Reruns are
+    idempotent (per-batch dynamic partition overwrite)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from .streaming.search_index import bm25_from_index, index_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    out = f"/tmp/logstream_search_index_{tag}"
+    sink = index_sink(out)
+    for b in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == b), b)
+    return bm25_from_index(spark, out)
