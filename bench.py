@@ -111,6 +111,7 @@ HEADLINE = [
     "mean_shift_scores",
     # eager caveat: the 3 sink micro-batches run at fn() build time
     "streaming_bm25_twin",
+    "dsir_weights",
 ]
 
 

@@ -812,3 +812,135 @@ def temperature_mix_plan(
         )
         .orderBy(strata_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 10007
+
+
+def _dsir_bucket_sql(dialect: str, n_buckets: int = DSIR_BUCKETS) -> str:
+    """Bucket array over a PRE-STAGED word-hash column ``wh`` (array<long>
+    of bucket ids, with multiplicity). The word-hash array MUST be bound
+    as its own projection/CTE first — substituting it textually here
+    re-evaluates one md5 per word per shingle element (measured 100s vs
+    4s at sf0.1, the dedup shingle_table lesson)."""
+    sh = T.shingle_hash_array_sql("wh", 2, dialect)
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({sh}, s -> s % {n_buckets})"
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights: log w(doc) = Σ_b count_doc(b) ·
+    (ln p_target(b) − ln p_source(b)) over hashed-bigram buckets with
+    add-one smoothing; here the "target domain" sample is the corpus's
+    ``target_lang`` slice and the source is the whole corpus. ``selected``
+    marks docs more target-like than source-like (log w > 0); a
+    fixed-budget selection at scale samples a weight threshold (or Gumbel
+    top-k) instead of ranking globally.
+
+    Scale: features are in-row (one md5/word, rolling bigram hash, mod
+    B); the two distributions are B-row aggregates (B ≈ 10k — broadcast
+    side); the per-doc weight is one (doc, bucket) aggregation joined
+    against the broadcast log-ratio table. No global sort, no window.
+    """
+    wh = documents.select(
+        "doc_id", "lang",
+        F.expr(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")
+        ).alias("wh"),
+    )
+    feat = wh.select(
+        "doc_id", "lang",
+        F.explode(F.expr(_dsir_bucket_sql("spark", n_buckets))).alias("b"),
+    ).persist()  # four consumers (per-doc, target, source, totals)
+    per_doc = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    target = feat.filter(F.col("lang") == target_lang).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    source = feat.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    totals = feat.agg(
+        F.sum(F.when(F.col("lang") == target_lang, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tt"),
+        F.count(F.lit(1)).alias("ts"),
+    )
+    lr = (
+        source.join(target, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.col("cs") + F.lit(1.0)) / (F.col("ts") + F.lit(n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    lw = (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr")).alias("logw"),
+            F.sum("cnt").cast("bigint").alias("n_feats"),
+        )
+    )
+    return documents.select("doc_id", "lang").join(lw, "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        F.round("logw", 6).alias("log_weight"),
+        (F.col("logw") > 0).alias("selected"),
+    )
+
+
+def dsir_oracle_sql(
+    target_lang: str = "en", n_buckets: int = DSIR_BUCKETS
+) -> str:
+    words = T.words_sql("text", "duckdb")
+    whsql = T.word_hash_array_sql("w", "duckdb")
+    bucket = _dsir_bucket_sql("duckdb", n_buckets)
+    return f"""
+    WITH wrd AS (SELECT doc_id, lang, {words} AS w FROM documents),
+    whs AS (SELECT doc_id, lang, {whsql} AS wh FROM wrd),
+    feat AS (
+        SELECT doc_id, lang, unnest({bucket}) AS b FROM whs
+    ),
+    pd AS (SELECT doc_id, b, count(*) AS cnt FROM feat GROUP BY 1, 2),
+    tc AS (
+        SELECT b, count(*) AS ct FROM feat
+        WHERE lang = '{target_lang}' GROUP BY 1
+    ),
+    sc AS (SELECT b, count(*) AS cs FROM feat GROUP BY 1),
+    tot AS (
+        SELECT CAST(sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tt,
+               count(*) AS ts
+        FROM feat
+    ),
+    lr AS (
+        SELECT sc.b,
+               ln((coalesce(ct, 0) + 1.0) / (tt + {n_buckets}))
+               - ln((cs + 1.0) / (ts + {n_buckets})) AS lr
+        FROM sc LEFT JOIN tc USING (b) CROSS JOIN tot
+    ),
+    lw AS (
+        SELECT pd.doc_id, sum(cnt * lr) AS logw,
+               CAST(sum(cnt) AS BIGINT) AS n_feats
+        FROM pd JOIN lr USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, lw.n_feats,
+           round(lw.logw, 6) AS log_weight,
+           lw.logw > 0 AS selected
+    FROM documents d JOIN lw ON d.doc_id = lw.doc_id
+    """

@@ -506,3 +506,16 @@ def q_temperature_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (n^alpha renormalized), not hand-set — the multilingual-LM
     tail-upweighting recipe."""
     return C.temperature_mix_plan(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "dsir_weights",
+    C.dsir_oracle_sql(),
+    "north-star", "data-selection", "dsir",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights over hashed-bigram buckets (target = the
+    'en' slice, source = whole corpus; add-one smoothing) — the
+    importance-resampling data-selection recipe, end-to-end in SQL on
+    both engines."""
+    return C.dsir_weights(_t(spark, sf_dir, "documents"))

@@ -135,3 +135,26 @@ def test_connected_components_chain_and_island(spark):
     )
     labels = {r["node"]: r["label"] for r in D.connected_components(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """The defining DSIR property: documents from the target domain (the
+    'en' slice) must receive a higher mean importance weight than the
+    rest of the corpus, and weights must be finite for every doc."""
+    from logstream_processing_service_spark.operators.curation import (
+        dsir_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_weights(docs).collect()
+    assert len(out) == docs.count()
+    by_lang = {}
+    for r in out:
+        assert r["log_weight"] is not None
+        by_lang.setdefault(r["lang"] == "en", []).append(r["log_weight"])
+    mean_en = sum(by_lang[True]) / len(by_lang[True])
+    mean_other = sum(by_lang[False]) / len(by_lang[False])
+    assert mean_en > mean_other
+    # selected == (log_weight > 0) exactly
+    for r in out:
+        assert r["selected"] == (r["log_weight"] > 0)
