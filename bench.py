@@ -112,6 +112,7 @@ HEADLINE = [
     # eager caveat: the 3 sink micro-batches run at fn() build time
     "streaming_bm25_twin",
     "dsir_weights",
+    "snapshot_timetravel_twin",
 ]
 
 

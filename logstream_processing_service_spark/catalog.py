@@ -56,7 +56,10 @@ _PRIORITY: tuple[str, ...] = (
     # scan_slice displaced for the r4-new dsir_weights (its filter+sort+
     # limit machinery is exercised by every in-window ranking query, e.g.
     # bm25_search, sample_k_per_source); resumes rotation in r5
-    "log_templates", "json_key_volume",
+    # log_templates displaced for the r4-new snapshot_timetravel_twin
+    # (its concat/substring machinery keeps the in-window string-slicing
+    # twin chunk_documents); resumes rotation in r5
+    "json_key_volume",
     # batch_volume displaced for the r4-new hourly_resample_ffill: its A1
     # scan+group-count machinery keeps the in-window twin rollup_volume;
     # resumes rotation in r5
@@ -145,7 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "image_dhash", "hourly_resample_ffill", "zorder_bucket_stats",
     "part_pagerank", "hybrid_search_rrf", "rolling_median_value",
     "join_overlap_theta", "activity_islands", "mean_shift_scores",
-    "streaming_bm25_twin", "dsir_weights",
+    "streaming_bm25_twin", "dsir_weights", "snapshot_timetravel_twin",
 )
 
 

@@ -1,0 +1,73 @@
+"""Table maintenance: small-file compaction (the lakehouse OPTIMIZE).
+
+Reference parity note: the reference appends to SQLite/Postgres and never
+manages physical layout; a parquet-backed engine at 100 TB lives or dies
+by it — streaming sinks and incremental batches leave thousands of
+KB-sized files per partition, and every downstream scan then pays one
+task + one footer read per file.
+
+Scale design: sizing comes from the file listing (no data read); the
+rewrite is one job — a round-robin ``repartition(n)`` for plain bin
+packing, or ``repartitionByRange(sort_col)`` + in-partition sort to
+(re)establish clustering while compacting (the OPTIMIZE ... ZORDER
+analogue; pair with operators/layout.py write_zordered for 2-D keys).
+The swap is rename-based: readers see the old or the new file set,
+never a mix.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _parquet_files(path: str) -> list[tuple[str, int]]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("."):
+                p = os.path.join(root, f)
+                out.append((p, os.path.getsize(p)))
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Rewrite ``path`` so files are ~``target_bytes`` each; returns a
+    stats dict (files/bytes before and after). ``sort_col`` additionally
+    range-partitions + sorts, so min/max footer stats become disjoint
+    across files and stat-based pruning works after compaction."""
+    before = _parquet_files(path)
+    if not before:
+        raise ValueError(f"no parquet files under {path}")
+    total = sum(sz for _, sz in before)
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_files)
+    tmp, backup = path.rstrip("/") + "._compact", path.rstrip("/") + "._old"
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    after = _parquet_files(path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes_before": total,
+        "bytes_after": sum(sz for _, sz in after),
+        "target_bytes": target_bytes,
+    }

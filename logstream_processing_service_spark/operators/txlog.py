@@ -1,0 +1,161 @@
+"""Minimal table transaction log: versioned snapshots, time travel,
+optimistic concurrency, vacuum — the Delta/Iceberg core mechanics on
+plain parquet + JSON manifests.
+
+Reference parity note: the reference's keyed overwrite destroys history
+(src/db/log_ops.py UPDATE in place); scd2_history recovers history at the
+ROW grain — this module recovers it at the TABLE grain: every commit is
+a new immutable snapshot, readers pin a manifest and can never observe a
+half-written table, and old snapshots stay queryable until vacuumed.
+
+Mechanics (all filesystem-portable):
+- Data files are immutable: each commit writes its files into a fresh
+  ``data/c<commit-uuid>/`` directory; nothing is ever rewritten.
+- A manifest ``_log/v<N>.json`` lists the data files of snapshot N.
+- Commit = write manifest to a temp name, then ``os.link`` it to the
+  final name — link fails if v<N> exists, which IS the optimistic
+  concurrency check (two writers racing on the same version: exactly one
+  wins; the loser retries on top of N).
+- Reads list ``_log/`` and load the requested (default: max) manifest.
+- Vacuum deletes data directories referenced by NO retained manifest.
+
+Scale: the log holds one small JSON per commit (file lists — the same
+metadata scale as Delta); data-file IO is whatever the write itself
+costs. On object stores, swap ``os.link`` for a put-if-absent."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first — reread and retry."""
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_log")
+
+
+def _versions(table_dir: str) -> list[int]:
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json") and "._tmp" not in f:
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def _manifest(table_dir: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(table_dir), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def commit(
+    table_dir: str,
+    df: DataFrame,
+    mode: str = "overwrite",
+    expected_version: int | None = None,
+) -> int:
+    """Write ``df`` as the next snapshot. ``mode='append'`` carries the
+    previous snapshot's files forward; ``'overwrite'`` starts fresh.
+    ``expected_version`` (optimistic concurrency): the snapshot this
+    commit was based on — raises CommitConflict if someone else already
+    committed on top of it."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    seen = _versions(table_dir)
+    current = seen[-1] if seen else -1
+    if expected_version is not None and expected_version != current:
+        raise CommitConflict(
+            f"based on v{expected_version} but table is at v{current}"
+        )
+    new_version = current + 1
+
+    cid = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data", f"c{cid}")
+    df.write.mode("error").parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    files = list(new_files)
+    if mode == "append" and current >= 0:
+        files = _manifest(table_dir, current)["files"] + files
+
+    manifest = {
+        "version": new_version,
+        "mode": mode,
+        "commit_id": cid,
+        "files": files,
+    }
+    tmp = os.path.join(_log_dir(table_dir), f"v{new_version}._tmp{cid}.json")
+    final = os.path.join(_log_dir(table_dir), f"v{new_version}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, final)  # atomic create-if-absent: the commit point
+    except FileExistsError:
+        shutil.rmtree(data_dir)
+        raise CommitConflict(f"v{new_version} was committed concurrently") from None
+    finally:
+        os.remove(tmp)
+    return new_version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read snapshot ``version`` (default: latest). Pins the manifest's
+    file list, so concurrent commits never change what this frame sees."""
+    seen = _versions(table_dir)
+    if not seen:
+        raise ValueError(f"no committed version under {table_dir}")
+    v = seen[-1] if version is None else version
+    if v not in seen:
+        raise ValueError(f"version {v} not found (have {seen})")
+    files = _manifest(table_dir, v)["files"]
+    if not files:
+        raise ValueError(f"snapshot v{v} is empty")
+    return spark.read.parquet(*files)
+
+
+def history(table_dir: str) -> list[dict]:
+    return [_manifest(table_dir, v) for v in _versions(table_dir)]
+
+
+def vacuum(table_dir: str, retain_last: int = 2) -> dict:
+    """Drop manifests older than the last ``retain_last`` and delete data
+    directories no retained manifest references."""
+    seen = _versions(table_dir)
+    keep_versions = seen[-retain_last:]
+    kept_dirs = set()
+    for v in keep_versions:
+        for f in _manifest(table_dir, v)["files"]:
+            kept_dirs.add(os.path.dirname(f))
+    removed_manifests = 0
+    for v in seen:
+        if v not in keep_versions:
+            os.remove(os.path.join(_log_dir(table_dir), f"v{v}.json"))
+            removed_manifests += 1
+    removed_dirs = 0
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            p = os.path.join(data_root, d)
+            if p not in kept_dirs:
+                shutil.rmtree(p)
+                removed_dirs += 1
+    return {
+        "removed_manifests": removed_manifests,
+        "removed_data_dirs": removed_dirs,
+        "retained_versions": keep_versions,
+    }

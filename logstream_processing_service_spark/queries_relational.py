@@ -948,3 +948,49 @@ def q_mean_shift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding mean-shift changepoint score over hourly volume per
     event_type (6h-vs-6h frames, pooled-std normalized, NULL warm-up)."""
     return R.mean_shift_scores(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "snapshot_timetravel_twin",
+    """
+    SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE length(source) = 4
+    UNION ALL
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+    "north-star", "txlog", "time-travel",
+)
+def q_snapshot_timetravel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL transaction log (operators/txlog.py) end-to-end:
+    commit the short-named sources as snapshot v0, append the rest as v1,
+    then aggregate BOTH snapshots via time-travel reads. The oracle
+    recomputes each snapshot's stats from the base table, so the hash
+    match proves manifest isolation and append lineage."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    t = f"/tmp/logstream_txlog_twin_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    TX.commit(t, docs.filter(F.length("source") == 4))
+    TX.commit(t, docs.filter(F.length("source") != 4), mode="append")
+    out = []
+    for v in (0, 1):
+        out.append(
+            TX.read_snapshot(spark, t, version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -1,0 +1,63 @@
+"""Small-file compaction: fewer files, identical data, optional
+re-clustering that restores footer-stat pruning."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+
+def test_compact_reduces_files_and_preserves_data(spark, tmp_path):
+    from logstream_processing_service_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(20000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 64
+    before = {(r["id"], r["k"]) for r in spark.read.parquet(path).collect()}
+
+    stats = compact_parquet(spark, path, target_bytes=64 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 16
+    assert len(glob.glob(f"{path}/part-*.parquet")) == stats["files_after"]
+    after = {(r["id"], r["k"]) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_compact_with_sort_restores_pruning(spark, tmp_path):
+    from logstream_processing_service_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "tbl2")
+    # scrambled writes: every file spans the whole id range
+    spark.range(1 << 14).select(
+        F.expr("CAST(abs(hash(id)) % 10000 AS BIGINT)").alias("x")
+    ).repartition(32).write.parquet(path)
+
+    def overlapping_files(lo, hi):
+        n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = md.row_group(rg).column(0)
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            if not (max(maxs) < lo or min(mins) > hi):
+                n += 1
+        return n
+
+    files0 = len(glob.glob(f"{path}/part-*.parquet"))
+    assert overlapping_files(4000, 4500) == files0  # no pruning possible
+    stats = compact_parquet(spark, path, target_bytes=16 * 1024, sort_col="x")
+    files1 = stats["files_after"]
+    assert 1 < files1 < files0
+    # after sorted compaction a narrow slice touches a minority of files
+    assert overlapping_files(4000, 4500) <= max(2, files1 // 3)

@@ -1,0 +1,74 @@
+"""Transaction log: snapshot isolation, time travel, append lineage,
+optimistic-concurrency conflicts, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_time_travel_and_snapshot_isolation(spark, tmp_path):
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    v0 = TX.commit(t, spark.range(5))
+    v1 = TX.commit(t, spark.range(10, 13))
+    assert (v0, v1) == (0, 1)
+    assert _ids(TX.read_snapshot(spark, t)) == [10, 11, 12]
+    assert _ids(TX.read_snapshot(spark, t, version=0)) == [0, 1, 2, 3, 4]
+    # a frame pinned at v1 keeps reading v1 even after a later commit
+    pinned = TX.read_snapshot(spark, t)
+    TX.commit(t, spark.range(100, 101))
+    assert _ids(pinned) == [10, 11, 12]
+    assert _ids(TX.read_snapshot(spark, t)) == [100]
+    assert [m["version"] for m in TX.history(t)] == [0, 1, 2]
+
+
+def test_append_lineage(spark, tmp_path):
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    TX.commit(t, spark.range(3))
+    TX.commit(t, spark.range(3, 6), mode="append")
+    TX.commit(t, spark.range(6, 8), mode="append")
+    assert _ids(TX.read_snapshot(spark, t)) == list(range(8))
+    assert _ids(TX.read_snapshot(spark, t, version=1)) == list(range(6))
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    base = TX.commit(t, spark.range(3))
+    # writer A commits on top of v0
+    TX.commit(t, spark.range(10, 12), expected_version=base)
+    # writer B also based on v0: must conflict, not clobber
+    with pytest.raises(TX.CommitConflict):
+        TX.commit(t, spark.range(20, 22), expected_version=base)
+    assert _ids(TX.read_snapshot(spark, t)) == [10, 11]
+    # B retries on the current version and succeeds
+    TX.commit(t, spark.range(20, 22), expected_version=1)
+    assert _ids(TX.read_snapshot(spark, t)) == [20, 21]
+
+
+def test_vacuum_drops_unreferenced_data(spark, tmp_path):
+    import os
+
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        TX.commit(t, spark.range(i * 10, i * 10 + 2))
+    assert len(os.listdir(os.path.join(t, "data"))) == 4
+    stats = TX.vacuum(t, retain_last=2)
+    assert stats["removed_manifests"] == 2
+    assert stats["removed_data_dirs"] == 2
+    # retained snapshots still read fine; vacuumed ones are gone
+    assert _ids(TX.read_snapshot(spark, t, version=3)) == [30, 31]
+    assert _ids(TX.read_snapshot(spark, t, version=2)) == [20, 21]
+    with pytest.raises(ValueError):
+        TX.read_snapshot(spark, t, version=0)
