@@ -62,6 +62,7 @@ def commit(
     df: DataFrame,
     mode: str = "overwrite",
     expected_version: int | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot. ``mode='append'`` carries the
     previous snapshot's files forward; ``'overwrite'`` starts fresh.
@@ -97,6 +98,8 @@ def commit(
         "commit_id": cid,
         "files": files,
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     tmp = os.path.join(_log_dir(table_dir), f"v{new_version}._tmp{cid}.json")
     final = os.path.join(_log_dir(table_dir), f"v{new_version}.json")
     with open(tmp, "w") as fh:
@@ -159,3 +162,41 @@ def vacuum(table_dir: str, retain_last: int = 2) -> dict:
         "removed_data_dirs": removed_dirs,
         "retained_versions": keep_versions,
     }
+
+
+def streaming_commit_sink(table_dir: str, mode: str = "append"):
+    """foreachBatch sink committing each micro-batch as a table version,
+    EXACTLY-ONCE: the manifest records the batch id, and a replayed batch
+    (restart after crash, before checkpoint advance) is recognized and
+    skipped — the Delta ``txn`` app-transaction pattern on this log."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        for m in history(table_dir):
+            if m.get("batch_id") == batch_id:
+                return  # already durably committed: replay is a no-op
+        commit(table_dir, batch_df, mode=mode, batch_id=batch_id)
+
+    return write
+
+
+def merge_commit(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    **merge_kwargs,
+) -> int:
+    """Transactional MERGE: read the latest snapshot, apply merge_full,
+    commit the result as a new version with optimistic concurrency
+    pinned to the snapshot that was read — a racing writer triggers
+    CommitConflict instead of silently losing the race (read-modify-write
+    is safe to retry)."""
+    from ..sources.tables import merge_full
+
+    seen = _versions(table_dir)
+    base = seen[-1] if seen else -1
+    if base < 0:
+        raise ValueError("merge_commit needs an existing snapshot")
+    target = read_snapshot(spark, table_dir, version=base)
+    merged = merge_full(target, source, key, **merge_kwargs)
+    return commit(table_dir, merged, mode="overwrite", expected_version=base)

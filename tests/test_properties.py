@@ -542,3 +542,46 @@ def test_jpeg_progressive_equals_baseline_fuzz(spark, w, h, seed, q5, layout):
             J.encode_jpeg_progressive(img, q, subsampling=layout)
         )
     assert np.array_equal(base, prog)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=6),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_pairs_complete_fuzz(spark, keys, d):
+    """SymSpell blocking completeness on arbitrary short strings (incl.
+    empty strings and heavy duplicates): the distributed result must
+    EQUAL the quadratic Python Levenshtein ground truth."""
+    from logstream_processing_service_spark.operators.matching import (
+        fuzzy_pairs,
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(keys))
+    df = spark.createDataFrame(rows, "id LONG, key STRING")
+    got = {
+        (r["id_a"], r["id_b"], r["ed"])
+        for r in fuzzy_pairs(df, "id", "key", max_ed=d).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and lev(a, b) <= d
+    }
+    assert got == want

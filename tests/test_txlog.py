@@ -72,3 +72,39 @@ def test_vacuum_drops_unreferenced_data(spark, tmp_path):
     assert _ids(TX.read_snapshot(spark, t, version=2)) == [20, 21]
     with pytest.raises(ValueError):
         TX.read_snapshot(spark, t, version=0)
+
+
+def test_streaming_commit_sink_exactly_once(spark, tmp_path):
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "stream_tbl")
+    sink = TX.streaming_commit_sink(t)
+    sink(spark.range(3), 0)
+    sink(spark.range(3, 6), 1)
+    # crash-replay of batch 1: must be a no-op, not a duplicate append
+    sink(spark.range(3, 6), 1)
+    sink(spark.range(6, 8), 2)
+    assert _ids(TX.read_snapshot(spark, t)) == list(range(8))
+    assert [m.get("batch_id") for m in TX.history(t)] == [0, 1, 2]
+
+
+def test_merge_commit_transactional(spark, tmp_path):
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id LONG, v STRING"
+    )
+    TX.commit(t, base)
+    src = spark.createDataFrame([(2, "B2"), (4, "d")], "id LONG, v STRING")
+    v = TX.merge_commit(spark, t, src, "id")
+    assert v == 1
+    got = {
+        (r["id"], r["v"]) for r in TX.read_snapshot(spark, t).collect()
+    }
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # the pre-merge snapshot is still time-travelable
+    old = {
+        (r["id"], r["v"]) for r in TX.read_snapshot(spark, t, 0).collect()
+    }
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
