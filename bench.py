@@ -113,6 +113,7 @@ HEADLINE = [
     "streaming_bm25_twin",
     "dsir_weights",
     "snapshot_timetravel_twin",
+    "rag_chunk_search",
 ]
 
 

@@ -60,10 +60,15 @@ _PRIORITY: tuple[str, ...] = (
     # (its concat/substring machinery keeps the in-window string-slicing
     # twin chunk_documents); resumes rotation in r5
     "json_key_volume",
+    # decayed_volume displaced for the r4-new rag_chunk_search (the
+    # composition of two in-window components, chunk_documents +
+    # bm25_search); decay's exp-weighting expressions are exercised by
+    # in-window perplexity_buckets/temperature_mix_plan pow/exp SQL, and
+    # the local full-precision parity suite re-checks it every round;
+    # resumes rotation in r5
     # batch_volume displaced for the r4-new hourly_resample_ffill: its A1
     # scan+group-count machinery keeps the in-window twin rollup_volume;
     # resumes rotation in r5
-    "decayed_volume",
     # (value_percentiles_approx rotated out: rows-only signal regardless
     # of freshness, and its exact twin value_percentiles — same plan
     # shape — stays in the window)
@@ -149,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_pagerank", "hybrid_search_rrf", "rolling_median_value",
     "join_overlap_theta", "activity_islands", "mean_shift_scores",
     "streaming_bm25_twin", "dsir_weights", "snapshot_timetravel_twin",
+    "rag_chunk_search",
 )
 
 

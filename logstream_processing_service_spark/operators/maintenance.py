@@ -71,3 +71,58 @@ def compact_parquet(
         "bytes_after": sum(sz for _, sz in after),
         "target_bytes": target_bytes,
     }
+
+
+def build_file_stats_index(
+    spark: SparkSession, path: str, cols: list[str]
+):
+    """Data-skipping index: per-file min/max/null-count for ``cols`` (the
+    Delta add-file stats / Iceberg manifest-metrics analogue) as a tiny
+    DataFrame keyed by file path.
+
+    Scale: ONE distributed scan, column-pruned to the indexed columns,
+    aggregated by input_file_name() — map-side partials mean the shuffle
+    carries |files| × |cols| rows. The index is metadata-sized; persist
+    it next to the table (or in a txlog manifest) and refresh per commit.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(*cols).withColumn(
+        "_file", F.input_file_name()
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    return df.groupBy("_file").agg(*aggs)
+
+
+def prune_files(index_df, col: str, lo, hi) -> list[str]:
+    """Files whose [min, max] for ``col`` intersects [lo, hi] — the
+    skipping decision, answered from the metadata-sized index without
+    touching data. The index is small by construction; collecting it is
+    the planner-side step."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        index_df.filter(
+            ~((F.col(f"max_{col}") < lo) | (F.col(f"min_{col}") > hi))
+        )
+        .select("_file")
+        .collect()
+    )
+    return [r["_file"] for r in rows]
+
+
+def read_pruned(spark: SparkSession, index_df, col: str, lo, hi):
+    """Scan only the files the index says can match, then re-apply the
+    exact predicate (the index is a superset filter)."""
+    from pyspark.sql import functions as F
+
+    files = prune_files(index_df, col, lo, hi)
+    if not files:
+        raise ValueError("no files match — caller should handle empty scan")
+    return spark.read.parquet(*files).filter(F.col(col).between(lo, hi))

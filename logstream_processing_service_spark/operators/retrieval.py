@@ -408,3 +408,55 @@ def hybrid_rrf_oracle_sql(
         FROM fused
     ) WHERE rank <= {k}
     """
+
+
+def rag_chunk_search(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 3,
+) -> DataFrame:
+    """The RAG retrieval stage end-to-end: chunk the corpus into token
+    windows, rank CHUNKS (not documents) with BM25, return the top-k
+    context chunks per query with their provenance (doc_id, chunk_idx).
+
+    Chunk identity rides through the ranker as doc_id*1024 + chunk_idx
+    (chunk counts are bounded far below 1024 by the chunker's stride);
+    plan shape is chunking's zero-shuffle expansion feeding bm25's
+    broadcast-probe pipeline — no extra exchanges beyond bm25's own."""
+    chunks = chunk_documents(documents).select(
+        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    hits = bm25_topk(chunks, queries, k=k)
+    return hits.select(
+        "query_id",
+        "rank",
+        F.expr("CAST(doc_id DIV 1024 AS BIGINT)").alias("doc_id"),
+        F.expr("CAST(doc_id % 1024 AS INT)").alias("chunk_idx"),
+        "score",
+    )
+
+
+def rag_chunk_search_oracle_sql(
+    queries: tuple[str, ...] = SEARCH_QUERIES, k: int = 3
+) -> str:
+    """Compose the chunk oracle into the BM25 oracle: the chunk table CTE
+    replaces the documents scan (single textual seam, asserted)."""
+    chunk_sql = chunk_oracle_sql().strip()
+    bm25 = bm25_oracle_sql(queries, k=k)
+    assert bm25.count("FROM documents") == 1
+    bm25 = bm25.replace("FROM documents", "FROM chunks")
+    prefix = f"""
+    WITH chunk_rows AS ({chunk_sql}),
+    chunks AS (
+        SELECT doc_id * 1024 + chunk_idx AS doc_id, chunk_text AS text
+        FROM chunk_rows
+    ),"""
+    assert bm25.lstrip().startswith("WITH ")
+    body = bm25.lstrip()[len("WITH "):]
+    composed = prefix + body
+    return f"""
+    SELECT query_id, rank, CAST(doc_id // 1024 AS BIGINT) AS doc_id,
+           CAST(doc_id % 1024 AS INT) AS chunk_idx, score
+    FROM ({composed})
+    """

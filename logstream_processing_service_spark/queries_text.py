@@ -1459,3 +1459,19 @@ def q_streaming_bm25_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(3):
         sink(docs.filter(F.col("doc_id") % 3 == b), b)
     return bm25_from_index(spark, out)
+
+
+def _rag_oracle() -> str:
+    from .operators import retrieval as R
+
+    return R.rag_chunk_search_oracle_sql()
+
+
+@spec("rag_chunk_search", _rag_oracle(), "north-star", "retrieval", "rag")
+def q_rag_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval end-to-end: token-window chunking feeding chunk-grain
+    BM25, top-3 context chunks per query with provenance — the whole
+    composed pipeline hash-matches one DuckDB query."""
+    from .operators import retrieval as R
+
+    return R.rag_chunk_search(_t(spark, sf_dir, "documents"))

@@ -61,3 +61,36 @@ def test_compact_with_sort_restores_pruning(spark, tmp_path):
     assert 1 < files1 < files0
     # after sorted compaction a narrow slice touches a minority of files
     assert overlapping_files(4000, 4500) <= max(2, files1 // 3)
+
+
+def test_file_stats_index_prunes_and_stays_correct(spark, tmp_path):
+    from logstream_processing_service_spark.operators.maintenance import (
+        build_file_stats_index,
+        compact_parquet,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "tbl3")
+    spark.range(1 << 14).select(
+        F.expr("CAST(abs(hash(id)) % 10000 AS BIGINT)").alias("x"),
+        (F.col("id") % 7).alias("y"),
+    ).repartition(32).write.parquet(path)
+    # cluster on x so the index can actually skip
+    compact_parquet(spark, path, target_bytes=16 * 1024, sort_col="x")
+
+    idx = build_file_stats_index(spark, path, ["x", "y"])
+    n_files = idx.count()
+    assert n_files > 2
+    from logstream_processing_service_spark.operators.maintenance import (
+        prune_files,
+    )
+
+    hit = prune_files(idx, "x", 4000, 4500)
+    assert 0 < len(hit) <= max(2, n_files // 3)  # real skipping
+    got = read_pruned(spark, idx, "x", 4000, 4500).count()
+    want = (
+        spark.read.parquet(path).filter(F.col("x").between(4000, 4500)).count()
+    )
+    assert got == want > 0
+    # null counting: y never null, so nulls_y == 0 everywhere
+    assert idx.filter(F.col("nulls_y") != 0).count() == 0
