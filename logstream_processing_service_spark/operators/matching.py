@@ -47,11 +47,20 @@ def _delete1_expr(col: str) -> str:
 
 
 def fuzzy_pairs(
-    df: DataFrame, id_col: str, key_col: str, max_ed: int = 1
+    df: DataFrame, id_col: str, key_col: str, max_ed: int = 1,
+    max_bucket: int = 0,
 ) -> DataFrame:
     """All (id_a, id_b, ed) pairs with Levenshtein(key_a, key_b) <= max_ed,
     id_a < id_b. Exact output (blocking is complete; see module docstring).
-    """
+
+    ``max_bucket`` (0 = off): refuse variant buckets larger than this.
+    A bucket of size m emits O(m²) candidate pairs — on a corpus where
+    one key value dominates (all-identical keys are the worst case), the
+    OUTPUT is quadratic by the problem's own semantics; the guard makes
+    that explicit instead of letting one reducer absorb it silently (the
+    same discipline as the LSH ``max_bucket`` caps in operators/dedup.py).
+    Leave 0 only when the oracle must match exactly (the capped form
+    changes semantics on pathological corpora)."""
     if not 1 <= max_ed <= 2:
         raise ValueError("max_ed must be 1 or 2 (variant count is O(L^d))")
     base = df.select(
@@ -91,6 +100,17 @@ def fuzzy_pairs(
         F.col("id").alias("id_b"), F.col("key").alias("key_b"),
         F.col("variant").alias("variant"),
     )
+    if max_bucket:
+        sizes = var.groupBy("variant").agg(F.count(F.lit(1)).alias("_bsz"))
+        over = sizes.filter(F.col("_bsz") > max_bucket)
+        if over.limit(1).count() > 0:
+            worst = over.orderBy(F.desc("_bsz")).first()
+            raise ValueError(
+                f"fuzzy_pairs: variant bucket {worst['variant']!r} has "
+                f"{worst['_bsz']} members (> max_bucket={max_bucket}); the "
+                "output would be quadratic in that family — dedup exact "
+                "keys first or raise max_bucket deliberately"
+            )
     cand = (
         a.join(b, "variant")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -362,3 +362,45 @@ def test_mean_shift_detects_level_change(spark):
     assert max(scores, key=scores.get) == 17
     # steady state (all-same frames) scores ~0 before the shift
     assert scores[11] < 0.01
+
+
+def test_fuzzy_pairs_max_bucket_guard(spark):
+    from logstream_processing_service_spark.operators.matching import (
+        fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(50)] + [(99, "other")],
+        "id LONG, key STRING",
+    )
+    with pytest.raises(Exception) as exc:
+        fuzzy_pairs(df, "id", "key", max_ed=1, max_bucket=10).collect()
+    assert "quadratic" in str(exc.value)
+    # without the cap the quadratic output IS the correct answer
+    out = fuzzy_pairs(df, "id", "key", max_ed=1).collect()
+    assert len(out) == 50 * 49 // 2
+
+
+def test_image_dhash_jpeg_branch(spark):
+    """image_dhash's image/jpeg branch decodes through the native codec:
+    two identical-content JPEGs share a hash group."""
+    from logstream_processing_service_spark.operators.jpegcodec import (
+        synthetic_jpeg_blocks,
+    )
+    from logstream_processing_service_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    j1 = synthetic_jpeg_blocks(32, 24, seed=9)
+    j2 = synthetic_jpeg_blocks(32, 24, seed=9)
+    j3 = synthetic_jpeg_blocks(32, 24, seed=140)
+    media = spark.createDataFrame(
+        [(0, j1), (1, j2), (2, j3)], "doc_id LONG, payload BINARY"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("image/jpeg").alias("media_type")).alias("meta"),
+    )
+    out = {r["doc_id"]: r for r in image_dhash(media).collect()}
+    assert out[0]["dhash"] == out[1]["dhash"]
+    assert out[0]["n_same"] >= 2
