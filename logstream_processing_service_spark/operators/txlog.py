@@ -80,6 +80,16 @@ def commit(
         )
     new_version = current + 1
 
+    if mode == "append" and current >= 0:
+        prev_schema = _manifest(table_dir, current).get("schema")
+        cur_schema = [(f.name, f.dataType.simpleString()) for f in df.schema]
+        if prev_schema is not None and [tuple(x) for x in prev_schema] != cur_schema:
+            raise ValueError(
+                f"append schema {cur_schema} incompatible with snapshot "
+                f"v{current} schema {prev_schema} — commit mode='overwrite' "
+                "to evolve the schema explicitly"
+            )
+
     cid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", f"c{cid}")
     df.write.mode("error").parquet(data_dir)
@@ -97,6 +107,7 @@ def commit(
         "mode": mode,
         "commit_id": cid,
         "files": files,
+        "schema": [(f.name, f.dataType.simpleString()) for f in df.schema],
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id

@@ -108,3 +108,19 @@ def test_merge_commit_transactional(spark, tmp_path):
         (r["id"], r["v"]) for r in TX.read_snapshot(spark, t, 0).collect()
     }
     assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_append_rejects_incompatible_schema(spark, tmp_path):
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "schema_tbl")
+    TX.commit(t, spark.createDataFrame([(1, "a")], "id LONG, v STRING"))
+    with pytest.raises(ValueError, match="schema"):
+        TX.commit(
+            t,
+            spark.createDataFrame([(2, 3.5)], "id LONG, v DOUBLE"),
+            mode="append",
+        )
+    # overwrite evolves the schema explicitly; history keeps both
+    TX.commit(t, spark.createDataFrame([(2, 3.5)], "id LONG, v DOUBLE"))
+    assert [m["schema"][1][1] for m in TX.history(t)] == ["string", "double"]
