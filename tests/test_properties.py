@@ -585,3 +585,41 @@ def test_fuzzy_pairs_complete_fuzz(spark, keys, d):
         if i < j and lev(a, b) <= d
     }
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=4),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=0, max_value=14),
+)
+def test_chunk_documents_reconstruction_fuzz(spark, doc_lens, chunk, overlap):
+    """Any corpus × any (chunk, overlap < chunk): chunk texts reconstruct
+    each document exactly (drop the first `overlap` tokens of every
+    non-first chunk, concatenate), chunk indices are dense, and only
+    empty docs emit nothing."""
+    from logstream_processing_service_spark.operators.retrieval import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(doc_lens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(doc_lens):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        toks = chunks[0]["chunk_text"].split(" ")
+        for c in chunks[1:]:
+            toks += c["chunk_text"].split(" ")[overlap:]
+        assert toks == rows[i][1].split(" ")

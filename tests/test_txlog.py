@@ -124,3 +124,40 @@ def test_append_rejects_incompatible_schema(spark, tmp_path):
     # overwrite evolves the schema explicitly; history keeps both
     TX.commit(t, spark.createDataFrame([(2, 3.5)], "id LONG, v DOUBLE"))
     assert [m["schema"][1][1] for m in TX.history(t)] == ["string", "double"]
+
+
+def test_streaming_commit_sink_under_real_stream(spark, tmp_path):
+    """The txlog sink wired into readStream + availableNow: each
+    micro-batch becomes a committed snapshot; restarting the stream with
+    the same checkpoint does not duplicate data (exactly-once via the
+    batch-id guard AND the checkpoint), and history records batch ids."""
+    import os
+
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    os.makedirs(src)
+    schema = "id long"
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(TX.streaming_commit_sink(t))
+            .option("checkpointLocation", str(tmp_path / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.range(3).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    spark.range(3, 7).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    assert _ids(TX.read_snapshot(spark, t)) == list(range(7))
+    # re-running with nothing new: no extra version
+    n_versions = len(TX.history(t))
+    run_stream()
+    assert len(TX.history(t)) == n_versions
+    assert sorted(m.get("batch_id") for m in TX.history(t)) == [0, 1]
