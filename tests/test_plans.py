@@ -515,3 +515,42 @@ def test_fuzzy_pairs_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pagerank_iteration_no_cartesian(spark):
+    """Each PageRank step must stay an equi-join + keyed agg."""
+    from logstream_processing_service_spark.operators.graph import (
+        co_order_edges,
+        pagerank,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = pagerank(co_order_edges(li), n_iter=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_ratio_table(spark):
+    """DSIR's per-doc weight join must broadcast the B-row log-ratio
+    side, never shuffle the corpus-grain feature frame against it."""
+    from logstream_processing_service_spark.operators.curation import (
+        dsir_weights,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dsir_weights(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_ffill_broadcast_grid(spark):
+    """The grid build is a broadcast of the 1-row bounds onto the
+    distinct-type frame — no shuffled cross join, no cartesian blowup."""
+    from logstream_processing_service_spark.operators.relational import (
+        resample_ffill,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(resample_ffill(ev))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds frame

@@ -404,3 +404,16 @@ def test_image_dhash_jpeg_branch(spark):
     out = {r["doc_id"]: r for r in image_dhash(media).collect()}
     assert out[0]["dhash"] == out[1]["dhash"]
     assert out[0]["n_same"] >= 2
+
+
+def test_cli_list_and_validation(capsys):
+    """CLI: list prints every catalog query; unknown names exit 2 without
+    starting Spark."""
+    from logstream_processing_service_spark.__main__ import main
+    from logstream_processing_service_spark.catalog import all_specs
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for s in all_specs():
+        assert s.name in out
+    assert main(["run", "definitely_not_a_query"]) == 2
