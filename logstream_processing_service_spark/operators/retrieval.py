@@ -52,6 +52,7 @@ def bm25_topk(
     documents: DataFrame,
     queries: tuple[str, ...] = SEARCH_QUERIES,
     k: int = 10,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25 (Robertson/Lucene idf form:
     ln(1 + (N - df + .5)/(df + .5)); k1=1.2, b=0.75).
@@ -64,11 +65,12 @@ def bm25_topk(
     doc_id, making the ranking engine-portable.
     """
     spark = documents.sparkSession
-    toks = documents.select(
-        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tc"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    if tf is None:
+        toks = documents.select(
+            "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+        )
+        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tc"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -219,16 +221,18 @@ def tfidf_cosine_topk(
     documents: DataFrame,
     queries: tuple[str, ...] = SEARCH_QUERIES,
     k: int = RRF_POOL,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Dense-side stand-in that stays oracle-expressible: cosine between
     the query's idf vector and each document's tf-idf vector (sparse dot
     via the token join, norms aggregated per side). Same broadcast-probe
     shape as bm25_topk; ties on the 6-dp cosine break by doc_id."""
     spark = documents.sparkSession
-    toks = documents.select(
-        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tc"))
+    if tf is None:
+        toks = documents.select(
+            "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+        )
+        tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tc"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     w_dt = (
@@ -295,10 +299,22 @@ def hybrid_search_rrf(
     Scale: both rankings share the broadcast-probe-then-window shape; the
     fusion itself is a full outer join on (query_id, doc_id) over two
     |queries|×pool frames — constant-size, independent of corpus."""
-    a = bm25_topk(documents, queries, k=pool).select(
+    # tokenize the corpus once for both rankers (tf is the shared
+    # inverted index). Deliberately NOT persisted: the measured A/B at
+    # sf0.1 (2.1s lazy vs 3.9s cached, warm) shows the cache write of
+    # the doc×tok frame costs more than recomputing it — the
+    # bigram_logprob negative result again; AQE partially reuses the
+    # exchange anyway
+    toks = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    a = bm25_topk(documents, queries, k=pool, tf=tf).select(
         "query_id", "doc_id", F.col("rank").alias("rank_a")
     )
-    b = tfidf_cosine_topk(documents, queries, k=pool).select(
+    b = tfidf_cosine_topk(documents, queries, k=pool, tf=tf).select(
         "query_id", "doc_id", F.col("rank").alias("rank_b")
     )
     fused = (
