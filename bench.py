@@ -114,6 +114,7 @@ HEADLINE = [
     "dsir_weights",
     "snapshot_timetravel_twin",
     "rag_chunk_search",
+    "kn_trigram_logprob",
 ]
 
 

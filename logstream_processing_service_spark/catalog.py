@@ -79,7 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     # W2-W5 rolling-frame machinery keeps in-window twins
     # rolling_median_value and mean_shift_scores — the same avg/stddev
     # window frames); resumes rotation in r5
-    "value_percentiles",
+    # value_percentiles displaced for the r4-new kn_trigram_logprob
+    # (quantile machinery keeps the in-window twin
+    # value_quantiles_kll_registry plus r3-green doc_length_quartiles);
+    # resumes rotation in r5
     "pattern_mining", "incident_upsert_split",
     "actor_setops",
     "asof_signup_before_error", "rollup_volume",
@@ -154,7 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_pagerank", "hybrid_search_rrf", "rolling_median_value",
     "join_overlap_theta", "activity_islands", "mean_shift_scores",
     "streaming_bm25_twin", "dsir_weights", "snapshot_timetravel_twin",
-    "rag_chunk_search",
+    "rag_chunk_search", "kn_trigram_logprob",
 )
 
 

@@ -944,3 +944,156 @@ def dsir_oracle_sql(
            lw.logw > 0 AS selected
     FROM documents d JOIN lw ON d.doc_id = lw.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Modified-Kneser-Ney trigram LM (the CCNet-style LM-quality filter, one
+# order up from bigram_logprob; Kneser & Ney 1995 / Chen & Goodman 1998
+# with a single fixed discount)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def kn_trigram_logprob(documents: DataFrame, discount: float = KN_DISCOUNT) -> DataFrame:
+    """Per-document mean trigram surprisal under an interpolated
+    Kneser-Ney LM trained on the corpus itself (self-scoring, like
+    ``bigram_logprob`` — no OOV chain because every doc trigram is in the
+    training counts):
+
+        P1(w3)        = N1+(·w3) / |bigram types|
+        P2(w3|w2)     = max(N1+(·w2w3)−D, 0)/N1+(·w2·) + D·N1+(w2·)/N1+(·w2·) · P1
+        P3(w3|w1,w2)  = max(c(w1w2w3)−D, 0)/c(w1w2·) + D·N1+(w1w2·)/c(w1w2·) · P2
+
+    Lower orders use CONTINUATION (type) counts — the KN insight that
+    "Francisco" is frequent but follows only "San".
+
+    Scale shape (the bigram_logprob discipline, one order up): the token
+    stream reduces to (doc, w1, w2, w3, m) with map-side combine before
+    anything global; every LM table derives from the trigram TYPE/count
+    table, never the raw stream. Trigram- and bigram-grain joins are
+    shuffle hash joins (n-gram vocabularies are not dimension-sized);
+    the w2/w3/scalar tables are vocab-sized and broadcast.
+    """
+    D = float(discount)
+    docs = documents.select("doc_id", T.words(F.col("text")).alias("_w"))
+    tri_stream = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(zip_with("
+                " slice(_w, 1, greatest(size(_w)-2, 0)),"
+                " slice(_w, 2, greatest(size(_w)-2, 0)),"
+                " (a, b) -> struct(a AS w1, b AS w2)),"
+                " slice(_w, 3, greatest(size(_w)-2, 0)),"
+                " (p, c) -> struct(p.w1 AS w1, p.w2 AS w2, c AS w3))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2", "t.w3")
+    per_doc = tri_stream.groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    tri = per_doc.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("c3"))
+    ctx3 = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2ctx"), F.count(F.lit(1)).alias("n3types")
+    )
+    cont2 = tri.select("w1", "w2", "w3").distinct().groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("cont2")
+    )
+    ctx2 = cont2.groupBy("w2").agg(
+        F.sum("cont2").alias("cont2ctx"), F.count(F.lit(1)).alias("n2types")
+    )
+    cont1 = cont2.groupBy("w3").agg(F.sum(F.lit(1)).alias("cont1"))
+    t2 = cont2.agg(F.count(F.lit(1)).alias("t2"))
+
+    scored = (
+        per_doc.join(tri, ["w1", "w2", "w3"])
+        .join(ctx3, ["w1", "w2"])
+        .join(cont2, ["w2", "w3"])
+        .join(F.broadcast(ctx2), "w2")
+        .join(F.broadcast(cont1), "w3")
+        .crossJoin(F.broadcast(t2))
+        .withColumn("p1", F.col("cont1") / F.col("t2"))
+        .withColumn(
+            "p2",
+            F.greatest(F.col("cont2") - F.lit(D), F.lit(0.0))
+            / F.col("cont2ctx")
+            + F.lit(D) * F.col("n2types") / F.col("cont2ctx") * F.col("p1"),
+        )
+        .withColumn(
+            "p3",
+            F.greatest(F.col("c3") - F.lit(D), F.lit(0.0)) / F.col("c2ctx")
+            + F.lit(D) * F.col("n3types") / F.col("c2ctx") * F.col("p2"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_trigrams"),
+        F.round(-F.sum(F.col("m") * F.log("p3")) / F.sum("m"), 6).alias(
+            "mean_surprisal"
+        ),
+    )
+    return documents.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("bigint").alias(
+            "n_trigrams"
+        ),
+        "mean_surprisal",
+    )
+
+
+def kn_trigram_oracle_sql(discount: float = KN_DISCOUNT) -> str:
+    D = discount
+    words = T.words_sql("text", "duckdb")
+    return f"""
+    WITH docs AS (SELECT doc_id, {words} AS w FROM documents),
+    tri_stream AS (
+        SELECT doc_id,
+               w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        FROM docs, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    per_doc AS (
+        SELECT doc_id, w1, w2, w3, count(*) AS m
+        FROM tri_stream GROUP BY 1, 2, 3, 4
+    ),
+    tri AS (SELECT w1, w2, w3, sum(m) AS c3 FROM per_doc GROUP BY 1, 2, 3),
+    ctx3 AS (
+        SELECT w1, w2, sum(c3) AS c2ctx, count(*) AS n3types
+        FROM tri GROUP BY 1, 2
+    ),
+    cont2 AS (
+        SELECT w2, w3, count(*) AS cont2
+        FROM (SELECT DISTINCT w1, w2, w3 FROM tri) GROUP BY 1, 2
+    ),
+    ctx2 AS (
+        SELECT w2, sum(cont2) AS cont2ctx, count(*) AS n2types
+        FROM cont2 GROUP BY 1
+    ),
+    cont1 AS (SELECT w3, count(*) AS cont1 FROM cont2 GROUP BY 1),
+    t2 AS (SELECT count(*) AS t2 FROM cont2),
+    scored AS (
+        SELECT per_doc.doc_id, per_doc.m,
+               greatest(tri.c3 - {D}, 0.0) / ctx3.c2ctx
+               + {D} * ctx3.n3types / ctx3.c2ctx * (
+                   greatest(cont2.cont2 - {D}, 0.0) / ctx2.cont2ctx
+                   + {D} * ctx2.n2types / ctx2.cont2ctx
+                     * (cont1.cont1 / t2.t2)
+               ) AS p3
+        FROM per_doc
+        JOIN tri USING (w1, w2, w3)
+        JOIN ctx3 USING (w1, w2)
+        JOIN cont2 USING (w2, w3)
+        JOIN ctx2 USING (w2)
+        JOIN cont1 USING (w3)
+        CROSS JOIN t2
+    ),
+    agg AS (
+        SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+               round(-sum(m * ln(p3)) / sum(m), 6) AS mean_surprisal
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(agg.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           agg.mean_surprisal
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """

@@ -519,3 +519,16 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance-resampling data-selection recipe, end-to-end in SQL on
     both engines."""
     return C.dsir_weights(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "kn_trigram_logprob",
+    C.kn_trigram_oracle_sql(),
+    "north-star", "lm-filter", "kneser-ney",
+)
+def q_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated modified-Kneser-Ney trigram surprisal per document
+    (continuation counts at lower orders, fixed discount 0.75) — the
+    CCNet-style LM quality signal one order above bigram_logprob, with
+    the entire LM estimation + scoring pipeline hash-matched in SQL."""
+    return C.kn_trigram_logprob(_t(spark, sf_dir, "documents"))

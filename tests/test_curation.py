@@ -158,3 +158,77 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     # selected == (log_weight > 0) exactly
     for r in out:
         assert r["selected"] == (r["log_weight"] > 0)
+
+
+def _kn_python(texts, D=0.75):
+    """Reference modified-KN trigram implementation (plain Python)."""
+    import math
+    from collections import Counter, defaultdict
+
+    tris = Counter()
+    for t in texts.values():
+        w = t.split()
+        for i in range(len(w) - 2):
+            tris[(w[i], w[i + 1], w[i + 2])] += 1
+    c2ctx, n3types = Counter(), Counter()
+    for (w1, w2, w3), c in tris.items():
+        c2ctx[(w1, w2)] += c
+        n3types[(w1, w2)] += 1
+    cont2 = Counter((w2, w3) for (w1, w2, w3) in tris)
+    cont2ctx, n2types = Counter(), Counter()
+    for (w2, w3), c in cont2.items():
+        cont2ctx[w2] += c
+        n2types[w2] += 1
+    cont1 = Counter(w3 for (w2, w3) in cont2)
+    t2 = len(cont2)
+
+    def p3(w1, w2, w3):
+        p1 = cont1[w3] / t2
+        p2 = (
+            max(cont2[(w2, w3)] - D, 0.0) / cont2ctx[w2]
+            + D * n2types[w2] / cont2ctx[w2] * p1
+        )
+        return (
+            max(tris[(w1, w2, w3)] - D, 0.0) / c2ctx[(w1, w2)]
+            + D * n3types[(w1, w2)] / c2ctx[(w1, w2)] * p2
+        )
+
+    out = {}
+    for d, t in texts.items():
+        w = t.split()
+        lps = [
+            math.log(p3(w[i], w[i + 1], w[i + 2]))
+            for i in range(len(w) - 2)
+        ]
+        out[d] = round(-sum(lps) / len(lps), 6) if lps else None
+    return out
+
+
+def test_kn_trigram_matches_python_reference(spark):
+    from logstream_processing_service_spark.operators.curation import (
+        kn_trigram_logprob,
+    )
+
+    texts = {
+        0: "a b c a b d a b c e",
+        1: "san francisco san francisco san francisco",
+        2: "the cat sat on the mat the cat ran",
+        3: "x y",  # too short: no trigrams
+        4: "a b c d e f g",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["mean_surprisal"]
+        for r in kn_trigram_logprob(docs).collect()
+    }
+    want = _kn_python(texts)
+    assert set(got) == set(want)
+    for d in want:
+        if want[d] is None:
+            assert got[d] is None
+        else:
+            assert abs(got[d] - want[d]) < 1e-6, d
+    # the repetitive doc is far more predictable than the unique-word one
+    assert got[1] < got[4]
