@@ -161,3 +161,45 @@ def test_streaming_commit_sink_under_real_stream(spark, tmp_path):
     run_stream()
     assert len(TX.history(t)) == n_versions
     assert sorted(m.get("batch_id") for m in TX.history(t)) == [0, 1]
+
+
+def test_commit_race_threads_exactly_one_winner_per_version(spark, tmp_path):
+    """Genuine concurrency: N threads commit simultaneously with no
+    expected_version. The os.link commit point guarantees version numbers
+    are unique and every manifest is wholly one writer's — losers raced
+    onto the next number or surfaced CommitConflict, and the final
+    history is a clean linear chain."""
+    import threading
+
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "race_tbl")
+    TX.commit(t, spark.range(1))
+    errors, results = [], []
+    lock = threading.Lock()
+
+    def writer(tag):
+        try:
+            v = TX.commit(
+                t,
+                spark.createDataFrame([(tag,)], "id LONG"),
+            )
+            with lock:
+                results.append((tag, v))
+        except TX.CommitConflict:
+            with lock:
+                errors.append(tag)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    hist = TX.history(t)
+    versions = [m["version"] for m in hist]
+    assert versions == sorted(set(versions))  # unique, linear
+    # every successful writer owns exactly the version it was told
+    for tag, v in results:
+        assert _ids(TX.read_snapshot(spark, t, version=v)) == [tag]
+    assert len(results) + len(errors) == 6
+    assert len(results) >= 1
