@@ -1097,3 +1097,37 @@ def kn_trigram_oracle_sql(discount: float = KN_DISCOUNT) -> str:
            agg.mean_surprisal
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
+
+
+def dsir_importance_sample(
+    documents: DataFrame,
+    k: int,
+    target_lang: str = "en",
+    temperature: float = 1.0,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The DSIR paper's actual selection step: importance RESAMPLING —
+    draw a fixed-budget sample of ``k`` docs with inclusion probability
+    ∝ exp(log_weight / temperature), via the A-ES weighted sampler
+    (deterministic keyed-hash draws, TakeOrdered top-k — no global sort,
+    no window; operators/sampling.py). temperature=1 is the paper's
+    sampled-softmax form; temperature→0 approaches greedy top-weight.
+
+    Scale: dsir_weights' cost plus one in-row exp and a k-row
+    TakeOrdered. exp(logw/T) can overflow for extreme weights — logw is
+    shifted by its maximum first (broadcast scalar), which leaves
+    inclusion probabilities untouched (A-ES keys are scale-invariant in
+    the weights). Temperatures far below ~0.1 underflow every non-argmax
+    weight to zero (excluded by the sampler's w>0 filter) — use the
+    direct top-k by log_weight for greedy selection instead."""
+    from . import sampling as S
+
+    w = dsir_weights(documents, target_lang, n_buckets)
+    mx = w.agg(F.max("log_weight").alias("mx"))
+    weighted = w.crossJoin(F.broadcast(mx)).withColumn(
+        "imp_w",
+        F.exp((F.col("log_weight") - F.col("mx")) / F.lit(float(temperature))),
+    )
+    return S.weighted_sample(weighted, "doc_id", "imp_w", k).select(
+        "doc_id", "lang", "log_weight", "sample_key"
+    )

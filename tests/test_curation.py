@@ -232,3 +232,32 @@ def test_kn_trigram_matches_python_reference(spark):
             assert abs(got[d] - want[d]) < 1e-6, d
     # the repetitive doc is far more predictable than the unique-word one
     assert got[1] < got[4]
+
+
+def test_dsir_importance_sample_favors_target(spark, sf_dir):
+    """Resampling property: a 100-doc importance sample contains a higher
+    'en' fraction than the corpus; determinism across calls; greedy
+    temperature approaches top-weight selection."""
+    from logstream_processing_service_spark.operators.curation import (
+        dsir_importance_sample,
+        dsir_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_en = docs.filter("lang = 'en'").count() / docs.count()
+    s1 = dsir_importance_sample(docs, 100).collect()
+    s2 = dsir_importance_sample(docs, 100).collect()
+    assert {r["doc_id"] for r in s1} == {r["doc_id"] for r in s2}
+    en_frac = sum(1 for r in s1 if r["lang"] == "en") / len(s1)
+    assert en_frac > base_en
+    assert len(s1) == 100
+    # temperature monotonicity: a colder sample concentrates on higher
+    # weights (mean selected log_weight rises as T falls). T must stay
+    # moderate — at T→0 every non-argmax weight underflows exp() to zero
+    # and is excluded by the sampler's w>0 filter (documented behavior).
+    cold = dsir_importance_sample(docs, 100, temperature=0.2).collect()
+    mean_cold = sum(r["log_weight"] for r in cold) / len(cold)
+    mean_warm = sum(r["log_weight"] for r in s1) / len(s1)
+    assert mean_cold > mean_warm
+    _ = dsir_weights  # (imported for API parity; weights themselves
+    # are already oracle-checked)
