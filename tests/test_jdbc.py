@@ -113,3 +113,28 @@ def test_jdbc_predicate_partitioned_append(spark, derby_url, events_in_derby):
         .count()
     )
     assert n == 1
+
+
+def test_jdbc_aggregate_prunes_columns_into_db(spark, derby_url, events_in_derby):
+    """A grouped count over JDBC must read ONLY the grouping column from
+    the database (ReadSchema pruning into the remote query) — the part of
+    aggregate pushdown Derby's dialect supports. Full PushedAggregates is
+    a JDBC-dialect capability (Postgres/MySQL dialects advertise it;
+    DerbyDialect does not — verified against the V2 JDBCTableCatalog path
+    too), so the honest assertion here is pruning + correctness."""
+    df = (
+        _read(spark, derby_url, pushDownAggregate="true")
+        .groupBy("event_type")
+        .count()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    from collections import Counter
+
+    # expectation from the table's CURRENT state (earlier tests append)
+    want = Counter(
+        r["event_type"] for r in _read(spark, derby_url).collect()
+    )
+    got = {r["event_type"]: r["count"] for r in df.collect()}
+    assert got == dict(want)
+    scan = [l for l in plan.splitlines() if "JDBCRelation" in l][0]
+    assert "ReadSchema: struct<event_type:string>" in scan, scan
