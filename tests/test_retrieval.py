@@ -154,7 +154,6 @@ def test_fuzzy_pairs_guards(spark):
     from logstream_processing_service_spark.operators.matching import (
         fuzzy_pairs,
     )
-    from py4j.protocol import Py4JJavaError
 
     df = spark.createDataFrame([(1, "x" * 100)], "id LONG, key STRING")
     with pytest.raises(ValueError):
