@@ -90,3 +90,96 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(linear).filter(box).count()
     b = spark.read.parquet(zordered).filter(box).count()
     assert a == b
+
+
+def _hilbert_py(x, y, order=16):
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert2_matches_python_reference(spark):
+    from logstream_processing_service_spark.operators.layout import (
+        with_hilbert,
+    )
+
+    import itertools
+
+    pts = list(itertools.product([0, 1, 2, 3, 7, 255, 40000, 65535], repeat=2))
+    df = spark.createDataFrame(pts, "a LONG, b LONG")
+    got = {
+        (r["a"], r["b"]): r["h"]
+        for r in with_hilbert(df, "a", "b", "h").collect()
+    }
+    for (a, b), h in got.items():
+        assert h == _hilbert_py(a, b), (a, b)
+    # bijectivity on a small grid + unit-step adjacency (the Hilbert
+    # property Morton lacks: consecutive d are spatial neighbors)
+    grid = list(itertools.product(range(8), repeat=2))
+    df8 = spark.createDataFrame(grid, "a LONG, b LONG")
+    h8 = {
+        (r["a"], r["b"]): r["h"]
+        for r in with_hilbert(df8, "a", "b", "h", order=3).collect()
+    }
+    assert sorted(h8.values()) == list(range(64))
+    by_d = {h: xy for xy, h in h8.items()}
+    for d in range(63):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # Manhattan-adjacent
+
+
+def test_hilbert_layout_prunes_like_zorder(spark, tmp_path):
+    """Hilbert clustering bounds BOTH dimensions per file at least as
+    well as Z-order on the same data (tighter on average)."""
+    from logstream_processing_service_spark.operators.layout import (
+        write_hilbert,
+        write_zordered,
+    )
+
+    n, files = 1 << 14, 16
+    df = spark.range(n).select(
+        F.expr("CAST(abs(hash(id, 1)) % 4096 AS BIGINT)").alias("x"),
+        F.expr("CAST(abs(hash(id, 2)) % 4096 AS BIGINT)").alias("y"),
+    )
+    zp, hp = str(tmp_path / "z"), str(tmp_path / "h")
+    write_zordered(df, zp, "x", "y", n_files=files)
+    write_hilbert(df, hp, "x", "y", n_files=files)
+    assert spark.read.parquet(hp).count() == n
+
+    lo, hi = 1024, 1279
+    for col in ("x", "y"):
+        assert _files_hitting(hp, col, lo, hi) <= files / 2
+    # average per-file bounding-box area: Hilbert <= Z-order (allowing
+    # range-sampling noise)
+    def avg_area(path):
+        import glob as g
+
+        import pyarrow.parquet as pq
+
+        total, cnt = 0, 0
+        for f in g.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    nm = c.path_in_schema
+                    if nm in mins and c.statistics is not None:
+                        s = c.statistics
+                        mins[nm] = s.min if mins[nm] is None else min(mins[nm], s.min)
+                        maxs[nm] = s.max if maxs[nm] is None else max(maxs[nm], s.max)
+            total += (maxs["x"] - mins["x"]) * (maxs["y"] - mins["y"])
+            cnt += 1
+        return total / cnt
+
+    assert avg_area(hp) <= avg_area(zp) * 1.15
