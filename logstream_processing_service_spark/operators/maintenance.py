@@ -39,18 +39,41 @@ def compact_parquet(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     sort_col: str | None = None,
+    cluster_cols: tuple[str, str] | None = None,
+    curve: str = "hilbert",
 ) -> dict:
     """Rewrite ``path`` so files are ~``target_bytes`` each; returns a
     stats dict (files/bytes before and after). ``sort_col`` additionally
     range-partitions + sorts, so min/max footer stats become disjoint
-    across files and stat-based pruning works after compaction."""
+    across files and stat-based pruning works after compaction.
+    ``cluster_cols`` instead clusters on a 2-D space-filling curve
+    (``curve`` = 'hilbert' or 'morton') — the OPTIMIZE ... ZORDER form:
+    compaction and multi-dimensional re-clustering in the same single
+    rewrite."""
+    if sort_col is not None and cluster_cols is not None:
+        raise ValueError("pass sort_col OR cluster_cols, not both")
     before = _parquet_files(path)
     if not before:
         raise ValueError(f"no parquet files under {path}")
     total = sum(sz for _, sz in before)
     n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
-    if sort_col is not None:
+    if cluster_cols is not None:
+        from .layout import morton2, with_hilbert
+
+        a, b = cluster_cols
+        if curve == "hilbert":
+            keyed = with_hilbert(df, a, b, "_k")
+        elif curve == "morton":
+            keyed = df.withColumn("_k", morton2(a, b))
+        else:
+            raise ValueError("curve must be 'hilbert' or 'morton'")
+        out = (
+            keyed.repartitionByRange(n_files, "_k")
+            .sortWithinPartitions("_k")
+            .drop("_k")
+        )
+    elif sort_col is not None:
         out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(
             sort_col
         )

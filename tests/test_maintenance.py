@@ -94,3 +94,40 @@ def test_file_stats_index_prunes_and_stays_correct(spark, tmp_path):
     assert got == want > 0
     # null counting: y never null, so nulls_y == 0 everywhere
     assert idx.filter(F.col("nulls_y") != 0).count() == 0
+
+
+def test_compact_with_2d_clustering(spark, tmp_path):
+    """OPTIMIZE-ZORDER form: compaction re-clusters on the space-filling
+    curve so BOTH dimensions prune afterward, from a scrambled layout."""
+    from logstream_processing_service_spark.operators.maintenance import (
+        build_file_stats_index,
+        compact_parquet,
+        prune_files,
+    )
+
+    path = str(tmp_path / "tbl2d")
+    spark.range(1 << 14).select(
+        F.expr("CAST(abs(hash(id, 1)) % 4096 AS BIGINT)").alias("x"),
+        F.expr("CAST(abs(hash(id, 2)) % 4096 AS BIGINT)").alias("y"),
+    ).repartition(32).write.parquet(path)
+    before = spark.read.parquet(path).count()
+
+    stats = compact_parquet(
+        spark, path, target_bytes=12 * 1024, cluster_cols=("x", "y")
+    )
+    assert spark.read.parquet(path).count() == before
+    n_files = stats["files_after"]
+    assert n_files > 3
+    idx = build_file_stats_index(spark, path, ["x", "y"])
+    # a 1/16-wide slice on EITHER dim must skip a meaningful fraction of
+    # files (with ~2^k files each bounds both dims to ~half/quarter range;
+    # the exact count wobbles with range-sampling boundaries)
+    for col in ("x", "y"):
+        assert len(prune_files(idx, col, 1024, 1279)) <= (2 * n_files) // 3
+    with pytest.raises(ValueError):
+        compact_parquet(
+            spark, path, sort_col="x", cluster_cols=("x", "y")
+        )
+
+
+import pytest  # noqa: E402
