@@ -623,3 +623,45 @@ def test_chunk_documents_reconstruction_fuzz(spark, doc_lens, chunk, overlap):
         for c in chunks[1:]:
             toks += c["chunk_text"].split(" ")[overlap:]
         assert toks == rows[i][1].split(" ")
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_morton_hilbert_reference_fuzz(spark, pts):
+    """Both curve indices match their Python references on arbitrary
+    16-bit points, and both are injective over the sample."""
+    from logstream_processing_service_spark.operators.layout import (
+        morton2,
+        with_hilbert,
+    )
+
+    def morton_py(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    from tests.test_layout import _hilbert_py
+
+    df = spark.createDataFrame(pts, "a LONG, b LONG")
+    rows = with_hilbert(df, "a", "b", "h").withColumn(
+        "z", morton2("a", "b")
+    ).collect()
+    zs, hs = set(), set()
+    for r in rows:
+        assert r["z"] == morton_py(r["a"], r["b"])
+        assert r["h"] == _hilbert_py(r["a"], r["b"])
+        zs.add(r["z"])
+        hs.add(r["h"])
+    assert len(zs) == len(pts) and len(hs) == len(pts)
