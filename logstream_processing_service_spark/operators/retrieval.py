@@ -48,6 +48,18 @@ def _bm25_term_score(tc: Column, df: Column, dl: Column, n_docs: Column, avgdl: 
     return idf * (tc * F.lit(2.2)) / denom
 
 
+def _query_terms(spark, queries: tuple[str, ...]):
+    """(query_id, tok) frame of DISTINCT terms per query — the broadcast
+    probe side every ranker shares."""
+    q = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(queries)], "query_id INT, qtext STRING"
+    )
+    return q.select(
+        "query_id",
+        F.explode(F.array_distinct(T.words(F.col("qtext")))).alias("tok"),
+    )
+
+
 def bm25_topk(
     documents: DataFrame,
     queries: tuple[str, ...] = SEARCH_QUERIES,
@@ -76,13 +88,7 @@ def bm25_topk(
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
-    q = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(queries)], "query_id INT, qtext STRING"
-    )
-    qterms = q.select(
-        "query_id",
-        F.explode(F.array_distinct(T.words(F.col("qtext")))).alias("tok"),
-    )
+    qterms = _query_terms(spark, queries)
 
     scored = (
         tf.join(F.broadcast(qterms), "tok")
@@ -246,13 +252,7 @@ def tfidf_cosine_topk(
     dnorm = w_dt.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
     )
-    q = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(queries)], "query_id INT, qtext STRING"
-    )
-    qterms = q.select(
-        "query_id",
-        F.explode(F.array_distinct(T.words(F.col("qtext")))).alias("tok"),
-    )
+    qterms = _query_terms(spark, queries)
     qw = (
         qterms.join(df_, "tok")
         .crossJoin(F.broadcast(n_docs))

@@ -79,13 +79,9 @@ def bm25_from_index(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    q = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(queries)], "query_id INT, qtext STRING"
-    )
-    qterms = q.select(
-        "query_id",
-        F.explode(F.array_distinct(T.words(F.col("qtext")))).alias("tok"),
-    )
+    from ..operators.retrieval import _query_terms
+
+    qterms = _query_terms(spark, queries)
     scored = (
         tf.join(F.broadcast(qterms), "tok")
         .join(df_, "tok")
