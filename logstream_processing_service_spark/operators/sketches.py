@@ -314,3 +314,60 @@ def join_key_overlap_estimate(
             4,
         ).alias("overlap_frac"),
     )
+
+
+def mg_topk_per_group(
+    df: DataFrame, group_col: str, item_col: str, k: int = 16
+) -> DataFrame:
+    """Per-GROUP Misra-Gries frequent items: one MG summary per group via
+    ``applyInPandas`` (the per-domain vocabulary monitor — which terms
+    dominate each source, with the same lower/upper-bound contract as
+    the global mg_topk).
+
+    Scale: one shuffle on the group key; per-group state is O(k)
+    regardless of group size, so a group with billions of rows costs the
+    same memory as a tiny one (contrast an exact per-group count, whose
+    state is the group's vocabulary). Output ≤ k+ rows per group:
+    (group, item, est_lower, est_upper).
+    """
+    import pandas as pd
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group_col].iloc[0]
+        counts: dict[str, int] = {}
+        err = 0
+        for item in pdf[item_col]:
+            if item is None:
+                continue
+            if item in counts:
+                counts[item] += 1
+            elif len(counts) < k:
+                counts[item] = 1
+            else:
+                err += 1
+                dead = []
+                for it in counts:
+                    counts[it] -= 1
+                    if counts[it] == 0:
+                        dead.append(it)
+                for it in dead:
+                    del counts[it]
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(items),
+                "item": [it for it, _ in items],
+                "est_lower": [c for _, c in items],
+                "est_upper": [c + err for _, c in items],
+            }
+        )
+
+    return (
+        df.select(group_col, F.col(item_col).alias(item_col))
+        .groupBy(group_col)
+        .applyInPandas(
+            summarize,
+            f"{group_col} string, item string, est_lower bigint, "
+            "est_upper bigint",
+        )
+    )
