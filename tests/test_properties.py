@@ -665,3 +665,47 @@ def test_morton_hilbert_reference_fuzz(spark, pts):
         zs.add(r["z"])
         hs.add(r["h"])
     assert len(zs) == len(pts) and len(hs) == len(pts)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=50),     # ts offset (s)
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rolling_median_matches_python_fuzz(spark, rows):
+    """rolling_median equals the per-user sorted-frame Python reference
+    for arbitrary event streams, including duplicate timestamps (order
+    pinned by event_id) and even-count interpolation."""
+    from datetime import datetime, timedelta
+
+    from logstream_processing_service_spark.operators.relational import (
+        rolling_median,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    data = [
+        (i, t0 + timedelta(seconds=off), u, round(v, 3))
+        for i, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    )
+    got = {
+        r["event_id"]: r["rolling_median"]
+        for r in rolling_median(df, frame=5).collect()
+    }
+    by_user: dict[int, list] = {}
+    for i, ts, u, v in sorted(data, key=lambda x: (x[2], x[1], x[0])):
+        hist = by_user.setdefault(u, [])
+        hist.append((i, v))
+        window = sorted(v2 for _, v2 in hist[-5:])
+        n = len(window)
+        lo, hi = window[(n + 1) // 2 - 1], window[n // 2]
+        assert abs(got[i] - round((lo + hi) / 2, 6)) < 1e-9, i
