@@ -445,3 +445,54 @@ def test_phrase_match_equals_naive_contains(spark):
             if n:
                 want[r["doc_id"]] = n
         assert got == want, phrase
+
+
+def test_resample_ffill_matches_pandas(spark):
+    """The docstring's claim made literal: resample_ffill equals pandas
+    resample('1h').mean().ffill() on the global hourly grid, per type."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import pandas as pd
+
+    from logstream_processing_service_spark.operators.relational import (
+        resample_ffill,
+    )
+
+    rng = np.random.default_rng(13)
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    for _ in range(200):
+        rows.append(
+            (
+                t0 + timedelta(minutes=int(rng.integers(0, 48 * 60))),
+                f"t{int(rng.integers(3))}",
+                float(np.round(rng.uniform(0, 100), 2)),
+            )
+        )
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING, value DOUBLE")
+    got = {
+        (r["event_type"], r["hour_ts"]): (r["n_events"], r["value_ffill"])
+        for r in resample_ffill(df).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    lo = pdf["ts"].dt.floor("h").min()
+    hi = pdf["ts"].dt.floor("h").max()
+    grid = pd.date_range(lo, hi, freq="h")
+    for et, sub in pdf.groupby("event_type"):
+        hourly = (
+            sub.set_index("ts")["value"].resample("1h").mean().reindex(grid)
+        )
+        counts = (
+            sub.set_index("ts")["value"].resample("1h").count().reindex(grid)
+        ).fillna(0)
+        filled = hourly.ffill()
+        for h in grid:
+            n, v = got[(et, h.to_pydatetime())]
+            assert n == int(counts[h])
+            if pd.isna(filled[h]):
+                assert v is None
+            else:
+                assert abs(v - round(float(filled[h]), 6)) < 1e-9
+    assert len(got) == 3 * len(grid)
