@@ -709,3 +709,56 @@ def test_rolling_median_matches_python_fuzz(spark, rows):
         n = len(window)
         lo, hi = window[(n + 1) // 2 - 1], window[n // 2]
         assert abs(got[i] - round((lo + hi) / 2, 6)) < 1e-9, i
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=30),  # hour offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_activity_islands_matches_python_fuzz(spark, rows):
+    """Gaps-and-islands equals the straightforward Python split-on-gap
+    reference for arbitrary (user, hour) event sets."""
+    from datetime import datetime, timedelta
+
+    from logstream_processing_service_spark.operators.relational import (
+        activity_islands,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    data = [
+        (t0 + timedelta(hours=h, minutes=(i * 7) % 60), u)
+        for i, (u, h) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "ts TIMESTAMP, user_id LONG")
+    got = {
+        (r["user_id"], r["start_hour"].hour + 24 * (r["start_hour"].day - 1)):
+            (r["n_hours"], r["n_events"])
+        for r in activity_islands(df).collect()
+    }
+    # python reference
+    per_user: dict[int, dict[int, int]] = {}
+    for ts, u in data:
+        h = ts.hour + 24 * (ts.day - 1)
+        per_user.setdefault(u, {})[h] = per_user.get(u, {}).get(h, 0) + 1
+    want = {}
+    for u, hours in per_user.items():
+        hs = sorted(hours)
+        start = hs[0]
+        n_ev = hours[hs[0]]
+        prev = hs[0]
+        for h in hs[1:]:
+            if h == prev + 1:
+                n_ev += hours[h]
+            else:
+                want[(u, start)] = (prev - start + 1, n_ev)
+                start, n_ev = h, hours[h]
+            prev = h
+        want[(u, start)] = (prev - start + 1, n_ev)
+    assert got == want
