@@ -1,11 +1,13 @@
 """Entity-resolution fuzzy matching: all pairs within edit distance d,
 via delete-neighborhood (SymSpell) blocking + exact Levenshtein verify.
 
-Reference parity note: the reference service has no fuzzy matching beyond
-nearest-template edit distance (src/processing/engine.py LIKE scans /
-match_templates here); this is the record-linkage operator a curation
-pipeline needs for entity keys (author names, titles, URLs after
-normalization).
+Reference parity note: the reference service's only matching primitive is
+nearest-centroid Minkowski distance over embedded log templates
+(src/ml/vector_engine.py:18-30, template extraction
+src/db/pattern_ops.py:28-65 — see match_templates here); it has no
+string-grain fuzzy matching. This is the record-linkage operator a
+curation pipeline needs for entity keys (author names, titles, URLs
+after normalization).
 
 Algorithm (completeness argument): if ed(a, b) <= d under Levenshtein,
 take any optimal alignment — each edit consumes at most one character of

@@ -1,11 +1,13 @@
 """Corpus retrieval operators: BM25 ranked search over an inverted index
 and RAG-style document chunking.
 
-Reference parity note: the reference service (src/processing/engine.py)
-exposes keyword search only as LIKE-filter scans; these operators are the
-north-star extension a training-data / retrieval pipeline needs — ranked
-lexical retrieval (the dense-retrieval complement to operators/similarity.py)
-and token-window chunking (the unit RAG indexes and context packing consume).
+Reference parity note: the reference service has no text search at all —
+its closest lookup is SQL template extraction (src/db/pattern_ops.py:28-65)
+plus nearest-centroid matching over embeddings (src/ml/vector_engine.py);
+these operators are the north-star extension a training-data / retrieval
+pipeline needs — ranked lexical retrieval (the dense-retrieval complement
+to operators/similarity.py) and token-window chunking (the unit RAG
+indexes and context packing consume).
 
 Scale design:
 - BM25 never materializes a doc×query matrix. The term-frequency table IS

@@ -2,8 +2,9 @@
 BM25 posting/doc-stat registry, and serving queries from the registry
 alone.
 
-Reference parity note: the reference's "search" is a LIKE scan over the
-current table (src/processing/engine.py); the north-star pipeline needs
+Reference parity note: the reference has no search surface — its only
+ranked lookup is nearest-centroid matching over embedded templates
+(src/ml/vector_engine.py:18-30); the north-star pipeline needs
 a ranked index that stays fresh as documents stream in. BM25's corpus
 statistics (tf, dl, df, N, avgdl) are all ADDITIVE across disjoint
 batches, so an index maintained batch-by-batch serves EXACTLY the same
