@@ -115,6 +115,12 @@ HEADLINE = [
     "snapshot_timetravel_twin",
     "rag_chunk_search",
     "kn_trigram_logprob",
+    # round-5 additions. Eager caveat: the twins run their availableNow
+    # stream at fn() build time (like streaming_bm25_twin); the bench
+    # line times the result read-back.
+    "count_window_stream_twin",
+    "decayed_volume_stream_twin",
+    "denstream_stream_twin",
 ]
 
 

@@ -169,6 +169,7 @@ def all_specs() -> list[QuerySpec]:
     from . import queries_text  # noqa: F401
     from . import queries_curation  # noqa: F401
     from . import queries_ml  # noqa: F401
+    from . import queries_streaming  # noqa: F401
 
     by_name = {s.name: s for s in _SPECS}
     head = [by_name[n] for n in _PRIORITY if n in by_name]

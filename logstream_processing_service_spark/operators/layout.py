@@ -131,10 +131,21 @@ def with_hilbert(
     NAMED columns per level — nesting it as one Column expression
     re-expands the x/y subtrees ~4× per level (4^order nodes, driver
     OOM before anything runs; measured). With named references the tree
-    stays linear and whole-stage codegen folds the CASE ladder."""
+    stays linear and whole-stage codegen folds the CASE ladder.
+
+    Inputs are masked to ``order`` bits (mirroring morton2's ``& 65535``):
+    negative or wider values would otherwise walk the quadrant rotation
+    with garbage high bits and silently destroy clustering quality —
+    callers bucketing arbitrary longs should mod/hash into range
+    explicitly, as zorder_bucket_stats does."""
     from pyspark.sql import functions as F
 
-    cur = df.withColumn("_hx", F.col(col_a).cast("long"))             .withColumn("_hy", F.col(col_b).cast("long"))             .withColumn(out, F.lit(0).cast("long"))
+    mask = (1 << order) - 1
+    cur = df.withColumn(
+        "_hx", F.col(col_a).cast("long").bitwiseAND(F.lit(mask))
+    ).withColumn(
+        "_hy", F.col(col_b).cast("long").bitwiseAND(F.lit(mask))
+    ).withColumn(out, F.lit(0).cast("long"))
     s = 1 << (order - 1)
     while s > 0:
         rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)

@@ -437,12 +437,29 @@ def rag_chunk_search(
     windows, rank CHUNKS (not documents) with BM25, return the top-k
     context chunks per query with their provenance (doc_id, chunk_idx).
 
-    Chunk identity rides through the ranker as doc_id*1024 + chunk_idx
-    (chunk counts are bounded far below 1024 by the chunker's stride);
-    plan shape is chunking's zero-shuffle expansion feeding bm25's
-    broadcast-probe pipeline — no extra exchanges beyond bm25's own."""
+    Chunk identity rides through the ranker as doc_id*1024 + chunk_idx.
+    A document long enough to exceed 1024 chunks would silently alias
+    into another document's id space, so the packing is guarded in-row:
+    chunk_idx >= 1024 raises at execution (no extra job — the check
+    rides the projection). Plan shape is chunking's zero-shuffle
+    expansion feeding bm25's broadcast-probe pipeline — no extra
+    exchanges beyond bm25's own."""
+    packed = F.when(
+        F.col("chunk_idx") < 1024, F.col("doc_id") * 1024 + F.col("chunk_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("rag_chunk_search: chunk_idx "),
+                F.col("chunk_idx").cast("string"),
+                F.lit(" >= 1024 for doc_id "),
+                F.col("doc_id").cast("string"),
+                F.lit(" — packed chunk id would alias; widen the packing "
+                      "multiplier or chunk with a larger window"),
+            )
+        )
+    )
     chunks = chunk_documents(documents).select(
-        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("doc_id"),
+        packed.cast("long").alias("doc_id"),
         F.col("chunk_text").alias("text"),
     )
     hits = bm25_topk(chunks, queries, k=k)

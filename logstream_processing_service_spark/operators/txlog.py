@@ -102,6 +102,15 @@ def commit(
     if mode == "append" and current >= 0:
         files = _manifest(table_dir, current)["files"] + files
 
+    # streaming high-water-mark: the max batch_id ever committed rides in
+    # EVERY manifest (Delta's txn pattern), so exactly-once replay checks
+    # survive vacuum — scanning retained history would forget a replayed
+    # batch whose own manifest was vacuumed
+    prev_hwm = _manifest(table_dir, current).get("last_batch_id") if current >= 0 else None
+    hwm = prev_hwm
+    if batch_id is not None:
+        hwm = batch_id if prev_hwm is None else max(prev_hwm, batch_id)
+
     manifest = {
         "version": new_version,
         "mode": mode,
@@ -111,6 +120,8 @@ def commit(
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+    if hwm is not None:
+        manifest["last_batch_id"] = hwm
     tmp = os.path.join(_log_dir(table_dir), f"v{new_version}._tmp{cid}.json")
     final = os.path.join(_log_dir(table_dir), f"v{new_version}.json")
     with open(tmp, "w") as fh:
@@ -146,9 +157,21 @@ def history(table_dir: str) -> list[dict]:
     return [_manifest(table_dir, v) for v in _versions(table_dir)]
 
 
-def vacuum(table_dir: str, retain_last: int = 2) -> dict:
+def vacuum(
+    table_dir: str, retain_last: int = 2, min_age_seconds: float = 3600.0
+) -> dict:
     """Drop manifests older than the last ``retain_last`` and delete data
-    directories no retained manifest references."""
+    directories no retained manifest references.
+
+    ``min_age_seconds`` (Delta's retention-period rule) protects in-flight
+    commits: ``commit()`` writes its data directory BEFORE linking the
+    manifest, so an unreferenced-but-recent directory may belong to a
+    commit that is about to become visible — deleting it would yield a
+    committed manifest pointing at missing files. Only directories whose
+    mtime is older than the threshold are eligible. Setting it to 0 is
+    safe only with no concurrent writers."""
+    import time
+
     seen = _versions(table_dir)
     keep_versions = seen[-retain_last:]
     kept_dirs = set()
@@ -161,29 +184,41 @@ def vacuum(table_dir: str, retain_last: int = 2) -> dict:
             os.remove(os.path.join(_log_dir(table_dir), f"v{v}.json"))
             removed_manifests += 1
     removed_dirs = 0
+    skipped_recent = 0
+    now = time.time()
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for d in os.listdir(data_root):
             p = os.path.join(data_root, d)
             if p not in kept_dirs:
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    skipped_recent += 1  # possibly an in-flight commit
+                    continue
                 shutil.rmtree(p)
                 removed_dirs += 1
     return {
         "removed_manifests": removed_manifests,
         "removed_data_dirs": removed_dirs,
+        "skipped_recent_dirs": skipped_recent,
         "retained_versions": keep_versions,
     }
 
 
 def streaming_commit_sink(table_dir: str, mode: str = "append"):
     """foreachBatch sink committing each micro-batch as a table version,
-    EXACTLY-ONCE: the manifest records the batch id, and a replayed batch
-    (restart after crash, before checkpoint advance) is recognized and
-    skipped — the Delta ``txn`` app-transaction pattern on this log."""
+    EXACTLY-ONCE: every manifest carries ``last_batch_id``, the
+    high-water-mark of committed batch ids (batch ids are monotonically
+    increasing per stream), so a replayed batch (restart after crash,
+    before checkpoint advance) is recognized even after vacuum removed
+    the manifest that originally recorded it — the Delta ``txn``
+    app-transaction pattern on this log. Assumes one stream per table
+    (multiple writers need per-stream HWMs, as Delta's txnAppId)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        for m in history(table_dir):
-            if m.get("batch_id") == batch_id:
+        seen = _versions(table_dir)
+        if seen:
+            hwm = _manifest(table_dir, seen[-1]).get("last_batch_id")
+            if hwm is not None and batch_id <= hwm:
                 return  # already durably committed: replay is a no-op
         commit(table_dir, batch_df, mode=mode, batch_id=batch_id)
 

@@ -1,0 +1,229 @@
+"""Driver-visible twins for the stateful streaming operators (SURVEY A9 /
+T4 / T5 / T6 — the one §2 region that had zero driver rows until the r4
+registry twin proved the pattern): each query drives the REAL streaming
+operator (applyInPandasWithState / transformWithState) over a
+deterministic micro-batch split of the events table via
+streaming/drive.py, and the oracle UNROLLS the same per-batch state
+recurrence into a DuckDB CTE chain — state carry, batch clocks, and
+in-batch ordering included.
+
+Batch split convention: batch b = event_id % 3, processed 0 → 1 → 2
+(file mtime order under maxFilesPerTrigger=1); within a batch the
+operators sort by their row key, so the arrival sequence — and therefore
+every window boundary and decay step — is fully determined.
+
+Bench caveat (shared with streaming_bm25_twin / bpe_train): the stream
+runs at fn() build time; the bench line times only the result read-back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _t, spec
+from .streaming.drive import last_batch_per_key, run_deterministic_batches
+
+N_BATCHES = 3
+COUNT_WINDOW_SIZE = 100
+
+
+def _count_window_oracle(n_batches: int = N_BATCHES, w: int = COUNT_WINDOW_SIZE) -> str:
+    """Arrival-count windows, unrolled: the arrival sequence per key is
+    (batch asc, row_id asc) — batch = event_id % n, in-batch order is the
+    operator's own sort — so window membership is pure arithmetic on the
+    arrival position. Only COMPLETED windows are emitted (the open
+    remainder stays in operator state, exactly as the stream leaves it)."""
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS key, event_id AS id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (event_id % {n_batches}), event_id
+               ) - 1 AS pos
+        FROM events
+    ),
+    win AS (
+        SELECT key, CAST(pos // {w} AS BIGINT) AS window_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               arg_min(id, pos) AS first_id,
+               arg_max(id, pos) AS last_id
+        FROM seq GROUP BY 1, 2
+    )
+    SELECT key, window_idx, n_events, first_id, last_id
+    FROM win WHERE n_events = {w}
+    ORDER BY key, window_idx
+    """
+
+
+@spec(
+    "count_window_stream_twin",
+    _count_window_oracle(),
+    "T5", "A9", "streaming", "stateful",
+)
+def q_count_window_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL count_window_stream operator (streaming/state.py
+    count_window_fn over applyInPandasWithState) through a real
+    availableNow streaming query on 3 deterministic micro-batches; return
+    every completed 100-event window per event_type. The oracle recomputes
+    window membership from the deterministic arrival order."""
+    from .streaming.state import count_window_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), F.col("event_id").alias("row_id")
+    )
+    slices = [
+        ev.filter(F.col("row_id") % N_BATCHES == b) for b in range(N_BATCHES)
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        "key string, row_id long",
+        lambda s: count_window_stream(s, "key", COUNT_WINDOW_SIZE),
+        output_mode="append",
+    )
+    return captured.select(
+        "key", "window_idx", "n_events", "first_id", "last_id"
+    ).orderBy("key", "window_idx")
+
+
+def _decay_chain_oracle(n_batches: int = N_BATCHES) -> str:
+    """decay_step unrolled as a chained CTE fold, one hop per micro-batch:
+    w_b = w_{b-1} * 2^(-λ·(clock_b - clock_{b-1})/1e6) + n_b with
+    clock_b = greatest(batch max ts, clock_{b-1}) — EXACTLY the
+    sequential association the stream computes, so the doubles match
+    bit-for-bit (same libm pow on both engines), not just to rounding."""
+    lam = 0.0005  # streaming/state.py DECAY_LAMBDA (river DenStream)
+    ctes = [
+        f"""ev AS (
+        SELECT event_type AS key, epoch_us(ts) AS us,
+               CAST(event_id % {n_batches} AS INT) AS b
+        FROM events
+    ),
+    pb AS (SELECT key, b, count(*) AS n, max(us) AS mx FROM ev GROUP BY 1, 2),
+    s0 AS (
+        SELECT k.key, CAST(p.n AS DOUBLE) AS w, p.mx AS clk
+        FROM (SELECT DISTINCT key FROM pb) k
+        LEFT JOIN pb p ON p.key = k.key AND p.b = 0
+    )"""
+    ]
+    for b in range(1, n_batches):
+        prev = f"s{b - 1}"
+        ctes.append(
+            f"""s{b} AS (
+        SELECT {prev}.key,
+               CASE WHEN p.n IS NULL THEN {prev}.w
+                    WHEN {prev}.w IS NULL THEN CAST(p.n AS DOUBLE)
+                    ELSE {prev}.w * pow(2.0, -{lam} *
+                         (greatest(p.mx, {prev}.clk) - {prev}.clk)
+                         / 1000000.0) + p.n
+               END AS w,
+               CASE WHEN p.n IS NULL THEN {prev}.clk
+                    WHEN {prev}.clk IS NULL THEN p.mx
+                    ELSE greatest(p.mx, {prev}.clk)
+               END AS clk
+        FROM {prev} LEFT JOIN pb p ON p.key = {prev}.key AND p.b = {b}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT key, round(w, 4) AS decayed_volume, clk AS last_ts_us
+    FROM s{n_batches - 1} ORDER BY key
+    """
+    )
+
+
+@spec(
+    "decayed_volume_stream_twin",
+    _decay_chain_oracle(),
+    "T6", "T4", "streaming", "stateful",
+)
+def q_decayed_volume_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL decayed_volume_stream operator (transformWithState
+    DecayedVolumeProcessor, or its applyInPandasWithState twin where the
+    TWS protobuf runtime is absent — shared decay_step math either way)
+    over 3 deterministic micro-batches; return each key's final fading
+    volume and state clock. The oracle unrolls the per-batch decay
+    recurrence as a chained CTE fold."""
+    from .streaming.state import decayed_volume_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("_id"),
+    )
+    slices = [
+        ev.filter(F.col("_id") % N_BATCHES == b).drop("_id")
+        for b in range(N_BATCHES)
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        "key string, ts_us long",
+        lambda s: decayed_volume_stream(s, "key"),
+        # the operator emits one running-state row per key per batch and
+        # declares Append internally; the final state is still the last
+        # batch's row per key
+        output_mode="append",
+    )
+    final = last_batch_per_key(captured, "key")
+    return final.select(
+        "key",
+        F.round("decayed_volume", 4).alias("decayed_volume"),
+        "last_ts_us",
+    ).orderBy("key")
+
+
+DENSTREAM_CAP = 3000  # deterministic slice: DenStream is a per-point
+# Python sequence per key; the census twin proves streaming state carry,
+# not bulk throughput (ml/denstream.py owns the scale story via
+# distributed per-key applyInPandas)
+
+
+@spec(
+    "denstream_stream_twin",
+    None,  # density clustering census: not SQL-expressible (rows-only)
+    "M7", "T4", "streaming", "stateful", "rows-only",
+)
+def q_denstream_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL denstream_stream operator (JSON-packed
+    micro-cluster state across applyInPandasWithState batches) over 3
+    deterministic micro-batches of a capped events slice; return each
+    key's final micro-cluster census. Parity with the one-shot sequential
+    replay is asserted in tests/test_denstream.py; the driver row proves
+    the streaming path runs end-to-end under the vanilla session."""
+    from .streaming.state import denstream_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < DENSTREAM_CAP)
+        .select(
+            F.col("event_type").alias("key"),
+            F.array(
+                F.col("value").cast("double"),
+                (F.col("user_id") % 100).cast("double"),
+            ).alias("vec"),
+            F.col("event_id").cast("double").alias("ts_s"),
+        )
+    )
+    slices = [
+        ev.filter(F.col("ts_s").cast("long") % N_BATCHES == b)
+        for b in range(N_BATCHES)
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        "key string, vec array<double>, ts_s double",
+        lambda s: denstream_stream(s, "key"),
+        output_mode="update",
+    )
+    final = last_batch_per_key(captured, "key")
+    return final.select(
+        "key",
+        "n_core",
+        "n_outlier",
+        "n_offline_clusters",
+        F.round("total_weight", 4).alias("total_weight"),
+    ).orderBy("key")

@@ -103,3 +103,45 @@ def test_bpe_merge_fold_edge_cases(spark):
         for r in bpe.bpe_token_counts(docs, m).collect()
     }
     assert counts == {1: 4, 2: 9, 3: 4}
+
+
+def test_bpe_incremental_trainer_matches_naive_on_random_vocab():
+    """The incremental (heap + affected-word) trainer is exactly the naive
+    full-recount algorithm on a vocabulary two orders beyond the fuzzer's
+    reach: 800 random words, 300 merges, including deep merge chains and
+    count collisions that exercise the lazy-heap tie-break."""
+    import random
+
+    from logstream_processing_service_spark.operators.bpe import (
+        _train_in_memory,
+    )
+
+    rng = random.Random(11)
+    alphabet = "abcdef"
+    vocab = {"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+             for _ in range(800)}
+    word_counts = [(w, rng.randint(1, 50)) for w in sorted(vocab)]
+    expected = py_train(dict(word_counts), num_merges=300, min_pair_count=2)
+    got = [
+        (m.rank, m.left, m.right, m.pair_count)
+        for m in _train_in_memory(word_counts, 300, 2)
+    ]
+    assert got == expected
+    assert len(got) == 300  # deep chains actually ran
+
+
+def test_bpe_vocab_collect_guard(spark):
+    """The driver-collect guard fails loudly and names the relief valve."""
+    import pytest
+
+    from logstream_processing_service_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="min_word_count"):
+        bpe.bpe_train(docs, num_merges=4, max_vocab_rows=3)
+    # min_word_count trims below the guard: words appear once each, so
+    # min_word_count=2 empties the table and training returns no merges
+    assert bpe.bpe_train(docs, num_merges=4, max_vocab_rows=3,
+                         min_word_count=2) == []

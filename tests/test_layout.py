@@ -183,3 +183,22 @@ def test_hilbert_layout_prunes_like_zorder(spark, tmp_path):
         return total / cnt
 
     assert avg_area(hp) <= avg_area(zp) * 1.15
+
+
+def test_hilbert_masks_out_of_range_inputs(spark):
+    """ADVICE r4: negative / >order-bit inputs must not produce garbage
+    curve keys — they are masked to order bits exactly like morton2."""
+    from logstream_processing_service_spark.operators.layout import (
+        with_hilbert,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 9), (5 + (1 << 16), 9), (-1, 0), ((1 << 16) - 1, 0)],
+        "x long, y long",
+    )
+    rows = with_hilbert(df, "x", "y", "h").select("x", "y", "h").collect()
+    by_input = {(r["x"], r["y"]): r["h"] for r in rows}
+    # wide value masks down to the same key as its low 16 bits
+    assert by_input[(5 + (1 << 16), 9)] == by_input[(5, 9)]
+    # negative masks to all-ones, same as the max in-range value
+    assert by_input[(-1, 0)] == by_input[((1 << 16) - 1, 0)]

@@ -64,8 +64,13 @@ def test_vacuum_drops_unreferenced_data(spark, tmp_path):
     for i in range(4):
         TX.commit(t, spark.range(i * 10, i * 10 + 2))
     assert len(os.listdir(os.path.join(t, "data"))) == 4
-    stats = TX.vacuum(t, retain_last=2)
-    assert stats["removed_manifests"] == 2
+    # default retention refuses to touch fresh dirs (in-flight-commit
+    # protection): manifests go, data stays until it ages out
+    cautious = TX.vacuum(t, retain_last=2)
+    assert cautious["removed_data_dirs"] == 0
+    assert cautious["skipped_recent_dirs"] == 2
+    stats = TX.vacuum(t, retain_last=2, min_age_seconds=0)
+    assert stats["removed_manifests"] == 0  # already dropped above
     assert stats["removed_data_dirs"] == 2
     # retained snapshots still read fine; vacuumed ones are gone
     assert _ids(TX.read_snapshot(spark, t, version=3)) == [30, 31]
@@ -203,3 +208,26 @@ def test_commit_race_threads_exactly_one_winner_per_version(spark, tmp_path):
         assert _ids(TX.read_snapshot(spark, t, version=v)) == [tag]
     assert len(results) + len(errors) == 6
     assert len(results) >= 1
+
+
+def test_replay_skipped_after_vacuum_via_hwm(spark, tmp_path):
+    """ADVICE r4: the exactly-once check must survive vacuum. The manifest
+    high-water-mark carries the max committed batch id forward, so a
+    replayed batch whose own manifest was vacuumed is STILL a no-op."""
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "hwm_tbl")
+    sink = TX.streaming_commit_sink(t)
+    for b in range(4):
+        sink(spark.range(b * 2, b * 2 + 2), b)
+    # vacuum away the manifests that recorded batches 0 and 1
+    TX.vacuum(t, retain_last=2, min_age_seconds=0)
+    assert [m.get("batch_id") for m in TX.history(t)] == [2, 3]
+    before = _ids(TX.read_snapshot(spark, t))
+    sink(spark.range(0, 2), 0)  # replay of a vacuumed batch
+    sink(spark.range(2, 4), 1)
+    assert _ids(TX.read_snapshot(spark, t)) == before
+    # HWM is carried by every manifest, including non-streaming commits
+    TX.commit(t, spark.range(100, 101), mode="append")
+    sink(spark.range(0, 2), 3)  # replay across an interleaved commit
+    assert TX.history(t)[-1]["last_batch_id"] == 3
