@@ -121,6 +121,7 @@ HEADLINE = [
     "count_window_stream_twin",
     "decayed_volume_stream_twin",
     "denstream_stream_twin",
+    "perplexity_buckets_exact",
 ]
 
 

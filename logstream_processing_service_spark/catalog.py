@@ -42,122 +42,51 @@ def spec(name: str, oracle: str | None, *tags: str):
 
 
 # The driver's correctness run verifies the FIRST 50 registered specs, so
-# registration order is a coverage decision. Round-4 rotation (r3 VERDICT
-# "Next round" #4): (a) the 36 core-relational queries whose latest driver
-# row is from r1 — their plans are unchanged and locally parity-checked
-# every round, but their only driver rows predate the r2 decimal/
-# representation harness fixes; (b) every query whose plan or semantics
-# changed this round (A-ES key precision, funnel empty-slice, keep-table
-# join strategy, bloom word masking, shard guard); (c) queries NEW this
-# round (driver row on first registration). Double-green r3 shapes rotate
-# to the tail.
+# registration order is a coverage decision: (a) stalest first, (b) new
+# queries always get a first row (never-checked debt stays zero), (c)
+# remaining slots backfill the next-stalest set. Freshness ledger after
+# r4 (latest driver row per query, computed from CORRECTNESS_r01-r04):
+# 29 at r1, 34 at r2, 47 at r3, 50 at r4.
 _PRIORITY: tuple[str, ...] = (
-    # (a) r1-stale core relational layer
-    # scan_slice displaced for the r4-new dsir_weights (its filter+sort+
-    # limit machinery is exercised by every in-window ranking query, e.g.
-    # bm25_search, sample_k_per_source); resumes rotation in r5
-    # log_templates displaced for the r4-new snapshot_timetravel_twin
-    # (its concat/substring machinery keeps the in-window string-slicing
-    # twin chunk_documents); resumes rotation in r5
-    "json_key_volume",
-    # decayed_volume displaced for the r4-new rag_chunk_search (the
-    # composition of two in-window components, chunk_documents +
-    # bm25_search); decay's exp-weighting expressions are exercised by
-    # in-window perplexity_buckets/temperature_mix_plan pow/exp SQL, and
-    # the local full-precision parity suite re-checks it every round;
-    # resumes rotation in r5
-    # batch_volume displaced for the r4-new hourly_resample_ffill: its A1
-    # scan+group-count machinery keeps the in-window twin rollup_volume;
-    # resumes rotation in r5
-    # (value_percentiles_approx rotated out: rows-only signal regardless
-    # of freshness, and its exact twin value_percentiles — same plan
-    # shape — stays in the window)
-    # distinct_actors displaced for the r4-new activity_islands (exact
-    # count-distinct machinery keeps in-window twins profile_events and
-    # vocab_growth_report); resumes rotation in r5
-    # volume_zscore displaced for the r4-new streaming_bm25_twin (its
-    # W2-W5 rolling-frame machinery keeps in-window twins
-    # rolling_median_value and mean_shift_scores — the same avg/stddev
-    # window frames); resumes rotation in r5
-    # value_percentiles displaced for the r4-new kn_trigram_logprob
-    # (quantile machinery keeps the in-window twin
-    # value_quantiles_kll_registry plus r3-green doc_length_quartiles);
-    # resumes rotation in r5
-    "pattern_mining", "incident_upsert_split",
-    "actor_setops",
-    "asof_signup_before_error", "rollup_volume",
-    # revenue_by_nation displaced for the r4-new mean_shift_scores (its
-    # join+agg machinery keeps the in-window twin pattern_mining);
-    # resumes rotation in r5
-    # top_quarter_suppliers displaced for the r4-new zorder_bucket_stats:
-    # its join+agg+HAVING machinery keeps the in-window twin
-    # pattern_mining; resumes rotation in r5
-    # first_order_per_customer displaced for the r4-new part_pagerank
-    # (min_by-argmax machinery keeps the in-window max_by twin
-    # brand_priciest_part); orders_with_error_events displaced for the
-    # r4-new hybrid_search_rrf (its EXISTS semi-join machinery keeps the
-    # in-window twin incident_upsert_split). Both resume rotation in r5.
-    # national_market_share displaced for the r4-new join_overlap_theta
-    # (its join+agg+share-ratio machinery keeps the in-window twin
-    # pattern_mining); resumes rotation in r5
-    # idle_rich_customers displaced for the r4-new rolling_median_value
-    # (its anti-join + scalar-subquery machinery keeps the in-window twin
-    # incident_upsert_split); resumes rotation in r5
-    "brand_priciest_part",
-    # (b) plan/semantics changed in r4. Rotated out to keep never-checked
-    # debt at zero (new queries MUST get a first driver row):
-    # shard_assignment (guard is behavior-neutral, r3 row green) and
-    # decontaminate_bloom (the uint64 mask is a no-op under the driver's
-    # pinned numpy 1.26 — it only prevents the deprecated negative cast;
-    # r3 row green, local parity re-checks every round).
-    "weighted_sample_docs", "funnel_stages", "dedup_keep_table",
-    # (c) new in r4
-    "streaming_dedup_registry_twin", "dedup_substrings",
-    "leakage_safe_split", "quality_feature_matrix", "embedding_pca",
-    "value_quantiles_kll_registry", "perplexity_buckets", "snapshot_diff",
-    "image_pixel_stats", "audio_pcm_stats", "user_retention_theta",
-    "curate_corpus",
-    # (c continued) new in the r4 continuation session. Slots freed by
-    # displacing r1-stale queries whose plan-twin stays in the window:
-    # distinct_actors_approx (exact twin distinct_actors stays),
-    # cube_volume (rollup_volume — same grouping-sets machinery — stays),
-    # events_in_windows (its range-join semantics re-enter through the
-    # new bucketized twin, which exercises the same predicate),
-    # value_histogram (pure integer binning, plan unchanged since r1,
-    # locally parity-green every round), pattern_mining_incremental
-    # (twin pattern_mining — same join machinery — stays), keyed_overwrite
-    # (J3 keyed-state machinery re-enters via the NEW scd2_user_state;
-    # MERGE semantics r3-green via merge_events_upsert).
-    # crosstab_counts (A7 machinery r3-green via clustering_quality) and
-    # upsert_append_dedup (S6 idempotent-upsert semantics r3-green via
-    # merge_events_upsert) free the last two slots.
-    "scd2_user_state", "events_in_windows_bucketed", "bpe_token_counts",
-    "heavy_hitter_words", "quality_classifier_report",
-    # watermark_bounds (S3 global min/max scalar — the same scan+agg
-    # machinery every in-window aggregate exercises) frees the last slot.
-    # hourly_volume (same scan+group-count machinery as in-window
-    # batch_volume; r1-green) frees the jpeg slot.
-    # priority_order_counts (same scan+group-count machinery as the
-    # in-window batch_volume / revenue aggregates; r1-green) frees the
-    # mp4 slot.
-    "sample_k_per_source", "profile_events", "vocab_growth_report",
-    "temperature_mix_plan", "jpeg_pixel_stats", "mp4_frame_index",
-    # (c continued) new in the second continuation session. Slots freed
-    # by displacing r1-stale queries whose machinery keeps an in-window
-    # twin (they resume rotation in r5): value_counts_topk (group-count +
-    # top-k — in-window batch_volume + top-N window machinery),
-    # volume_history_window (W1 row_number-per-group — in-window
-    # sample_k_per_source runs the identical ranking machinery),
-    # customers_without_orders (anti join — in-window
-    # incident_upsert_split exercises semi+anti J2), and
-    # small_quantity_part_revenue (agg scalar-subquery join — in-window
-    # pattern_mining is the same J1 shape).
-    "bm25_search", "chunk_documents", "fuzzy_customer_pairs",
-    "image_dhash", "hourly_resample_ffill", "zorder_bucket_stats",
-    "part_pagerank", "hybrid_search_rrf", "rolling_median_value",
-    "join_overlap_theta", "activity_islands", "mean_shift_scores",
-    "streaming_bm25_twin", "dsir_weights", "snapshot_timetravel_twin",
-    "rag_chunk_search", "kn_trigram_logprob",
+    # ------------------------------------------------------------------
+    # ROUND-5 WINDOW (r4 VERDICT "Next round" #1): freshness rotation.
+    # (a) all 29 queries whose latest driver row is from r1 — their only
+    # rows predate the r2 decimal/representation harness fixes; plans
+    # unchanged, locally parity-green every round, but the driver record
+    # is 4 rounds old. This closes the r1-stale debt COMPLETELY.
+    "scan_slice", "log_templates", "batch_volume", "decayed_volume",
+    "distinct_actors", "distinct_actors_approx", "volume_zscore",
+    "value_counts_topk", "volume_history_window", "value_percentiles",
+    "value_percentiles_approx", "value_histogram", "hourly_volume",
+    "crosstab_counts", "cube_volume", "watermark_bounds",
+    "upsert_append_dedup", "keyed_overwrite", "revenue_by_nation",
+    "top_quarter_suppliers", "first_order_per_customer",
+    "orders_with_error_events", "national_market_share",
+    "idle_rich_customers", "customers_without_orders",
+    "small_quantity_part_revenue", "priority_order_counts",
+    "events_in_windows", "pattern_mining_incremental",
+    # (b) NEW in r5 (first driver row required — never-checked debt stays
+    # zero): the stateful-streaming twins (the last §2 region with no
+    # driver rows, r4 VERDICT #5) and the deterministic-threshold CCNet
+    # bucketing (r4 VERDICT #7).
+    "count_window_stream_twin", "decayed_volume_stream_twin",
+    "denstream_stream_twin", "perplexity_buckets_exact",
+    # r5-changed but NOT re-slotted (the r4 shard_assignment precedent —
+    # behavior-neutral at the driver's scale, latest rows green, local
+    # parity re-checks every round): bpe_token_counts (trainer moved
+    # driver-side, exact-parity-tested vs the old loop's reference),
+    # rag_chunk_search (alias guard cannot fire below 1024 chunks),
+    # snapshot_timetravel_twin (manifests gained a HWM field the query
+    # does not read).
+    # (c) backfill from the r2-latest set (34 queries, 17 slots — the
+    # rest resume in r6), leading with the LLM-pipeline operators the
+    # r4 VERDICT named:
+    "dedup_minhash_lsh", "nearest_centroid", "anomaly_flags",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "embedding_near_dup", "ann_bruteforce", "ann_ivf",
+    "kmeans_refit_assign", "standardize_value", "onehot_event_type",
+    "language_id", "text_quality", "token_counts", "doc_fingerprints",
+    "train_test_split",
 )
 
 

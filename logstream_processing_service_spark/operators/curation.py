@@ -677,6 +677,62 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
+def perplexity_buckets_exact(
+    documents: DataFrame, sample_n: int = 2000, salt: str = "pplx-v1"
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing with DETERMINISTIC, engine-portable
+    tercile thresholds — the oracle-paired twin of ``perplexity_buckets``
+    (whose KLL sketch thresholds are correct-by-bound but not bit-portable
+    across engines).
+
+    Thresholds per language come from a capped deterministic sample: the
+    ``sample_n`` docs with the smallest keyed-hash draw (the
+    sample_k_per_group reservoir — cutoff-prefiltered, never a per-lang
+    full sort), then the ceil(m/3)-th and ceil(2m/3)-th smallest sampled
+    avg_surprisal values (RANK selection, no interpolation — an element
+    OF the data is exact in both engines, and since ranking is by the
+    value itself, ties at the boundary cannot change the selected value).
+    avg_surprisal is bigram_logprob's 6-dp-rounded output on both sides,
+    so the <= comparisons are bit-identical.
+
+    Scale: one sample pass (KB per language), thresholds broadcast back,
+    assignment in-row — the same shape as the sketch variant; sampling
+    error moves only near-boundary docs, same as the sketch's rank error,
+    but now REPRODUCIBLY (the sample is keyed-hash-deterministic).
+    """
+    from .sampling import sample_k_per_group
+
+    lp = bigram_logprob(documents).select("doc_id", "avg_surprisal")
+    labeled = documents.select("doc_id", "lang").join(lp, "doc_id")
+    samp = sample_k_per_group(labeled, "lang", "doc_id", sample_n, salt=salt)
+    th = (
+        samp.groupBy("lang")
+        .agg(F.array_sort(F.collect_list("avg_surprisal")).alias("_arr"))
+        .select(
+            "lang",
+            F.expr(
+                "element_at(_arr, cast((size(_arr) + 2) div 3 as int))"
+            ).alias("_t1"),
+            F.expr(
+                "element_at(_arr, cast((size(_arr) * 2 + 2) div 3 as int))"
+            ).alias("_t2"),
+        )
+    )
+    return (
+        labeled.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_surprisal",
+            F.when(F.col("avg_surprisal") <= F.col("_t1"), "head")
+            .when(F.col("avg_surprisal") <= F.col("_t2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def curate_corpus(
     documents: DataFrame,
     min_words: int = 20,

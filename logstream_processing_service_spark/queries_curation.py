@@ -177,9 +177,9 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
-@spec(
-    "bigram_logprob",
-    f"""
+# shared by bigram_logprob and perplexity_buckets_exact (whose oracle
+# needs the same surprisal scores as a CTE)
+_BIGRAM_LP_SQL = f"""
     WITH words AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents),
     bg AS (
         SELECT doc_id,
@@ -209,11 +209,68 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(s), 6) AS max_surprisal,
            round(sum(bo) / CAST(sum(m) AS DOUBLE), 6) AS backoff_frac
     FROM sc GROUP BY doc_id
-    """,
+    """
+
+
+@spec(
+    "bigram_logprob",
+    _BIGRAM_LP_SQL,
     "north-star", "curation", "lm-filter",
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _pplx_exact_oracle(sample_n: int = 2000, salt: str = "pplx-v1") -> str:
+    """Mirror of perplexity_buckets_exact: naive-window reservoir sample
+    (the operator's cutoff-prefiltered form is bit-identical by
+    construction — proven by sample_k_per_source), rank-selected tercile
+    elements (1-based list index, same as element_at), in-row bucket
+    compare over the 6-dp avg_surprisal both engines round identically."""
+    from .operators.sampling import uniform01_oracle_sql
+
+    u = uniform01_oracle_sql("doc_id", salt)
+    return f"""
+    WITH lp AS ({_BIGRAM_LP_SQL}),
+    lab AS (
+        SELECT d.doc_id, d.lang, l.avg_surprisal AS s
+        FROM documents d JOIN lp l USING (doc_id)
+    ),
+    r AS (
+        SELECT doc_id, lang, s,
+               row_number() OVER (PARTITION BY lang ORDER BY {u}, doc_id)
+                   AS rn
+        FROM lab
+    ),
+    th AS (
+        SELECT lang,
+               lst[CAST((m + 2) // 3 AS INT)] AS t1,
+               lst[CAST((m * 2 + 2) // 3 AS INT)] AS t2
+        FROM (
+            SELECT lang, list_sort(list(s)) AS lst, count(*) AS m
+            FROM r WHERE rn <= {sample_n} GROUP BY lang
+        )
+    )
+    SELECT lab.doc_id, lab.lang, lab.s AS avg_surprisal,
+           CASE WHEN lab.s <= t1 THEN 'head'
+                WHEN lab.s <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM lab JOIN th USING (lang)
+    ORDER BY lab.doc_id
+    """
+
+
+@spec(
+    "perplexity_buckets_exact",
+    _pplx_exact_oracle(),
+    "north-star", "curation", "ccnet",
+)
+def q_perplexity_buckets_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-threshold CCNet bucketing — the oracle-paired twin of
+    perplexity_buckets (r4 VERDICT 'Next round' #7): bucket ASSIGNMENT is
+    hash-checked end-to-end; the KLL-sketch variant stays as the
+    sketch-registry path."""
+    return C.perplexity_buckets_exact(_t(spark, sf_dir, "documents"))
 
 
 _FUNNEL_STOPS = "['the','a','of','and','to','in','is','that','it','for']"
