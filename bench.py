@@ -122,6 +122,7 @@ HEADLINE = [
     "decayed_volume_stream_twin",
     "denstream_stream_twin",
     "perplexity_buckets_exact",
+    "json_shred_profile",
 ]
 
 

@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     # bucketing (r4 VERDICT #7).
     "count_window_stream_twin", "decayed_volume_stream_twin",
     "denstream_stream_twin", "perplexity_buckets_exact",
+    "json_shred_profile",
     # r5-changed but NOT re-slotted (the r4 shard_assignment precedent —
     # behavior-neutral at the driver's scale, latest rows green, local
     # parity re-checks every round): bpe_token_counts (trainer moved
@@ -86,7 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_near_dup", "ann_bruteforce", "ann_ivf",
     "kmeans_refit_assign", "standardize_value", "onehot_event_type",
     "language_id", "text_quality", "token_counts", "doc_fingerprints",
-    "train_test_split",
+    # train_test_split displaced for the r5-new json_shred_profile: its
+    # md5-threshold split machinery is r4-green via leakage_safe_split
+    # and curate_corpus (both run the same split_bucket SQL); resumes
+    # rotation in r6
 )
 
 

@@ -117,6 +117,27 @@ def word_hash_array_sql(words_sql: str, dialect: str) -> str:
     )
 
 
+def let_sql(bind_sql: str, var: str, body_sql: str, dialect: str = "spark") -> str:
+    """Let-binding as SQL: evaluate ``bind_sql`` ONCE per row, bind it to
+    lambda variable ``var``, and evaluate ``body_sql`` against it —
+    implemented as a 1-element higher-order transform.
+
+    Why this exists: a ``withColumn`` staging projection is NOT a safe
+    binding for expensive arrays. CollapseProject has a cheapness guard,
+    but PushDownPredicate inlines projection aliases into filter
+    predicates UNCONDITIONALLY — a multi-reference alias like a per-word
+    md5 array feeding a shingle transform then re-evaluates per
+    reference per lambda element, turning a linear scan into O(len²)
+    per document (measured: the curate_corpus funnel filter went 156s →
+    sub-second at sf0.1 when rebound with this helper; same mechanism as
+    the r4 DSIR 100s→2s lesson). A lambda binding survives every
+    optimizer rewrite because the variable is scoped, not named in the
+    plan."""
+    if dialect == "spark":
+        return f"element_at(transform(array({bind_sql}), {var} -> {body_sql}), 1)"
+    return f"list_transform([{bind_sql}], {var} -> {body_sql})[1]"
+
+
 def shingle_hash_array_sql(wh_sql: str, n: int = 3, dialect: str = "spark") -> str:
     """SQL for `array<long>` of n-gram shingle hashes over a word-hash array
     column. Out-of-range words (docs shorter than n) hash as 0, so a short

@@ -816,6 +816,156 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ).orderBy("col_name")
 
 
+def json_shred_profile(df: DataFrame, json_col: str = "props") -> DataFrame:
+    """Schema-inferring profile of a JSON string column (the F9 family
+    generalized): one row per TOP-LEVEL KEY with presence, null rate,
+    inferred-type histogram (int / float / bool / string / object /
+    array), distinct scalar cardinality, and numeric min/max/avg — the
+    report that tells a pipeline author what columns to shred a
+    semi-structured payload into (reference src/db/log_ops.py stores
+    ``parsed_data`` as an opaque TEXT blob; this is the first step of
+    promoting it to real columns).
+
+    Scale shape: ``from_json`` to ``map<string,string>`` then ONE
+    explode — key discovery, value extraction, and type inference all
+    ride the same projection, no driver-side key collection, no dynamic
+    plan. The single exchange carries |keys| map-side-combined partial
+    rows. Type inference classifies the extracted value TEXT with the
+    same rules in both engines (a JSON string "123" is indistinguishable
+    from the number 123 after extraction — the documented ambiguity of
+    text-grain shredding; keys whose values mix quoted and unquoted
+    numerics land in the numeric bucket on both sides, identically).
+    Distinct counts canonicalize numerics through %.17g so "1.50" and
+    "1.5" collapse; objects/arrays are excluded (their serialization is
+    formatting-dependent). Exact count_distinct — swap for HLL at 100 TB
+    exactly as profile_table prescribes.
+    """
+    kv = df.select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "val"
+        )
+    )
+    is_bool = F.col("val").isin("true", "false")
+    is_int = F.col("val").rlike(r"^-?\d+$")
+    is_float = (
+        ~is_int
+        & ~is_bool
+        & F.col("val").rlike(r"^-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+    )
+    is_obj = F.col("val").startswith("{")
+    is_arr = F.col("val").startswith("[")
+    num = F.when(is_int | is_float, F.col("val").cast("double"))
+    present = F.col("val").isNotNull()
+    is_str = present & ~is_bool & ~is_int & ~is_float & ~is_obj & ~is_arr
+    canon = (
+        F.when(num.isNotNull(), F.format_string("%.17g", num))
+        .when(is_bool | is_str, F.col("val"))
+    )
+    per_key = kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum((~present).cast("bigint")).alias("n_null"),
+        # when/otherwise (not a bare cast): predicates are NULL for NULL
+        # values, and an all-null key must profile as 0, not NULL
+        F.sum(F.when(is_int, 1).otherwise(0)).alias("n_int"),
+        F.sum(F.when(is_float, 1).otherwise(0)).alias("n_float"),
+        F.sum(F.when(is_bool, 1).otherwise(0)).alias("n_bool"),
+        F.sum(F.when(is_str, 1).otherwise(0)).alias("n_string"),
+        F.sum(F.when(is_obj, 1).otherwise(0)).alias("n_object"),
+        F.sum(F.when(is_arr, 1).otherwise(0)).alias("n_array"),
+        F.count_distinct(canon).alias("n_distinct_scalar"),
+        F.min(num).alias("min_num"),
+        F.max(num).alias("max_num"),
+        F.round(F.avg(num), 6).alias("avg_num"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present") / F.col("_total"), 6).alias(
+                "presence_frac"
+            ),
+            "n_null", "n_int", "n_float", "n_bool", "n_string",
+            "n_object", "n_array", "n_distinct_scalar",
+            "min_num", "max_num", "avg_num",
+        )
+        .orderBy("key")
+    )
+
+
+def json_shred_profile_oracle_sql(table: str = "events", json_col: str = "props") -> str:
+    """DuckDB mirror: json_keys + dynamic json_extract for (key, value)
+    — this build ships json_keys but not the json_each table function —
+    with the value normalized to the SAME text Spark's
+    map<string,string> extraction yields (strings unquoted, other
+    scalars raw, objects/arrays compact-serialized by both engines),
+    then identical classification rules."""
+    return f"""
+    WITH kv0 AS (
+        SELECT unnest(json_keys({json_col})) AS key, {json_col} AS j
+        FROM {table}
+    ),
+    kv AS (
+        SELECT key,
+               CASE WHEN json_type(json_extract(j, '$.' || key)) = 'VARCHAR'
+                        THEN json_extract_string(j, '$.' || key)
+                    WHEN json_type(json_extract(j, '$.' || key)) IS NULL
+                        THEN NULL
+                    ELSE CAST(json_extract(j, '$.' || key) AS VARCHAR)
+               END AS val
+        FROM kv0
+    ),
+    cls AS (
+        SELECT key, val,
+               regexp_matches(val, '^-?\\d+$') AS is_int,
+               val IN ('true', 'false') AS is_bool,
+               (NOT regexp_matches(val, '^-?\\d+$'))
+                   AND val NOT IN ('true', 'false')
+                   AND regexp_matches(
+                       val, '^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$')
+                   AS is_float,
+               starts_with(val, '{{') AS is_obj,
+               starts_with(val, '[') AS is_arr
+        FROM kv
+    ),
+    typed AS (
+        SELECT key, val, is_int, is_bool, is_float, is_obj, is_arr,
+               CASE WHEN is_int OR is_float
+                    THEN CAST(val AS DOUBLE) END AS num,
+               (val IS NOT NULL AND NOT is_bool AND NOT is_int
+                AND NOT is_float AND NOT is_obj AND NOT is_arr) AS is_str
+        FROM cls
+    ),
+    tot AS (SELECT count(*) AS n FROM {table})
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_present,
+           round(count(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6)
+               AS presence_frac,
+           CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(sum(CASE WHEN is_int THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+           CAST(sum(CASE WHEN is_float THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_float,
+           CAST(sum(CASE WHEN is_bool THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bool,
+           CAST(sum(CASE WHEN is_str THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_string,
+           CAST(sum(CASE WHEN is_obj THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_object,
+           CAST(sum(CASE WHEN is_arr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_array,
+           CAST(count(DISTINCT CASE
+                WHEN num IS NOT NULL THEN printf('%.17g', num)
+                WHEN is_bool OR is_str THEN val END) AS BIGINT)
+               AS n_distinct_scalar,
+           min(num) AS min_num,
+           max(num) AS max_num,
+           round(avg(num), 6) AS avg_num
+    FROM typed GROUP BY key ORDER BY key
+    """
+
+
 def vocab_growth_report(documents: DataFrame) -> DataFrame:
     """Per-source lexical profile: token/type counts, type-token ratio,
     and hapax fraction (share of types seen exactly once — the Heaps'-law

@@ -412,20 +412,27 @@ def curation_funnel(
     4-value aggregate — one pass over the corpus, a 4-row result.
     """
     wcol = T.words(F.col("text"))
-    docs = documents.withColumn(
-        "_wh",
-        F.expr(T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")),
-    )
-    sh = F.expr(T.shingle_hash_array_sql("_wh", 3))
     n_words = F.size(wcol)
-    dup_ratio = (F.size(sh) - F.size(F.array_distinct(sh))) / F.greatest(
-        F.size(sh), F.lit(1)
-    ).cast("double")
+    # let-bound (not withColumn-staged): see curate_corpus — the optimizer
+    # inlines staging aliases into pushed predicates/collapsed projections
+    # and re-evaluates the md5 array per shingle element
+    dup_ratio = F.expr(
+        T.let_sql(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark"),
+            "wh",
+            T.let_sql(
+                T.shingle_hash_array_sql("wh", 3),
+                "s",
+                "(size(s) - size(array_distinct(s)))"
+                " / cast(greatest(size(s), 1) as double)",
+            ),
+        )
+    )
     stops = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
     stop_ratio = F.size(
         F.filter(wcol, lambda x: x.isin(*stops))
     ) / F.greatest(n_words, F.lit(1)).cast("double")
-    flagged = docs.select(
+    flagged = documents.select(
         (n_words < min_words).alias("f1"),
         (dup_ratio > max_dup_ratio).alias("f2"),
         (stop_ratio < min_stop_ratio).alias("f3"),
@@ -766,21 +773,30 @@ def curate_corpus(
     from .sampling import shard_assignment, split_bucket
 
     wcol = T.words(F.col("text"))
-    docs = documents.withColumn(
-        "_wh",
-        F.expr(T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")),
-    )
-    sh = F.expr(T.shingle_hash_array_sql("_wh", 3))
     n_words = F.size(wcol)
-    dup_ratio = (F.size(sh) - F.size(F.array_distinct(sh))) / F.greatest(
-        F.size(sh), F.lit(1)
-    ).cast("double")
+    # dup_ratio via let-bound word-hash + shingle arrays: this predicate
+    # gets PUSHED DOWN into the scan filter, and predicate pushdown
+    # inlines withColumn aliases unconditionally — only a lambda binding
+    # keeps the md5 array single-evaluation (T.let_sql; 156s → <1s at
+    # sf0.1 for this exact filter)
+    dup_ratio = F.expr(
+        T.let_sql(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark"),
+            "wh",
+            T.let_sql(
+                T.shingle_hash_array_sql("wh", 3),
+                "s",
+                "(size(s) - size(array_distinct(s)))"
+                " / cast(greatest(size(s), 1) as double)",
+            ),
+        )
+    )
     stops = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
     stop_ratio = F.size(
         F.filter(wcol, lambda x: x.isin(*stops))
     ) / F.greatest(n_words, F.lit(1)).cast("double")
     surv = (
-        docs.filter(
+        documents.filter(
             ~(n_words < min_words)
             & ~(dup_ratio > max_dup_ratio)
             & ~(stop_ratio < min_stop_ratio)

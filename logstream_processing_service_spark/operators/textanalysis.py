@@ -239,18 +239,34 @@ def repetition_scores(documents: DataFrame, n: int = 3) -> DataFrame:
     array_distinct size), no explode, no shuffle, nothing wide. At 100 TB
     this runs at scan speed.
     """
-    docs = documents.withColumn(
-        "_wh",
-        F.expr(T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")),
+    # let-bound (T.let_sql), not withColumn-staged: all four output
+    # columns come out of ONE binding of the shingle array, immune to
+    # the alias-inlining rewrites that made the curate_corpus funnel
+    # O(len²) per doc (projection collapse has a cheapness guard today,
+    # but the binding removes the dependence on it)
+    stats = F.expr(
+        T.let_sql(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark"),
+            "wh",
+            T.let_sql(
+                T.shingle_hash_array_sql("wh", n),
+                "s",
+                "struct(size(s) AS t, size(array_distinct(s)) AS d)",
+            ),
+        )
     )
-    sh = F.expr(T.shingle_hash_array_sql("_wh", n))
-    total = F.size(sh)
-    distinct = F.size(F.array_distinct(sh))
+    # one named struct column: referencing stats' fields directly would
+    # replicate the whole binding per output column; CollapseProject's
+    # cheapness guard keeps this multi-referenced non-cheap alias staged
+    # (and the plan pin in tests/test_plans.py asserts exactly one md5)
+    staged = documents.withColumn("_st", stats)
+    total = F.col("_st")["t"]
+    distinct = F.col("_st")["d"]
     dup_ratio = F.round(
         (total - distinct).cast("double") / F.greatest(total, F.lit(1)).cast("double"),
         6,
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         total.alias("n_grams"),
         distinct.alias("n_distinct"),

@@ -663,3 +663,21 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import co_order_edges, pagerank
 
     return pagerank(co_order_edges(_t(spark, sf_dir, "lineitem")))
+
+
+def _json_shred_oracle() -> str:
+    from .operators.analytics import json_shred_profile_oracle_sql
+
+    return json_shred_profile_oracle_sql("events", "props")
+
+
+@spec("json_shred_profile", _json_shred_oracle(), "F9", "profiling",
+      "engine-ext")
+def q_json_shred_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inferring shred report over the events JSON payload: one
+    row per top-level key with presence, type histogram, distinct scalar
+    cardinality, and numeric stats — key discovery and type inference in
+    ONE map-explode projection, no driver-side key collection."""
+    from .operators.analytics import json_shred_profile
+
+    return json_shred_profile(_t(spark, sf_dir, "events"), "props")

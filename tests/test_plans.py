@@ -554,3 +554,27 @@ def test_resample_ffill_broadcast_grid(spark):
     plan = _plan(resample_ffill(ev))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds frame
+
+
+def test_funnel_dup_ratio_single_md5_binding(spark, sf_dir):
+    """Regression pin for the r5 funnel blowup: predicate pushdown inlines
+    withColumn aliases into filter predicates unconditionally, so the
+    md5 word-hash array was re-evaluated per shingle element per
+    reference — O(len²) per doc, 156s at sf0.1 for a 5k-doc filter. The
+    let-binding (functions/text.py let_sql) keeps exactly ONE md5(...)
+    subtree in the optimized plan of every dup-ratio consumer."""
+    from logstream_processing_service_spark.operators.curation import (
+        curation_funnel,
+    )
+    from logstream_processing_service_spark.operators.textanalysis import (
+        repetition_scores,
+    )
+    from logstream_processing_service_spark.plans.inspect import (
+        physical_plan,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (curation_funnel(docs), repetition_scores(docs)):
+        plan = physical_plan(df)
+        assert plan.count("md5(") <= 1, plan

@@ -571,3 +571,44 @@ def test_curate_corpus_manifest_consistency(spark):
     # at most one manifest row per cluster (the quality keeper)
     clusters = [r["cluster_id"] for r in rows]
     assert len(clusters) == len(set(clusters))
+
+
+def test_json_shred_profile_adversarial_vs_duckdb(spark):
+    """Classification parity on the adversarial JSON shapes the events
+    table never exercises: mixed int/float keys, quoted numerics, bools,
+    nulls, nested objects/arrays, all-null keys."""
+    import duckdb
+
+    from logstream_processing_service_spark.operators.analytics import (
+        json_shred_profile,
+        json_shred_profile_oracle_sql,
+    )
+
+    rows = [
+        '{"a": 1, "b": "x", "c": 1.5, "d": true, "e": null, '
+        '"f": {"g": 2}, "h": [1, 2], "i": "123"}',
+        '{"a": 2.0, "b": "x", "e": null}',
+        '{"a": -7, "d": false, "j": "1e3"}',
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "props string")
+    got = [r.asDict() for r in json_shred_profile(df, "props").collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(r,) for r in rows])
+    exp = con.sql(json_shred_profile_oracle_sql("t", "props")).fetchall()
+    cols = [d[0] for d in con.sql(
+        json_shred_profile_oracle_sql("t", "props")).description]
+    exp_dicts = [dict(zip(cols, r)) for r in exp]
+    assert len(got) == len(exp_dicts)
+    for g, e in zip(got, exp_dicts):
+        assert g == e, (g, e)
+    by_key = {g["key"]: g for g in got}
+    # spot-checks of the inference rules themselves
+    assert by_key["a"]["n_int"] == 2 and by_key["a"]["n_float"] == 1
+    assert by_key["e"]["n_null"] == 2 and by_key["e"]["n_int"] == 0
+    assert by_key["i"]["n_int"] == 1          # quoted "123" is numeric text
+    assert by_key["j"]["n_float"] == 1        # scientific notation
+    assert by_key["f"]["n_object"] == 1 and by_key["h"]["n_array"] == 1
+    assert by_key["d"]["n_bool"] == 2
+    assert by_key["b"]["n_distinct_scalar"] == 1
