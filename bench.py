@@ -123,6 +123,12 @@ HEADLINE = [
     "denstream_stream_twin",
     "perplexity_buckets_exact",
     "json_shred_profile",
+    # eager caveat: the HNSW graph builds at fn() time (driver-bounded,
+    # the PQ-codebook pattern); the bench line times the distributed probe
+    "ann_hnsw",
+    "ann_ivf_hnsw",
+    # eager caveat: the 3 commits + 3 refreshes run at fn() build time
+    "matview_refresh_twin",
 ]
 
 

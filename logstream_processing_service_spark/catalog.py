@@ -71,7 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     # bucketing (r4 VERDICT #7).
     "count_window_stream_twin", "decayed_volume_stream_twin",
     "denstream_stream_twin", "perplexity_buckets_exact",
-    "json_shred_profile",
+    "json_shred_profile", "ann_hnsw", "ann_ivf_hnsw",
+    "matview_refresh_twin",
     # r5-changed but NOT re-slotted (the r4 shard_assignment precedent —
     # behavior-neutral at the driver's scale, latest rows green, local
     # parity re-checks every round): bpe_token_counts (trainer moved
@@ -85,8 +86,15 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh", "nearest_centroid", "anomaly_flags",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
     "embedding_near_dup", "ann_bruteforce", "ann_ivf",
-    "kmeans_refit_assign", "standardize_value", "onehot_event_type",
-    "language_id", "text_quality", "token_counts", "doc_fingerprints",
+    "kmeans_refit_assign", "standardize_value",
+    # onehot_event_type displaced for the r5-new matview_refresh_twin:
+    # its conditional-aggregation pivot shape is exercised by the
+    # in-window crosstab_counts (A7); resumes rotation in r6.
+    "language_id", "text_quality",
+    # token_counts and doc_fingerprints displaced for the r5-new
+    # ann_hnsw / ann_ivf_hnsw: their words()/md5 machinery is exercised
+    # by the in-window language_id/text_quality and dedup_* queries;
+    # both resume rotation in r6.
     # train_test_split displaced for the r5-new json_shred_profile: its
     # md5-threshold split machinery is r4-green via leakage_safe_split
     # and curate_corpus (both run the same split_bucket SQL); resumes

@@ -1,0 +1,147 @@
+"""Incremental materialized-view maintenance (IVM) over the transaction
+log: an aggregate table refreshed from ONLY the files a commit added,
+never by rescanning the base table — the Delta/Materialize-shaped
+mechanism that makes "keep the dashboard aggregate fresh over a 100 TB
+fact table" an O(delta) job instead of an O(table) one.
+
+Reference parity note: the reference recomputes its batch-volume
+aggregates from scratch each run (src/db/cluster_ops.py:39-53 rescans
+logs); composed with operators/txlog.py this module maintains the same
+aggregates incrementally with snapshot isolation on BOTH sides.
+
+Mechanics:
+- A view spec = group columns + self-mergeable measures (count, sum,
+  min, max; avg is derived sum/count at read time). Mergeability is the
+  whole trick: partial aggregates over the delta files merge with the
+  stored view by one more group-by — valid because append-only commits
+  never retract rows (an overwrite commit triggers the documented full
+  recompute fallback).
+- Sums run in DECIMAL, not DOUBLE: incremental refresh changes the
+  ADDITION ORDER, and decimal addition is associative where float is
+  not — so N incremental refreshes are bit-identical to one full
+  recompute (the catalog twin hash-checks exactly this).
+- The view itself is a txlog table: each refresh is an atomic commit
+  whose manifest carries the base-table version it reflects
+  (``base_version``), so a crashed refresh is invisible and a replayed
+  one is a no-op (same exactly-once shape as streaming_commit_sink).
+- Delta discovery: append-mode manifests carry the full cumulative file
+  list, so added files = files(v_now) − files(v_last). If v_last's
+  manifest was vacuumed or the table was overwritten, fall back to full
+  recompute (correctness never depends on retained history).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import txlog as TX
+
+
+@dataclass(frozen=True)
+class ViewSpec:
+    group_cols: tuple[str, ...]
+    sum_cols: tuple[str, ...] = field(default=())
+    minmax_cols: tuple[str, ...] = field(default=())
+    sum_decimal: str = "DECIMAL(27, 6)"
+
+
+def _partial(df: DataFrame, spec: ViewSpec) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in spec.sum_cols:
+        aggs.append(
+            F.sum(F.col(c).cast(spec.sum_decimal)).alias(f"sum_{c}")
+        )
+    for c in spec.minmax_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(*spec.group_cols).agg(*aggs)
+
+
+def _merge(view: DataFrame, delta: DataFrame, spec: ViewSpec) -> DataFrame:
+    aggs = [F.sum("cnt").alias("cnt")]
+    for c in spec.sum_cols:
+        aggs.append(
+            F.sum(F.col(f"sum_{c}").cast(spec.sum_decimal)).alias(f"sum_{c}")
+        )
+    for c in spec.minmax_cols:
+        aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
+        aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+    return view.unionByName(delta).groupBy(*spec.group_cols).agg(*aggs)
+
+
+def refresh_matview(
+    spark: SparkSession,
+    view_dir: str,
+    table_dir: str,
+    spec: ViewSpec,
+) -> dict:
+    """Bring the view up to the base table's latest snapshot. Returns
+    {'base_version', 'mode' ('noop'|'incremental'|'full'), 'view_version'}.
+    """
+    base_versions = TX._versions(table_dir)
+    if not base_versions:
+        raise ValueError(f"no committed base snapshot under {table_dir}")
+    now = base_versions[-1]
+    now_files = TX._manifest(table_dir, now)["files"]
+
+    view_versions = TX._versions(view_dir)
+    last = None
+    if view_versions:
+        last = TX._manifest(view_dir, view_versions[-1]).get("base_version")
+    if last is not None and last >= now:
+        return {"base_version": last, "mode": "noop",
+                "view_version": view_versions[-1]}
+
+    mode = "full"
+    delta_files = now_files
+    if last is not None and last in base_versions:
+        prev_files = set(TX._manifest(table_dir, last)["files"])
+        added = [f for f in now_files if f not in prev_files]
+        if prev_files.issubset(now_files):
+            # pure append lineage since the last refresh
+            mode = "incremental"
+            delta_files = added
+    if mode == "incremental" and not delta_files:
+        mode = "noop"
+        v = TX.commit(
+            view_dir,
+            TX.read_snapshot(spark, view_dir),
+            extra={"base_version": now},
+        )
+        return {"base_version": now, "mode": mode, "view_version": v}
+
+    delta = _partial(spark.read.parquet(*delta_files), spec)
+    if mode == "incremental":
+        merged = _merge(TX.read_snapshot(spark, view_dir), delta, spec)
+    else:
+        merged = delta
+    v = TX.commit(view_dir, merged, extra={"base_version": now})
+    return {"base_version": now, "mode": mode, "view_version": v}
+
+
+def read_matview(
+    spark: SparkSession, view_dir: str, spec: ViewSpec
+) -> DataFrame:
+    """Serve the view: decimal sums surfaced as rounded doubles (the
+    engine-portable output convention), avg derived."""
+    df = TX.read_snapshot(spark, view_dir)
+    cols = [*spec.group_cols, F.col("cnt").cast("bigint").alias("cnt")]
+    for c in spec.sum_cols:
+        cols.append(
+            F.round(F.col(f"sum_{c}"), 2).cast("double").alias(f"sum_{c}")
+        )
+        # decimal -> double FIRST (exact value, correctly rounded, same
+        # on both engines), then a double division — decimal division
+        # scale rules are engine-specific, double division is IEEE
+        cols.append(
+            F.round(
+                F.col(f"sum_{c}").cast("double") / F.col("cnt"), 6
+            ).alias(f"avg_{c}")
+        )
+    for c in spec.minmax_cols:
+        cols.append(F.col(f"min_{c}"))
+        cols.append(F.col(f"max_{c}"))
+    return df.select(*cols).orderBy(*spec.group_cols)

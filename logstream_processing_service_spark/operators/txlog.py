@@ -63,6 +63,7 @@ def commit(
     mode: str = "overwrite",
     expected_version: int | None = None,
     batch_id: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot. ``mode='append'`` carries the
     previous snapshot's files forward; ``'overwrite'`` starts fresh.
@@ -122,6 +123,10 @@ def commit(
         manifest["batch_id"] = batch_id
     if hwm is not None:
         manifest["last_batch_id"] = hwm
+    if extra:
+        # application metadata (e.g. matview base-version bookkeeping);
+        # reserved manifest keys win on collision
+        manifest = {**extra, **manifest}
     tmp = os.path.join(_log_dir(table_dir), f"v{new_version}._tmp{cid}.json")
     final = os.path.join(_log_dir(table_dir), f"v{new_version}.json")
     with open(tmp, "w") as fh:

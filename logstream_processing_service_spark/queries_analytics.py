@@ -681,3 +681,61 @@ def q_json_shred_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import json_shred_profile
 
     return json_shred_profile(_t(spark, sf_dir, "events"), "props")
+
+
+@spec(
+    "matview_refresh_twin",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(round(sum(CAST(value AS DECIMAL(27, 6))), 2) AS DOUBLE)
+               AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(27, 6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value,
+           min(user_id) AS min_user_id,
+           max(user_id) AS max_user_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "engine-ext", "ivm", "txlog",
+)
+def q_matview_refresh_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance end-to-end: 3 txlog
+    append commits (batch = event_id % 3) each followed by an
+    O(delta-files) refresh_matview; the served view after the last
+    refresh hash-matches the oracle's ONE full-table aggregate —
+    incremental == full recompute, bit-for-bit (decimal sums make the
+    merge associative). The refresh mode is asserted incremental so the
+    twin cannot silently pass via the full-recompute fallback."""
+    import re
+    import shutil
+
+    from .operators import txlog as TX
+    from .operators.matview import (
+        ViewSpec,
+        read_matview,
+        refresh_matview,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    base = f"/tmp/logstream_matview_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    table_dir, view_dir = f"{base}/table", f"{base}/view"
+    spec_ = ViewSpec(
+        group_cols=("event_type",),
+        sum_cols=("value",),
+        minmax_cols=("user_id",),
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "value", "user_id")
+    from pyspark.sql import functions as F
+
+    for b in range(3):
+        TX.commit(
+            table_dir,
+            ev.filter(F.col("event_id") % 3 == b).drop("event_id"),
+            mode="append" if b else "overwrite",
+        )
+        info = refresh_matview(spark, view_dir, table_dir, spec_)
+        if b > 0:
+            assert info["mode"] == "incremental", info
+    return read_matview(spark, view_dir, spec_)

@@ -282,3 +282,36 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity vs an in-memory numpy PCA at test scale, orthonormality,
     partitioning invariance)."""
     return S.embedding_pca_report(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+@spec("ann_hnsw", None, "similarity", "hnsw", "rows-only")
+def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph ANN, same contract as ann_bruteforce (rows-only: graph
+    construction is seeded-stochastic navigable-small-world state, not
+    SQL-expressible; recall >= 0.85 vs exact and the exhaustive-beam ==
+    exact property are asserted in tests/test_hnsw.py). At corpus scale
+    the graph is the ROUTING index — see ann_ivf_hnsw."""
+    from pyspark.sql import functions as F
+
+    from .operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return H.ann_hnsw(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@spec("ann_ivf_hnsw", None, "similarity", "hnsw", "ivf", "rows-only")
+def q_ann_ivf_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF fine pass with HNSW centroid routing (the SPANN/DiskANN-shaped
+    composition for 100 TB: graph over centroids replaces the brute-force
+    nlist scan per query; routing parity vs the scan path asserted in
+    tests/test_hnsw.py)."""
+    from pyspark.sql import functions as F
+
+    from .operators import hnsw as H
+    from .operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return H.ann_ivf_hnsw(
+        emb, label_centroids(emb), emb.filter(F.col("vec_id") < 10),
+        k=5, nprobe=2,
+    )

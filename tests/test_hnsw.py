@@ -1,0 +1,117 @@
+"""HNSW: recall floors vs the exact baseline, determinism, graph
+invariants, and the IVF routing composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logstream_processing_service_spark.operators import hnsw as H
+from logstream_processing_service_spark.sources import load_table
+
+
+def _recall(spark, got_df, exact_df, k):
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    exact = {}
+    for r in exact_df.collect():
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(len(got[q] & exact[q]) for q in exact)
+    return hits / sum(len(v) for v in exact.values())
+
+
+def test_hnsw_recall_vs_bruteforce(spark, sf_dir):
+    from logstream_processing_service_spark.operators.similarity import (
+        ann_bruteforce,
+    )
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    got = H.ann_hnsw(emb, q, k=5, ef_search=80)
+    exact = ann_bruteforce(emb, q, k=5)
+    r = _recall(spark, got, exact, 5)
+    assert r >= 0.85, r
+
+
+def test_hnsw_deterministic(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    q = emb.filter(F.col("vec_id") < 5)
+    a = [tuple(r) for r in H.ann_hnsw(emb, q, k=3).collect()]
+    b = [tuple(r) for r in H.ann_hnsw(emb, q, k=3).collect()]
+    assert a == b
+
+
+def test_hnsw_graph_invariants():
+    """Degree caps respected; level-0 graph reaches every node from the
+    entry point (navigability on clustered data)."""
+    rng = np.random.default_rng(3)
+    X = np.vstack(
+        [rng.normal(c, 0.3, (60, 8)) for c in ((0,) * 8, (4,) * 8, (-4,) * 8)]
+    )
+    idx = H.HNSWIndex(M=6, ef_construction=40, seed=1).build(
+        list(range(len(X))), X
+    )
+    for node, per_level in enumerate(idx.links):
+        for lv, nbrs in enumerate(per_level):
+            cap = idx.M0 if lv == 0 else idx.M
+            assert len(nbrs) <= cap, (node, lv, len(nbrs))
+            assert node not in nbrs
+    seen = {idx.entry}
+    frontier = [idx.entry]
+    while frontier:
+        nxt = []
+        for n in frontier:
+            for x in idx.links[n][0]:
+                if x not in seen:
+                    seen.add(x)
+                    nxt.append(x)
+        frontier = nxt
+    assert len(seen) == len(X)
+
+
+def test_hnsw_exact_on_tiny_set():
+    """With ef >= n the beam search is exhaustive: results must equal the
+    exact cosine ranking."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 1, (40, 6))
+    idx = H.HNSWIndex(M=4, ef_construction=40, seed=0).build(
+        list(range(40)), X
+    )
+    q = rng.normal(0, 1, 6)
+    got = idx.search(q, k=5, ef=64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    order = np.argsort(-(Xn @ qn), kind="stable")[:5]
+    assert [g[0] for g in got] == [int(i) for i in order]
+    for vid, cos in got:
+        assert abs(cos - float(Xn[vid] @ qn)) < 1e-9
+
+
+def test_hnsw_build_guard(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="ann_ivf_hnsw"):
+        H.build_hnsw(emb, max_index_rows=10)
+
+
+def test_ann_ivf_hnsw_matches_ivf_routing(spark, sf_dir):
+    """The composition: HNSW centroid routing must find (nearly) the same
+    nprobe cells as brute-force centroid scan, so end results match the
+    plain IVF path on a well-separated centroid set."""
+    import pyspark.sql.functions as F
+
+    from logstream_processing_service_spark.operators.similarity import (
+        ann_ivf,
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb)
+    q = emb.filter(F.col("vec_id") < 10)
+    via_hnsw = H.ann_ivf_hnsw(emb, cents, q, k=5, nprobe=2, ef_search=64)
+    via_scan = ann_ivf(emb, cents, q, k=5, nprobe=2)
+    r = _recall(spark, via_hnsw, via_scan, 5)
+    assert r >= 0.9, r
