@@ -129,6 +129,7 @@ HEADLINE = [
     "ann_ivf_hnsw",
     # eager caveat: the 3 commits + 3 refreshes run at fn() build time
     "matview_refresh_twin",
+    "windowed_volume_stream_twin",
 ]
 
 

@@ -72,7 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "count_window_stream_twin", "decayed_volume_stream_twin",
     "denstream_stream_twin", "perplexity_buckets_exact",
     "json_shred_profile", "ann_hnsw", "ann_ivf_hnsw",
-    "matview_refresh_twin",
+    "matview_refresh_twin", "windowed_volume_stream_twin",
     # r5-changed but NOT re-slotted (the r4 shard_assignment precedent —
     # behavior-neutral at the driver's scale, latest rows green, local
     # parity re-checks every round): bpe_token_counts (trainer moved
@@ -86,7 +86,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh", "nearest_centroid", "anomaly_flags",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
     "embedding_near_dup", "ann_bruteforce", "ann_ivf",
-    "kmeans_refit_assign", "standardize_value",
+    "kmeans_refit_assign",
+    # standardize_value displaced for the r5-new
+    # windowed_volume_stream_twin: its avg/stddev scaling aggregates are
+    # exercised by the in-window volume_zscore; resumes rotation in r6.
     # onehot_event_type displaced for the r5-new matview_refresh_twin:
     # its conditional-aggregation pivot shape is exercised by the
     # in-window crosstab_counts (A7); resumes rotation in r6.

@@ -227,3 +227,75 @@ def q_denstream_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_offline_clusters",
         F.round("total_weight", 4).alias("total_weight"),
     ).orderBy("key")
+
+
+def _windowed_volume_twin_oracle(n_batches: int = N_BATCHES) -> str:
+    """Spark's watermark semantics unrolled for the batch split,
+    EMPIRICALLY PINNED against the live stream's _batch-tagged capture:
+    the watermark advances with a one-batch lag (the value computed from
+    batch 0's max event time governs batch 2's late filter and the
+    eviction at the END of batch 1 — batch 1's own input is still
+    admitted under the prior watermark). Every batch spans the same time
+    range, so the watermark never advances past max(batch-0 ts) − 2h.
+    Net emitted set: windows with end <= that watermark, containing
+    batch-0 AND batch-1 rows; batch 2's late rows are dropped and the
+    open tail windows are discarded at availableNow termination. All
+    emissions land in micro-batch 1 (asserted in the capture during
+    development; the driver hash checks the final set)."""
+    return f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) AS us, date_trunc('hour', ts) AS hour,
+               event_type, value, CAST(event_id % {n_batches} AS INT) AS b
+        FROM events
+    ),
+    wm AS (SELECT max(us) - 7200000000 AS w FROM ev WHERE b = 0)
+    SELECT hour, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM ev, wm
+    WHERE b IN (0, 1) AND epoch_us(hour + INTERVAL 1 HOUR) <= w
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@spec(
+    "windowed_volume_stream_twin",
+    _windowed_volume_twin_oracle(),
+    "T3", "T5", "streaming", "watermark",
+)
+def q_windowed_volume_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL windowed_volume streaming operator (tumbling
+    1-hour windows, 2-hour watermark, append mode) over 3 deterministic
+    micro-batches; return every window the stream EMITS. The oracle
+    unrolls the watermark trajectory — this driver row hash-checks
+    Spark's late-data dropping and window-finalization gating end to
+    end, the T3/T5 semantics the reference's hand watermark cannot
+    express."""
+    from .streaming.pipeline import windowed_volume
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type", "value", F.col("event_id").alias("_id"),
+    )
+    slices = [
+        ev.filter(F.col("_id") % N_BATCHES == b).drop("_id")
+        for b in range(N_BATCHES)
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        "ts_us long, event_type string, value double",
+        lambda s: windowed_volume(
+            s.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+            watermark="2 hours",
+        ),
+        output_mode="append",
+    )
+    return (
+        captured.select(
+            "hour", "event_type", "cnt",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
