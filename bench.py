@@ -130,6 +130,7 @@ HEADLINE = [
     # eager caveat: the 3 commits + 3 refreshes run at fn() build time
     "matview_refresh_twin",
     "windowed_volume_stream_twin",
+    "session_volume_stream_twin",
 ]
 
 

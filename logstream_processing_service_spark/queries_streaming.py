@@ -299,3 +299,80 @@ def q_windowed_volume_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("hour", "event_type")
     )
+
+
+def _session_twin_oracle(n_batches: int = N_BATCHES) -> str:
+    """session_window unrolled as gaps-and-islands over the ACCEPTED rows
+    (batches 0 and 1 — same one-batch watermark lag as
+    windowed_volume_stream_twin), emitting sessions whose end (last
+    event + gap) the batch-0 watermark has passed. Cross-batch session
+    merging falls out naturally: islands are computed over the union,
+    exactly like the operator's state before eviction."""
+    gap_us = 30 * 60 * 1_000_000
+    return f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) AS us, user_id,
+               CAST(event_id % {n_batches} AS INT) AS b
+        FROM events
+    ),
+    acc AS (SELECT user_id, us FROM ev WHERE b IN (0, 1)),
+    brk AS (
+        SELECT user_id, us,
+               CASE WHEN us - lag(us) OVER w > {gap_us}
+                    OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM acc WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    isl AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM brk
+    ),
+    ses AS (
+        SELECT user_id, min(us) AS st, max(us) + {gap_us} AS en,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, sid
+    ),
+    wm AS (SELECT max(us) - 7200000000 AS w FROM ev WHERE b = 0)
+    SELECT make_timestamp(st) AS session_start,
+           make_timestamp(en) AS session_end,
+           user_id, n_events
+    FROM ses, wm WHERE en <= w
+    ORDER BY user_id, session_start
+    """
+
+
+@spec(
+    "session_volume_stream_twin",
+    _session_twin_oracle(),
+    "T4", "T5", "streaming", "session-window",
+)
+def q_session_volume_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL session_volume streaming operator (native
+    session_window, 30-min gap, 2-hour watermark, append mode) over 3
+    deterministic micro-batches; return every session the stream emits.
+    The oracle rebuilds the sessions as gaps-and-islands over the
+    accepted row set and applies the pinned watermark gate — cross-batch
+    session merging included."""
+    from .streaming.pipeline import session_volume
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id", F.col("event_id").alias("_id"),
+    )
+    slices = [
+        ev.filter(F.col("_id") % N_BATCHES == b).drop("_id")
+        for b in range(N_BATCHES)
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        "ts_us long, user_id long",
+        lambda s: session_volume(
+            s.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        ),
+        output_mode="append",
+    )
+    return captured.select(
+        "session_start", "session_end", "user_id", "n_events"
+    ).orderBy("user_id", "session_start")

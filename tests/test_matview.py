@@ -73,3 +73,44 @@ def test_vacuumed_base_manifest_triggers_full(spark, tmp_path):
     v2 = str(tmp_path / "v2")
     refresh_matview(spark, v2, t, SPEC)
     assert _served(spark, v) == _served(spark, v2)
+
+
+def test_matview_sink_under_real_stream(spark, tmp_path):
+    """The streaming composition: availableNow micro-batches -> txlog
+    appends -> incremental refresh per batch; the served view equals the
+    batch aggregate over everything ingested, and stream restart with
+    the same checkpoint is a no-op for both table and view."""
+    import os
+
+    from logstream_processing_service_spark.operators.matview import (
+        matview_sink,
+    )
+
+    src = str(tmp_path / "src")
+    t, v = str(tmp_path / "t"), str(tmp_path / "v")
+    os.makedirs(src)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("k string, v double")
+            .parquet(src)
+            .writeStream.foreachBatch(matview_sink(t, v, SPEC))
+            .option("checkpointLocation", str(tmp_path / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _mk(spark, [("a", 1.0), ("b", 2.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream()
+    _mk(spark, [("a", 3.0)]).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    assert _served(spark, v) == {
+        ("a", 2, 4.0, 1.0, 3.0),
+        ("b", 1, 2.0, 2.0, 2.0),
+    }
+    n_t, n_v = len(TX.history(t)), len(TX.history(v))
+    run_stream()  # nothing new: full no-op
+    assert (len(TX.history(t)), len(TX.history(v))) == (n_t, n_v)
