@@ -131,6 +131,7 @@ HEADLINE = [
     "matview_refresh_twin",
     "windowed_volume_stream_twin",
     "session_volume_stream_twin",
+    "drift_report",
 ]
 
 

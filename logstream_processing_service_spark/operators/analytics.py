@@ -1006,3 +1006,121 @@ def vocab_growth_report(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def drift_report(events: DataFrame, bins: int = 10) -> DataFrame:
+    """Distribution-drift monitoring (the data-quality gate a production
+    ingest pipeline runs before trusting a new slice): split the stream
+    at the midpoint of its time range into REFERENCE and CURRENT halves
+    and report, per event_type —
+
+    - PSI (population stability index) of ``value`` over ``bins``
+      equal-width bins fitted on the reference half (Laplace-smoothed so
+      empty bins stay finite; >0.2 is the conventional act threshold),
+    - the exact two-sample KS statistic (max ECDF gap),
+    - the mean shift.
+
+    Scale shape: the split boundary and reference bin edges come from ONE
+    global min/max aggregate (broadcast back); PSI is two grouped counts
+    and a KB-sized per-(type, bin) join — no sorts. The exact KS needs
+    per-type order statistics (a per-type window sort): fine for
+    enum-sized key sets like event_type; for high-cardinality groups at
+    100 TB swap the ECDFs for KLL-sketch quantiles (operators/sketches
+    registry) and take the max gap over the sketch grid — the PSI
+    numbers need no such swap.
+    """
+    b = events.select(
+        F.col("event_type"),
+        F.col("value").cast("double").alias("v"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    bounds = b.agg(
+        F.min("us").alias("lo_us"),
+        F.max("us").alias("hi_us"),
+        F.min("v").alias("lo_v"),
+        F.max("v").alias("hi_v"),
+    )
+    # integer midpoint: exact and engine-portable
+    sliced = b.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "v",
+        (F.col("us") <= (F.col("lo_us") + F.col("hi_us")) / F.lit(2))
+        .cast("int")
+        .alias("is_ref"),
+        "lo_v",
+        "hi_v",
+    )
+    # ref-fitted equal-width bins, clamped; width from the GLOBAL value
+    # range so both halves bin identically (deterministic, portable)
+    width = (F.col("hi_v") - F.col("lo_v")) / F.lit(float(bins))
+    raw_bin = F.floor((F.col("v") - F.col("lo_v")) / width).cast("int")
+    binned = sliced.select(
+        "event_type",
+        "v",
+        "is_ref",
+        F.least(F.greatest(raw_bin, F.lit(0)), F.lit(bins - 1)).alias("bin"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("n_ref_bin"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur_bin"),
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+        # decimal sums (order-independent), double division — never a
+        # double avg() whose partial order varies with partitioning
+        F.round(
+            F.sum(F.when(F.col("is_ref") == 0, F.col("v")).cast(_DEC))
+            .cast("double")
+            / F.sum(F.lit(1) - F.col("is_ref"))
+            - F.sum(F.when(F.col("is_ref") == 1, F.col("v")).cast(_DEC))
+            .cast("double")
+            / F.sum("is_ref"),
+            6,
+        ).alias("mean_shift"),
+    )
+    # Laplace smoothing: (n_bin + 0.5) / (n + 0.5 * bins) on both sides
+    p_ref = (F.col("n_ref_bin") + F.lit(0.5)) / (
+        F.col("n_ref") + F.lit(0.5 * bins)
+    )
+    p_cur = (F.col("n_cur_bin") + F.lit(0.5)) / (
+        F.col("n_cur") + F.lit(0.5 * bins)
+    )
+    psi = per_bin.join(totals, "event_type").groupBy("event_type").agg(
+        F.round(
+            F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6
+        ).alias("psi")
+    )
+    # exact KS: per-type ECDF gap over the pooled sorted values. Missing
+    # bins don't matter here (ECDFs jump only at observed values).
+    w = Window.partitionBy("event_type").orderBy("v", "is_ref")
+    ks_in = binned.join(totals, "event_type").select(
+        "event_type",
+        "v",
+        "is_ref",
+        (F.col("is_ref") / F.col("n_ref")).alias("d_ref"),
+        ((1 - F.col("is_ref")) / F.col("n_cur")).alias("d_cur"),
+    )
+    ks = (
+        ks_in.withColumn(
+            "gap",
+            F.abs(
+                F.sum("d_ref").over(w) - F.sum("d_cur").over(w)
+            ),
+        )
+        .groupBy("event_type")
+        .agg(F.round(F.max("gap"), 6).alias("ks_stat"))
+    )
+    return (
+        totals.join(psi, "event_type")
+        .join(ks, "event_type")
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "psi",
+            "ks_stat",
+            "mean_shift",
+        )
+        .orderBy("event_type")
+    )

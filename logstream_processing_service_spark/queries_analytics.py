@@ -739,3 +739,85 @@ def q_matview_refresh_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         if b > 0:
             assert info["mode"] == "incremental", info
     return read_matview(spark, view_dir, spec_)
+
+
+@spec(
+    "drift_report",
+    """
+    WITH b AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v, epoch_us(ts) AS us
+        FROM events
+    ),
+    bounds AS (
+        SELECT min(us) AS lo_us, max(us) AS hi_us,
+               min(v) AS lo_v, max(v) AS hi_v
+        FROM b
+    ),
+    sliced AS (
+        SELECT event_type, v,
+               CASE WHEN us <= (lo_us + hi_us) / 2 THEN 1 ELSE 0 END
+                   AS is_ref,
+               lo_v, hi_v
+        FROM b, bounds
+    ),
+    binned AS (
+        SELECT event_type, v, is_ref,
+               least(greatest(CAST(floor((v - lo_v)
+                   / ((hi_v - lo_v) / 10.0)) AS INT), 0), 9) AS bin
+        FROM sliced
+    ),
+    per_bin AS (
+        SELECT event_type, bin,
+               sum(is_ref) AS n_ref_bin,
+               sum(1 - is_ref) AS n_cur_bin
+        FROM binned GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type,
+               sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur,
+               round(CAST(sum(CASE WHEN is_ref = 0
+                          THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / sum(1 - is_ref)
+                   - CAST(sum(CASE WHEN is_ref = 1
+                          THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / sum(is_ref), 6) AS mean_shift
+        FROM binned GROUP BY 1
+    ),
+    psi AS (
+        SELECT p.event_type,
+               round(sum(
+                   ((n_cur_bin + 0.5) / (n_cur + 0.5 * 10)
+                    - (n_ref_bin + 0.5) / (n_ref + 0.5 * 10))
+                   * ln(((n_cur_bin + 0.5) / (n_cur + 0.5 * 10))
+                        / ((n_ref_bin + 0.5) / (n_ref + 0.5 * 10)))
+               ), 6) AS psi
+        FROM per_bin p JOIN totals t USING (event_type)
+        GROUP BY 1
+    ),
+    ks AS (
+        SELECT event_type, round(max(gap), 6) AS ks_stat FROM (
+            SELECT event_type,
+                   abs(sum(is_ref / CAST(n_ref AS DOUBLE)) OVER w
+                       - sum((1 - is_ref) / CAST(n_cur AS DOUBLE)) OVER w)
+                       AS gap
+            FROM binned JOIN totals USING (event_type)
+            WINDOW w AS (PARTITION BY event_type ORDER BY v, is_ref
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ) GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           psi, ks_stat, mean_shift
+    FROM totals t JOIN psi USING (event_type) JOIN ks USING (event_type)
+    ORDER BY t.event_type
+    """,
+    "data-quality", "drift", "engine-ext",
+)
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI + exact KS + mean-shift drift report between the first and
+    second half of the event stream, per event_type — the data-quality
+    gate a production ingest runs; thresholds (PSI > 0.2, KS > 0.1) are
+    conventions the caller applies."""
+    from .operators.analytics import drift_report
+
+    return drift_report(_t(spark, sf_dir, "events"))

@@ -612,3 +612,41 @@ def test_json_shred_profile_adversarial_vs_duckdb(spark):
     assert by_key["f"]["n_object"] == 1 and by_key["h"]["n_array"] == 1
     assert by_key["d"]["n_bool"] == 2
     assert by_key["b"]["n_distinct_scalar"] == 1
+
+
+def test_drift_report_detects_planted_drift(spark):
+    """Identical halves -> PSI ~ 0 / small KS; a shifted second half ->
+    large PSI and KS, positive mean shift."""
+    import datetime
+
+    from logstream_processing_service_spark.operators.analytics import (
+        drift_report,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows(shift):
+        out = []
+        for i in range(400):
+            # first half identical; second half shifted by `shift`
+            half = 0 if i < 200 else 1
+            v = float(10 + (i * 7) % 50 + shift * half)
+            out.append(("a", t0 + datetime.timedelta(minutes=i), 1, v, "{}"))
+        return out
+
+    schema = "event_type string, ts timestamp, user_id long, value double, props string"
+    calm = drift_report(
+        spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[4]) for r in rows(0)], schema
+        ).selectExpr("1 as event_id", "*")
+    ).collect()[0]
+    assert calm["psi"] < 0.05 and calm["ks_stat"] < 0.1, calm
+
+    drifted = drift_report(
+        spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[4]) for r in rows(100)], schema
+        ).selectExpr("1 as event_id", "*")
+    ).collect()[0]
+    assert drifted["psi"] > 1.0, drifted
+    assert drifted["ks_stat"] > 0.9, drifted
+    assert drifted["mean_shift"] > 90, drifted
