@@ -132,6 +132,7 @@ HEADLINE = [
     "windowed_volume_stream_twin",
     "session_volume_stream_twin",
     "drift_report",
+    "constraint_report",
 ]
 
 

@@ -73,7 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "denstream_stream_twin", "perplexity_buckets_exact",
     "json_shred_profile", "ann_hnsw", "ann_ivf_hnsw",
     "matview_refresh_twin", "windowed_volume_stream_twin",
-    "session_volume_stream_twin", "drift_report",
+    "session_volume_stream_twin", "drift_report", "constraint_report",
     # r5-changed but NOT re-slotted (the r4 shard_assignment precedent —
     # behavior-neutral at the driver's scale, latest rows green, local
     # parity re-checks every round): bpe_token_counts (trainer moved
@@ -86,7 +86,11 @@ _PRIORITY: tuple[str, ...] = (
     # r4 VERDICT named:
     "dedup_minhash_lsh", "nearest_centroid", "anomaly_flags",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "embedding_near_dup", "ann_bruteforce",
+    # embedding_near_dup displaced for the r5-new constraint_report:
+    # its brute-force cosine pair machinery is exercised by the
+    # in-window ann_bruteforce and the r3-green embedding_near_dup_lsh;
+    # resumes rotation in r6.
+    "ann_bruteforce",
     # ann_ivf displaced for the r5-new drift_report: the identical IVF
     # coarse+fine join machinery runs inside the in-window ann_ivf_hnsw;
     # resumes rotation in r6.

@@ -1124,3 +1124,87 @@ def drift_report(events: DataFrame, bins: int = 10) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def constraint_report(
+    tables: dict[str, DataFrame], rules: list[dict]
+) -> DataFrame:
+    """Data-contract validation (the Deequ/dbt-test primitive): evaluate a
+    rule list against the warehouse and report one row per rule —
+    (rule, n_checked, n_violations, passed). Rule kinds:
+
+    - ``not_null``: {table, column}
+    - ``unique``:   {table, columns} — duplicate-key rows beyond the
+      first occurrence count as violations (n_rows − n_distinct)
+    - ``range``:    {table, column, lo, hi} (inclusive; NULLs violate)
+    - ``in_set``:   {table, column, values} (NULLs violate)
+    - ``fk``:       {table, column, ref_table, ref_column} — child keys
+      (including NULLs) with no parent
+
+    Scale shape: every non-fk rule is ONE aggregate over its table
+    (rules on the same table could be fused by the caller into a single
+    pass — each stays separate here so the report's per-rule n_checked
+    is explicit); fk rules are one anti-join each with the dim side
+    broadcast by AQE. Nothing driver-side; the report is |rules| rows.
+    """
+    from functools import reduce
+
+    outs = []
+    for r in rules:
+        t = tables[r["table"]]
+        name = r.get(
+            "name", f"{r['kind']}:{r['table']}.{r.get('column', r.get('columns'))}"
+        )
+        if r["kind"] == "not_null":
+            agg = t.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(F.col(r["column"]).isNull().cast("bigint")).alias(
+                    "n_violations"
+                ),
+            )
+        elif r["kind"] == "unique":
+            cols = list(r["columns"])
+            agg = t.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(*[F.col(c) for c in cols])
+                ).alias("n_violations"),
+            )
+        elif r["kind"] == "range":
+            ok = F.col(r["column"]).between(F.lit(r["lo"]), F.lit(r["hi"]))
+            agg = t.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(
+                    (~F.coalesce(ok, F.lit(False))).cast("bigint")
+                ).alias("n_violations"),
+            )
+        elif r["kind"] == "in_set":
+            ok = F.col(r["column"]).isin(*r["values"])
+            agg = t.agg(
+                F.count(F.lit(1)).alias("n_checked"),
+                F.sum(
+                    (~F.coalesce(ok, F.lit(False))).cast("bigint")
+                ).alias("n_violations"),
+            )
+        elif r["kind"] == "fk":
+            ref = tables[r["ref_table"]].select(
+                F.col(r["ref_column"]).alias("_ref")
+            ).distinct()
+            orphans = t.join(
+                ref, F.col(r["column"]) == F.col("_ref"), "left_anti"
+            )
+            agg = t.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+            )
+        else:
+            raise ValueError(f"unknown rule kind {r['kind']!r}")
+        outs.append(agg.select(F.lit(name).alias("rule"), "n_checked",
+                               "n_violations"))
+    report = reduce(lambda a, b: a.unionByName(b), outs)
+    return report.select(
+        "rule",
+        F.col("n_checked").cast("bigint").alias("n_checked"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")

@@ -821,3 +821,76 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import drift_report
 
     return drift_report(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "constraint_report",
+    """
+    WITH checks AS (
+        SELECT 'fk:lineitem.l_orderkey->orders' AS rule,
+               (SELECT count(*) FROM lineitem) AS n_checked,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_violations
+        UNION ALL
+        SELECT 'fk:orders.o_custkey->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders r
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = r.o_custkey))
+        UNION ALL
+        SELECT 'in_set:events.event_type',
+               (SELECT count(*) FROM events),
+               (SELECT count(*) FROM events WHERE event_type IS NULL
+                   OR event_type NOT IN
+                      ('error', 'signup', 'purchase', 'click', 'view'))
+        UNION ALL
+        SELECT 'not_null:events.event_id',
+               (SELECT count(*) FROM events),
+               (SELECT count(*) FROM events WHERE event_id IS NULL)
+        UNION ALL
+        SELECT 'range:events.value',
+               (SELECT count(*) FROM events),
+               (SELECT count(*) FROM events
+                WHERE value IS NULL OR value < 0 OR value > 1000000)
+        UNION ALL
+        SELECT 'unique:events.event_id',
+               (SELECT count(*) FROM events),
+               (SELECT count(*) - count(DISTINCT event_id) FROM events)
+    )
+    SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks ORDER BY rule
+    """,
+    "data-quality", "constraints", "engine-ext",
+)
+def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract check suite over the warehouse: FK integrity
+    (lineitem->orders, orders->customer), enum membership, NOT NULL,
+    range, and key uniqueness — one report row per rule."""
+    from .operators.analytics import constraint_report
+
+    tables = {
+        n: _t(spark, sf_dir, n)
+        for n in ("events", "orders", "customer", "lineitem")
+    }
+    rules = [
+        {"kind": "fk", "table": "lineitem", "column": "l_orderkey",
+         "ref_table": "orders", "ref_column": "o_orderkey",
+         "name": "fk:lineitem.l_orderkey->orders"},
+        {"kind": "fk", "table": "orders", "column": "o_custkey",
+         "ref_table": "customer", "ref_column": "c_custkey",
+         "name": "fk:orders.o_custkey->customer"},
+        {"kind": "in_set", "table": "events", "column": "event_type",
+         "values": ["error", "signup", "purchase", "click", "view"],
+         "name": "in_set:events.event_type"},
+        {"kind": "not_null", "table": "events", "column": "event_id",
+         "name": "not_null:events.event_id"},
+        {"kind": "range", "table": "events", "column": "value",
+         "lo": 0, "hi": 1000000, "name": "range:events.value"},
+        {"kind": "unique", "table": "events", "columns": ["event_id"],
+         "name": "unique:events.event_id"},
+    ]
+    return constraint_report(tables, rules)

@@ -650,3 +650,37 @@ def test_drift_report_detects_planted_drift(spark):
     assert drifted["psi"] > 1.0, drifted
     assert drifted["ks_stat"] > 0.9, drifted
     assert drifted["mean_shift"] > 90, drifted
+
+
+def test_constraint_report_planted_violations(spark):
+    from logstream_processing_service_spark.operators.analytics import (
+        constraint_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, "zz", None), (None, "a", 3.0)],
+        "id long, cat string, v double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "id long")
+    rules = [
+        {"kind": "not_null", "table": "child", "column": "id"},
+        {"kind": "unique", "table": "child", "columns": ["id"]},
+        {"kind": "range", "table": "child", "column": "v", "lo": 0, "hi": 10},
+        {"kind": "in_set", "table": "child", "column": "cat",
+         "values": ["a", "b"]},
+        {"kind": "fk", "table": "child", "column": "id",
+         "ref_table": "parent", "ref_column": "id"},
+    ]
+    got = {
+        r["rule"]: (r["n_checked"], r["n_violations"], r["passed"])
+        for r in constraint_report(
+            {"child": child, "parent": parent}, rules
+        ).collect()
+    }
+    assert got["not_null:child.id"] == (4, 1, False)
+    # 4 rows, 3 distinct ids (1, 2, NULL->excluded by count_distinct):
+    # duplicates beyond first + the null key row
+    assert got["unique:child.['id']"] == (4, 2, False)
+    assert got["range:child.v"] == (4, 2, False)   # -1.0 and NULL
+    assert got["in_set:child.cat"] == (4, 1, False)  # "zz"
+    assert got["fk:child.id"] == (4, 1, False)     # NULL id is an orphan
