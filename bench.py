@@ -133,6 +133,7 @@ HEADLINE = [
     "session_volume_stream_twin",
     "drift_report",
     "constraint_report",
+    "audio_dominant_tone",
 ]
 
 

