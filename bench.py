@@ -134,6 +134,7 @@ HEADLINE = [
     "drift_report",
     "constraint_report",
     "audio_dominant_tone",
+    "image_histogram_stats",
 ]
 
 

@@ -955,3 +955,62 @@ def audio_dominant_tone(media: DataFrame) -> DataFrame:
         .repartition(32, "doc_id")
         .mapInPandas(run, TONE_SCHEMA)
     )
+
+
+HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("n_distinct_vals", IntegerType()),
+        StructField("mode_val", IntegerType()),
+        StructField("mode_count", LongType()),
+        StructField("entropy_bits", DoubleType()),
+    ]
+)
+
+
+def image_histogram_stats(media: DataFrame) -> DataFrame:
+    """Pixel-distribution analysis over DECODED images: 256-bin
+    histogram → distinct values, mode (smallest value on count ties —
+    deterministic), and Shannon entropy in bits. The image-lane analogue
+    of audio_dominant_tone: proves a statistics/featurization stage runs
+    on real decoded pixels (entropy is the standard exposure/compression
+    heuristic a curation filter keys on).
+
+    Scale: Arrow-batched mapInPandas, no shuffle; histogram math is
+    np.bincount per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(bytes(p)).ravel()
+                counts = np.bincount(px, minlength=256)
+                nz = counts > 0
+                n = int(px.size)
+                probs = counts[nz] / n
+                entropy = float(-(probs * np.log2(probs)).sum())
+                mode_val = int(np.argmax(counts))  # first max = smallest
+                rows.append(
+                    (
+                        int(d),
+                        n,
+                        int(nz.sum()),
+                        mode_val,
+                        int(counts[mode_val]),
+                        round(entropy, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_px", "n_distinct_vals",
+                    "mode_val", "mode_count", "entropy_bits",
+                ],
+            )
+
+    return (
+        media.select("doc_id", "payload")
+        .repartition(32, "doc_id")
+        .mapInPandas(run, HIST_SCHEMA)
+    )

@@ -553,3 +553,70 @@ def q_audio_dominant_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return audio_dominant_tone(with_tone_audio_payload(docs)).orderBy("doc_id")
+
+
+def _image_histogram_oracle() -> str:
+    """Histogram of the closed-form gradient pixels (3x + 7y + seed) mod
+    256 recomputed analytically; entropy over grouped counts (float sum
+    order differs from numpy's 256-bin order by ~1e-16 — round 6)."""
+    return """
+    WITH px AS (
+        SELECT doc_id,
+               (3 * x + 7 * y + doc_id % 256) % 256 AS v
+        FROM (
+            SELECT doc_id, unnest(range(0, doc_id % 48 + 8)) AS x
+            FROM documents
+        ) JOIN (
+            SELECT doc_id AS doc_id2, unnest(range(0, doc_id % 37 + 8)) AS y
+            FROM documents
+        ) ON doc_id = doc_id2
+    ),
+    hist AS (
+        SELECT doc_id, v, count(*) AS c FROM px GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, sum(c) AS n, count(*) AS nd FROM hist GROUP BY 1
+    ),
+    ent AS (
+        SELECT h.doc_id,
+               round(-sum((c / CAST(n AS DOUBLE))
+                          * log2(c / CAST(n AS DOUBLE))), 6) AS entropy_bits
+        FROM hist h JOIN tot USING (doc_id) GROUP BY 1
+    ),
+    md AS (
+        SELECT doc_id, CAST(v AS INT) AS mode_val, c AS mode_count
+        FROM (
+            SELECT doc_id, v, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, v) AS rn
+            FROM hist
+        ) WHERE rn = 1
+    )
+    SELECT t.doc_id, CAST(n AS BIGINT) AS n_px,
+           CAST(nd AS INT) AS n_distinct_vals,
+           mode_val, CAST(mode_count AS BIGINT) AS mode_count,
+           entropy_bits
+    FROM tot t JOIN md USING (doc_id) JOIN ent USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+@spec(
+    "image_histogram_stats",
+    _image_histogram_oracle(),
+    "multimodal", "image-analysis", "north-star",
+)
+def q_image_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel histogram / mode / Shannon entropy over REAL decoded PNGs,
+    hash-matched against the analytic gradient-pixel oracle — image-lane
+    content statistics end to end (bytes → inflate → unfilter →
+    histogram)."""
+    from .operators.multimodal import (
+        image_histogram_stats,
+        with_gradient_image_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_histogram_stats(
+        with_gradient_image_payload(docs)
+    ).orderBy("doc_id")
