@@ -135,6 +135,7 @@ HEADLINE = [
     "constraint_report",
     "audio_dominant_tone",
     "image_histogram_stats",
+    "kn_trigram_pruned",
 ]
 
 

@@ -74,7 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "json_shred_profile", "ann_hnsw", "ann_ivf_hnsw",
     "matview_refresh_twin", "windowed_volume_stream_twin",
     "session_volume_stream_twin", "drift_report", "constraint_report",
-    "audio_dominant_tone", "image_histogram_stats",
+    "audio_dominant_tone", "image_histogram_stats", "kn_trigram_pruned",
     # r5-changed but NOT re-slotted (the r4 shard_assignment precedent —
     # behavior-neutral at the driver's scale, latest rows green, local
     # parity re-checks every round): bpe_token_counts (trainer moved
@@ -86,7 +86,10 @@ _PRIORITY: tuple[str, ...] = (
     # rest resume in r6), leading with the LLM-pipeline operators the
     # r4 VERDICT named:
     "dedup_minhash_lsh", "nearest_centroid", "anomaly_flags",
-    "dedup_exact",
+    # dedup_exact displaced for the r5-new kn_trigram_pruned: exact
+    # hash-groupBy dedup is the degenerate case of the in-window
+    # dedup_minhash_lsh pipeline and keeps its r2-green row; resumes
+    # rotation in r6.
     # dedup_simhash displaced for the r5-new image_histogram_stats: its
     # hamming-band machinery shares the shingle pipeline with the
     # in-window dedup_minhash_lsh and keeps its r2-green row; resumes

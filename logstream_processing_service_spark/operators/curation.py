@@ -1203,3 +1203,170 @@ def dsir_importance_sample(
     return S.weighted_sample(weighted, "doc_id", "imp_w", k).select(
         "doc_id", "lang", "log_weight", "sample_key"
     )
+
+
+def kn_trigram_logprob_pruned(
+    documents: DataFrame,
+    discount: float = KN_DISCOUNT,
+    prune_min: int = 2,
+) -> DataFrame:
+    """Count-pruned interpolated Kneser-Ney (the KenLM practicality:
+    singleton trigrams dominate an n-gram table's size — at web scale
+    ~half the trigram types are hapax — and pruning them shrinks the
+    model by that factor): trigrams with c3 < ``prune_min`` are dropped
+    from the top order and their probability mass flows into the
+    interpolation weight,
+
+        λ(w1,w2) = (D·|kept types| + Σ_pruned c3) / c(w1w2·)
+        P3 = [kept] · max(c3−D, 0)/c(w1w2·) + λ·P2(w3|w2)
+
+    which keeps every context a PROPER distribution (Σ_w3 P3 = 1 —
+    asserted in tests/test_curation.py): the kept discounted terms plus
+    λ account for exactly the full mass, and a fully-pruned context
+    degrades to pure backoff (λ = 1). Lower orders keep the FULL-table
+    continuation counts (KenLM computes lower orders before pruning).
+    prune_min=1 reproduces the unpruned model bit-for-bit.
+
+    Scale shape identical to kn_trigram_logprob: kept/pruned is decided
+    in-expression on the same trigram table — no extra pass, no extra
+    join."""
+    D = float(discount)
+    docs = documents.select("doc_id", T.words(F.col("text")).alias("_w"))
+    tri_stream = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(zip_with("
+                " slice(_w, 1, greatest(size(_w)-2, 0)),"
+                " slice(_w, 2, greatest(size(_w)-2, 0)),"
+                " (a, b) -> struct(a AS w1, b AS w2)),"
+                " slice(_w, 3, greatest(size(_w)-2, 0)),"
+                " (p, c) -> struct(p.w1 AS w1, p.w2 AS w2, c AS w3))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2", "t.w3")
+    per_doc = tri_stream.groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    tri = per_doc.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("c3"))
+    kept = F.col("c3") >= prune_min
+    ctx3 = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2ctx"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n3kept"),
+        F.sum(F.when(~kept, F.col("c3")).otherwise(0)).alias("pruned_mass"),
+    )
+    cont2 = tri.select("w1", "w2", "w3").distinct().groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("cont2")
+    )
+    ctx2 = cont2.groupBy("w2").agg(
+        F.sum("cont2").alias("cont2ctx"), F.count(F.lit(1)).alias("n2types")
+    )
+    cont1 = cont2.groupBy("w3").agg(F.sum(F.lit(1)).alias("cont1"))
+    t2 = cont2.agg(F.count(F.lit(1)).alias("t2"))
+
+    lam = (
+        F.lit(D) * F.col("n3kept") + F.col("pruned_mass")
+    ) / F.col("c2ctx")
+    scored = (
+        per_doc.join(tri, ["w1", "w2", "w3"])
+        .join(ctx3, ["w1", "w2"])
+        .join(cont2, ["w2", "w3"])
+        .join(F.broadcast(ctx2), "w2")
+        .join(F.broadcast(cont1), "w3")
+        .crossJoin(F.broadcast(t2))
+        .withColumn("p1", F.col("cont1") / F.col("t2"))
+        .withColumn(
+            "p2",
+            F.greatest(F.col("cont2") - F.lit(D), F.lit(0.0))
+            / F.col("cont2ctx")
+            + F.lit(D) * F.col("n2types") / F.col("cont2ctx") * F.col("p1"),
+        )
+        .withColumn(
+            "p3",
+            F.when(
+                kept,
+                F.greatest(F.col("c3") - F.lit(D), F.lit(0.0))
+                / F.col("c2ctx"),
+            ).otherwise(F.lit(0.0))
+            + lam * F.col("p2"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_trigrams"),
+        F.round(-F.sum(F.col("m") * F.log("p3")) / F.sum("m"), 6).alias(
+            "mean_surprisal"
+        ),
+    )
+    return documents.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("bigint").alias(
+            "n_trigrams"
+        ),
+        "mean_surprisal",
+    ).orderBy("doc_id")
+
+
+def kn_trigram_pruned_oracle_sql(
+    discount: float = KN_DISCOUNT, prune_min: int = 2
+) -> str:
+    D = discount
+    words = T.words_sql("text", "duckdb")
+    return f"""
+    WITH docs AS (SELECT doc_id, {words} AS w FROM documents),
+    tri_stream AS (
+        SELECT doc_id,
+               w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        FROM docs, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    per_doc AS (
+        SELECT doc_id, w1, w2, w3, count(*) AS m
+        FROM tri_stream GROUP BY 1, 2, 3, 4
+    ),
+    tri AS (SELECT w1, w2, w3, sum(m) AS c3 FROM per_doc GROUP BY 1, 2, 3),
+    ctx3 AS (
+        SELECT w1, w2, sum(c3) AS c2ctx,
+               sum(CASE WHEN c3 >= {prune_min} THEN 1 ELSE 0 END) AS n3kept,
+               sum(CASE WHEN c3 < {prune_min} THEN c3 ELSE 0 END)
+                   AS pruned_mass
+        FROM tri GROUP BY 1, 2
+    ),
+    cont2 AS (
+        SELECT w2, w3, count(*) AS cont2
+        FROM (SELECT DISTINCT w1, w2, w3 FROM tri) GROUP BY 1, 2
+    ),
+    ctx2 AS (
+        SELECT w2, sum(cont2) AS cont2ctx, count(*) AS n2types
+        FROM cont2 GROUP BY 1
+    ),
+    cont1 AS (SELECT w3, count(*) AS cont1 FROM cont2 GROUP BY 1),
+    t2 AS (SELECT count(*) AS t2 FROM cont2),
+    scored AS (
+        SELECT per_doc.doc_id, per_doc.m,
+               CASE WHEN tri.c3 >= {prune_min}
+                    THEN greatest(tri.c3 - {D}, 0.0) / ctx3.c2ctx
+                    ELSE 0.0 END
+               + (({D} * ctx3.n3kept + ctx3.pruned_mass) / ctx3.c2ctx) * (
+                   greatest(cont2.cont2 - {D}, 0.0) / ctx2.cont2ctx
+                   + {D} * ctx2.n2types / ctx2.cont2ctx
+                     * (cont1.cont1 / t2.t2)
+               ) AS p3
+        FROM per_doc
+        JOIN tri USING (w1, w2, w3)
+        JOIN ctx3 USING (w1, w2)
+        JOIN cont2 USING (w2, w3)
+        JOIN ctx2 USING (w2)
+        JOIN cont1 USING (w3)
+        CROSS JOIN t2
+    ),
+    agg AS (
+        SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+               round(-sum(m * ln(p3)) / sum(m), 6) AS mean_surprisal
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(agg.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           agg.mean_surprisal
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    ORDER BY d.doc_id
+    """

@@ -589,3 +589,16 @@ def q_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet-style LM quality signal one order above bigram_logprob, with
     the entire LM estimation + scoring pipeline hash-matched in SQL."""
     return C.kn_trigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "kn_trigram_pruned",
+    C.kn_trigram_pruned_oracle_sql(),
+    "north-star", "curation", "lm-filter", "kenlm-pruning",
+)
+def q_kn_trigram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-pruned interpolated Kneser-Ney surprisal (KenLM-style
+    singleton pruning with mass-conserving backoff — every context stays
+    a proper distribution; normalization + prune_min=1 == unpruned
+    asserted in tests/test_curation.py)."""
+    return C.kn_trigram_logprob_pruned(_t(spark, sf_dir, "documents"))

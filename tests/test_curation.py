@@ -261,3 +261,91 @@ def test_dsir_importance_sample_favors_target(spark, sf_dir):
     assert mean_cold > mean_warm
     _ = dsir_weights  # (imported for API parity; weights themselves
     # are already oracle-checked)
+
+
+def test_kn_pruned_prune1_equals_unpruned(spark, sf_dir):
+    from logstream_processing_service_spark.operators import curation as C
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    a = [tuple(r) for r in C.kn_trigram_logprob(docs).orderBy("doc_id").collect()]
+    b = [tuple(r) for r in
+         C.kn_trigram_logprob_pruned(docs, prune_min=1).collect()]
+    assert a == b
+
+
+def test_kn_pruned_contexts_are_proper_distributions(spark):
+    """For every trigram context, the pruned model's probabilities over
+    the FULL continuation vocabulary must sum to 1: kept discounted
+    terms + lambda * (P2 summed over vocab = 1)."""
+    from logstream_processing_service_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat sat again"),
+            (2, "the cat sat on a hat the dog sat on the mat"),
+            (3, "a dog ran and the dog sat on the cat mat"),
+        ],
+        "doc_id long, text string",
+    )
+    import math
+    from collections import Counter
+
+    rows = [r["text"].split() for r in docs.collect()]
+    tri = Counter()
+    for ws in rows:
+        for i in range(len(ws) - 2):
+            tri[(ws[i], ws[i + 1], ws[i + 2])] += 1
+    D, K = 0.75, 2
+    cont2 = Counter()
+    for (w1, w2, w3) in tri:
+        cont2[(w2, w3)] += 1
+    ctx2 = Counter()
+    for (w2, w3), c in cont2.items():
+        ctx2[w2] += c
+    n2types = Counter((w2 for (w2, _w3) in cont2))
+    cont1 = Counter((w3 for (_w2, w3) in cont2))
+    t2 = len(cont2)
+    vocab = {w3 for (_w2, w3) in cont2}
+
+    def p1(w3):
+        return cont1[w3] / t2
+
+    def p2(w2, w3):
+        if ctx2[w2] == 0:
+            return p1(w3)
+        return (max(cont2[(w2, w3)] - D, 0) / ctx2[w2]
+                + D * n2types[w2] / ctx2[w2] * p1(w3))
+
+    ctxs = {(w1, w2) for (w1, w2, _w3) in tri}
+    for (w1, w2) in ctxs:
+        c2ctx = sum(c for (a, b, _), c in tri.items() if (a, b) == (w1, w2))
+        kept = {w3: c for (a, b, w3), c in tri.items()
+                if (a, b) == (w1, w2) and c >= K}
+        pruned_mass = c2ctx - sum(kept.values())
+        lam = (D * len(kept) + pruned_mass) / c2ctx
+        # sum over the full vocab: kept terms + lam * sum(P2) where P2
+        # sums to 1 over all w3 with continuation mass
+        s2 = sum(p2(w2, w3) for w3 in vocab)
+        total = sum(max(c - D, 0) / c2ctx for c in kept.values()) + lam * s2
+        assert abs(s2 - 1.0) < 1e-9, (w2, s2)
+        assert abs(total - 1.0) < 1e-9, ((w1, w2), total)
+
+    # and the Spark operator agrees with this reference on every doc
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["mean_surprisal"])
+        for r in C.kn_trigram_logprob_pruned(docs, prune_min=K).collect()
+    }
+    for ws, did in ((rows[i], i + 1) for i in range(3)):
+        terms = []
+        for i in range(len(ws) - 2):
+            w1, w2, w3 = ws[i], ws[i + 1], ws[i + 2]
+            c3 = tri[(w1, w2, w3)]
+            c2ctx = sum(c for (a, b, _), c in tri.items() if (a, b) == (w1, w2))
+            kept = {x: c for (a, b, x), c in tri.items()
+                    if (a, b) == (w1, w2) and c >= K}
+            lam = (D * len(kept) + (c2ctx - sum(kept.values()))) / c2ctx
+            p = (max(c3 - D, 0) / c2ctx if c3 >= K else 0.0) + lam * p2(w2, w3)
+            terms.append(-math.log(p))
+        exp = round(sum(terms) / len(terms), 6)
+        assert got[did] == (len(ws) - 2, exp), (did, got[did], exp)
