@@ -710,7 +710,10 @@ def perplexity_buckets_exact(
     from .sampling import sample_k_per_group
 
     lp = bigram_logprob(documents).select("doc_id", "avg_surprisal")
-    labeled = documents.select("doc_id", "lang").join(lp, "doc_id")
+    # persist: BOTH the threshold sample and the final assignment consume
+    # this frame — without the cache the whole bigram-surprisal DAG
+    # executes twice (measured ~2.6s -> ~2.0s warm at sf0.1)
+    labeled = documents.select("doc_id", "lang").join(lp, "doc_id").persist()
     samp = sample_k_per_group(labeled, "lang", "doc_id", sample_n, salt=salt)
     th = (
         samp.groupBy("lang")
