@@ -56,7 +56,14 @@ class HNSWIndex:
     # -- distances (1 - cosine on normalized vectors) ---------------------
 
     def _dist(self, q: np.ndarray, idx) -> np.ndarray:
-        return 1.0 - self.vecs[idx] @ q
+        # einsum (one fixed per-row summation order, no BLAS batch-shape
+        # dispatch) + 1e-12 quantization: BLAS gemv can produce 1-ulp
+        # different dots for the SAME row depending on the batch it rides
+        # in, which breaks the (dist, node) tie order for duplicate
+        # vectors (caught by the hypothesis fuzzer). Quantizing at 1e-12
+        # collapses any residual wobble; real ranking margins are orders
+        # of magnitude larger, and true ties break by node id.
+        return np.round(1.0 - np.einsum("ij,j->i", self.vecs[idx], q), 12)
 
     # -- construction -----------------------------------------------------
 
@@ -72,8 +79,14 @@ class HNSWIndex:
         return self
 
     def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int):
-        """Best-first beam at one level. Returns [(dist, node)] sorted."""
-        d0 = float(1.0 - self.vecs[entry] @ q)
+        """Best-first beam at one level. Returns [(dist, node)] sorted.
+
+        The entry distance goes through the same vectorized _dist path as
+        every neighbor batch: mixing numpy's scalar dot with its BLAS
+        matrix path can differ by 1 ulp, which breaks the (dist, node)
+        tie order for duplicate vectors (caught by the hypothesis
+        fuzzer)."""
+        d0 = float(self._dist(q, [entry])[0])
         visited = {entry}
         cand = [(d0, entry)]  # min-heap by distance
         best: list[tuple[float, int]] = [(-d0, entry)]  # max-heap (neg)
@@ -106,7 +119,7 @@ class HNSWIndex:
                 break
             ok = True
             for _, s in out:
-                if float(1.0 - self.vecs[c] @ self.vecs[s]) < d:
+                if float(self._dist(self.vecs[c], [s])[0]) < d:
                     ok = False
                     break
             if ok:

@@ -762,3 +762,122 @@ def test_activity_islands_matches_python_fuzz(spark, rows):
             prev = h
         want[(u, start)] = (prev - start + 1, n_ev)
     assert got == want
+
+
+@SLOW
+@given(
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=10, max_value=60),
+    st.integers(min_value=2, max_value=6),
+)
+def test_hnsw_exhaustive_beam_equals_exact_fuzz(seed, n, dim):
+    """With ef >= n the HNSW beam is exhaustive, so the result must be
+    the exact cosine ranking — for ANY point set, including duplicates
+    and near-zero vectors."""
+    import numpy as np
+
+    from logstream_processing_service_spark.operators.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1, (n, dim))
+    X[rng.integers(0, n)] = X[0]  # a planted duplicate
+    idx = HNSWIndex(M=4, ef_construction=32, seed=seed).build(
+        list(range(n)), X
+    )
+    q = rng.normal(0, 1, dim)
+    got = [g[0] for g in idx.search(q, k=5, ef=n + 8)]
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    cos = Xn @ qn
+    order = sorted(range(n), key=lambda i: (-cos[i], i))[:5]
+    assert got == order
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_matview_incremental_equals_full_fuzz(spark, rows, n_commits):
+    """ANY sequence of append commits, refreshed after each: the final
+    incremental view equals a from-scratch full recompute."""
+    import tempfile
+
+    from logstream_processing_service_spark.operators import txlog as TX
+    from logstream_processing_service_spark.operators.matview import (
+        ViewSpec,
+        read_matview,
+        refresh_matview,
+    )
+
+    spec = ViewSpec(group_cols=("k",), sum_cols=("v",), minmax_cols=("v",))
+    with tempfile.TemporaryDirectory() as base:
+        t, v, v2 = f"{base}/t", f"{base}/v", f"{base}/v2"
+        chunks = [rows[i::n_commits] for i in range(n_commits)]
+        first = True
+        for ch in chunks:
+            if not ch:
+                continue
+            df = spark.createDataFrame(
+                [(k, float(x)) for k, x in ch], "k string, v double"
+            )
+            TX.commit(t, df, mode="overwrite" if first else "append")
+            first = False
+            refresh_matview(spark, v, t, spec)
+        refresh_matview(spark, v2, t, spec)  # from scratch
+        a = {tuple(r) for r in read_matview(spark, v, spec).collect()}
+        b = {tuple(r) for r in read_matview(spark, v2, spec).collect()}
+        assert a == b
+
+
+@SLOW
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.one_of(
+                st.integers(min_value=-99, max_value=99),
+                st.floats(
+                    min_value=-99, max_value=99,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                st.booleans(),
+                st.sampled_from(["x", "123", "1.5", "true", "", "[v]"]),
+                st.none(),
+            ),
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_json_shred_profile_fuzz_vs_duckdb(spark, objs):
+    """Random JSON objects (numeric-looking strings, bools, nulls, empty
+    strings): Spark's profile equals the DuckDB mirror row-for-row."""
+    import json as J
+
+    import duckdb
+
+    from logstream_processing_service_spark.operators.analytics import (
+        json_shred_profile,
+        json_shred_profile_oracle_sql,
+    )
+
+    payloads = [J.dumps(o) for o in objs]
+    df = spark.createDataFrame([(p,) for p in payloads], "props string")
+    got = [tuple(r) for r in json_shred_profile(df, "props").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(p,) for p in payloads])
+    exp = con.sql(json_shred_profile_oracle_sql("t", "props")).fetchall()
+    exp = [tuple(r) for r in exp]
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g == e, (g, e)
