@@ -136,6 +136,7 @@ HEADLINE = [
     "audio_dominant_tone",
     "image_histogram_stats",
     "kn_trigram_pruned",
+    "mjpeg_frame_pixel_stats",
 ]
 
 

@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "matview_refresh_twin", "windowed_volume_stream_twin",
     "session_volume_stream_twin", "drift_report", "constraint_report",
     "audio_dominant_tone", "image_histogram_stats", "kn_trigram_pruned",
+    "mjpeg_frame_pixel_stats",
     # r5-changed but NOT re-slotted (the r4 shard_assignment precedent —
     # behavior-neutral at the driver's scale, latest rows green, local
     # parity re-checks every round): bpe_token_counts (trainer moved
@@ -116,7 +117,11 @@ _PRIORITY: tuple[str, ...] = (
     # onehot_event_type displaced for the r5-new matview_refresh_twin:
     # its conditional-aggregation pivot shape is exercised by the
     # in-window crosstab_counts (A7); resumes rotation in r6.
-    "language_id", "text_quality",
+    "language_id",
+    # text_quality displaced for the r5-new mjpeg_frame_pixel_stats: its
+    # zero-shuffle ratio projections are shared expression builders with
+    # the r4-green quality_feature_matrix (single-scan plan pin) and the
+    # in-window language_id scans the same text; resumes rotation in r6.
     # token_counts and doc_fingerprints displaced for the r5-new
     # ann_hnsw / ann_ivf_hnsw: their words()/md5 machinery is exercised
     # by the in-window language_id/text_quality and dedup_* queries;

@@ -273,3 +273,96 @@ def mp4_frame_extract(media, every_k: int = 2, max_frames: int = 4):
     return media.mapInPandas(
         run, "doc_id bigint, frame_idx int, pts_ticks bigint, frame binary"
     )
+
+
+def synthetic_mjpeg_mp4(doc_id: int) -> bytes:
+    """A REAL Motion-JPEG video: n = doc%4+2 frames, each a genuine
+    16×16 block-constant JPEG at quality 100 (DC-only → decode exact),
+    frame i's block (bx, by) = (3·bx + 7·by + (3·doc + 17·i) % 256) % 256.
+    Every frame byte range in the sample table is a decodable JPEG — the
+    fixture that makes video CODEC decode verifiable, not just container
+    parsing."""
+    from .jpegcodec import synthetic_jpeg_blocks
+
+    n = doc_id % 4 + 2
+    frames = [
+        synthetic_jpeg_blocks(16, 16, (3 * doc_id + 17 * i) % 256)
+        for i in range(n)
+    ]
+    durations = [33 + (i % 3) for i in range(n)]
+    return mux_mp4_frames(frames, durations)
+
+
+def with_mjpeg_mp4_payload(documents, n_parts: int = 32):
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("binary")
+    def make(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda d: synthetic_mjpeg_mp4(int(d)))
+
+    # spread the codec work before the UDF (with_blocky_jpeg_payload's
+    # one-row-group lesson)
+    return documents.select("doc_id").repartition(n_parts, "doc_id").select(
+        "doc_id", make(F.col("doc_id")).alias("payload")
+    )
+
+
+def mjpeg_frame_stats(media) -> "DataFrame":
+    """REAL video frame decode: walk the ISO-BMFF sample table, ranged-read
+    every frame's bytes, decode each with the native JPEG codec, and emit
+    per-frame pixel statistics — Motion-JPEG (a codec real capture
+    pipelines produce) end to end: container → sample ranges → entropy
+    decode → pixels. H.264/AV1 remain the honest pyav gate; this proves
+    the video LANE (per-frame decode plumbing, batching, stats) on a
+    codec this repo implements natively.
+
+    Scale shape: Arrow-batched mapInPandas, no shuffle; one output row
+    per frame."""
+    import pandas as pd_
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .jpegcodec import decode_jpeg_gray
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("n_px", LongType()),
+            StructField("mean_px", DoubleType()),
+            StructField("min_px", IntegerType()),
+            StructField("max_px", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, off, size, _pts in parse_sample_table(b):
+                    px = decode_jpeg_gray(b[off : off + size])
+                    rows.append(
+                        (
+                            int(doc_id),
+                            int(idx),
+                            int(px.size),
+                            round(float(px.astype("float64").mean()), 6),
+                            int(px.min()),
+                            int(px.max()),
+                        )
+                    )
+            yield pd_.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_px",
+                    "mean_px", "min_px", "max_px",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema)

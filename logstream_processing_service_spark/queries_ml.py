@@ -620,3 +620,42 @@ def q_image_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_histogram_stats(
         with_gradient_image_payload(docs)
     ).orderBy("doc_id")
+
+
+@spec(
+    "mjpeg_frame_pixel_stats",
+    """
+    WITH f AS (
+        SELECT doc_id, unnest(range(0, doc_id % 4 + 2)) AS i
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, i,
+               (3 * bx + 7 * by + (3 * doc_id + 17 * i) % 256) % 256 AS v
+        FROM f,
+             unnest(range(0, 2)) AS t1(bx),
+             unnest(range(0, 2)) AS t2(by)
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(16 * 16 AS BIGINT) AS n_px,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_px,
+           CAST(min(v) AS INT) AS min_px,
+           CAST(max(v) AS INT) AS max_px
+    FROM blocks GROUP BY doc_id, i
+    ORDER BY doc_id, frame_idx
+    """,
+    "multimodal", "video-decode", "north-star",
+)
+def q_mjpeg_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode: Motion-JPEG frames ranged-read out of the
+    ISO-BMFF sample table and decoded with the native JPEG codec; the
+    oracle recomputes every frame's block-constant pixels analytically —
+    container walk + per-frame entropy decode, hash-checked end to end.
+    (H.264/AV1 stay the honest pyav gate; MJPEG is a real capture-codec
+    this engine implements natively.)"""
+    from .operators.mp4box import mjpeg_frame_stats, with_mjpeg_mp4_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    return mjpeg_frame_stats(with_mjpeg_mp4_payload(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )
