@@ -182,9 +182,14 @@ class HNSWIndex:
         return out
 
 
-MAX_INDEX_ROWS = 500_000  # driver-collect guard: an (n, d) float64 matrix
-# plus O(n·M) links; 500k × 64 dims ≈ 256 MB. Above this, HNSW is the
-# ROUTING index over centroids (ann_ivf_hnsw), not the corpus index.
+MAX_INDEX_ROWS = 50_000  # driver-build guard. Memory is not the binding
+# constraint — BUILD THROUGHPUT is: this pure-Python/numpy insert loop
+# measures ~50-60 inserts/s at d=64, ef_construction=64 (~15 min at the
+# guard), which is the honest cost of a from-scratch graph without a C
+# library. The scale path is ann_ivf_hnsw — the graph over the CENTROID
+# set (thousands of rows, built once per index lifetime) routes queries
+# while the corpus stays distributed; a flat graph beyond the guard
+# should use a native HNSW build (faiss/hnswlib) behind this same API.
 
 
 def build_hnsw(
