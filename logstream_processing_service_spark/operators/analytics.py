@@ -875,7 +875,18 @@ def json_shred_profile(df: DataFrame, json_col: str = "props") -> DataFrame:
         F.count_distinct(canon).alias("n_distinct_scalar"),
         F.min(num).alias("min_num"),
         F.max(num).alias("max_num"),
-        F.round(F.avg(num), 6).alias("avg_num"),
+        # avg at 6-dp parse precision, fully order- AND engine-exact:
+        # round the double to the 6-dp grid (residual error ~1e-16 <<
+        # half a grid step, so the decimal cast snaps to the exact grid
+        # point), sum EXACTLY in decimal, and do the final mean rounding
+        # in INTEGER micro-units — a bare double avg() flips the 6th
+        # digit with partial-sum order, and even decimal-sum + round(
+        # double) differs between engines on exact .5 boundaries because
+        # Spark's round() rounds the SHORTEST DECIMAL REPR of the double
+        # (BigDecimal.valueOf) while DuckDB rounds the exact binary value
+        # (both failure modes caught by the hypothesis fuzzer)
+        F.sum(F.round(num, 6).cast("decimal(38,6)")).alias("_sum6"),
+        F.count(num).alias("_n_num"),
     )
     total = df.agg(F.count(F.lit(1)).alias("_total"))
     return (
@@ -888,7 +899,18 @@ def json_shred_profile(df: DataFrame, json_col: str = "props") -> DataFrame:
             ),
             "n_null", "n_int", "n_float", "n_bool", "n_string",
             "n_object", "n_array", "n_distinct_scalar",
-            "min_num", "max_num", "avg_num",
+            "min_num", "max_num",
+            # round-half-away in exact integer micro-units:
+            # sign * ((2|s| + n) div (2n)); micro-sum fits a long for
+            # |sum| < ~9e12 (profile-grade contract)
+            F.when(
+                F.col("_n_num") > 0,
+                F.expr(
+                    "cast((case when _sum6 < 0 then -1 else 1 end) * "
+                    "((2 * cast(abs(_sum6) * 1000000 as bigint) + _n_num)"
+                    " div (2 * _n_num)) as double) / 1000000.0"
+                ),
+            ).alias("avg_num"),
         )
         .orderBy("key")
     )
@@ -961,7 +983,14 @@ def json_shred_profile_oracle_sql(table: str = "events", json_col: str = "props"
                AS n_distinct_scalar,
            min(num) AS min_num,
            max(num) AS max_num,
-           round(avg(num), 6) AS avg_num
+           CASE WHEN count(num) > 0 THEN
+               CAST((CASE WHEN sum(CAST(round(num, 6) AS DECIMAL(38, 6))) < 0
+                          THEN -1 ELSE 1 END)
+                    * ((2 * CAST(abs(sum(CAST(round(num, 6)
+                              AS DECIMAL(38, 6)))) * 1000000 AS BIGINT)
+                        + count(num)) // (2 * count(num))) AS DOUBLE)
+               / 1000000.0
+           END AS avg_num
     FROM typed GROUP BY key ORDER BY key
     """
 
