@@ -82,27 +82,6 @@ HS_BASE = 8191          # prime multiplier; 2^48·8191 + 2^48 < 2^63 (no overflo
 HS_MOD = 1 << 48
 
 
-def let_sql(binding_sql: str, var: str, body_sql: str, dialect: str = "spark") -> str:
-    """Let-binding inside ONE SQL expression: evaluate ``binding_sql`` once,
-    expose it as lambda variable ``var`` in ``body_sql``.
-
-    Why this exists: Catalyst's CollapseProject re-inlines a materialized
-    column into its consumers, and common-subexpression elimination does
-    not reach inside lambda bodies — so a body that references an
-    md5-bearing array k times (e.g. ``try_element_at(wh, i+j)`` for each
-    of an n-gram's positions) re-evaluates the ENTIRE array k times per
-    element after collapse (measured: turns a 2 s query into >300 s; worse
-    the larger n). Wrapping the binding in a single-element array and the
-    body in a ``transform`` lambda makes every inner reference a true
-    lambda-variable lookup, immune to projection collapse. The explode in
-    ``shingle_table`` provides the same barrier structurally; use this
-    where there is no Generate between the binding and its consumers.
-    """
-    fn = "transform" if dialect == "spark" else "list_transform"
-    idx = "[0]" if dialect == "spark" else "[1]"
-    return f"{fn}(array({binding_sql}), {var} -> {body_sql}){idx}"
-
-
 def word_hash_array_sql(words_sql: str, dialect: str) -> str:
     """SQL for `array<long>` of per-word 48-bit hashes (one md5 per word)."""
     hexsum = "+".join(

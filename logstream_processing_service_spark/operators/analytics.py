@@ -1080,8 +1080,14 @@ def drift_report(events: DataFrame, bins: int = 10) -> DataFrame:
         "hi_v",
     )
     # ref-fitted equal-width bins, clamped; width from the GLOBAL value
-    # range so both halves bin identically (deterministic, portable)
-    width = (F.col("hi_v") - F.col("lo_v")) / F.lit(float(bins))
+    # range so both halves bin identically (deterministic, portable).
+    # Degenerate range (hi_v == lo_v, a constant column) would divide by
+    # zero — Spark's non-ANSI cast would bin the NaN silently while the
+    # DuckDB oracle errors on CAST(NaN AS INT); clamping the width keeps
+    # (v - lo_v) / width = 0 → bin 0 identically in both engines.
+    width = F.greatest(F.col("hi_v") - F.col("lo_v"), F.lit(1e-300)) / F.lit(
+        float(bins)
+    )
     raw_bin = F.floor((F.col("v") - F.col("lo_v")) / width).cast("int")
     binned = sliced.select(
         "event_type",
@@ -1120,21 +1126,25 @@ def drift_report(events: DataFrame, bins: int = 10) -> DataFrame:
             F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6
         ).alias("psi")
     )
-    # exact KS: per-type ECDF gap over the pooled sorted values. Missing
-    # bins don't matter here (ECDFs jump only at observed values).
-    w = Window.partitionBy("event_type").orderBy("v", "is_ref")
-    ks_in = binned.join(totals, "event_type").select(
-        "event_type",
-        "v",
-        "is_ref",
-        (F.col("is_ref") / F.col("n_ref")).alias("d_ref"),
-        ((1 - F.col("is_ref")) / F.col("n_cur")).alias("d_cur"),
+    # exact KS: per-type ECDF gap over the pooled sorted values. Both
+    # ECDFs jump only at observed values, and at a value present in BOTH
+    # halves both jumps land at once — so accumulate the per-distinct-v
+    # increments of each half FIRST and evaluate the gap once per
+    # distinct v (a row-grain running sum ordered by (v, is_ref) would
+    # read the gap mid-jump and overstate KS on cross-half ties; e.g.
+    # ref={1,1}, cur={1,1} must give 0, not 1).
+    per_v = binned.groupBy("event_type", "v").agg(
+        F.sum("is_ref").alias("r_v"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("c_v"),
     )
+    w = Window.partitionBy("event_type").orderBy("v")
     ks = (
-        ks_in.withColumn(
+        per_v.join(totals.select("event_type", "n_ref", "n_cur"), "event_type")
+        .withColumn(
             "gap",
             F.abs(
-                F.sum("d_ref").over(w) - F.sum("d_cur").over(w)
+                F.sum("r_v").over(w).cast("double") / F.col("n_ref")
+                - F.sum("c_v").over(w).cast("double") / F.col("n_cur")
             ),
         )
         .groupBy("event_type")

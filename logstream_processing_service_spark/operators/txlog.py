@@ -64,12 +64,17 @@ def commit(
     expected_version: int | None = None,
     batch_id: int | None = None,
     extra: dict | None = None,
+    txn_app_id: str | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot. ``mode='append'`` carries the
     previous snapshot's files forward; ``'overwrite'`` starts fresh.
     ``expected_version`` (optimistic concurrency): the snapshot this
     commit was based on — raises CommitConflict if someone else already
-    committed on top of it."""
+    committed on top of it. ``txn_app_id`` (Delta's txnAppId pattern):
+    record ``batch_id`` under a per-application high-water-mark in
+    ``txn_hwms`` so multiple independent streams (or a stream restarted with a
+    fresh checkpoint under a NEW app id) each track their own replay
+    watermark."""
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be 'overwrite' or 'append'")
     os.makedirs(_log_dir(table_dir), exist_ok=True)
@@ -109,8 +114,19 @@ def commit(
     # batch whose own manifest was vacuumed
     prev_hwm = _manifest(table_dir, current).get("last_batch_id") if current >= 0 else None
     hwm = prev_hwm
-    if batch_id is not None:
+    if batch_id is not None and txn_app_id is None:
         hwm = batch_id if prev_hwm is None else max(prev_hwm, batch_id)
+
+    # per-application HWMs (Delta txnAppId): the whole dict rides forward
+    # in every manifest so any app's watermark survives vacuum
+    txn_hwms = dict(
+        _manifest(table_dir, current).get("txn_hwms") or {}
+    ) if current >= 0 else {}
+    if batch_id is not None and txn_app_id is not None:
+        prev = txn_hwms.get(txn_app_id)
+        txn_hwms[txn_app_id] = (
+            batch_id if prev is None else max(prev, batch_id)
+        )
 
     manifest = {
         "version": new_version,
@@ -123,6 +139,8 @@ def commit(
         manifest["batch_id"] = batch_id
     if hwm is not None:
         manifest["last_batch_id"] = hwm
+    if txn_hwms:
+        manifest["txn_hwms"] = txn_hwms
     if extra:
         # application metadata (e.g. matview base-version bookkeeping);
         # reserved manifest keys win on collision
@@ -209,23 +227,60 @@ def vacuum(
     }
 
 
-def streaming_commit_sink(table_dir: str, mode: str = "append"):
+def streaming_commit_sink(
+    table_dir: str, mode: str = "append", txn_app_id: str | None = None
+):
     """foreachBatch sink committing each micro-batch as a table version,
-    EXACTLY-ONCE: every manifest carries ``last_batch_id``, the
-    high-water-mark of committed batch ids (batch ids are monotonically
-    increasing per stream), so a replayed batch (restart after crash,
-    before checkpoint advance) is recognized even after vacuum removed
-    the manifest that originally recorded it — the Delta ``txn``
-    app-transaction pattern on this log. Assumes one stream per table
-    (multiple writers need per-stream HWMs, as Delta's txnAppId)."""
+    EXACTLY-ONCE: every manifest carries a high-water-mark of committed
+    batch ids (batch ids are monotonically increasing per stream), so a
+    replayed batch (restart after crash, before checkpoint advance) is
+    recognized even after vacuum removed the manifest that originally
+    recorded it — the Delta ``txn`` app-transaction pattern on this log.
+
+    ``txn_app_id`` keys the HWM per application (Delta's txnAppId): pass
+    a stable id per logical stream. A stream RESTARTED WITH A FRESH
+    CHECKPOINT resets its batch ids to 0 — under the same app id the HWM
+    would silently drop every batch, so a fresh checkpoint must opt into
+    a NEW app id (that is the caller's deliberate exactly-once decision,
+    exactly as in Delta). Without an app id the legacy single-stream
+    ``last_batch_id`` is used; in both cases an HWM skip is logged
+    loudly rather than silent (ADVICE r5: silent drop after checkpoint
+    reset looked like data loss)."""
+    import logging
+
+    log = logging.getLogger(__name__)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         seen = _versions(table_dir)
         if seen:
-            hwm = _manifest(table_dir, seen[-1]).get("last_batch_id")
+            m = _manifest(table_dir, seen[-1])
+            if txn_app_id is not None:
+                hwm = (m.get("txn_hwms") or {}).get(txn_app_id)
+            else:
+                hwm = m.get("last_batch_id")
             if hwm is not None and batch_id <= hwm:
-                return  # already durably committed: replay is a no-op
-        commit(table_dir, batch_df, mode=mode, batch_id=batch_id)
+                # already durably committed: replay is a no-op — but say
+                # so, because a checkpoint reset under a reused app id
+                # hits this path for EVERY batch (use a new app id)
+                log.warning(
+                    "streaming_commit_sink(%s): skipping batch %d <= "
+                    "HWM %d for app id %r — expected only during replay "
+                    "after a crash; if this repeats for every batch the "
+                    "checkpoint was reset and the stream needs a new "
+                    "txn_app_id",
+                    table_dir,
+                    batch_id,
+                    hwm,
+                    txn_app_id,
+                )
+                return
+        commit(
+            table_dir,
+            batch_df,
+            mode=mode,
+            batch_id=batch_id,
+            txn_app_id=txn_app_id,
+        )
 
     return write
 

@@ -763,7 +763,8 @@ def q_matview_refresh_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned AS (
         SELECT event_type, v, is_ref,
                least(greatest(CAST(floor((v - lo_v)
-                   / ((hi_v - lo_v) / 10.0)) AS INT), 0), 9) AS bin
+                   / (greatest(hi_v - lo_v, 1e-300) / 10.0)) AS INT), 0), 9)
+                   AS bin
         FROM sliced
     ),
     per_bin AS (
@@ -795,13 +796,19 @@ def q_matview_refresh_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     ),
     ks AS (
+        -- both halves' ECDF jumps at a tied v land together: accumulate
+        -- per-distinct-v increments BEFORE taking the gap (a row-grain
+        -- running sum would read the gap mid-jump on cross-half ties)
         SELECT event_type, round(max(gap), 6) AS ks_stat FROM (
             SELECT event_type,
-                   abs(sum(is_ref / CAST(n_ref AS DOUBLE)) OVER w
-                       - sum((1 - is_ref) / CAST(n_cur AS DOUBLE)) OVER w)
-                       AS gap
-            FROM binned JOIN totals USING (event_type)
-            WINDOW w AS (PARTITION BY event_type ORDER BY v, is_ref
+                   abs(CAST(sum(r_v) OVER w AS DOUBLE) / n_ref
+                       - CAST(sum(c_v) OVER w AS DOUBLE) / n_cur) AS gap
+            FROM (
+                SELECT event_type, v,
+                       sum(is_ref) AS r_v, sum(1 - is_ref) AS c_v
+                FROM binned GROUP BY 1, 2
+            ) JOIN totals USING (event_type)
+            WINDOW w AS (PARTITION BY event_type ORDER BY v
                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ) GROUP BY 1
     )

@@ -17,6 +17,7 @@ without depending on sink row order.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -65,11 +66,22 @@ def run_deterministic_batches(
             .start()
         )
         q.awaitTermination()
-        # materialize before the source files vanish
-        rows = spark.read.parquet(out).collect()
-        if rows:
-            return spark.createDataFrame(rows, spark.read.parquet(out).schema)
-        return spark.read.parquet(out).limit(0)
+        if not os.path.isdir(out):
+            # no batch ever fired (empty `slices`): there is no captured
+            # schema to return — make the failure loud instead of letting
+            # spark.read error on a missing path after cleanup
+            raise ValueError(
+                "run_deterministic_batches: no micro-batch produced output"
+                " (empty `slices`?)"
+            )
+        # materialize before the finally-block deletes the source files —
+        # including the empty case: a lazy `.limit(0)` over `out` would
+        # dangle once the temp dir is gone (ADVICE r5), so capture the
+        # schema eagerly and return a local empty frame.
+        captured = spark.read.parquet(out)
+        out_schema = captured.schema
+        rows = captured.collect()
+        return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

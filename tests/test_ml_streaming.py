@@ -611,3 +611,31 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdir):
         & (F.col("l_ts") >= F.col("r_ts") - F.expr("INTERVAL 3600 SECONDS")),
     ).count()
     assert got == want > 0
+
+
+def test_run_deterministic_batches_empty_output_is_materialized(spark):
+    """ADVICE r5: a transform that emits zero rows must return a frame
+    that survives the harness's temp-dir cleanup (the old lazy
+    `.limit(0)` over the deleted capture dir failed on any later
+    action)."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.streaming.drive import (
+        run_deterministic_batches,
+    )
+
+    schema = "k string, v long"
+    slices = [
+        spark.createDataFrame([("a", 1), ("b", 2)], schema),
+        spark.createDataFrame([("c", 3)], schema),
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        schema,
+        lambda s: s.filter(F.col("v") > 100),  # filters everything out
+        output_mode="append",
+    )
+    # any action after return must work — the frame is local, not a scan
+    assert captured.count() == 0
+    assert set(captured.columns) == {"k", "v", "_batch"}

@@ -652,6 +652,50 @@ def test_drift_report_detects_planted_drift(spark):
     assert drifted["mean_shift"] > 90, drifted
 
 
+def test_drift_report_ks_ties_and_degenerate_range(spark):
+    """Two ADVICE-r5 defects: (a) cross-half ties must NOT inflate KS —
+    both ECDFs jump together at a shared value, so identical halves made
+    of duplicated values give ks_stat = 0 exactly (the old row-grain
+    running sum read the gap mid-jump and reported 1.0 for ref={1,1},
+    cur={1,1}); (b) a constant value column (hi_v == lo_v) must not
+    divide by zero in the bin width — bin 0, psi 0, no NaN/Inf."""
+    import datetime
+
+    from logstream_processing_service_spark.operators.analytics import (
+        drift_report,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = (
+        "event_type string, ts timestamp, user_id long, value double,"
+        " props string"
+    )
+
+    # (a) ref half = {1,1,2,2}, cur half = {1,1,2,2} — all-tied values
+    tied = [
+        ("a", t0 + datetime.timedelta(minutes=i), 1, v, "{}")
+        for i, v in enumerate([1.0, 1.0, 2.0, 2.0, 1.0, 1.0, 2.0, 2.0])
+    ]
+    row = drift_report(
+        spark.createDataFrame(tied, schema).selectExpr("1 as event_id", "*")
+    ).collect()[0]
+    assert row["ks_stat"] == 0.0, row
+    assert row["mean_shift"] == 0.0, row
+
+    # (b) constant column: degenerate global range
+    const = [
+        ("a", t0 + datetime.timedelta(minutes=i), 1, 5.0, "{}")
+        for i in range(10)
+    ]
+    row = drift_report(
+        spark.createDataFrame(const, schema).selectExpr("1 as event_id", "*")
+    ).collect()[0]
+    assert row["ks_stat"] == 0.0 and row["psi"] == 0.0, row
+    import math
+
+    assert math.isfinite(row["psi"]) and math.isfinite(row["ks_stat"])
+
+
 def test_constraint_report_planted_violations(spark):
     from logstream_processing_service_spark.operators.analytics import (
         constraint_report,

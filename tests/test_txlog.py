@@ -231,3 +231,44 @@ def test_replay_skipped_after_vacuum_via_hwm(spark, tmp_path):
     TX.commit(t, spark.range(100, 101), mode="append")
     sink(spark.range(0, 2), 3)  # replay across an interleaved commit
     assert TX.history(t)[-1]["last_batch_id"] == 3
+
+
+def test_streaming_commit_sink_per_app_hwm(spark, tmp_path):
+    """ADVICE r5: the HWM is keyed per txn app id (Delta txnAppId), so
+    (a) two independent streams into one table don't shadow each other's
+    watermarks, and (b) a checkpoint reset can opt into a new app id and
+    its restarted batch 0 is NOT silently dropped."""
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    df = lambda v: spark.createDataFrame([(v,)], "x long")  # noqa: E731
+
+    a = TX.streaming_commit_sink(t, txn_app_id="stream-a")
+    b = TX.streaming_commit_sink(t, txn_app_id="stream-b")
+    a(df(1), 0)
+    a(df(2), 1)
+    # stream-b starts at batch 0: must commit even though stream-a's HWM
+    # is already 1 (the legacy shared HWM would drop it)
+    b(df(10), 0)
+    assert TX.read_snapshot(spark, t).count() == 3
+
+    # replay within one app is still a no-op
+    a(df(999), 1)
+    assert TX.read_snapshot(spark, t).count() == 3
+
+    # checkpoint reset, SAME app id: batches restart at 0 and are
+    # dropped (documented) — a NEW app id opts back in
+    a(df(3), 0)
+    assert TX.read_snapshot(spark, t).count() == 3
+    a2 = TX.streaming_commit_sink(t, txn_app_id="stream-a-ckpt2")
+    a2(df(3), 0)
+    assert TX.read_snapshot(spark, t).count() == 4
+
+    # per-app HWMs survive vacuum (they ride in every manifest)
+    TX.vacuum(t, retain_last=1, min_age_seconds=0.0)
+    m = TX._manifest(t, TX._versions(t)[-1])
+    assert m["txn_hwms"] == {
+        "stream-a": 1,
+        "stream-b": 0,
+        "stream-a-ckpt2": 0,
+    }
