@@ -114,3 +114,72 @@ def test_matview_sink_under_real_stream(spark, tmp_path):
     n_t, n_v = len(TX.history(t)), len(TX.history(v))
     run_stream()  # nothing new: full no-op
     assert (len(TX.history(t)), len(TX.history(v))) == (n_t, n_v)
+
+
+def test_windowed_drift_detects_planted_week_shift(spark, tmp_path):
+    """Incremental windowed drift monitor (driftwindow.py): two calm
+    weeks then a shifted third week — anchors whose current window
+    covers the shifted week must flag large PSI/KS/mean-shift while
+    calm anchors stay near zero; N incremental refreshes must serve the
+    same report as one full commit+refresh."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators import txlog as TX
+    from logstream_processing_service_spark.operators.driftwindow import (
+        DriftGrid,
+        prepare_drift_rows,
+        refresh_drift_view,
+        windowed_drift,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    for day in range(21):
+        shift = 100.0 if day >= 14 else 0.0  # third week drifts
+        for i in range(40):
+            v = 10.0 + (i * 7) % 50 + shift
+            rows.append(
+                ("a", t0 + datetime.timedelta(days=day, minutes=i), 1, v, "{}")
+            )
+    schema = (
+        "event_type string, ts timestamp, user_id long, value double,"
+        " props string"
+    )
+    ev = spark.createDataFrame(rows, schema).selectExpr("1 as event_id", "*")
+    grid = DriftGrid(lo=0.0, hi=200.0, bins=20, window_days=7)
+
+    # incremental path: one commit per week
+    tdir, vdir = str(tmp_path / "t"), str(tmp_path / "v")
+    for wk in range(3):
+        lo = t0 + datetime.timedelta(days=7 * wk)
+        hi = t0 + datetime.timedelta(days=7 * (wk + 1))
+        TX.commit(
+            tdir,
+            prepare_drift_rows(
+                ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)), grid
+            ),
+            mode="append" if wk else "overwrite",
+        )
+        info = refresh_drift_view(spark, vdir, tdir)
+        if wk > 0:
+            assert info["mode"] == "incremental", info
+    got = windowed_drift(spark, vdir, grid).collect()
+
+    # full path: single commit
+    tdir2, vdir2 = str(tmp_path / "t2"), str(tmp_path / "v2")
+    TX.commit(tdir2, prepare_drift_rows(ev, grid), mode="overwrite")
+    refresh_drift_view(spark, vdir2, tdir2)
+    want = windowed_drift(spark, vdir2, grid).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    by_day = {r["day"].day: r for r in got}
+    # anchor day 14 (2024-03-14): current = days 8..14 (calm), ref = 1..7
+    calm = by_day[14]
+    assert calm["psi"] < 0.05 and calm["ks_stat"] < 0.1, calm
+    # anchor day 21 (2024-03-21): current = days 15..21 (shifted)
+    hot = by_day[21]
+    assert hot["psi"] > 1.0, hot
+    assert hot["ks_stat"] > 0.9, hot
+    assert hot["mean_shift"] > 90, hot
