@@ -336,3 +336,138 @@ def ann_ivf_hnsw(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry: persistence + incremental insert (VERDICT r5 #5)
+# ---------------------------------------------------------------------------
+#
+# The graph is a ROUTING-scale artifact (centroids / small-N serving), so
+# persistence is the txlog registry pattern shared with ann_ivfpq_index
+# and the streaming BM25 index: the node table (id, level, vector, links)
+# is a txlog snapshot; entry point, caps, and the RNG midstream state
+# ride in the manifest's application metadata. Each insert batch commits
+# a NEW snapshot (inserts rewire existing nodes' neighbor lists, so the
+# node set is rewritten — MBs at routing scale, and readers keep snapshot
+# isolation while a rebuild lands).
+#
+# Incremental == rebuild, EXACTLY: level draws come from one PCG64
+# stream (numpy Generator sequential draws are stream-stable, asserted
+# in tests), and the monotone-id contract below makes batch-concat order
+# identical to the full rebuild's sorted-id insertion order. So N
+# insert_hnsw calls produce bit-for-bit the graph one build_hnsw over
+# the union would — the matview_refresh_twin shape, for graph state.
+
+
+def _index_state(index: HNSWIndex) -> dict:
+    import json
+
+    return {
+        "hnsw_meta": json.dumps(
+            {
+                "M": index.M,
+                "ef_construction": index.ef_construction,
+                "entry": index.entry,
+                "max_level": index.max_level,
+                "rng_state": index.rng.bit_generator.state,
+            }
+        )
+    }
+
+
+def save_hnsw(spark, index: HNSWIndex, index_dir: str) -> int:
+    """Persist the graph as a txlog snapshot: one row per node
+    (vec_id, level, unit vector, per-level neighbor lists as node
+    POSITIONS in sorted-id order — positions are stable because ids only
+    grow)."""
+    from . import txlog as TX
+
+    rows = [
+        (
+            int(index.ids[i]),
+            int(index.levels[i]),
+            [float(x) for x in index.vecs[i]],
+            [[int(n) for n in lvl] for lvl in index.links[i]],
+        )
+        for i in range(len(index.ids))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, level int, vec array<double>, "
+        "links array<array<int>>",
+    )
+    return TX.commit(
+        index_dir, df, mode="overwrite", extra=_index_state(index)
+    )
+
+
+def load_hnsw(spark, index_dir: str) -> HNSWIndex:
+    """Reconstruct the graph from the latest snapshot + manifest meta."""
+    import json
+
+    from . import txlog as TX
+
+    versions = TX._versions(index_dir)
+    if not versions:
+        raise ValueError(f"no committed HNSW snapshot under {index_dir}")
+    meta = json.loads(TX._manifest(index_dir, versions[-1])["hnsw_meta"])
+    rows = TX.read_snapshot(spark, index_dir).collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    index = HNSWIndex(M=meta["M"], ef_construction=meta["ef_construction"])
+    index.rng.bit_generator.state = meta["rng_state"]
+    index.ids = [int(r["vec_id"]) for r in rows]
+    index.levels = [int(r["level"]) for r in rows]
+    index.links = [
+        [[int(n) for n in lvl] for lvl in r["links"]] for r in rows
+    ]
+    index.vecs = np.array([r["vec"] for r in rows], dtype=np.float64)
+    index.entry = meta["entry"]
+    index.max_level = meta["max_level"]
+    return index
+
+
+def insert_hnsw_batch(index: HNSWIndex, ids: list[int], X: np.ndarray) -> None:
+    """Insert a batch with the paper's insert algorithm (the same
+    ``_insert`` construction uses), continuing the index's RNG stream.
+
+    Monotone-id contract: every new id must exceed the current max id
+    and the batch must be fed sorted — that makes the cumulative
+    insertion order equal to a full rebuild's sorted-id order, which is
+    what the rebuild==incremental parity guarantee rests on. Out-of-order
+    ids need a rebuild (build_hnsw) by design."""
+    if not ids:
+        return
+    sids = sorted(int(i) for i in ids)
+    if sids != [int(i) for i in ids]:
+        raise ValueError("insert_hnsw_batch: batch ids must be sorted")
+    if index.ids and sids[0] <= index.ids[-1]:
+        raise ValueError(
+            f"insert_hnsw_batch: new ids start at {sids[0]} but the index "
+            f"already holds ids up to {index.ids[-1]} — the registry is "
+            "append-only on id; rebuild for out-of-order ids"
+        )
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = (X / norms).astype(np.float64)
+    base = len(index.ids)
+    index.vecs = Xn if index.vecs is None else np.vstack([index.vecs, Xn])
+    index.ids.extend(sids)
+    draws = index.rng.random(len(sids))
+    for j in range(len(sids)):
+        index._insert(
+            base + j, int(-math.log(max(draws[j], 1e-300)) * index.ml)
+        )
+
+
+def insert_hnsw(spark, index_dir: str, embeddings: DataFrame) -> int:
+    """Load → insert batch → commit: the durable incremental-insert step.
+    Returns the new snapshot version."""
+    index = load_hnsw(spark, index_dir)
+    rows = embeddings.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    insert_hnsw_batch(
+        index,
+        [int(r["vec_id"]) for r in rows],
+        np.array([r["embedding"] for r in rows], dtype=np.float64),
+    )
+    return save_hnsw(spark, index, index_dir)

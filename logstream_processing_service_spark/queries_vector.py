@@ -319,3 +319,61 @@ def q_ann_ivf_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, label_centroids(emb), emb.filter(F.col("vec_id") < 10),
         k=5, nprobe=2,
     )
+
+
+@spec(
+    "ann_hnsw_registry", None,
+    "similarity", "hnsw", "index", "txlog", "rows-only",
+)
+def q_ann_hnsw_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable incremental HNSW (VERDICT r5 #5): build over the first
+    third of the corpus, persist via the txlog registry, grow it with
+    two insert_hnsw commits (paper's insert algorithm, same PCG64
+    stream), then serve from the LOADED graph. Rows-only: seeded graph
+    state is not SQL-expressible — rebuild==incremental bit-parity, the
+    append-only id contract, and the recall floor are asserted in
+    tests/test_hnsw.py."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .operators import hnsw as H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    c1, c2 = n // 3, 2 * n // 3
+    d = tempfile.mkdtemp(prefix="hnsw-registry-")
+    idx = H.build_hnsw(
+        emb.filter(F.col("vec_id") < c1), M=8, ef_construction=32, seed=0
+    )
+    H.save_hnsw(spark, idx, d)
+    H.insert_hnsw(
+        spark, d, emb.filter((F.col("vec_id") >= c1) & (F.col("vec_id") < c2))
+    )
+    H.insert_hnsw(spark, d, emb.filter(F.col("vec_id") >= c2))
+    grown = H.load_hnsw(spark, d)
+
+    out_schema = "q_id long, rank int, vec_id long, cos double"
+    import pandas as pd
+
+    def probe(batches):
+        for pdf in batches:
+            rows = []
+            for qid, e in zip(pdf["vec_id"], pdf["embedding"]):
+                hits = grown.search(
+                    np.asarray(e, dtype=np.float64), 5, ef=60,
+                    exclude_id=int(qid),
+                )
+                for r, (vid, cos) in enumerate(hits, start=1):
+                    rows.append((int(qid), r, int(vid), round(cos, 6)))
+            yield pd.DataFrame(
+                rows, columns=["q_id", "rank", "vec_id", "cos"]
+            )
+
+    return (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe, out_schema)
+        .orderBy("q_id", "rank")
+    )

@@ -115,3 +115,95 @@ def test_ann_ivf_hnsw_matches_ivf_routing(spark, sf_dir):
     via_scan = ann_ivf(emb, cents, q, k=5, nprobe=2)
     r = _recall(spark, via_hnsw, via_scan, 5)
     assert r >= 0.9, r
+
+
+def _graph_equal(a, b):
+    return (
+        a.ids == b.ids
+        and a.levels == b.levels
+        and a.links == b.links
+        and a.entry == b.entry
+        and a.max_level == b.max_level
+        and np.array_equal(a.vecs, b.vecs)
+    )
+
+
+def test_hnsw_incremental_insert_equals_rebuild():
+    """The registry's parity guarantee: build(prefix) + insert batches
+    == build(union), bit-for-bit (same PCG64 stream, monotone-id
+    insertion order)."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, (120, 8))
+    ids = list(range(120))
+
+    full = H.HNSWIndex(M=6, ef_construction=40, seed=2).build(ids, X)
+
+    inc = H.HNSWIndex(M=6, ef_construction=40, seed=2).build(
+        ids[:50], X[:50]
+    )
+    H.insert_hnsw_batch(inc, ids[50:90], X[50:90])
+    H.insert_hnsw_batch(inc, ids[90:], X[90:])
+    assert _graph_equal(full, inc)
+
+    q = rng.normal(0, 1, 8)
+    assert full.search(q, 5, ef=40) == inc.search(q, 5, ef=40)
+
+
+def test_hnsw_insert_contract_violations():
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 1, (10, 4))
+    idx = H.HNSWIndex(M=4, ef_construction=16, seed=0).build(
+        list(range(10)), X
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        H.insert_hnsw_batch(idx, [5], rng.normal(0, 1, (1, 4)))
+    with pytest.raises(ValueError, match="sorted"):
+        H.insert_hnsw_batch(idx, [12, 11], rng.normal(0, 1, (2, 4)))
+
+
+def test_hnsw_registry_persist_insert_search(spark, sf_dir, tmp_path):
+    """Durable cycle: build -> save -> (load+insert+commit) x2 ->
+    load -> search. The loaded-and-grown graph must equal the in-memory
+    rebuild over the union, and recall vs brute force holds a floor."""
+    import pyspark.sql.functions as F
+
+    from logstream_processing_service_spark.operators.similarity import (
+        ann_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    d = str(tmp_path / "hnsw")
+
+    first = emb.filter(F.col("vec_id") < 100)
+    idx0 = H.build_hnsw(first, M=8, ef_construction=32, seed=0)
+    save_v = H.save_hnsw(spark, idx0, d)
+    assert save_v == 0
+    v1 = H.insert_hnsw(
+        spark, d, emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    )
+    v2 = H.insert_hnsw(spark, d, emb.filter(F.col("vec_id") >= 200))
+    assert (v1, v2) == (1, 2)
+
+    grown = H.load_hnsw(spark, d)
+    rebuilt = H.build_hnsw(emb, M=8, ef_construction=32, seed=0)
+    assert _graph_equal(rebuilt, grown)
+
+    # recall floor through the loaded graph
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = ann_bruteforce(emb, q, k=5)
+    got_rows = []
+    for r in q.select("vec_id", "embedding").collect():
+        hits = grown.search(
+            np.asarray(r["embedding"], dtype=np.float64),
+            5,
+            ef=80,
+            exclude_id=int(r["vec_id"]),
+        )
+        for rank, (vid, cos) in enumerate(hits, start=1):
+            got_rows.append((int(r["vec_id"]), rank, int(vid), cos))
+    got = spark.createDataFrame(
+        got_rows, "q_id long, rank int, vec_id long, cos double"
+    )
+    assert _recall(spark, got, exact, 5) >= 0.85
