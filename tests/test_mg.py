@@ -92,3 +92,68 @@ def test_mg_topk_per_group_bounds_and_coverage(spark):
     assert "cold" in per_group["b"]
     # dominant items' lower bounds dominate their group's reports
     assert per_group["a"]["hot"][0] == max(v[0] for v in per_group["a"].values())
+
+
+def test_cm_sketch_bound_and_merge(spark):
+    """Count-min guarantees: (a) NEVER undercounts; (b) overcount is
+    <= eps*N (eps = e/width) for >= (1-delta) of items (delta =
+    e^-depth); (c) merging per-day sketches == building one sketch over
+    the union (counter matrices add element-wise)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.sketches import (
+        CM_DEPTH,
+        CM_WIDTH,
+        cm_daily_registry,
+        cm_estimate,
+        cm_merge,
+    )
+
+    # planted zipf-ish stream over 2 days: item i appears 500//(i+1)
+    # times on each day
+    rows = []
+    for day in ("2024-01-01", "2024-01-02"):
+        for i in range(200):
+            rows += [("a", f"{day} 12:00:00", i)] * (500 // (i + 1))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    reg = cm_daily_registry(ev)
+    merged = cm_merge(reg)
+    items = ev.select(
+        F.col("event_type").alias("key"),
+        F.col("user_id").cast("string").alias("item"),
+    ).distinct()
+    est = {
+        (r["key"], r["item"]): r["cm_est"]
+        for r in cm_estimate(merged, items).collect()
+    }
+    exact = {
+        (r["key"], r["item"]): r["n"]
+        for r in ev.groupBy(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    eps = math.e / CM_WIDTH
+    delta = math.exp(-CM_DEPTH)
+    over = []
+    for k, true in exact.items():
+        assert est[k] >= true, (k, est[k], true)  # never undercounts
+        over.append(est[k] - true)
+    frac_ok = sum(o <= eps * n_total for o in over) / len(over)
+    assert frac_ok >= 1 - delta, (frac_ok, 1 - delta)
+
+    # merge == single build over the union
+    one = cm_merge(
+        cm_daily_registry(ev.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp")))
+    )
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in one.collect())
+    assert a == b
