@@ -1373,3 +1373,66 @@ def kn_trigram_pruned_oracle_sql(
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     ORDER BY d.doc_id
     """
+
+
+def dsir_gumbel_topk(
+    documents: DataFrame,
+    k: int = 50,
+    target_lang: str = "en",
+    temperature: float = 1.0,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir-gumbel-v1",
+) -> DataFrame:
+    """Gumbel-top-k DSIR selection (the log-space twin of
+    ``dsir_importance_sample``): rank by log_weight/T + G where
+    G = −ln(−ln u) is Gumbel(0,1) noise from the portable keyed hash,
+    keep the k best. The Gumbel-max property makes this an EXACT sample
+    without replacement from softmax(log_weight/T) — identical inclusion
+    law to the A-ES resampler — but it never exponentiates: no max-shift
+    broadcast, no underflow collapse at small temperatures (the two
+    failure modes dsir_importance_sample has to engineer around). This
+    is the form the dsir_weights docstring promises for fixed-budget
+    selection at scale.
+
+    Determinism/portability: u = (hash48(salt:doc_id) + 0.5) / 2^48 is
+    strictly inside (0,1) (both ln's finite) and bit-identical in
+    DuckDB; the key is built from the ALREADY-ROUNDED log_weight and
+    rounded to 12 dp before ranking (the weighted_sample convention), so
+    the selected set is engine-stable. Scale shape: dsir_weights' cost
+    plus one in-row hash + two ln's and a TakeOrdered top-k — no global
+    sort, no window, no extra exchange."""
+    from ..functions.text import hash48_sql
+
+    w = dsir_weights(documents, target_lang, n_buckets)
+    h = F.expr(hash48_sql(f"concat('{salt}:', cast(doc_id as string))"))
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 48))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col("log_weight") / F.lit(float(temperature)) + gumbel, 12
+    )
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "lang", "log_weight", "gumbel_key")
+    )
+
+
+def dsir_gumbel_oracle_sql(
+    k: int = 50,
+    target_lang: str = "en",
+    temperature: float = 1.0,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir-gumbel-v1",
+) -> str:
+    from ..functions.text import hash48_sql
+
+    h = hash48_sql(f"concat('{salt}:', CAST(doc_id AS VARCHAR))")
+    return f"""
+    SELECT doc_id, lang, log_weight,
+           round(log_weight / {float(temperature)}
+                 + -ln(-ln((({h}) + 0.5) / {float(1 << 48)})), 12)
+               AS gumbel_key
+    FROM ({dsir_oracle_sql(target_lang, n_buckets)}) w
+    ORDER BY gumbel_key DESC, doc_id LIMIT {k}
+    """

@@ -606,6 +606,67 @@ def sessionize(
     )
 
 
+def session_gap_sweep(
+    df: DataFrame,
+    gaps_minutes: tuple[int, ...] = (5, 15, 30, 60, 120),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sessionization quality sweep: per candidate gap, the corpus-wide
+    session census (total sessions, active users, events per session) —
+    the report an operator reads to CHOOSE the gap before running
+    ``sessionize`` for real.
+
+    One pass for ALL gaps: sessions-at-gap-g = per-user firsts + the
+    inter-event deltas >= g, so a single lag window (ONE shuffle on the
+    actor key — the same exchange sessionize pays for one gap) followed
+    by one global conditional aggregate answers every gap; per-gap
+    columns unpivot to rows driver-free via ``stack``. Naive per-gap
+    sessionize would pay |gaps| shuffles and |gaps| session-grain
+    aggregations for a report this computes in-expression.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    delta = (us - F.lag(us).over(w)).alias("delta_us")
+    deltas = df.select(F.col(key_col), delta)
+    # >= boundary matches sessionize/session_window (closed-open)
+    aggs = []
+    for g in gaps_minutes:
+        g_us = g * 60 * 1_000_000
+        aggs.append(
+            F.sum(
+                (
+                    F.col("delta_us").isNull()
+                    | (F.col("delta_us") >= F.lit(g_us))
+                ).cast("bigint")
+            ).alias(f"s{g}")
+        )
+    totals = deltas.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col(key_col)).alias("n_users"),
+        *aggs,
+    )
+    stack_expr = ", ".join(f"{g}, s{g}" for g in gaps_minutes)
+    return (
+        totals.selectExpr(
+            "n_events",
+            "n_users",
+            f"stack({len(gaps_minutes)}, {stack_expr}) "
+            "AS (gap_minutes, n_sessions)",
+        )
+        .select(
+            F.col("gap_minutes").cast("int").alias("gap_minutes"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_sessions"), 6
+            ).alias("avg_events_per_session"),
+        )
+        .orderBy("gap_minutes")
+    )
+
+
 def asof_last_event(
     df: DataFrame,
     probe_type: str = "error",

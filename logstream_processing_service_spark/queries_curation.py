@@ -579,6 +579,19 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @spec(
+    "dsir_gumbel_sample",
+    C.dsir_gumbel_oracle_sql(),
+    "north-star", "data-selection", "dsir", "gumbel-topk",
+)
+def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget DSIR selection via Gumbel-top-k (exact softmax
+    sampling without replacement, entirely in log space — no exp, no
+    max-shift): top-50 docs by log_weight + Gumbel noise from the
+    portable keyed hash, hash-matched in DuckDB end to end."""
+    return C.dsir_gumbel_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+@spec(
     "kn_trigram_logprob",
     C.kn_trigram_oracle_sql(),
     "north-star", "lm-filter", "kneser-ney",

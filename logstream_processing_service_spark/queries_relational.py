@@ -439,6 +439,54 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.sessionize(_t(spark, sf_dir, "events"))
 
 
+def _session_gap_sweep_oracle(
+    gaps: tuple[int, ...] = (5, 15, 30, 60, 120)
+) -> str:
+    per_gap = ",\n               ".join(
+        f"sum(CASE WHEN delta_us IS NULL OR delta_us >= "
+        f"{g * 60 * 1_000_000} THEN 1 ELSE 0 END) AS s{g}"
+        for g in gaps
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({g} AS INT) AS gap_minutes,
+           CAST(s{g} AS BIGINT) AS n_sessions,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_events AS DOUBLE) / s{g}, 6)
+               AS avg_events_per_session
+    FROM t"""
+        for g in gaps
+    )
+    return f"""
+    WITH d AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+        FROM events
+    ),
+    t AS (
+        SELECT count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               {per_gap}
+        FROM d
+    )
+{arms}
+    ORDER BY gap_minutes
+    """
+
+
+@spec(
+    "session_gap_sweep",
+    _session_gap_sweep_oracle(),
+    "sessionization", "W-ext", "sweep",
+)
+def q_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-gap sessionization census in ONE pass (one actor-keyed
+    window + one global conditional aggregate answers every candidate
+    gap) — the report that tunes the gap before sessionize runs for
+    real."""
+    return R.session_gap_sweep(_t(spark, sf_dir, "events"))
+
+
 @spec(
     "asof_signup_before_error",
     """

@@ -349,3 +349,39 @@ def test_kn_pruned_contexts_are_proper_distributions(spark):
             terms.append(-math.log(p))
         exp = round(sum(terms) / len(terms), 6)
         assert got[did] == (len(ws) - 2, exp), (did, got[did], exp)
+
+
+def test_dsir_gumbel_topk_properties(spark, sf_dir):
+    """Gumbel-top-k DSIR: (a) deterministic run-to-run; (b) at low
+    temperature the noise is dominated and selection degrades to greedy
+    top-k by log_weight (the property dsir_importance_sample loses to
+    underflow); (c) changing the salt redraws the sample."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators import curation as C
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = [tuple(r) for r in C.dsir_gumbel_topk(docs, k=20).collect()]
+    b = [tuple(r) for r in C.dsir_gumbel_topk(docs, k=20).collect()]
+    assert a == b and len(a) == 20
+
+    # T=0.001 scales log-weights by 1000x: noise (O(10)) cannot reorder
+    greedy = {
+        r["doc_id"]
+        for r in C.dsir_weights(docs)
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(20)
+        .collect()
+    }
+    cold = {
+        r["doc_id"]
+        for r in C.dsir_gumbel_topk(docs, k=20, temperature=0.001).collect()
+    }
+    assert cold == greedy
+
+    other = {
+        r["doc_id"]
+        for r in C.dsir_gumbel_topk(docs, k=20, salt="other-salt").collect()
+    }
+    assert other != {t[0] for t in a}  # a redraw moves the set

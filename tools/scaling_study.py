@@ -41,6 +41,11 @@ QUERIES = [
     "contamination_overlap",
     "bm25_search",
     "curate_corpus",
+    # r5 additions (r5 VERDICT "Next round" #6)
+    "kn_trigram_pruned",
+    "perplexity_buckets_exact",
+    "json_shred_profile",       # scales with events (also 10x'd below)
+    "mjpeg_frame_pixel_stats",  # synthetic payloads derive from documents
 ]
 
 SCALE_DIR = "/tmp/logstream_scale10"
@@ -82,7 +87,27 @@ def build_scale10() -> None:
     pq.write_table(
         big, os.path.join(SCALE_DIR, "documents.parquet"), row_group_size=5000
     )
-    print(f"scale10 built: {len(out)} docs", flush=True)
+    # events 10x for the events-grain queries (json_shred_profile): k
+    # copies with offset event_ids, payloads/types/ts kept verbatim so
+    # JSON key/type marginals are preserved exactly
+    te = pq.read_table(os.path.join(SRC_SF, "events.parquet"))
+    ne = te.num_rows
+    import pyarrow.compute as pc
+
+    parts = []
+    for k in range(10):
+        t2 = te.set_column(
+            te.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(te.column("event_id"), k * ne),
+        )
+        parts.append(t2)
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(SCALE_DIR, "events.parquet"),
+        row_group_size=50_000,
+    )
+    print(f"scale10 built: {len(out)} docs, {10 * ne} events", flush=True)
 
 
 def main() -> None:
@@ -110,6 +135,45 @@ def main() -> None:
             spark.catalog.clearCache()
         return round(best, 3)
 
+    def run_matview_refresh(sf_dir: str) -> float:
+        """Time ONE incremental refresh of a FIXED 10k-row delta on top
+        of a base table built from sf_dir's events — the O(delta) claim
+        measured: the number should be ~flat across the 10x base step
+        (alpha ~ 0), because refresh reads only the delta's files plus
+        the KB-sized stored view."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from logstream_processing_service_spark.operators import txlog as TX
+        from logstream_processing_service_spark.operators.matview import (
+            ViewSpec,
+            refresh_matview,
+        )
+
+        spec_ = ViewSpec(
+            group_cols=("event_type",),
+            sum_cols=("value",),
+            minmax_cols=("user_id",),
+        )
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", "user_id"
+        )
+        delta = ev.limit(10_000).drop("event_id")
+        best = float("inf")
+        for _ in range(reps):
+            base = tempfile.mkdtemp(prefix="scale-mv-")
+            tdir, vdir = f"{base}/t", f"{base}/v"
+            TX.commit(tdir, ev.drop("event_id"), mode="overwrite")
+            refresh_matview(spark, vdir, tdir, spec_)  # full, untimed
+            TX.commit(tdir, delta, mode="append")
+            t0 = time.perf_counter()
+            info = refresh_matview(spark, vdir, tdir, spec_)
+            best = min(best, time.perf_counter() - t0)
+            assert info["mode"] == "incremental", info
+            shutil.rmtree(base, ignore_errors=True)
+        return round(best, 3)
+
     table: dict[str, dict] = {}
     for name in QUERIES:
         r = {
@@ -122,6 +186,16 @@ def main() -> None:
         )
         table[name] = r
         print(json.dumps({name: r}), flush=True)
+
+    r = {
+        "sf0.1": run_matview_refresh(SRC_SF),
+        "scale10": run_matview_refresh(SCALE_DIR),
+    }
+    r["alpha_10x"] = round(
+        math.log(r["scale10"] / r["sf0.1"]) / math.log(10.0), 3
+    )
+    table["matview_refresh_delta10k"] = r
+    print(json.dumps({"matview_refresh_delta10k": r}), flush=True)
     print(json.dumps(table), flush=True)
 
 
