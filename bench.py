@@ -137,6 +137,15 @@ HEADLINE = [
     "image_histogram_stats",
     "kn_trigram_pruned",
     "mjpeg_frame_pixel_stats",
+    # round-6 additions. Eager caveats: drift_window_twin runs its 3
+    # commits + incremental refreshes at fn() build time (the matview
+    # twin pattern); ann_hnsw_registry runs build->save->insert x2 at
+    # fn() time and the bench line times the distributed probe.
+    "drift_window_twin",
+    "cm_user_counts",
+    "ann_hnsw_registry",
+    "session_gap_sweep",
+    "dsir_gumbel_sample",
 ]
 
 

@@ -45,9 +45,55 @@ def spec(name: str, oracle: str | None, *tags: str):
 # registration order is a coverage decision: (a) stalest first, (b) new
 # queries always get a first row (never-checked debt stays zero), (c)
 # remaining slots backfill the next-stalest set. Freshness ledger after
-# r4 (latest driver row per query, computed from CORRECTNESS_r01-r04):
-# 29 at r1, 34 at r2, 47 at r3, 50 at r4.
+# r5 (latest driver row per query, computed from CORRECTNESS_r01-r05):
+# 0 at r1, 29 at r2, 47 at r3, 50 at r4, 50 at r5.
 _PRIORITY: tuple[str, ...] = (
+    # ------------------------------------------------------------------
+    # ROUND-6 WINDOW (r5 VERDICT "Next round" #1): freshness rotation.
+    # (a) ALL 29 queries whose latest driver row is from r2 — including
+    # every query displaced from the r5 window (displacement rationales
+    # in the r5 block below) and the VERDICT-named daily-compose set
+    # (dedup_exact, dedup_simhash, curation_funnel, onehot_event_type,
+    # standardize_value, text_quality, tfidf_top_terms). Closes the r2
+    # debt COMPLETELY; after this round nothing is older than r3.
+    "ann_ivf", "curation_funnel", "decontaminate_report",
+    "dedup_clusters", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_fingerprints", "doc_stats", "domain_mix_plan",
+    "domain_mix_sample", "embedding_near_dup", "embedding_norm_stats",
+    "image_dimensions", "kmeans_refit_assign", "onehot_event_type",
+    "pack_sequences", "packing_efficiency", "repetition_scores",
+    "sensitive_term_scrub", "standardize_value",
+    "stratified_sample_docs", "template_match", "text_quality",
+    "tfidf_top_terms", "token_counts", "top_tokens", "train_test_split",
+    "unigram_logprob",
+    # (b) NEW in r6 (first driver row required): the VERDICT-directed
+    # operators — windowed drift via incremental matview (#4), the
+    # count-min registry (#7), the durable incremental HNSW (#5) — plus
+    # the session-gap sweep and Gumbel-top-k DSIR from the candidate
+    # list.
+    "drift_window_twin", "cm_user_counts", "ann_hnsw_registry",
+    "session_gap_sweep", "dsir_gumbel_sample",
+    # r6-changed but NOT re-slotted (the shard_assignment precedent —
+    # behavior-unchanged at the driver's scale, latest rows green, local
+    # parity re-checks every round): drift_report (KS tie fix + width
+    # guard verified by its r6-fresh local parity run and regression
+    # tests; its r5 row predates the fix, but the in-window
+    # drift_window_twin exercises the SAME corrected PSI/KS conventions
+    # oracle-paired).
+    # (c) backfill from the r3-latest set (47 queries, 16 slots —
+    # alphabetical order; the remainder resumes in r7):
+    "ann_ivf_pq", "ann_ivfpq_index", "ann_pq", "audio_metadata",
+    "bigram_logprob", "bracketed_discount_revenue", "c4_line_stats",
+    "charclass_profile", "cheapest_supplier_per_part",
+    "clustering_quality", "contamination_overlap",
+    "cross_source_dup_matrix", "customer_order_distribution",
+    "customer_order_stats", "dataset_card", "decontaminate_bloom",
+)
+
+
+# Retired r5 window, kept for the displacement-rationale record the
+# VERDICT audits (catalog.py is the canonical place these lived):
+_PRIORITY_R5: tuple[str, ...] = (
     # ------------------------------------------------------------------
     # ROUND-5 WINDOW (r4 VERDICT "Next round" #1): freshness rotation.
     # (a) all 29 queries whose latest driver row is from r1 — their only
