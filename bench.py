@@ -146,6 +146,9 @@ HEADLINE = [
     "ann_hnsw_registry",
     "session_gap_sweep",
     "dsir_gumbel_sample",
+    # eager caveat: the 8-file staging write + bloom build run at fn()
+    # time; the bench line times the pruned scan
+    "bloom_point_lookup",
 ]
 
 

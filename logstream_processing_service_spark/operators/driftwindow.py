@@ -22,7 +22,7 @@ its bins to the observed global min/max — fine for a one-shot, but an
 incremental view can never re-bin history when a new extremum arrives.
 Out-of-range values clamp to the edge bins (so the grid degrades, never
 breaks); pick the grid from domain knowledge, as production monitors do
-(reference tie: src/processing/volume_analyzer.py:27-73 fixes its
+(reference tie: src/ml/volume_analyzer.py:27-73 fixes its
 rolling-window parameters up front for the same reason).
 
 KS here is the BINNED statistic (max ECDF gap evaluated on the grid

@@ -178,3 +178,100 @@ def read_pruned(spark: SparkSession, index_df, col: str, lo, hi):
     if not files:
         raise ValueError("no files match — caller should handle empty scan")
     return spark.read.parquet(*files).filter(F.col(col).between(lo, hi))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file index — the point-lookup data-skipping structure
+# (Delta bloom index / parquet column bloom analogue). min/max stats
+# (build_file_stats_index) prune RANGE predicates on clustered layouts;
+# for an EQUALITY probe on a column the layout does NOT sort by (hash-
+# scattered user ids, doc ids after compaction), every file's [min, max]
+# spans the probe and stats prune nothing — a bloom per file does.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20  # fixed bit-space: positions are portable across files
+BLOOM_K = 5        # probes per key; fp = (1 - e^(-k*n/m))^k
+
+
+def _bloom_positions(key_sql: str, k: int = BLOOM_K, m: int = BLOOM_M) -> str:
+    """SQL array of the k bit positions for a STRING-typed key expression
+    (portable 48-bit md5 per probe — the sampling-module hash family,
+    salted per probe)."""
+    from ..functions.text import hash48_sql
+
+    elems = ", ".join(
+        "CAST(("
+        + hash48_sql(f"concat('bloom{i}:', {key_sql})")
+        + f") % {m} AS INT)"
+        for i in range(k)
+    )
+    return f"array({elems})"
+
+
+def build_bloom_file_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+):
+    """Per-file SPARSE bloom: the sorted set of set-bit positions for
+    ``col`` (≤ min(k·n_distinct, m) ints per file — metadata-sized, and
+    exact set semantics make membership checks plain array ops).
+
+    Scale: ONE column-pruned scan; explode(×k) feeds a single
+    groupBy(_file) whose collect_set partial-aggregates map-side, so the
+    exchange carries per-file position SETS, not row-grain positions.
+    Persist next to the table (or in a txlog manifest); refresh per
+    commit like the stats index."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("_file"),
+            F.explode(
+                F.expr(_bloom_positions(f"CAST({col} AS STRING)", k, m))
+            ).alias("pos"),
+        )
+        .groupBy("_file")
+        .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+    )
+
+
+def bloom_prune_files(index_df, col_value, k: int = BLOOM_K, m: int = BLOOM_M) -> list[str]:
+    """Files that MAY contain ``col_value``: all k probe positions set.
+    No false negatives (every file actually containing the value
+    survives); false positives at rate (1 − e^(−k·n/m))^k cost only a
+    wasted file scan, never a wrong answer."""
+    from pyspark.sql import functions as F
+
+    probe = F.expr(_bloom_positions(f"'{col_value}'", k, m))
+    rows = (
+        index_df.withColumn("_probe", probe)
+        .filter(
+            F.size(F.array_except(F.col("_probe"), F.col("bloom"))) == 0
+        )
+        .select("_file")
+        .collect()
+    )
+    return [r["_file"] for r in rows]
+
+
+def read_bloom_pruned(
+    spark: SparkSession, index_df, col: str, col_value, k: int = BLOOM_K,
+    m: int = BLOOM_M,
+):
+    """Scan only the bloom-surviving files, then re-apply the EXACT
+    equality (the index is a superset filter — answers are identical to
+    a full scan, only cheaper)."""
+    from pyspark.sql import functions as F
+
+    files = bloom_prune_files(index_df, col_value, k, m)
+    if not files:
+        # a true miss: the value is provably absent — empty frame with
+        # the table schema, no data touched
+        return None
+    return spark.read.parquet(*files).filter(
+        F.col(col).cast("string") == str(col_value)
+    )

@@ -873,6 +873,47 @@ def q_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "bloom_point_lookup",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events WHERE user_id = 7 ORDER BY event_id
+    """,
+    "data-skipping", "bloom-index", "engine-ext",
+)
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the bloom file index: stage events into a
+    hash-scattered 8-file layout (each user's rows in ONE file, ranges
+    overlapping — the layout min/max stats cannot skip on), build the
+    per-file sparse bloom, scan ONLY the surviving files. The oracle is
+    the plain equality query — pruning is a superset filter plus exact
+    re-filter, so answers are identical by construction; the pruning
+    ratio itself is asserted in tests/test_maintenance.py."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.maintenance import (
+        build_bloom_file_index,
+        read_bloom_pruned,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    out = f"/tmp/logstream_bloomidx_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(8, "user_id").write.parquet(out)
+    idx = build_bloom_file_index(spark, out, "user_id")
+    hit = read_bloom_pruned(spark, idx, "user_id", 7)
+    assert hit is not None  # user 7 exists at every test SF
+    return hit.select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    ).orderBy("event_id")
+
+
 @spec("user_retention_theta", None, "sketch-registry", "theta", "rows-only")
 def q_user_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day actor retention from a mergeable Theta-sketch registry
