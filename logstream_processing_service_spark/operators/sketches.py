@@ -484,3 +484,45 @@ def cm_estimate(
         .groupBy("key", "item")
         .agg(F.min("cnt").cast("bigint").alias("cm_est"))
     )
+
+
+def prepare_cm_rows(
+    events: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Project raw events to CM cell grain (key, day, r, c) — the commit
+    payload for an INCREMENTALLY-maintained registry: commit these rows
+    to a txlog table and refresh a matview with ``cm_view_spec()``; the
+    registry then advances O(delta-files) per commit exactly like the
+    drift view (CM counters are pure counts, so the matview's mergeable-
+    aggregate contract applies verbatim). Parity with the one-shot
+    ``cm_daily_registry`` is asserted in tests/test_mg.py."""
+    spark = events.sparkSession
+    depth_t = F.broadcast(
+        spark.range(depth).select(F.col("id").cast("int").alias("r"))
+    )
+    return (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.to_date("ts").alias("day"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .crossJoin(depth_t)
+        .select(
+            "key",
+            "day",
+            "r",
+            F.expr(_cm_cell_sql("item", "r", width)).cast("int").alias("c"),
+        )
+    )
+
+
+def cm_view_spec():
+    """Matview spec over prepare_cm_rows output: the count per cell IS
+    the sketch."""
+    from .matview import ViewSpec
+
+    return ViewSpec(group_cols=("key", "day", "r", "c"))

@@ -157,3 +157,43 @@ def test_cm_sketch_bound_and_merge(spark):
     a = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in one.collect())
     assert a == b
+
+
+def test_cm_registry_incremental_refresh_parity(spark, tmp_path, sf_dir):
+    """The CM registry maintained O(delta) through the txlog+matview
+    machinery (3 incremental refreshes) equals the one-shot
+    cm_daily_registry over the union — counters are counts, so the
+    mergeable-aggregate contract applies verbatim."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators import txlog as TX
+    from logstream_processing_service_spark.operators.matview import (
+        refresh_matview,
+    )
+    from logstream_processing_service_spark.operators.sketches import (
+        cm_daily_registry,
+        cm_view_spec,
+        prepare_cm_rows,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tdir, vdir = str(tmp_path / "t"), str(tmp_path / "v")
+    for b in range(3):
+        TX.commit(
+            tdir,
+            prepare_cm_rows(ev.filter(F.col("event_id") % 3 == b)),
+            mode="append" if b else "overwrite",
+        )
+        info = refresh_matview(spark, vdir, tdir, cm_view_spec())
+        if b > 0:
+            assert info["mode"] == "incremental", info
+    got = sorted(
+        (r["key"], str(r["day"]), r["r"], r["c"], int(r["cnt"]))
+        for r in TX.read_snapshot(spark, vdir).collect()
+    )
+    want = sorted(
+        (r["key"], str(r["day"]), r["r"], r["c"], int(r["cnt"]))
+        for r in cm_daily_registry(ev).collect()
+    )
+    assert got == want and len(got) > 0
