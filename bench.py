@@ -149,6 +149,9 @@ HEADLINE = [
     # eager caveat: the 8-file staging write + bloom build run at fn()
     # time; the bench line times the pruned scan
     "bloom_point_lookup",
+    # eager caveat: the two txlog commits run at fn() time; the bench
+    # line times the keyed full-outer CDC diff
+    "snapshot_cdc_twin",
 ]
 
 

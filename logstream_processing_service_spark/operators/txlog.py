@@ -31,6 +31,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
@@ -306,3 +307,124 @@ def merge_commit(
     target = read_snapshot(spark, table_dir, version=base)
     merged = merge_full(target, source, key, **merge_kwargs)
     return commit(table_dir, merged, mode="overwrite", expected_version=base)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key: str | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots (the Delta CDF / Iceberg
+    changelog primitive): every row that differs, tagged
+    ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage}.
+
+    Scale shape, two tiers:
+    - APPEND LINEAGE (files(v_from) ⊆ files(v_to), the common case for
+      a log table): the diff IS the added files — read ONLY those,
+      O(delta), no comparison compute at all.
+    - General (overwrites/merges between the versions): without a key,
+      two ``exceptAll`` passes (bag semantics, so duplicate rows diff
+      correctly); with a ``key``, ONE full-outer shuffle join on the key
+      comparing whole-row structs — the honest minimum for an arbitrary
+      rewrite, and the keyed form is what downstream CDC consumers want
+      (update_pre/postimage pairs instead of delete+insert).
+    """
+    for v in (v_from, v_to):
+        if v not in _versions(table_dir):
+            raise ValueError(f"version {v} not found under {table_dir}")
+    a_files = _manifest(table_dir, v_from)["files"]
+    b_files = _manifest(table_dir, v_to)["files"]
+    if set(a_files) <= set(b_files):
+        added = [f for f in b_files if f not in set(a_files)]
+        base = read_snapshot(spark, table_dir, v_from)
+        if not added:
+            return base.limit(0).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        return spark.read.parquet(*added).withColumn(
+            "_change_type", F.lit("insert")
+        )
+
+    a = read_snapshot(spark, table_dir, v_from)
+    b = read_snapshot(spark, table_dir, v_to)
+    if key is None:
+        ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
+        dels = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dels)
+
+    cols = a.columns
+    a_s = a.select(F.col(key).alias("_k"), F.struct(*cols).alias("_a"))
+    b_s = b.select(F.col(key).alias("_k"), F.struct(*cols).alias("_b"))
+    j = a_s.join(b_s, "_k", "full_outer")
+    tagged = j.select(
+        F.explode(
+            F.when(
+                F.col("_a").isNull(),
+                F.array(F.struct(F.lit("insert").alias("_t"), F.col("_b").alias("_r"))),
+            )
+            .when(
+                F.col("_b").isNull(),
+                F.array(F.struct(F.lit("delete").alias("_t"), F.col("_a").alias("_r"))),
+            )
+            .when(
+                F.col("_a") != F.col("_b"),
+                F.array(
+                    F.struct(F.lit("update_preimage").alias("_t"), F.col("_a").alias("_r")),
+                    F.struct(F.lit("update_postimage").alias("_t"), F.col("_b").alias("_r")),
+                ),
+            )
+            # unchanged rows: the when-chain yields NULL and explode()
+            # emits nothing — no otherwise branch needed
+        ).alias("_e")
+    )
+    return tagged.select(
+        *[F.col(f"_e._r.{c}").alias(c) for c in cols],
+        F.col("_e._t").alias("_change_type"),
+    )
+
+
+def restore(table_dir: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION: commit a NEW version whose manifest
+    points at the old snapshot's files — no data is copied or rewritten,
+    history is preserved (a restore is itself an auditable commit, and
+    the restored-over versions stay time-travelable until vacuumed).
+    The re-referenced files are protected from vacuum by being in the
+    newest manifest."""
+    import json as _json
+
+    seen = _versions(table_dir)
+    if version not in seen:
+        raise ValueError(f"version {version} not found (have {seen})")
+    src = _manifest(table_dir, version)
+    new_version = seen[-1] + 1
+    manifest = {
+        "version": new_version,
+        "mode": "restore",
+        "restored_from": version,
+        "commit_id": uuid.uuid4().hex[:12],
+        "files": src["files"],
+        "schema": src.get("schema"),
+    }
+    # carry the streaming HWMs forward: a restore must not reopen
+    # exactly-once windows
+    latest = _manifest(table_dir, seen[-1])
+    for k in ("last_batch_id", "txn_hwms"):
+        if latest.get(k) is not None:
+            manifest[k] = latest[k]
+    cid = manifest["commit_id"]
+    tmp = os.path.join(_log_dir(table_dir), f"v{new_version}._tmp{cid}.json")
+    final = os.path.join(_log_dir(table_dir), f"v{new_version}.json")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(
+            f"v{new_version} was committed concurrently"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return new_version

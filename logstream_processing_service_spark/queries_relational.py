@@ -914,6 +914,73 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@spec(
+    "snapshot_cdc_twin",
+    """
+    WITH a AS (
+        SELECT event_id, event_type, round(value, 2) AS value
+        FROM events WHERE event_id % 4 IN (0, 1)
+    ),
+    b AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 3 = 0 AND event_id % 4 = 0
+                    THEN round(value, 2) + 100 ELSE round(value, 2) END
+                   AS value
+        FROM events WHERE event_id % 4 IN (0, 2)
+    )
+    SELECT a.event_id, a.event_type, a.value, 'delete' AS _change_type
+    FROM a LEFT JOIN b ON a.event_id = b.event_id WHERE b.event_id IS NULL
+    UNION ALL
+    SELECT b.event_id, b.event_type, b.value, 'insert'
+    FROM b LEFT JOIN a ON a.event_id = b.event_id WHERE a.event_id IS NULL
+    UNION ALL
+    SELECT a.event_id, a.event_type, a.value, 'update_preimage'
+    FROM a JOIN b ON a.event_id = b.event_id
+    WHERE a.value <> b.value OR a.event_type <> b.event_type
+    UNION ALL
+    SELECT b.event_id, b.event_type, b.value, 'update_postimage'
+    FROM a JOIN b ON a.event_id = b.event_id
+    WHERE a.value <> b.value OR a.event_type <> b.event_type
+    ORDER BY event_id, _change_type
+    """,
+    "txlog", "cdc", "engine-ext",
+)
+def q_snapshot_cdc_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two txlog snapshots (Delta-CDF shape):
+    commit state A, overwrite with state B (a planted mix of deletes,
+    inserts, updates, and unchanged rows), then snapshot_diff with a key
+    — the emitted insert/delete/update_pre+postimage rows hash-match the
+    oracle's direct reconstruction of the two states. The append-lineage
+    O(delta) fast path and vacuum-surviving restore are covered in
+    tests/test_txlog.py."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    t = f"/tmp/logstream_cdc_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    a = ev.filter(F.col("event_id") % 4 < 2)
+    b = ev.filter((F.col("event_id") % 4).isin(0, 2)).withColumn(
+        "value",
+        F.when(
+            (F.col("event_id") % 3 == 0) & (F.col("event_id") % 4 == 0),
+            F.col("value") + 100,
+        ).otherwise(F.col("value")),
+    )
+    TX.commit(t, a)
+    TX.commit(t, b)
+    return TX.snapshot_diff(spark, t, 0, 1, key="event_id").orderBy(
+        "event_id", "_change_type"
+    )
+
+
 @spec("user_retention_theta", None, "sketch-registry", "theta", "rows-only")
 def q_user_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day actor retention from a mergeable Theta-sketch registry
