@@ -152,6 +152,7 @@ HEADLINE = [
     # eager caveat: the two txlog commits run at fn() time; the bench
     # line times the keyed full-outer CDC diff
     "snapshot_cdc_twin",
+    "skew_report",
 ]
 
 

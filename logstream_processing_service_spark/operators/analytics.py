@@ -1247,3 +1247,40 @@ def constraint_report(
         F.col("n_violations").cast("bigint").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("rule")
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnostics — the report an operator reads
+    BEFORE sizing a shuffle at 100 TB: the ``top_n`` heaviest keys with
+    their share of the table, the ratio to the mean key weight, and the
+    salt factor ``relational.salted_join`` would need to flatten each
+    one (ceil of that ratio: splitting a hot key into that many salted
+    sub-keys brings its partition back to mean weight).
+
+    Scale shape: ONE grouped count with map-side combine (the same
+    exchange any aggregation on this key pays), a two-scalar broadcast
+    (mean key weight), and a TakeOrdered top-N — no global sort, no
+    second pass over data."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mean_cnt")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") / F.col("mean_cnt"), 6).alias(
+                "ratio_to_mean"
+            ),
+            F.ceil(F.col("cnt") / F.col("mean_cnt"))
+            .cast("int")
+            .alias("suggested_salt"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(top_n)
+    )

@@ -741,6 +741,30 @@ def q_matview_refresh_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_matview(spark, view_dir, spec_)
 
 
+@spec(
+    "skew_report",
+    """
+    WITH c AS (
+        SELECT CAST(user_id AS STRING) AS key, count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    s AS (SELECT CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_cnt FROM c)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / mean_cnt, 6) AS ratio_to_mean,
+           CAST(ceil(cnt / mean_cnt) AS INT) AS suggested_salt
+    FROM c, s ORDER BY cnt DESC, key LIMIT 10
+    """,
+    "ops", "skew", "engine-ext",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: the 10 heaviest user_id keys with
+    ratio-to-mean and the salt factor salted_join would need — the
+    pre-flight report for sizing a 100 TB shuffle."""
+    from .operators.analytics import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
 def _drift_window_oracle() -> str:
     """Full recompute of the incremental windowed-drift monitor: same
     fixed grid (lo=0, width=30, 20 bins), same 7-day current-vs-prior
