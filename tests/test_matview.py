@@ -183,3 +183,41 @@ def test_windowed_drift_detects_planted_week_shift(spark, tmp_path):
     assert hot["psi"] > 1.0, hot
     assert hot["ks_stat"] > 0.9, hot
     assert hot["mean_shift"] > 90, hot
+
+
+def test_drift_sink_streaming_composition(spark, tmp_path, sf_dir):
+    """The streaming drift monitor: micro-batches through drift_sink
+    (txlog append + incremental view refresh per batch, replay-guarded)
+    serve the same report as one batch build; a replayed batch is a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators import txlog as TX
+    from logstream_processing_service_spark.operators.driftwindow import (
+        DriftGrid,
+        drift_sink,
+        prepare_drift_rows,
+        refresh_drift_view,
+        windowed_drift,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = DriftGrid(lo=0.0, hi=600.0, bins=20, window_days=7)
+
+    tdir, vdir = str(tmp_path / "t"), str(tmp_path / "v")
+    sink = drift_sink(tdir, vdir, grid)
+    for b in range(3):
+        sink(ev.filter(F.col("event_id") % 3 == b), b)
+    sink(ev.filter(F.col("event_id") % 3 == 1), 1)  # replay: no-op
+    got = [
+        r.asDict() for r in windowed_drift(spark, vdir, grid).collect()
+    ]
+
+    tdir2, vdir2 = str(tmp_path / "t2"), str(tmp_path / "v2")
+    TX.commit(tdir2, prepare_drift_rows(ev, grid), mode="overwrite")
+    refresh_drift_view(spark, vdir2, tdir2)
+    want = [
+        r.asDict() for r in windowed_drift(spark, vdir2, grid).collect()
+    ]
+    assert got == want and len(got) > 0
