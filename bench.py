@@ -153,6 +153,7 @@ HEADLINE = [
     # line times the keyed full-outer CDC diff
     "snapshot_cdc_twin",
     "skew_report",
+    "tokenizer_fertility",
 ]
 
 

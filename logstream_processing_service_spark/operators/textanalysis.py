@@ -511,3 +511,52 @@ def quality_feature_matrix(documents: DataFrame) -> DataFrame:
             "bpe_est_tokens"
         ),
     )
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility / compression report per language — the
+    multilingual-fairness metric of the BPE literature (fertility =
+    segments per word; compression = chars per segment): languages whose
+    text fragments into more pieces pay more sequence length per unit of
+    content, which skews both training cost and effective context. Run
+    BEFORE fixing a tokenizer for a multilingual mix.
+
+    Scale shape: the same single zero-shuffle regexp scan as
+    subword_token_counts, then one tiny grouped aggregate on lang —
+    bigint sums (order-independent), divisions at the report grain."""
+    segs = F.size(
+        F.regexp_extract_all("text", F.lit(GPT2_PRETOKEN_RE), 0)
+    ).cast("bigint")
+    w = _word_col()
+    per_doc = documents.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        segs.alias("segs"),
+        F.size(w).cast("bigint").alias("words"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("segs").alias("total_segments"),
+            F.sum("words").alias("total_words"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "total_chars",
+            "total_segments",
+            F.round(
+                F.col("total_segments").cast("double")
+                / F.greatest(F.col("total_words"), F.lit(1)),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.greatest(F.col("total_segments"), F.lit(1)),
+                6,
+            ).alias("chars_per_segment"),
+        )
+        .orderBy("lang")
+    )

@@ -874,6 +874,40 @@ def q_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.subword_token_counts(_t(spark, sf_dir, "documents"))
 
 
+def _tokenizer_fertility_oracle() -> str:
+    pat = TA.GPT2_PRETOKEN_RE.replace("'", "''")
+    segs = f"len(regexp_extract_all(text, '{pat}'))"
+    return f"""
+    WITH d AS (
+        SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+               CAST({segs} AS BIGINT) AS segs,
+               CAST(len({_WORDS_DUCK}) AS BIGINT) AS words
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(segs) AS BIGINT) AS total_segments,
+           round(CAST(sum(segs) AS DOUBLE)
+                 / greatest(sum(words), 1), 6) AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE)
+                 / greatest(sum(segs), 1), 6) AS chars_per_segment
+    FROM d GROUP BY lang ORDER BY lang
+    """
+
+
+@spec(
+    "tokenizer_fertility",
+    _tokenizer_fertility_oracle(),
+    "north-star", "tokenization", "multilingual",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (segments/word) and compression
+    (chars/segment) from the GPT-2 pretokenizer grain — the
+    multilingual-fairness report read before fixing a tokenizer for a
+    training mix."""
+    return TA.tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
 def _dataset_card_oracle() -> str:
     h = T.hash48_sql("text")
     return f"""
