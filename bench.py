@@ -154,6 +154,9 @@ HEADLINE = [
     "snapshot_cdc_twin",
     "skew_report",
     "tokenizer_fertility",
+    # eager caveat: the LSH pair pipeline + 3 contraction batches run at
+    # fn() time; the bench line times the served report
+    "components_incremental_twin",
 ]
 
 

@@ -141,3 +141,100 @@ def pagerank_oracle_sql(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
            round(r.rank * n, 6) AS rank_scaled
     FROM r{n_iter} r JOIN deg USING (node) CROSS JOIN nv
     """
+
+
+def incremental_components(
+    spark,
+    assign_dir: str,
+    new_edges: DataFrame,
+    reliable: bool = False,
+) -> int:
+    """Incrementally maintain a connected-components assignment table
+    (node, label; label = min reachable node id — the dedup_clusters
+    canonical-id contract) under EDGE-BATCH arrivals, via contraction:
+
+    1. map each new edge endpoint to its current label (two joins at
+       |new edges| grain; unseen nodes contract to themselves),
+    2. run batch CC (dedup.connected_components) on the CONTRACTED edge
+       list — its size is |new edges| and its diameter is the diameter
+       of the NEW merge structure, not the corpus graph's,
+    3. remap the stored assignment through the resulting label→label
+       moves (one join, no iteration) and append the new nodes,
+    4. commit the assignment as the next txlog snapshot (optimistic
+       concurrency; readers keep snapshot isolation mid-rewrite).
+
+    Why the labels stay canonical: every stored label IS the min id of
+    its component, so the contracted graph's min-label result equals the
+    min over the merged components' full membership.
+
+    At 100 TB this is the difference between re-running diameter×
+    full-edge-list shuffle rounds per ingest batch (the batch
+    dedup_clusters cost) and paying CC only on the delta plus ONE linear
+    remap of the assignment table. Equality with the batch recompute is
+    asserted per-batch in tests and end-to-end by the
+    components_incremental_twin driver row."""
+    from . import txlog as TX
+    from .dedup import connected_components
+
+    have = TX._versions(assign_dir)
+    assign = TX.read_snapshot(spark, assign_dir) if have else None
+    e = new_edges.select("d1", "d2")
+    if assign is not None:
+        a1 = assign.select(
+            F.col("node").alias("d1"), F.col("label").alias("_l1")
+        )
+        a2 = assign.select(
+            F.col("node").alias("d2"), F.col("label").alias("_l2")
+        )
+        e = (
+            e.join(a1, "d1", "left")
+            .join(a2, "d2", "left")
+            .select(
+                F.coalesce("_l1", F.col("d1")).alias("d1"),
+                F.coalesce("_l2", F.col("d2")).alias("d2"),
+            )
+        )
+    # edges inside one existing component contract to self-loops: drop
+    contracted = e.filter(F.col("d1") != F.col("d2"))
+    cc = connected_components(contracted, reliable=reliable)
+    if assign is None:
+        return TX.commit(assign_dir, cc)
+
+    moves = cc.select(
+        F.col("node").alias("_old_label"), F.col("label").alias("_new_label")
+    )
+    remapped = (
+        assign.join(
+            moves, assign["label"] == moves["_old_label"], "left"
+        )
+        .select(
+            "node",
+            F.coalesce("_new_label", F.col("label")).alias("label"),
+        )
+    )
+    old_nodes = assign.select("node")
+    fresh = cc.join(old_nodes, "node", "left_anti")
+    new_assign = remapped.unionByName(fresh)
+    return TX.commit(
+        assign_dir, new_assign, expected_version=TX._versions(assign_dir)[-1]
+    )
+
+
+def serve_components(spark, assign_dir: str) -> DataFrame:
+    """Read the maintained assignment and derive the dedup_clusters
+    report shape: (doc_id, canonical_id, cluster_size, is_keeper)."""
+    from pyspark.sql import Window
+
+    from . import txlog as TX
+
+    assign = TX.read_snapshot(spark, assign_dir)
+    w = Window.partitionBy("canonical_id")
+    return (
+        assign.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("canonical_id"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("canonical_id"))
+        .orderBy("doc_id")
+    )

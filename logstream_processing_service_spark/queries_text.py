@@ -161,6 +161,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@spec(
+    "components_incremental_twin",
+    _dedup_clusters_oracle(),
+    "dedup", "clusters", "incremental", "txlog",
+)
+def q_components_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster maintenance under ingest (graph.py
+    incremental_components): the verified near-dup pair list is computed
+    ONCE (checkpointed — the same edge-list discipline dedup_clusters
+    uses), sliced into 3 arrival batches by the NEWER doc's id, and
+    folded into a txlog-backed assignment by contraction — per batch,
+    CC runs only on the contracted delta plus one linear remap, never on
+    the full edge list. The served report hash-matches the batch
+    dedup_clusters oracle over ALL pairs: incremental == batch, under
+    the driver hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .operators.graph import incremental_components, serve_components
+
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    ).localCheckpoint(eager=True)
+    d = tempfile.mkdtemp(prefix="cc-assign-")
+    for b in range(3):
+        incremental_components(
+            spark, d, pairs.filter(F.col("d2") % 3 == b)
+        )
+    return serve_components(spark, d)
+
+
 def _simhash_oracle() -> str:
     bit_sums = ", ".join(
         f"sum((h // {1 << i}) % 2) AS b{i}" for i in range(T.SIMHASH_BITS)

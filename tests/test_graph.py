@@ -72,3 +72,50 @@ def test_co_order_edges_symmetric_simple(spark):
     got = {(r["src"], r["dst"]) for r in co_order_edges(li).collect()}
     # order 1: {10,11}; order 2: {10,12}; dup (1,10) collapses
     assert got == {(10, 11), (11, 10), (10, 12), (12, 10)}
+
+
+def test_incremental_components_equals_batch(spark, tmp_path):
+    """Contraction-maintained CC == batch CC over the union, after every
+    batch — including merges of previously-separate components and
+    within-component (self-loop) edges."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from logstream_processing_service_spark.operators.dedup import (
+        connected_components,
+    )
+    from logstream_processing_service_spark.operators.graph import (
+        incremental_components,
+        serve_components,
+    )
+
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],          # three components
+        [(2, 3), (20, 21)],                  # merges {1,2}+{3,4}; new comp
+        [(4, 1), (11, 20), (5, 10)],         # self-loop edge; big merge
+    ]
+    d = str(tmp_path / "assign")
+    seen = []
+    for b in batches:
+        seen += b
+        incremental_components(
+            spark,
+            d,
+            spark.createDataFrame(b, "d1 long, d2 long"),
+        )
+        want = sorted(
+            tuple(r)
+            for r in connected_components(
+                spark.createDataFrame(seen, "d1 long, d2 long")
+            ).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["canonical_id"])
+            for r in serve_components(spark, d).collect()
+        )
+        assert got == want, (b, got, want)
+
+    final = {r["doc_id"]: r for r in serve_components(spark, d).collect()}
+    # final components: {1,2,3,4} (min 1) and {5,10,11,20,21} (min 5)
+    assert final[21]["canonical_id"] == 5
+    assert final[5]["canonical_id"] == 5
+    assert final[1]["cluster_size"] == 4 and final[5]["cluster_size"] == 5
