@@ -578,3 +578,74 @@ def test_funnel_dup_ratio_single_md5_binding(spark, sf_dir):
     for df in (curation_funnel(docs), repetition_scores(docs)):
         plan = physical_plan(df)
         assert plan.count("md5(") <= 1, plan
+
+
+def test_cm_registry_plan_broadcast_only_joins(spark):
+    """CM build/merge/estimate never sort-merge-join: the depth table is
+    a broadcast nested loop, the merged sketch a broadcast hash join;
+    the only exchanges are the registry's grouped counts."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.sketches import (
+        cm_daily_registry,
+        cm_estimate,
+        cm_merge,
+    )
+
+    ev = _events(spark)
+    merged = cm_merge(cm_daily_registry(ev))
+    items = ev.select(
+        F.col("event_type").alias("key"),
+        F.col("user_id").cast("string").alias("item"),
+    ).distinct()
+    plan = _plan(cm_estimate(merged, items))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_session_gap_sweep_single_window_exchange(spark):
+    """One actor-keyed exchange (the lag window) + the singleton final
+    aggregate — NOT one shuffle per candidate gap."""
+    from logstream_processing_service_spark.operators.relational import (
+        session_gap_sweep,
+    )
+
+    plan = _plan(session_gap_sweep(_events(spark)))
+    # hashpartitioning on the actor key appears exactly once
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_index_build_single_aggregation(spark, tmp_path):
+    """Bloom build: one scan + one grouped collect_set with partial
+    (ObjectHashAggregate) map-side combine; no join at all."""
+    from logstream_processing_service_spark.operators.maintenance import (
+        build_bloom_file_index,
+    )
+
+    out = str(tmp_path / "ev")
+    _events(spark).select("event_id", "user_id").repartition(4).write.parquet(out)
+    plan = _plan(build_bloom_file_index(spark, out, "user_id"))
+    assert "Join" not in plan
+    # partial_collect_set before the exchange = map-side dedup
+    assert "partial_collect_set" in plan or "ObjectHashAggregate" in plan
+
+
+def test_incremental_components_remap_is_single_pass(spark, tmp_path):
+    """The assignment remap joins are plain hash joins at delta grain —
+    no iteration, no cartesian."""
+    from logstream_processing_service_spark.operators.graph import (
+        incremental_components,
+    )
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    d = str(tmp_path / "assign")
+    incremental_components(
+        spark, d, spark.createDataFrame([(1, 2), (3, 4)], "d1 long, d2 long")
+    )
+    incremental_components(
+        spark, d, spark.createDataFrame([(2, 3)], "d1 long, d2 long")
+    )
+    plan = _plan(TX.read_snapshot(spark, d))
+    assert "Scan parquet" in plan  # assignment is served from the snapshot
