@@ -64,7 +64,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        # ReservedCodeCacheSize: whole-stage codegen emits a new class per
+        # plan, and a long session running 100+ distinct queries (the
+        # bench, the driver's correctness sweep) fills the JVM's default
+        # 240 MB JIT code cache — once full the compiler is disabled and
+        # LATER queries silently run interpreted (the "late-run drift"
+        # class adjudicated in the r4-r6 ABAB tables). 512 MB keeps the
+        # JIT alive for the whole sweep.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.timezone=UTC -XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

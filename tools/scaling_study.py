@@ -46,6 +46,11 @@ QUERIES = [
     "perplexity_buckets_exact",
     "json_shred_profile",       # scales with events (also 10x'd below)
     "mjpeg_frame_pixel_stats",  # synthetic payloads derive from documents
+    # r6 additions
+    "cm_user_counts",               # events-grain: CM build dominates
+    "session_gap_sweep",            # events-grain: one window shuffle
+    "components_incremental_twin",  # documents-grain: LSH + contraction
+    "drift_window_twin",            # events-grain: 3 commits + refreshes
 ]
 
 SCALE_DIR = "/tmp/logstream_scale10"
