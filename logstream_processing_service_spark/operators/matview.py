@@ -46,6 +46,14 @@ class ViewSpec:
     sum_cols: tuple[str, ...] = field(default=())
     minmax_cols: tuple[str, ...] = field(default=())
     sum_decimal: str = "DECIMAL(27, 6)"
+    # approx-distinct measures: one DataSketches HLL per group, merged by
+    # sketch UNION — the one distinct-count form that IS self-mergeable
+    # (an exact COUNT(DISTINCT) cannot ride an incremental view without
+    # keeping the full value set per group). Register state is max-merged,
+    # so N incremental refreshes estimate IDENTICALLY to a full recompute
+    # (asserted in tests); estimates surface as approx_distinct_<col>.
+    hll_cols: tuple[str, ...] = field(default=())
+    hll_lg_k: int = 12
 
 
 def _partial(df: DataFrame, spec: ViewSpec) -> DataFrame:
@@ -57,6 +65,12 @@ def _partial(df: DataFrame, spec: ViewSpec) -> DataFrame:
     for c in spec.minmax_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
+    for c in spec.hll_cols:
+        aggs.append(
+            F.expr(f"hll_sketch_agg({c}, {spec.hll_lg_k})").alias(
+                f"hll_{c}"
+            )
+        )
     return df.groupBy(*spec.group_cols).agg(*aggs)
 
 
@@ -69,6 +83,10 @@ def _merge(view: DataFrame, delta: DataFrame, spec: ViewSpec) -> DataFrame:
     for c in spec.minmax_cols:
         aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
         aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+    for c in spec.hll_cols:
+        aggs.append(
+            F.expr(f"hll_union_agg(hll_{c}, true)").alias(f"hll_{c}")
+        )
     return view.unionByName(delta).groupBy(*spec.group_cols).agg(*aggs)
 
 
@@ -144,6 +162,12 @@ def read_matview(
     for c in spec.minmax_cols:
         cols.append(F.col(f"min_{c}"))
         cols.append(F.col(f"max_{c}"))
+    for c in spec.hll_cols:
+        cols.append(
+            F.expr(f"hll_sketch_estimate(hll_{c})")
+            .cast("bigint")
+            .alias(f"approx_distinct_{c}")
+        )
     return df.select(*cols).orderBy(*spec.group_cols)
 
 

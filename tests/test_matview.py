@@ -221,3 +221,61 @@ def test_drift_sink_streaming_composition(spark, tmp_path, sf_dir):
         r.asDict() for r in windowed_drift(spark, vdir2, grid).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_matview_hll_measures_incremental_equals_full(spark, tmp_path, sf_dir):
+    """Approx-distinct measures ride the incremental view: HLL register
+    state is max-merged, so 3 incremental refreshes estimate IDENTICALLY
+    to a full recompute, and the estimate tracks the exact distinct
+    count within HLL error."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators import txlog as TX
+    from logstream_processing_service_spark.operators.matview import (
+        ViewSpec,
+        read_matview,
+        refresh_matview,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    spec = ViewSpec(
+        group_cols=("event_type",),
+        sum_cols=("value",),
+        hll_cols=("user_id",),
+    )
+
+    t1, v1 = str(tmp_path / "t1"), str(tmp_path / "v1")
+    for b in range(3):
+        TX.commit(
+            t1,
+            ev.filter(F.col("event_id") % 3 == b).drop("event_id"),
+            mode="append" if b else "overwrite",
+        )
+        info = refresh_matview(spark, v1, t1, spec)
+        if b > 0:
+            assert info["mode"] == "incremental", info
+    inc = {r["event_type"]: r for r in read_matview(spark, v1, spec).collect()}
+
+    t2, v2 = str(tmp_path / "t2"), str(tmp_path / "v2")
+    TX.commit(t2, ev.drop("event_id"), mode="overwrite")
+    refresh_matview(spark, v2, t2, spec)
+    full = {r["event_type"]: r for r in read_matview(spark, v2, spec).collect()}
+    assert inc.keys() == full.keys()
+    for k in inc:
+        assert (
+            inc[k]["approx_distinct_user_id"]
+            == full[k]["approx_distinct_user_id"]
+        ), k
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        est = inc[k]["approx_distinct_user_id"]
+        assert abs(est - n) / n < 0.05, (k, est, n)
