@@ -471,3 +471,72 @@ def insert_hnsw(spark, index_dir: str, embeddings: DataFrame) -> int:
         np.array([r["embedding"] for r in rows], dtype=np.float64),
     )
     return save_hnsw(spark, index, index_dir)
+
+
+def hnsw_index_sink(index_dir: str, txn_app_id: str = "hnsw-ingest"):
+    """foreachBatch sink that keeps a durable HNSW registry current over
+    a stream of (vec_id, embedding) rows — the "continuously index new
+    embeddings" deployment: batch 0 builds the graph, later batches run
+    the incremental insert, and each step commits a new snapshot (so
+    searchers keep snapshot isolation while the index grows).
+
+    Exactly-once: the registry snapshot's manifest carries a per-app
+    batch HWM (the txlog txn_app_id pattern) — a replayed batch is a
+    no-op instead of a double insert, which would corrupt the
+    rebuild==incremental parity contract. The monotone-id insert
+    contract applies per batch: ids must arrive in increasing ranges
+    (natural for ingestion-assigned ids); an out-of-order batch raises
+    rather than silently degrading the graph."""
+    from . import txlog as TX
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = TX._versions(index_dir)
+        if versions:
+            m = TX._manifest(index_dir, versions[-1])
+            hwm = (m.get("txn_hwms") or {}).get(txn_app_id)
+            if hwm is not None and batch_id <= hwm:
+                return  # replay after crash: already durably inserted
+            index = load_hnsw(spark, index_dir)
+            rows = batch_df.select("vec_id", "embedding").collect()
+            rows.sort(key=lambda r: r["vec_id"])
+            insert_hnsw_batch(
+                index,
+                [int(r["vec_id"]) for r in rows],
+                np.array([r["embedding"] for r in rows], dtype=np.float64),
+            )
+        else:
+            index = build_hnsw(batch_df)
+        _commit_index(spark, index, index_dir, batch_id, txn_app_id)
+
+    return write
+
+
+def _commit_index(
+    spark, index: HNSWIndex, index_dir: str, batch_id: int, txn_app_id: str
+) -> int:
+    """save_hnsw with the streaming HWM riding in the same manifest."""
+    from . import txlog as TX
+
+    rows = [
+        (
+            int(index.ids[i]),
+            int(index.levels[i]),
+            [float(x) for x in index.vecs[i]],
+            [[int(n) for n in lvl] for lvl in index.links[i]],
+        )
+        for i in range(len(index.ids))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, level int, vec array<double>, "
+        "links array<array<int>>",
+    )
+    return TX.commit(
+        index_dir,
+        df,
+        mode="overwrite",
+        batch_id=batch_id,
+        txn_app_id=txn_app_id,
+        extra=_index_state(index),
+    )

@@ -207,3 +207,27 @@ def test_hnsw_registry_persist_insert_search(spark, sf_dir, tmp_path):
         got_rows, "q_id long, rank int, vec_id long, cos double"
     )
     assert _recall(spark, got, exact, 5) >= 0.85
+
+
+def test_hnsw_index_sink_streaming_ingest(spark, sf_dir, tmp_path):
+    """Streaming index maintenance: 3 micro-batches through
+    hnsw_index_sink equal the one-shot rebuild over the union; a
+    replayed batch is a no-op (exactly-once via the manifest HWM)."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 240
+    )
+    d = str(tmp_path / "hnsw-stream")
+    sink = H.hnsw_index_sink(d)
+    for b, (lo, hi) in enumerate([(0, 80), (80, 160), (160, 240)]):
+        sink(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            b,
+        )
+    # crash replay of the middle batch: must not double-insert
+    sink(emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 160)), 1)
+
+    grown = H.load_hnsw(spark, d)
+    rebuilt = H.build_hnsw(emb)
+    assert _graph_equal(rebuilt, grown)
