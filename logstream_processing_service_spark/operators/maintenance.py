@@ -246,7 +246,11 @@ def bloom_prune_files(index_df, col_value, k: int = BLOOM_K, m: int = BLOOM_M) -
     wasted file scan, never a wrong answer."""
     from pyspark.sql import functions as F
 
-    probe = F.expr(_bloom_positions(f"'{col_value}'", k, m))
+    # SQL-literal escape: the probe value is interpolated into the hash
+    # expression; a quote in a string key must not break (or inject into)
+    # the SQL text
+    lit = str(col_value).replace("'", "''")
+    probe = F.expr(_bloom_positions(f"'{lit}'", k, m))
     rows = (
         index_df.withColumn("_probe", probe)
         .filter(

@@ -228,3 +228,23 @@ def test_bloom_file_index_point_lookup(spark, sf_dir, tmp_path):
     # absent key: provably missing -> no scan at all
     assert read_bloom_pruned(spark, idx, "user_id", 10**15) is None
     idx.unpersist()
+
+
+def test_bloom_index_string_keys_with_quotes(spark, tmp_path):
+    """String keys containing SQL quotes must hash, not break the probe
+    expression (the probe value is interpolated into SQL text)."""
+    from logstream_processing_service_spark.operators.maintenance import (
+        bloom_prune_files,
+        build_bloom_file_index,
+        read_bloom_pruned,
+    )
+
+    out = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("o'brien", 1), ("plain", 2), ("it's", 3)], "name string, v long"
+    ).repartition(2, "name").write.parquet(out)
+    idx = build_bloom_file_index(spark, out, "name")
+    files = bloom_prune_files(idx, "o'brien")
+    assert files  # present key survives
+    got = read_bloom_pruned(spark, idx, "name", "o'brien").collect()
+    assert [(r["name"], r["v"]) for r in got] == [("o'brien", 1)]
