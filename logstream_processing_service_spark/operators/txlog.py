@@ -331,6 +331,10 @@ def snapshot_diff(
       comparing whole-row structs — the honest minimum for an arbitrary
       rewrite, and the keyed form is what downstream CDC consumers want
       (update_pre/postimage pairs instead of delete+insert).
+
+    The keyed form assumes ``key`` is unique per snapshot (the usual CDC
+    contract); duplicate keys would multiply through the full-outer join
+    — use the unkeyed bag-semantics form for non-unique keys.
     """
     for v in (v_from, v_to):
         if v not in _versions(table_dir):
