@@ -157,6 +157,7 @@ HEADLINE = [
     # eager caveat: the LSH pair pipeline + 3 contraction batches run at
     # fn() time; the bench line times the served report
     "components_incremental_twin",
+    "weekly_heavy_actors",
 ]
 
 

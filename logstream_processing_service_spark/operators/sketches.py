@@ -552,3 +552,103 @@ def cm_view_spec():
     from .matview import ViewSpec
 
     return ViewSpec(group_cols=("key", "day", "r", "c"))
+
+
+def mg_daily_registry(
+    events: DataFrame,
+    item_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable frequent-items registry: one Misra-Gries summary per
+    DAY — rows (day, item, cnt) plus one (day, NULL, err) row carrying
+    that day's total decrement. The windowed twin of the HLL/KLL/CM
+    daily registries: per-day state is O(k) regardless of row count
+    (one shuffle on day, applyInPandas), and summaries MERGE by
+    pointwise sum with errors adding — so any trailing-window question
+    is answered from the registry alone."""
+    import pandas as pd
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        day = pdf["day"].iloc[0]
+        counts: dict[str, int] = {}
+        err = 0
+        for item in pdf["item"]:
+            if item is None:
+                continue
+            if item in counts:
+                counts[item] += 1
+            elif len(counts) < k:
+                counts[item] = 1
+            else:
+                err += 1
+                dead = []
+                for it in counts:
+                    counts[it] -= 1
+                    if counts[it] == 0:
+                        dead.append(it)
+                for it in dead:
+                    del counts[it]
+        return pd.DataFrame(
+            {
+                "day": [day] * (len(counts) + 1),
+                "item": list(counts) + [None],
+                "cnt": list(counts.values()) + [err],
+            }
+        )
+
+    return (
+        events.select(
+            F.to_date("ts").alias("day"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .groupBy("day")
+        .applyInPandas(summarize, "day date, item string, cnt bigint")
+    )
+
+
+def windowed_heavy_hitters(
+    registry: DataFrame, window_days: int = 7, top_k: int = 16
+) -> DataFrame:
+    """Trailing-window frequent items from the daily MG registry (the
+    drift_window composition, for the heavy-hitter question): per anchor
+    day, pointwise-sum the window's summaries and report the top
+    ``top_k`` items with [est_lower, est_upper] — upper = lower + the
+    window's summed decrements, so true window counts always lie in the
+    interval (each day's true ≤ cnt + err, and absent days contribute
+    ≤ err). Everything runs at registry grain (≤ (k+1)·days rows) — the
+    anchor range join and ranking never touch raw events."""
+    from pyspark.sql import Window
+
+    W = window_days
+    anchors = registry.select(F.col("day").alias("d")).distinct()
+    joined = anchors.join(
+        registry,
+        (F.col("day") >= F.date_sub(F.col("d"), W - 1))
+        & (F.col("day") <= F.col("d")),
+    )
+    sums = (
+        joined.filter(F.col("item").isNotNull())
+        .groupBy("d", "item")
+        .agg(F.sum("cnt").alias("est_lower"))
+    )
+    errs = (
+        joined.filter(F.col("item").isNull())
+        .groupBy("d")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("err"))
+    )
+    w = Window.partitionBy("d").orderBy(F.desc("est_lower"), "item")
+    return (
+        sums.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .join(errs, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.col("rank").cast("int").alias("rank"),
+            "item",
+            "est_lower",
+            (F.col("est_lower") + F.coalesce("err", F.lit(0))).alias(
+                "est_upper"
+            ),
+        )
+        .orderBy("day", "rank")
+    )

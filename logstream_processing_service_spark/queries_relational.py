@@ -1250,3 +1250,23 @@ def q_snapshot_timetravel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+@spec(
+    "weekly_heavy_actors", None,
+    "sketch-registry", "misra-gries", "windowed", "rows-only",
+)
+def q_weekly_heavy_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-week frequent actors from the daily Misra-Gries registry
+    (the drift_window composition for the heavy-hitter question):
+    per anchor day, pointwise-summed summaries -> top-5 with
+    [est_lower, est_upper] bounds. Rows-only: MG summary contents are
+    partition-order state; the bound/emergence contract is asserted in
+    tests/test_mg.py."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .operators.sketches import mg_daily_registry, windowed_heavy_hitters
+
+    return windowed_heavy_hitters(
+        mg_daily_registry(_t(spark, sf_dir, "events")), top_k=5
+    )

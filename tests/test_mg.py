@@ -197,3 +197,42 @@ def test_cm_registry_incremental_refresh_parity(spark, tmp_path, sf_dir):
         for r in cm_daily_registry(ev).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_windowed_heavy_hitters_bounds_and_emergence(spark):
+    """Sliding-week frequent items from the daily MG registry: the
+    bounds contain exact window counts, and an actor heavy ONLY in the
+    second week emerges exactly for anchors whose window covers it."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.sketches import (
+        mg_daily_registry,
+        windowed_heavy_hitters,
+    )
+
+    rows = []
+    for day in range(14):
+        date = f"2024-05-{day + 1:02d} 12:00:00"
+        for i in range(30):            # background noise actors
+            rows.append((date, 1000 + (day * 31 + i * 7) % 97))
+        rows.append((date, 1))         # always-heavy actor: 50/day
+        rows += [(date, 1)] * 49
+        if day >= 7:
+            rows += [(date, 2)] * 80   # emerges in week 2 only
+    ev = spark.createDataFrame(rows, "ts string, user_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    reg = mg_daily_registry(ev, k=32)
+    out = windowed_heavy_hitters(reg, window_days=7, top_k=5)
+    by_anchor = {}
+    for r in out.collect():
+        by_anchor.setdefault(r["day"].day, {})[r["item"]] = r
+
+    # anchor day 7 (window 1..7): actor 1 on top, actor 2 absent
+    assert "1" in by_anchor[7] and by_anchor[7]["1"]["rank"] == 1
+    assert "2" not in by_anchor[7]
+    # anchor day 14 (window 8..14): actor 2 overtakes actor 1
+    assert by_anchor[14]["2"]["rank"] == 1
+    # bounds contain the exact window counts
+    assert by_anchor[14]["2"]["est_lower"] <= 7 * 80 <= by_anchor[14]["2"]["est_upper"]
+    assert by_anchor[7]["1"]["est_lower"] <= 7 * 50 <= by_anchor[7]["1"]["est_upper"]
