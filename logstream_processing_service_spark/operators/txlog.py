@@ -432,3 +432,101 @@ def restore(table_dir: str, version: int) -> int:
     finally:
         os.remove(tmp)
     return new_version
+
+
+def commit_with_stats(
+    table_dir: str,
+    df: DataFrame,
+    stats_cols: tuple[str, ...],
+    mode: str = "overwrite",
+    **commit_kwargs,
+) -> int:
+    """commit() + Iceberg/Delta-style per-file column stats in the
+    manifest: after the data lands, ONE column-pruned scan of the NEW
+    files (O(delta), grouped by input_file_name) records min/max/nulls
+    per file under ``file_stats``. Append commits carry the previous
+    manifest's stats forward, so the full file-stats map is always in
+    the LATEST manifest — scan planning never opens parquet footers.
+    """
+    import json as _json
+
+    spark = df.sparkSession
+    seen_before = set(_versions(table_dir))
+    prev_stats = {}
+    if seen_before and mode == "append":
+        prev_stats = _manifest(table_dir, max(seen_before)).get(
+            "file_stats"
+        ) or {}
+    v = commit(table_dir, df, mode=mode, **commit_kwargs)
+    man = _manifest(table_dir, v)
+    prev_files = set(prev_stats)
+    new_files = [f for f in man["files"] if f not in prev_files]
+    stats = dict(prev_stats)
+    if new_files:
+        sdf = (
+            spark.read.parquet(*new_files)
+            .select(*stats_cols)
+            .withColumn("_file", F.input_file_name())
+        )
+        aggs = []
+        for c in stats_cols:
+            aggs += [
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+            ]
+        for r in sdf.groupBy("_file").agg(*aggs).collect():
+            # input_file_name returns a URI; manifest paths are plain —
+            # normalize to the manifest's form
+            path = r["_file"]
+            if path.startswith("file://"):
+                path = path[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            stats[path] = {
+                k: r[k] for k in r.asDict() if k != "_file"
+            }
+    # attach stats by rewriting the just-committed manifest in place —
+    # safe: the commit point (os.link) already happened and the stats are
+    # derived metadata; a reader that raced sees a manifest without
+    # ``file_stats`` and simply cannot prune
+    man["file_stats"] = stats
+    with open(
+        os.path.join(_log_dir(table_dir), f"v{v}.json"), "w"
+    ) as fh:
+        _json.dump(man, fh)
+    return v
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read that skips files from MANIFEST stats alone (no
+    parquet footer reads, no listing): files whose [min, max] for
+    ``col`` cannot intersect [lo, hi] are dropped from the scan, then
+    the exact predicate re-applies. Files without recorded stats are
+    conservatively read. The planning cost is the manifest's size —
+    KBs — which is the whole point at 100 TB."""
+    seen = _versions(table_dir)
+    if not seen:
+        raise ValueError(f"no committed version under {table_dir}")
+    v = seen[-1] if version is None else version
+    man = _manifest(table_dir, v)
+    stats = man.get("file_stats") or {}
+    keep = []
+    for f in man["files"]:
+        st = stats.get(f)
+        if st is None or st.get(f"min_{col}") is None:
+            keep.append(f)  # unknown: cannot prune
+            continue
+        if not (st[f"max_{col}"] < lo or st[f"min_{col}"] > hi):
+            keep.append(f)
+    if not keep:
+        base = read_snapshot(spark, table_dir, v)
+        return base.filter(F.lit(False))
+    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))

@@ -354,3 +354,49 @@ def test_restore_to_version(spark, tmp_path):
     # vacuum keeps the restored (v0-referenced) data alive
     TX.vacuum(t, retain_last=1, min_age_seconds=0.0)
     assert sorted(r["id"] for r in TX.read_snapshot(spark, t).collect()) == [1, 2]
+
+
+def test_manifest_file_stats_pruning(spark, tmp_path):
+    """Iceberg/Delta-shaped data skipping off the LOG: commit_with_stats
+    records per-file min/max in the manifest (O(new files) per commit,
+    carried forward on appends); read_snapshot_pruned plans the scan
+    from manifest stats alone and answers identically to a full scan."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    # three append commits of disjoint id ranges, one file each
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        TX.commit_with_stats(
+            t,
+            spark.range(lo, hi).coalesce(1).select(
+                F.col("id"), (F.col("id") % 7).alias("y")
+            ),
+            stats_cols=("id",),
+            mode="append" if lo else "overwrite",
+        )
+    man = TX._manifest(t, TX._versions(t)[-1])
+    assert len(man["files"]) == 3
+    assert len(man["file_stats"]) == 3  # append carried stats forward
+
+    pruned = TX.read_snapshot_pruned(spark, t, "id", 120, 180)
+    # only the middle file is scanned
+    files_read = {
+        r["_f"]
+        for r in pruned.select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    }
+    assert len(files_read) == 1
+    want = sorted(
+        r["id"]
+        for r in TX.read_snapshot(spark, t)
+        .filter(F.col("id").between(120, 180))
+        .collect()
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == want
+
+    # out-of-range probe: zero files, empty result, correct schema
+    none = TX.read_snapshot_pruned(spark, t, "id", 10_000, 20_000)
+    assert none.count() == 0 and set(none.columns) == {"id", "y"}
