@@ -530,3 +530,42 @@ def read_snapshot_pruned(
         base = read_snapshot(spark, table_dir, v)
         return base.filter(F.lit(False))
     return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    sort_col: str | None = None,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Delta OPTIMIZE for a txlog table: rewrite the current snapshot's
+    files into ``target_files`` (optionally range-clustered on
+    ``sort_col`` so stats pruning works afterward) and commit the result
+    as a NEW version — readers keep snapshot isolation throughout, the
+    pre-optimize snapshot stays time-travelable until vacuumed, and the
+    rewrite is crash-safe for free (an interrupted optimize leaves an
+    orphan data directory that vacuum's retention logic collects; the
+    commit point is still the atomic manifest link).
+
+    A streaming ingest (streaming_commit_sink) accretes one small file
+    per micro-batch; this is the companion job that folds them back into
+    scan-efficient files, with manifest stats so read_snapshot_pruned
+    skips from the log."""
+    df = read_snapshot(spark, table_dir)
+    if sort_col is not None:
+        rewritten = df.repartitionByRange(target_files, F.col(sort_col))
+    else:
+        rewritten = df.coalesce(target_files)
+    base = _versions(table_dir)[-1]
+    if stats_cols:
+        return commit_with_stats(
+            table_dir,
+            rewritten,
+            stats_cols=stats_cols,
+            mode="overwrite",
+            expected_version=base,
+        )
+    return commit(
+        table_dir, rewritten, mode="overwrite", expected_version=base
+    )

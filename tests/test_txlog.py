@@ -400,3 +400,39 @@ def test_manifest_file_stats_pruning(spark, tmp_path):
     # out-of-range probe: zero files, empty result, correct schema
     none = TX.read_snapshot_pruned(spark, t, "id", 10_000, 20_000)
     assert none.count() == 0 and set(none.columns) == {"id", "y"}
+
+
+def test_optimize_table_compacts_with_stats(spark, tmp_path):
+    """OPTIMIZE over a streaming-accreted table: many small files fold
+    into few clustered ones as a NEW version (old snapshot still
+    time-travelable), manifest stats enable log-only pruning after."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    sink = TX.streaming_commit_sink(t)
+    for b in range(6):  # 6 micro-batches -> >= 6 files
+        sink(spark.range(b * 50, (b + 1) * 50).repartition(2), b)
+    before = TX._manifest(t, TX._versions(t)[-1])["files"]
+    assert len(before) >= 6
+    want = _ids(TX.read_snapshot(spark, t))
+
+    v = TX.optimize_table(
+        spark, t, target_files=2, sort_col="id", stats_cols=("id",)
+    )
+    man = TX._manifest(t, v)
+    assert len(man["files"]) == 2
+    assert _ids(TX.read_snapshot(spark, t)) == want
+    # pre-optimize snapshot still readable
+    assert _ids(TX.read_snapshot(spark, t, v - 1)) == want
+    # range clustering + manifest stats -> one-file scans from the log
+    pruned = TX.read_snapshot_pruned(spark, t, "id", 10, 40)
+    files_read = {
+        r["_f"]
+        for r in pruned.select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    }
+    assert len(files_read) == 1
+    assert _ids(pruned) == list(range(10, 41))
