@@ -158,6 +158,9 @@ HEADLINE = [
     # fn() time; the bench line times the served report
     "components_incremental_twin",
     "weekly_heavy_actors",
+    # eager caveat: 3 stream-sink commits + the optimize rewrite run at
+    # fn() time; the bench line times the manifest-pruned scan
+    "optimize_prune_twin",
 ]
 
 

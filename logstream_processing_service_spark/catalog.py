@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "session_gap_sweep", "dsir_gumbel_sample", "bloom_point_lookup",
     "snapshot_cdc_twin", "skew_report", "tokenizer_fertility",
     "components_incremental_twin", "weekly_heavy_actors",
+    "optimize_prune_twin",
     # r6-changed but NOT re-slotted (the shard_assignment precedent —
     # behavior-unchanged at the driver's scale, latest rows green, local
     # parity re-checks every round): drift_report (KS tie fix + width
@@ -82,13 +83,12 @@ _PRIORITY: tuple[str, ...] = (
     # tests; its r5 row predates the fix, but the in-window
     # drift_window_twin exercises the SAME corrected PSI/KS conventions
     # oracle-paired).
-    # (c) backfill from the r3-latest set (47 queries, 10 slots —
-    # alphabetical order; the remainder, from contamination_overlap on,
+    # (c) backfill from the r3-latest set (47 queries, 9 slots —
+    # alphabetical order; the remainder, from clustering_quality on,
     # resumes in r7):
     "ann_ivf_pq", "ann_ivfpq_index", "ann_pq", "audio_metadata",
     "bigram_logprob", "bracketed_discount_revenue", "c4_line_stats",
     "charclass_profile", "cheapest_supplier_per_part",
-    "clustering_quality",
 )
 
 

@@ -1270,3 +1270,44 @@ def q_weekly_heavy_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_heavy_hitters(
         mg_daily_registry(_t(spark, sf_dir, "events")), top_k=5
     )
+
+
+@spec(
+    "optimize_prune_twin",
+    """
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events WHERE user_id BETWEEN 10 AND 30 ORDER BY event_id
+    """,
+    "txlog", "optimize", "data-skipping", "engine-ext",
+)
+def q_optimize_prune_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-accrete -> OPTIMIZE -> log-only-skip lifecycle,
+    driver-checked: 3 micro-batch commits of events, optimize_table into
+    2 user_id-clustered files with manifest stats, then answer a range
+    probe through read_snapshot_pruned (scan planned from the manifest
+    alone — no footer reads). The oracle is the plain filter; pruning is
+    a superset + exact re-filter, so answers are identical by
+    construction, and the file-skip ratio is asserted in
+    tests/test_txlog.py."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    t = f"/tmp/logstream_optprune_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )
+    sink = TX.streaming_commit_sink(t)
+    for b in range(3):
+        sink(ev.filter(F.col("event_id") % 3 == b), b)
+    TX.optimize_table(
+        spark, t, target_files=2, sort_col="user_id", stats_cols=("user_id",)
+    )
+    return TX.read_snapshot_pruned(spark, t, "user_id", 10, 30).orderBy(
+        "event_id"
+    )
