@@ -161,6 +161,16 @@ HEADLINE = [
     # eager caveat: 3 stream-sink commits + the optimize rewrite run at
     # fn() time; the bench line times the manifest-pruned scan
     "optimize_prune_twin",
+    # round-6 continuation: the trends family, PMI collocations, and the
+    # stream-stream join twin (eager caveat: the 3-batch availableNow
+    # stream runs at fn() build time, like the other stream twins)
+    "cohort_retention",
+    "event_transitions",
+    "volume_trend",
+    "cusum_changepoints",
+    "ohlc_bars",
+    "token_pmi",
+    "stream_join_twin",
 ]
 
 

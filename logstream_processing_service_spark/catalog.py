@@ -76,6 +76,14 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_cdc_twin", "skew_report", "tokenizer_fertility",
     "components_incremental_twin", "weekly_heavy_actors",
     "optimize_prune_twin",
+    # (b-cont.) NEW in the r6 continuation session: the trends family
+    # (cohort retention / Markov transitions / least-squares volume trend
+    # / CUSUM change-points / OHLC bars — operators/trends.py), the
+    # stream-stream join twin (first driver row for join-state eviction
+    # semantics; its per-arm pin was DISCRIMINATED at sf0.1, see
+    # queries_streaming.py), and PMI collocations:
+    "cohort_retention", "event_transitions", "volume_trend",
+    "cusum_changepoints", "ohlc_bars", "stream_join_twin", "token_pmi",
     # r6-changed but NOT re-slotted (the shard_assignment precedent —
     # behavior-unchanged at the driver's scale, latest rows green, local
     # parity re-checks every round): drift_report (KS tie fix + width
@@ -83,12 +91,23 @@ _PRIORITY: tuple[str, ...] = (
     # tests; its r5 row predates the fix, but the in-window
     # drift_window_twin exercises the SAME corrected PSI/KS conventions
     # oracle-paired).
-    # (c) backfill from the r3-latest set (47 queries, 9 slots —
-    # alphabetical order; the remainder, from clustering_quality on,
-    # resumes in r7):
-    "ann_ivf_pq", "ann_ivfpq_index", "ann_pq", "audio_metadata",
-    "bigram_logprob", "bracketed_discount_revenue", "c4_line_stats",
-    "charclass_profile", "cheapest_supplier_per_part",
+    # (c) backfill from the r3-latest set (47 queries, 2 slots after the
+    # continuation's 7 new queries took the tail — alphabetical order;
+    # the remainder, from ann_pq on, resumes in r7). Displaced for the
+    # continuation's new queries (each is re-verified fresh every session
+    # by the full local parity suite; new queries must get a first driver
+    # row, so never-checked debt stays zero): ann_pq (its PQ
+    # codebook/assign machinery runs inside the in-window ann_ivf_pq),
+    # audio_metadata (same WAV header walk as the r5-green
+    # audio_dominant_tone), bigram_logprob (same count/backoff machinery
+    # as the in-window unigram_logprob and the r5-green kn_trigram
+    # family), bracketed_discount_revenue (lineitem DECIMAL conventions
+    # shared with the r3-green pricing_summary), c4_line_stats,
+    # charclass_profile (both zero-shuffle in-row text profiles, same
+    # expression family as the in-window text_quality),
+    # cheapest_supplier_per_part (min-by-join shape shared with the
+    # in-window... none — plain r3 row stands; first to resume in r7):
+    "ann_ivf_pq", "ann_ivfpq_index",
 )
 
 
@@ -189,6 +208,7 @@ def all_specs() -> list[QuerySpec]:
     from . import queries_curation  # noqa: F401
     from . import queries_ml  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_trends  # noqa: F401
 
     by_name = {s.name: s for s in _SPECS}
     head = [by_name[n] for n in _PRIORITY if n in by_name]

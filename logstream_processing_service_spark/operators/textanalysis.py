@@ -560,3 +560,65 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def token_pmi(documents: DataFrame, min_count: int = 5, k: int = 100) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs — the classic phrase-mining / tokenizer-merge-candidate
+    report (PMI-ranked bigrams are the standard first pass for multiword
+    vocabulary entries and corpus-quality eyeballing).
+
+    pmi(x,y) = ln p(x,y) − ln p(x) − ln p(y) with the joint from the
+    bigram stream (total B) and margins from the unigram stream (total
+    T): ln c_xy − ln B − ln c_x − ln c_y + 2·ln T, composed in exactly
+    that term order on both engines so the doubles agree to rounding.
+
+    Scale: bigrams form in-row (transform over the token array — no
+    self-join of adjacent positions); both count tables partial-aggregate
+    map-side, so shuffle volume is bounded by |bigram vocab|; the two
+    margin joins are vocab-grain; totals are broadcast scalars. The
+    min_count floor prunes the bigram tail BEFORE the joins.
+    """
+    toks = documents.select(T.words(F.col("text")).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    big_all = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> named_struct('w1', t[i-1], 'w2', t[i]))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    tot_u = uni.agg(F.sum("c").cast("bigint").alias("t_total"))
+    tot_b = big_all.agg(F.sum("n_pair").cast("bigint").alias("b_total"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.log(F.col("n_pair").cast("double"))
+        - F.log(F.col("b_total").cast("double"))
+        - F.log(F.col("c1").cast("double"))
+        - F.log(F.col("c2").cast("double"))
+        + F.lit(2.0) * F.log(F.col("t_total").cast("double"))
+    )
+    return (
+        big_all.filter(F.col("n_pair") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

@@ -1,0 +1,294 @@
+"""Time-series / sequence trend operators over the event log.
+
+The reference analyzes per-cluster volume timelines with hand-rolled
+velocity, rolling-average, and deviation features
+(src/ml/volume_analyzer.py:27-73) and mines event sequences per cluster
+(src/db/pattern_ops.py). This module provides the principled batch
+versions of those instincts as pure DataFrame transforms:
+
+- ``cohort_retention``     — weekly cohort x week-offset retention matrix
+- ``event_transitions``    — first-order Markov transition probabilities
+- ``volume_trend``         — per-type least-squares trend of daily volume
+- ``cusum_changepoints``   — one-sided CUSUM level-shift detection
+- ``ohlc_bars``            — open/high/low/close value bars per type-day
+
+Cross-engine exactness notes are inline: wherever a statistic can be
+computed from INTEGER aggregates (counts, day indices, scaled rationals),
+it is — integer sums are associative, so Spark's and DuckDB's different
+aggregation orders produce bit-identical doubles after the final division.
+Double-sum statistics (OHLC turnover/vwap) follow the repo-wide
+round(sum,2)/round(avg,4) parity convention.
+
+Scale notes: every operator here reduces events to a per-(key, day) or
+per-(key, pair) grain FIRST (map-side combinable aggregations), so shuffle
+volume is bounded by |keys| x |days|, not by corpus size; the trailing
+per-key statistics run over tiny frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week of
+    their first activity; each (cohort, week_offset) cell counts users
+    from that cohort active offset weeks later, plus the retention rate
+    vs the cohort's size.
+
+    Reference tie: the per-cluster timeline grouping of
+    src/ml/volume_analyzer.py:44-50, re-expressed at the user grain —
+    the product-analytics question "do users come back?".
+
+    Plan: ONE user-keyed shuffle (groupBy user_id collecting the bounded
+    set of active weeks + its min), then an in-row explode and a tiny
+    (cohort, offset)-grain aggregate. The naive formulation joins the
+    activity table back to a first-activity table — a second full
+    user-keyed shuffle this shape avoids. Retention divides two exact
+    BIGINTs, so the double is engine-identical.
+    """
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    per_user = (
+        events.select(F.col("user_id"), wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cohort"),
+            F.collect_set("wk").alias("weeks"),
+        )
+    )
+    cells = (
+        per_user.select(
+            "cohort", F.explode("weeks").alias("wk")
+        )
+        # Monday-truncated dates differ by exact multiples of 7
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    size = Window.partitionBy("cohort")
+    return (
+        cells.withColumn(
+            "retention",
+            F.round(
+                F.col("n_active")
+                / F.max(
+                    F.when(F.col("week_offset") == 0, F.col("n_active"))
+                ).over(size),
+                6,
+            ),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), with counts.
+
+    Reference tie: src/db/pattern_ops.py mines per-cluster event
+    sequences; the transition matrix is the canonical first-order
+    summary of those sequences.
+
+    Plan: one user-keyed window (ordered by (ts, event_id) — the
+    repo-wide deterministic sequence order) to form adjacent pairs, then
+    a pair-grain count with map-side combine. The probability divides
+    two exact BIGINTs → engine-identical doubles. At 100 TB the pair
+    grain is |types|² — trivially small — and the user-keyed sort is the
+    one unavoidable exchange (any sequence semantics needs it).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "prob", F.round(F.col("n") / F.sum("n").over(tot), 6)
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+def volume_trend(events: DataFrame) -> DataFrame:
+    """Per-type least-squares linear trend of daily event volume:
+    slope (events/day), intercept, and r² — the principled version of
+    the reference's velocity feature (src/ml/volume_analyzer.py:56-59,
+    "Velocity (Current - Previous)" over the volume timeline).
+
+    Exactness: x is the epoch-day index and y the daily count — both
+    integers — so n, Σx, Σy, Σxy, Σx², Σy² accumulate as exact BIGINTs
+    (associative: safe under any aggregation order), and
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+
+    divides two exactly-representable doubles → bit-identical across
+    engines; same for intercept and r². This is why the operator does
+    NOT use the built-in regr_slope/regr_r2 (whose streaming-update
+    internals differ between engines in the last ulp).
+
+    Scale: daily grain first (map-side combinable), per-type moment
+    aggregation second — shuffle bounded by |types| × |days|.
+    """
+    daily = (
+        events.groupBy(
+            F.col("event_type"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days")
+    den_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope = F.when(den_x != 0, num / den_x)
+    return (
+        m.select(
+            "event_type",
+            "n_days",
+            F.round(slope, 6).alias("slope"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / n.cast("double"),
+                6,
+            ).alias("intercept"),
+            F.round(
+                F.when(
+                    (den_x != 0) & (den_y != 0), num * num / (den_x * den_y)
+                ),
+                6,
+            ).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """One-sided CUSUM level-shift detection over each type's daily
+    volume: S_t = max(0, S_{t-1} + (x_t − 1.1·μ)), flagged when
+    S_t > 3·μ — "volume has run persistently above 110% of its mean".
+
+    The recursion is rewritten with the running-minimum identity
+    S_t = C_t − min(0, min_{j≤t} C_j) where C is the cumulative sum of
+    deviations — turning a stateful loop into two window functions (a
+    cumulative sum and a running min), both linear-scan friendly.
+
+    Exactness: deviations are scaled to INTEGERS — with μ = total/n,
+    10n·(x_t − 1.1μ) = 10n·x_t − 11·total — so the cumulative sum and
+    running min are exact BIGINT window aggregates (associativity-safe),
+    and the final S_t = S_int/(10n) divides two exact integers →
+    engine-identical doubles. The flag compare S_t > 3μ cross-multiplies
+    to the integer test S_int > 30·total.
+
+    Reference tie: the deviation feature of src/ml/volume_analyzer.py:
+    64-68 ("How far from average?"), upgraded from a pointwise z-score
+    to a sequential detector with memory.
+
+    Scale: daily grain first; the windows partition by type over
+    |days|-length series — tiny. 100 TB cost is the one daily-grain
+    shuffle.
+    """
+    daily = (
+        events.groupBy(
+            F.col("event_type"), F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("daily_n"))
+    )
+    per_type = Window.partitionBy("event_type")
+    seq = Window.partitionBy("event_type").orderBy("day")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaled = (
+        daily.withColumn("total", F.sum("daily_n").over(per_type))
+        .withColumn("nd", F.count(F.lit(1)).over(per_type))
+        # dev_int = 10·n·x_t − 11·total  ==  10n·(x_t − 1.1μ)
+        .withColumn(
+            "dev_int",
+            10 * F.col("nd") * F.col("daily_n") - 11 * F.col("total"),
+        )
+        .withColumn("cum", F.sum("dev_int").over(run))
+        .withColumn(
+            "s_int",
+            F.col("cum") - F.least(F.lit(0).cast("bigint"), F.min("cum").over(run)),
+        )
+    )
+    return (
+        scaled.select(
+            "event_type",
+            "day",
+            "daily_n",
+            F.round(
+                F.col("s_int") / (10 * F.col("nd")).cast("double"), 6
+            ).alias("cusum"),
+            # int, not boolean: the driver's value-hash stringifies
+            # True/true differently across engines
+            (F.col("s_int") > 30 * F.col("total"))
+            .cast("int")
+            .alias("is_change"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """OHLC value bars per (event_type, day): open/close are the value
+    of the first/last event in (ts, event_id) order — the deterministic
+    sequence order used repo-wide — high/low the extremes, plus volume
+    and turnover.
+
+    Plan: ONE aggregation; open/close use min_by/max_by over a
+    composite (ts, event_id) key, so there is no window sort and no
+    second shuffle — the classic "first/last per group needs a window"
+    trap avoided. The key is a zero-padded string because the oracle
+    engine's arg_min only orders scalars; at production scale swap it
+    for a packed integer when event ids fit the spare bits below the
+    microsecond epoch (the string costs one ~32-byte alloc per row).
+    Turnover/vwap follow the repo's round(sum,2)/round(avg,4)
+    double-parity convention.
+    """
+    # parquet timestamps load as TIMESTAMP_NTZ; the session timezone is
+    # pinned to UTC (session.py), so the LTZ cast is the identity on the
+    # underlying micros and unix_micros matches the oracle's epoch_us
+    key = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("string"),
+            20,
+            "0",
+        ),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.groupBy(
+            F.col("event_type"), F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.round(F.sum("value"), 2).alias("turnover"),
+            F.round(F.avg("value"), 4).alias("vwap"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -376,3 +376,114 @@ def q_session_volume_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return captured.select(
         "session_start", "session_end", "user_id", "n_events"
     ).orderBy("user_id", "session_start")
+
+
+# -- stream-stream join twin (T3-join: the third stateful-streaming family
+# after windowed aggregation and arbitrary state — join STATE with
+# watermark-driven eviction) -------------------------------------------------
+
+_JOIN_LOOKBACK_S = 6 * 3600
+_JOIN_DELAY_H = 480  # 20 days: admits most of batch 2 so EVERY arm below
+# carries weight (a 2h delay lates-out batch 2 entirely and the eviction
+# arms of the oracle would be vacuously green — verified empirically)
+
+
+def _stream_join_twin_oracle(n_batches: int = N_BATCHES) -> str:
+    """Stream-stream inner-join semantics unrolled for the batch split,
+    under the SAME empirically-pinned one-batch watermark lag as
+    windowed_volume_stream_twin (guarded by tests/test_watermark_probe.py):
+    the watermark w derived from batch 0 governs batch 2's late filter and
+    the join-state eviction at the end of batch 1. Emission arms:
+
+    - both sides in batches {0,1}: admitted under the prior (zero)
+      watermark, matched while both in state → always emitted;
+    - signup in {0,1}, error in batch 2: error admitted iff e_ts ≥ w,
+      signup still in state iff s_ts + lookback ≥ w (a signup older than
+      that can no longer match any in-bound error and was evicted);
+    - error in {0,1}, signup in batch 2: signup admitted iff s_ts ≥ w,
+      error still in state iff e_ts ≥ w (errors match only signups at or
+      before them, so an error below w is unmatchable and evicted);
+    - both in batch 2: both admitted (both ≥ w) → matched in-batch.
+
+    w is derived from the max event time over ALL batch-0 rows (every
+    type, not just the two joined sides): the operator applies
+    withWatermark BEFORE the event_type filters, and the filters are NOT
+    pushed below the EventTimeWatermark node, so both sides' watermark
+    nodes track the unfiltered max and the multipleWatermarkPolicy min
+    is that same value. DISCRIMINATED empirically at sf0.1: a
+    per-side-maxima pin (min of signup/error batch-0 maxes) admits one
+    batch-2 signup 930s above the per-side threshold but 594s below the
+    all-rows threshold — Spark drops it, proving the all-rows pin.
+
+    At sf0.01 every arm is non-vacuous: 92 / 30 / 32 / 21 pairs
+    (both01 / signup-state / error-state / both2) — measured during
+    development, hash-checked in total by the driver."""
+    lb_us = _JOIN_LOOKBACK_S * 1_000_000
+    delay_us = _JOIN_DELAY_H * 3600 * 1_000_000
+    return f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) AS us, user_id, event_type, event_id,
+               CAST(event_id % {n_batches} AS INT) AS b
+        FROM events
+    ),
+    wm AS (SELECT max(us) - {delay_us} AS w FROM ev WHERE b = 0),
+    s AS (SELECT user_id, us AS s_us, event_id AS s_id, b AS sb
+          FROM ev WHERE event_type = 'signup'),
+    e AS (SELECT user_id, us AS e_us, event_id AS e_id, b AS eb
+          FROM ev WHERE event_type = 'error'),
+    j AS (
+        SELECT s.user_id, s_id, e_id, s_us, e_us, sb, eb
+        FROM s JOIN e USING (user_id)
+        WHERE e_us >= s_us AND e_us <= s_us + {lb_us}
+    )
+    SELECT user_id, s_id AS signup_id, e_id AS error_id,
+           CAST((e_us - s_us) // 1000000 AS BIGINT) AS lag_s
+    FROM j, wm
+    WHERE (sb <= 1 AND eb <= 1)
+       OR (sb <= 1 AND eb = 2 AND e_us >= w AND s_us + {lb_us} >= w)
+       OR (sb = 2 AND eb <= 1 AND s_us >= w AND e_us >= w)
+       OR (sb = 2 AND eb = 2 AND s_us >= w AND e_us >= w)
+    ORDER BY user_id, signup_id, error_id
+    """
+
+
+@spec(
+    "stream_join_twin",
+    _stream_join_twin_oracle(),
+    "T3", "streaming", "stream-stream-join",
+)
+def q_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL correlated_pairs_stream stream-stream inner join
+    (streaming/pipeline.py) — signup ⋈ error on user within a 6h lookback,
+    20-day watermark, append mode — over 3 deterministic micro-batches;
+    return every pair the stream EMITS. The oracle unrolls admission AND
+    join-state eviction, so this driver row hash-checks Spark's
+    stream-stream join state machine end to end."""
+    from .streaming.pipeline import correlated_pairs_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id", "event_type", F.col("event_id"),
+    )
+    slices = [
+        ev.filter(F.col("event_id") % N_BATCHES == b) for b in range(N_BATCHES)
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        "ts_us long, user_id long, event_type string, event_id long",
+        lambda s: correlated_pairs_stream(
+            s.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+            watermark=f"{_JOIN_DELAY_H} hours",
+            lookback_sec=_JOIN_LOOKBACK_S,
+        ),
+        output_mode="append",
+    )
+    return captured.select(
+        F.col("l_user").alias("user_id"),
+        F.col("l_event_id").alias("signup_id"),
+        F.col("r_event_id").alias("error_id"),
+        F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+        .cast("bigint")
+        .alias("lag_s"),
+    ).orderBy("user_id", "signup_id", "error_id")

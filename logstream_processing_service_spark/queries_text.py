@@ -1541,3 +1541,42 @@ def q_rag_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import retrieval as R
 
     return R.rag_chunk_search(_t(spark, sf_dir, "documents"))
+
+
+_PMI_ORACLE = f"""
+WITH words AS (SELECT {_WORDS_DUCK} AS t FROM documents),
+uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(t) AS w FROM words) GROUP BY w
+),
+big_all AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+    FROM (
+        SELECT t[i - 1] AS w1, t[i] AS w2
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+              FROM words WHERE len(t) >= 2)
+    ) GROUP BY w1, w2
+),
+tot AS (
+    SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS t_total,
+           (SELECT CAST(sum(n_pair) AS BIGINT) FROM big_all) AS b_total
+)
+SELECT b.w1, b.w2, b.n_pair,
+       round(ln(CAST(b.n_pair AS DOUBLE)) - ln(CAST(t.b_total AS DOUBLE))
+             - ln(CAST(u1.c AS DOUBLE)) - ln(CAST(u2.c AS DOUBLE))
+             + 2.0 * ln(CAST(t.t_total AS DOUBLE)), 6) AS pmi
+FROM big_all b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2, tot t
+WHERE b.n_pair >= 5
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 100
+"""
+
+
+@spec("token_pmi", _PMI_ORACLE, "text", "collocation", "pmi")
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-token collocations (phrase mining / tokenizer
+    merge candidates) — margins and joint composed in identical term
+    order on both engines; see operators/textanalysis.py token_pmi."""
+    return TA.token_pmi(_t(spark, sf_dir, "documents"), min_count=5, k=100)

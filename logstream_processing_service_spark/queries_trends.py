@@ -1,0 +1,169 @@
+"""Driver-contract queries: time-series / sequence trend operators
+(operators/trends.py) over the ``events`` table — cohort retention,
+Markov transitions, least-squares volume trend, CUSUM change-points,
+and OHLC bars. Reference ties: src/ml/volume_analyzer.py:27-73 (volume
+timeline features), src/db/pattern_ops.py (event-sequence mining).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import _t, spec
+from .operators import trends as TR
+
+_COHORT_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+    FROM events
+),
+c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1),
+cells AS (
+    SELECT c.cohort,
+           CAST(date_diff('day', c.cohort, uw.wk) / 7 AS INT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT cohort, week_offset, n_active,
+       round(n_active / CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
+FROM cells ORDER BY cohort, week_offset
+"""
+
+
+@spec("cohort_retention", _COHORT_ORACLE, "A-ext", "cohort", "retention")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+pairs AS (
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+           AS prob
+FROM pairs ORDER BY prev_type, event_type
+"""
+
+
+@spec("event_transitions", _TRANSITIONS_ORACLE, "W2-ext", "markov", "sequence")
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.event_transitions(_t(spark, sf_dir, "events"))
+
+
+# All moment sums are exact BIGINTs, so slope/intercept/r2 divide
+# exactly-representable doubles — engine-identical (see operator docstring
+# for why the built-in regr_* aggregates are NOT used).
+_TREND_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM daily GROUP BY 1
+),
+k AS (
+    SELECT event_type, n_days,
+           CAST(n_days * sxy - sx * sy AS DOUBLE) AS num,
+           CAST(n_days * sxx - sx * sx AS DOUBLE) AS den_x,
+           CAST(n_days * syy - sy * sy AS DOUBLE) AS den_y,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+    FROM m
+)
+SELECT event_type, n_days,
+       round(CASE WHEN den_x <> 0 THEN num / den_x END, 6) AS slope,
+       round((syd - (CASE WHEN den_x <> 0 THEN num / den_x END) * sxd)
+             / CAST(n_days AS DOUBLE), 6) AS intercept,
+       round(CASE WHEN den_x <> 0 AND den_y <> 0
+                  THEN num * num / (den_x * den_y) END, 6) AS r2
+FROM k ORDER BY event_type
+"""
+
+
+@spec("volume_trend", _TREND_ORACLE, "M8-ext", "regression", "trend")
+def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.volume_trend(_t(spark, sf_dir, "events"))
+
+
+# Deviations are scaled to integers (10n·x − 11·total), so the cumulative
+# sum and running min are exact BIGINT window aggregates; see operator
+# docstring for the max(0, ·) → running-min identity.
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS daily_n
+    FROM events GROUP BY 1, 2
+),
+scaled AS (
+    SELECT event_type, day, daily_n,
+           CAST(sum(daily_n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS total,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+    FROM daily
+),
+cum AS (
+    SELECT *,
+           CAST(sum(10 * nd * daily_n - 11 * total) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS c
+    FROM scaled
+),
+s AS (
+    SELECT *,
+           c - least(CAST(0 AS BIGINT), min(c) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_int
+    FROM cum
+)
+SELECT event_type, day, daily_n,
+       round(s_int / CAST(10 * nd AS DOUBLE), 6) AS cusum,
+       CAST(s_int > 30 * total AS INT) AS is_change
+FROM s ORDER BY event_type, day
+"""
+
+
+@spec("cusum_changepoints", _CUSUM_ORACLE, "M10-ext", "cusum", "changepoint")
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
+_OHLC_ORACLE = """
+WITH keyed AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, value,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+    FROM events
+)
+SELECT event_type, day,
+       round(arg_min(value, k), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(arg_max(value, k), 4) AS close,
+       CAST(count(*) AS BIGINT) AS volume,
+       round(sum(value), 2) AS turnover,
+       round(avg(value), 4) AS vwap
+FROM keyed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@spec("ohlc_bars", _OHLC_ORACLE, "A-ext", "ohlc", "resample")
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.ohlc_bars(_t(spark, sf_dir, "events"))

@@ -649,3 +649,79 @@ def test_incremental_components_remap_is_single_pass(spark, tmp_path):
     )
     plan = _plan(TX.read_snapshot(spark, d))
     assert "Scan parquet" in plan  # assignment is served from the snapshot
+
+
+def test_cohort_retention_single_user_shuffle(spark):
+    """The collect_set formulation pays ONE user-keyed exchange; the naive
+    first-activity self-join shape would pay two."""
+    from logstream_processing_service_spark.operators.trends import (
+        cohort_retention,
+    )
+
+    plan = _plan(cohort_retention(_events(spark)))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_event_transitions_single_sequence_exchange(spark):
+    """One user-keyed sort (the lag window) + the tiny pair-grain agg."""
+    from logstream_processing_service_spark.operators.trends import (
+        event_transitions,
+    )
+
+    plan = _plan(event_transitions(_events(spark)))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_volume_trend_no_window_no_join(spark):
+    """Closed-form regression from integer moment sums: two grouped
+    aggregations (daily grain -> type grain), both with map-side partials;
+    no window, no join."""
+    from logstream_processing_service_spark.operators.trends import volume_trend
+
+    plan = _plan(volume_trend(_events(spark)))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cusum_daily_grain_before_windows(spark):
+    """The per-day reduction happens BEFORE the per-type windows, so the
+    window input is |days| rows per type, not raw events."""
+    from logstream_processing_service_spark.operators.trends import (
+        cusum_changepoints,
+    )
+
+    plan = _plan(cusum_changepoints(_events(spark)))
+    assert "Join" not in plan
+    # daily-grain partial aggregation reaches the map side
+    assert "partial_count" in plan
+
+
+def test_ohlc_single_aggregation(spark):
+    """min_by/max_by in ONE grouped agg: exactly one exchange, no Window
+    operator — the first/last-needs-a-window trap avoided."""
+    from logstream_processing_service_spark.operators.trends import ohlc_bars
+
+    plan = _plan(ohlc_bars(_events(spark)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_token_pmi_no_cartesian(spark):
+    """Margins join at vocab grain (hash joins), totals broadcast as
+    1-row scalars (BroadcastNestedLoopJoin is the broadcast crossJoin,
+    not a data-grain cartesian)."""
+    from logstream_processing_service_spark.operators.textanalysis import (
+        token_pmi,
+    )
+
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(token_pmi(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the two scalar totals
