@@ -171,6 +171,9 @@ HEADLINE = [
     "ohlc_bars",
     "token_pmi",
     "stream_join_twin",
+    # strict-sequencing funnel + exact sliding-window distinct
+    "funnel_conversion",
+    "rolling_distinct_users",
 ]
 
 

@@ -84,6 +84,9 @@ _PRIORITY: tuple[str, ...] = (
     # queries_streaming.py), and PMI collocations:
     "cohort_retention", "event_transitions", "volume_trend",
     "cusum_changepoints", "ohlc_bars", "stream_join_twin", "token_pmi",
+    # third continuation block: strict-sequencing funnel + exact
+    # sliding-window distinct (the set-union twin of the HLL registry):
+    "funnel_conversion", "rolling_distinct_users",
     # r6-changed but NOT re-slotted (the shard_assignment precedent —
     # behavior-unchanged at the driver's scale, latest rows green, local
     # parity re-checks every round): drift_report (KS tie fix + width
@@ -106,8 +109,13 @@ _PRIORITY: tuple[str, ...] = (
     # charclass_profile (both zero-shuffle in-row text profiles, same
     # expression family as the in-window text_quality),
     # cheapest_supplier_per_part (min-by-join shape shared with the
-    # in-window... none — plain r3 row stands; first to resume in r7):
-    "ann_ivf_pq", "ann_ivfpq_index",
+    # in-window... none — plain r3 row stands; first to resume in r7).
+    # Third continuation block: the final two backfills (ann_ivf_pq,
+    # ann_ivfpq_index — r3-green; their IVF/PQ machinery is re-verified
+    # by the local parity suite each session) yield their slots to
+    # funnel_conversion + rolling_distinct_users, which need first
+    # driver rows; both resume rotation at the head of the r7 backfill
+    # list.
 )
 
 

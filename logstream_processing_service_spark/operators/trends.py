@@ -11,6 +11,8 @@ versions of those instincts as pure DataFrame transforms:
 - ``volume_trend``         — per-type least-squares trend of daily volume
 - ``cusum_changepoints``   — one-sided CUSUM level-shift detection
 - ``ohlc_bars``            — open/high/low/close value bars per type-day
+- ``funnel_conversion``    — ordered multi-stage funnel (strict sequencing)
+- ``rolling_distinct_users`` — exact trailing-window distinct actors
 
 Cross-engine exactness notes are inline: wherever a statistic can be
 computed from INTEGER aggregates (counts, day indices, scaled rationals),
@@ -289,6 +291,138 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("volume"),
             F.round(F.sum("value"), 2).alias("turnover"),
             F.round(F.avg("value"), 4).alias("vwap"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered three-stage funnel with STRICT sequencing: a user reaches
+    stage k only via a stage-k event that occurs strictly after some
+    qualifying stage-(k-1) event — not merely "did all three types",
+    which over-counts users who purchased before ever viewing.
+
+    Reference tie: src/db/pattern_ops.py mines per-cluster event
+    sequences; the funnel is the product-analytics question asked of
+    those sequences ("how far do users get, in order?").
+
+    Plan: ONE user-keyed sort (the unavoidable sequence exchange) feeds
+    two stacked Window passes over the same (ts, event_id) order —
+    "any stage-1 strictly before this row?" then "any qualifying
+    stage-2 strictly before this row?" — so qualification is a pure
+    prefix test, no self-joins, no per-user array materialization. The
+    naive formulation chains k joins of the event table with itself
+    (k full shuffles of type-filtered subsets); this shape pays one.
+    Both Windows share the partitioning+ordering, so Spark plans a
+    single Sort. Counts are exact BIGINTs; conversion ratios divide two
+    exact integers → engine-identical doubles.
+
+    The strictly-before frame (UNBOUNDED PRECEDING .. 1 PRECEDING) over
+    the deterministic (ts, event_id) total order makes tie handling
+    identical across engines: a same-timestamp pair qualifies iff the
+    earlier event_id is the earlier stage.
+    """
+    s1, s2, s3 = stages
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "has1",
+            F.count(F.when(F.col("event_type") == s1, 1)).over(before) > 0,
+        )
+        .withColumn("q2", (F.col("event_type") == s2) & F.col("has1"))
+        .withColumn("has2", F.count(F.when(F.col("q2"), 1)).over(before) > 0)
+        .withColumn("q3", (F.col("event_type") == s3) & F.col("has2"))
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max((F.col("event_type") == s1).cast("int")).alias("r1"),
+        F.max(F.col("q2").cast("int")).alias("r2"),
+        F.max(F.col("q3").cast("int")).alias("r3"),
+    )
+    totals = per_user.agg(
+        F.sum("r1").cast("bigint").alias("n1"),
+        F.sum("r2").cast("bigint").alias("n2"),
+        F.sum("r3").cast("bigint").alias("n3"),
+    )
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den.cast("double")), 6
+    )
+    return totals.select(
+        F.expr(
+            f"stack(3, 1, '{s1}', n1, 2, '{s2}', n2, 3, '{s3}', n3)"
+            " as (stage, stage_name, n_users)"
+        ),
+        ratio(n2, n1).alias("_c21"),
+        ratio(n3, n1).alias("_c31"),
+        ratio(n3, n2).alias("_c32"),
+    ).select(
+        "stage",
+        "stage_name",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.when(F.col("stage") == 1, F.lit(1.0))
+        .when(F.col("stage") == 2, F.col("_c21"))
+        .otherwise(F.col("_c31"))
+        .alias("pct_of_top"),
+        F.when(F.col("stage") == 1, F.lit(1.0))
+        .when(F.col("stage") == 2, F.col("_c21"))
+        .otherwise(F.col("_c32"))
+        .alias("pct_of_prev"),
+    ).orderBy("stage")
+
+
+def rolling_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Exact distinct actors per (event_type, day) over the trailing
+    ``window_days`` window — the DAU/WAU report. Sliding COUNT(DISTINCT)
+    is not decomposable (you cannot subtract a day out of a distinct
+    count), so the only exact forms are re-scan-per-window or
+    set-union; this is the set-union form: reduce events to per-day
+    distinct-user SETS once (map-side combinable via collect_set), then
+    a RANGE window over the epoch-day index unions ≤window_days sets
+    in-row.
+
+    Scale: shuffle volume is |types| × |days| rows whose payload is the
+    per-day distinct-user set — bounded by daily actives, NOT event
+    count. At 100 TB daily-active sets outgrow rows; swap collect_set
+    for the mergeable HLL sketch (hll_sketch_agg per day, hll_union
+    over the same RANGE window — the distinct_actors_hll_registry
+    machinery, ≤5% error) or a roaring bitmap UDAF for exactness. This
+    exact operator IS the oracle those swaps are tested against.
+
+    The RANGE frame (not ROWS) makes missing days count as empty sets —
+    a 7-day window is 7 calendar days, not the last 7 observed days.
+    """
+    daily = events.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(F.collect_set("user_id").alias("us"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_x")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return (
+        daily.withColumn(
+            "day_x",
+            F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint"),
+        )
+        .withColumn(
+            "uniq_win",
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("us").over(w)))
+            ).cast("bigint"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.size("us").cast("bigint").alias("uniq_day"),
+            "uniq_win",
         )
         .orderBy("event_type", "day")
     )

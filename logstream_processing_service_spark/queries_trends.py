@@ -167,3 +167,97 @@ FROM keyed GROUP BY 1, 2 ORDER BY 1, 2
 @spec("ohlc_bars", _OHLC_ORACLE, "A-ext", "ohlc", "resample")
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.ohlc_bars(_t(spark, sf_dir, "events"))
+
+
+# Strict sequencing via the same two stacked strictly-before window passes
+# (UNBOUNDED PRECEDING .. 1 PRECEDING over the deterministic (ts, event_id)
+# order) — the oracle is the identical prefix-test formulation, so tie
+# semantics can't diverge. Counts are exact BIGINTs; ratios divide them.
+_FUNNEL_ORACLE = """
+WITH w1 AS (
+    SELECT user_id, event_type,
+           count(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0 AS has1,
+           ts, event_id
+    FROM events
+),
+w2 AS (
+    SELECT *, (event_type = 'click' AND has1) AS q2 FROM w1
+),
+w3 AS (
+    SELECT *,
+           count(CASE WHEN q2 THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0 AS has2
+    FROM w2
+),
+pu AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+           max(CASE WHEN q2 THEN 1 ELSE 0 END) AS r2,
+           max(CASE WHEN event_type = 'purchase' AND has2
+                    THEN 1 ELSE 0 END) AS r3
+    FROM w3 GROUP BY 1
+),
+t AS (
+    SELECT CAST(sum(r1) AS BIGINT) AS n1, CAST(sum(r2) AS BIGINT) AS n2,
+           CAST(sum(r3) AS BIGINT) AS n3
+    FROM pu
+)
+SELECT 1 AS stage, 'view' AS stage_name, n1 AS n_users,
+       1.0 AS pct_of_top, 1.0 AS pct_of_prev FROM t
+UNION ALL
+SELECT 2, 'click', n2,
+       round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END, 6),
+       round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END, 6) FROM t
+UNION ALL
+SELECT 3, 'purchase', n3,
+       round(CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END, 6),
+       round(CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END, 6) FROM t
+ORDER BY stage
+"""
+
+
+@spec("funnel_conversion", _FUNNEL_ORACLE, "W-ext", "funnel", "sequence")
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with strict in-order sequencing
+    (one user-keyed sort, two stacked prefix-test windows — no
+    self-joins); see operators/trends.py funnel_conversion."""
+    return TR.funnel_conversion(_t(spark, sf_dir, "events"))
+
+
+# Exact sliding-window distinct: the oracle re-scans per window via the
+# day-range join — exactness is what makes it pairable with the set-union
+# operator; at scale the operator's docstring prescribes the HLL/bitmap
+# swap (distinct_actors_hll_registry is the sketch twin).
+_ROLLING_DISTINCT_ORACLE = """
+WITH dd AS (
+    SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+    FROM events
+),
+days AS (
+    SELECT event_type, day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_day
+    FROM dd GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, d.uniq_day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS uniq_win
+FROM days d
+JOIN dd e ON e.event_type = d.event_type
+         AND e.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""
+
+
+@spec(
+    "rolling_distinct_users",
+    _ROLLING_DISTINCT_ORACLE,
+    "A6-ext", "sliding-distinct", "wau",
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day exact distinct actors per (event_type, day) — the
+    set-union form (sliding COUNT DISTINCT is not decomposable); see
+    operators/trends.py rolling_distinct_users for the 100 TB HLL swap."""
+    return TR.rolling_distinct_users(_t(spark, sf_dir, "events"))

@@ -711,6 +711,36 @@ def test_ohlc_single_aggregation(spark):
     assert "Join" not in plan
 
 
+def test_funnel_single_sort_no_joins(spark):
+    """Both prefix-test windows share one user-keyed sort; the naive
+    k-stage formulation would chain k self-joins."""
+    from logstream_processing_service_spark.operators.trends import (
+        funnel_conversion,
+    )
+
+    plan = _plan(funnel_conversion(_events(spark)))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+    # the two stacked Window passes reuse the sort: exactly one Sort
+    # whose keys are the sequence order
+    assert plan.count("Sort [user_id") == 1
+
+
+def test_rolling_distinct_day_grain_before_window(spark):
+    """Events reduce to per-(type, day) SETS before the range window —
+    shuffle payload is daily actives, not events; partial aggregation
+    reaches the map side."""
+    from logstream_processing_service_spark.operators.trends import (
+        rolling_distinct_users,
+    )
+
+    plan = _plan(rolling_distinct_users(_events(spark)))
+    assert "Join" not in plan
+    assert "partial_collect_set" in plan
+    # one exchange for the daily grain, one for the per-type window
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_token_pmi_no_cartesian(spark):
     """Margins join at vocab grain (hash joins), totals broadcast as
     1-row scalars (BroadcastNestedLoopJoin is the broadcast crossJoin,

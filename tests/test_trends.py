@@ -127,6 +127,98 @@ def test_ohlc_open_close_are_sequence_ends(spark, events, events_pd):
         assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
 
 
+def test_funnel_strict_sequencing_matches_naive(spark, events, events_pd):
+    """Per-user stage flags recomputed with an explicit sequential scan
+    over the (ts, event_id)-ordered event list."""
+    out = (
+        TR.funnel_conversion(events)
+        .toPandas()
+        .set_index("stage")
+    )
+    pdf = events_pd.sort_values(["user_id", "ts", "event_id"])
+    n1 = n2 = n3 = 0
+    for _, grp in pdf.groupby("user_id"):
+        t1 = t2 = t3 = None  # position (index into the ordered list)
+        for i, et in enumerate(grp.event_type):
+            if et == "view" and t1 is None:
+                t1 = i
+            elif et == "click" and t2 is None and t1 is not None and i > t1:
+                t2 = i
+            elif et == "purchase" and t3 is None and t2 is not None and i > t2:
+                t3 = i
+        n1 += t1 is not None
+        n2 += t2 is not None
+        n3 += t3 is not None
+    assert out.loc[1].n_users == n1
+    assert out.loc[2].n_users == n2
+    assert out.loc[3].n_users == n3
+    assert out.loc[1].pct_of_top == 1.0
+    assert math.isclose(out.loc[2].pct_of_prev, round(n2 / n1, 6))
+    assert math.isclose(out.loc[3].pct_of_prev, round(n3 / n2, 6))
+    assert math.isclose(out.loc[3].pct_of_top, round(n3 / n1, 6))
+
+
+def test_funnel_out_of_order_user_not_counted(spark):
+    """A user who purchases BEFORE ever viewing must not reach stage 3 —
+    the property the naive did-all-three-types formulation gets wrong."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: purchase, then view, then click — reaches stage 2 only
+    for i, et in enumerate(["purchase", "view", "click"]):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, et, 0.0, "{}"))
+    # user 2: the proper order
+    for i, et in enumerate(["view", "click", "purchase"]):
+        rows.append((10 + i, t0 + dt.timedelta(minutes=i), 2, et, 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = TR.funnel_conversion(df).toPandas().set_index("stage")
+    assert out.loc[1].n_users == 2  # both viewed
+    assert out.loc[2].n_users == 2  # both clicked after a view
+    assert out.loc[3].n_users == 1  # only user 2 purchased in order
+
+
+def test_rolling_distinct_matches_naive(spark, events, events_pd):
+    out = TR.rolling_distinct_users(events).toPandas()
+    pdf = events_pd.copy()
+    pdf["day"] = pdf.ts.dt.normalize()
+    for r in out.itertuples():
+        day = pd.Timestamp(r.day)
+        sl = pdf[(pdf.event_type == r.event_type) & (pdf.day == day)]
+        assert r.uniq_day == sl.user_id.nunique()
+        win = pdf[
+            (pdf.event_type == r.event_type)
+            & (pdf.day > day - pd.Timedelta(days=7))
+            & (pdf.day <= day)
+        ]
+        assert r.uniq_win == win.user_id.nunique()
+    # the window count dominates the day count and is bounded by 7 days' sum
+    assert (out.uniq_win >= out.uniq_day).all()
+
+
+def test_rolling_distinct_range_frame_spans_gaps(spark):
+    """RANGE (calendar-day) semantics: a day more than window_days after
+    the previous activity must NOT see the old users (ROWS would)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "click", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 2, "click", 0.0, "{}"),
+        # 20-day gap: a trailing-7-day window at day 22 holds only user 3
+        (3, dt.datetime(2024, 1, 22), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = TR.rolling_distinct_users(df).toPandas().set_index("day")
+    assert out.loc[pd.Timestamp("2024-01-02").date()].uniq_win == 2
+    assert out.loc[pd.Timestamp("2024-01-22").date()].uniq_win == 1
+
+
 def test_token_pmi_values_from_counts(spark):
     docs = load_table(spark, SF_DIR, "documents")
     out = TA.token_pmi(docs, min_count=3, k=20).toPandas()
