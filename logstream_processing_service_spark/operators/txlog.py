@@ -58,6 +58,27 @@ def _manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _merge_schemas(
+    prev: list[tuple[str, str]], cur: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Delta-style additive schema merge: columns match by NAME; common
+    columns must keep their exact type (widening/retyping needs a full
+    rewrite via mode='overwrite' — silently up-casting existing files
+    would change what old snapshots read); new columns append after the
+    existing ones in writer order; columns the writer omits stay (their
+    values read as NULL from the new files)."""
+    prev_types = dict(prev)
+    for name, typ in cur:
+        if name in prev_types and prev_types[name] != typ:
+            raise ValueError(
+                f"schema evolution cannot change column '{name}' from "
+                f"{prev_types[name]} to {typ} — rewrite with "
+                "mode='overwrite' to retype"
+            )
+    prev_names = {n for n, _ in prev}
+    return list(prev) + [(n, t) for n, t in cur if n not in prev_names]
+
+
 def commit(
     table_dir: str,
     df: DataFrame,
@@ -66,6 +87,7 @@ def commit(
     batch_id: int | None = None,
     extra: dict | None = None,
     txn_app_id: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as the next snapshot. ``mode='append'`` carries the
     previous snapshot's files forward; ``'overwrite'`` starts fresh.
@@ -75,7 +97,10 @@ def commit(
     record ``batch_id`` under a per-application high-water-mark in
     ``txn_hwms`` so multiple independent streams (or a stream restarted with a
     fresh checkpoint under a NEW app id) each track their own replay
-    watermark."""
+    watermark. ``merge_schema`` (Delta's mergeSchema): an append may ADD
+    columns (and may omit existing ones); the manifest records the merged
+    schema and flags the table as evolved so readers union file footers —
+    type changes still fail loudly (see _merge_schemas)."""
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be 'overwrite' or 'append'")
     os.makedirs(_log_dir(table_dir), exist_ok=True)
@@ -87,15 +112,29 @@ def commit(
         )
     new_version = current + 1
 
+    schema_out = [(f.name, f.dataType.simpleString()) for f in df.schema]
+    evolved = False
     if mode == "append" and current >= 0:
-        prev_schema = _manifest(table_dir, current).get("schema")
-        cur_schema = [(f.name, f.dataType.simpleString()) for f in df.schema]
-        if prev_schema is not None and [tuple(x) for x in prev_schema] != cur_schema:
-            raise ValueError(
-                f"append schema {cur_schema} incompatible with snapshot "
-                f"v{current} schema {prev_schema} — commit mode='overwrite' "
-                "to evolve the schema explicitly"
-            )
+        prev_man = _manifest(table_dir, current)
+        prev_schema = prev_man.get("schema")
+        cur_schema = schema_out
+        # an already-evolved table stays evolved: its files are mixed-
+        # schema until an overwrite (e.g. optimize_table) normalizes them
+        evolved = bool(prev_man.get("evolved"))
+        if prev_schema is not None:
+            prev_t = [tuple(x) for x in prev_schema]
+            if prev_t != cur_schema:
+                if not merge_schema:
+                    raise ValueError(
+                        f"append schema {cur_schema} incompatible with "
+                        f"snapshot v{current} schema {prev_schema} — pass "
+                        "merge_schema=True to add columns, or commit "
+                        "mode='overwrite' to rewrite"
+                    )
+                schema_out = _merge_schemas(prev_t, cur_schema)
+                evolved = True
+            elif evolved:
+                schema_out = prev_t
 
     cid = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data", f"c{cid}")
@@ -134,8 +173,10 @@ def commit(
         "mode": mode,
         "commit_id": cid,
         "files": files,
-        "schema": [(f.name, f.dataType.simpleString()) for f in df.schema],
+        "schema": schema_out,
     }
+    if evolved:
+        manifest["evolved"] = True
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     if hwm is not None:
@@ -171,9 +212,17 @@ def read_snapshot(
     v = seen[-1] if version is None else version
     if v not in seen:
         raise ValueError(f"version {v} not found (have {seen})")
-    files = _manifest(table_dir, v)["files"]
+    man = _manifest(table_dir, v)
+    files = man["files"]
     if not files:
         raise ValueError(f"snapshot v{v} is empty")
+    if man.get("evolved"):
+        # mixed-schema files: union the footers (columns absent from a
+        # file read as NULL) and pin the manifest's column order so the
+        # frame's schema is version-stable regardless of file order.
+        # Non-evolved tables keep the cheap single-footer path.
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        return df.select(*[name for name, _ in man["schema"]])
     return spark.read.parquet(*files)
 
 
@@ -339,8 +388,9 @@ def snapshot_diff(
     for v in (v_from, v_to):
         if v not in _versions(table_dir):
             raise ValueError(f"version {v} not found under {table_dir}")
+    man_to = _manifest(table_dir, v_to)
     a_files = _manifest(table_dir, v_from)["files"]
-    b_files = _manifest(table_dir, v_to)["files"]
+    b_files = man_to["files"]
     if set(a_files) <= set(b_files):
         added = [f for f in b_files if f not in set(a_files)]
         base = read_snapshot(spark, table_dir, v_from)
@@ -348,12 +398,30 @@ def snapshot_diff(
             return base.limit(0).withColumn(
                 "_change_type", F.lit("insert")
             )
-        return spark.read.parquet(*added).withColumn(
-            "_change_type", F.lit("insert")
-        )
+        if man_to.get("evolved"):
+            # emit the feed in v_to's (latest) schema — Delta-CDF
+            # convention under schema evolution; columns a pre-evolution
+            # added file lacks read as NULL
+            adf = spark.read.option("mergeSchema", "true").parquet(*added)
+            for name, typ in man_to["schema"]:
+                if name not in adf.columns:
+                    adf = adf.withColumn(name, F.lit(None).cast(typ))
+            adf = adf.select(*[name for name, _ in man_to["schema"]])
+        else:
+            adf = spark.read.parquet(*added)
+        return adf.withColumn("_change_type", F.lit("insert"))
 
     a = read_snapshot(spark, table_dir, v_from)
     b = read_snapshot(spark, table_dir, v_to)
+    if a.columns != b.columns:
+        # schema evolved between the versions: compare in v_to's schema,
+        # null-filling columns v_from predates (the CDF-in-latest-schema
+        # convention) — a row whose new column went NULL→value diffs as
+        # update_pre/postimage, which is exactly what happened
+        for name, typ in man_to["schema"]:
+            if name not in a.columns:
+                a = a.withColumn(name, F.lit(None).cast(typ))
+        a = a.select(*[name for name, _ in man_to["schema"]])
     if key is None:
         ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
         dels = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
@@ -412,6 +480,8 @@ def restore(table_dir: str, version: int) -> int:
         "files": src["files"],
         "schema": src.get("schema"),
     }
+    if src.get("evolved"):
+        manifest["evolved"] = True
     # carry the streaming HWMs forward: a restore must not reopen
     # exactly-once windows
     latest = _manifest(table_dir, seen[-1])
@@ -529,7 +599,12 @@ def read_snapshot_pruned(
     if not keep:
         base = read_snapshot(spark, table_dir, v)
         return base.filter(F.lit(False))
-    return spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+    if man.get("evolved"):
+        kept = spark.read.option("mergeSchema", "true").parquet(*keep)
+        kept = kept.select(*[name for name, _ in man["schema"]])
+    else:
+        kept = spark.read.parquet(*keep)
+    return kept.filter(F.col(col).between(lo, hi))
 
 
 def optimize_table(

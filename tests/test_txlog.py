@@ -436,3 +436,88 @@ def test_optimize_table_compacts_with_stats(spark, tmp_path):
     }
     assert len(files_read) == 1
     assert _ids(pruned) == list(range(10, 41))
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """merge_schema=True append may ADD columns: old rows read NULL in
+    the new column, the manifest pins the merged column order, and
+    pre-evolution snapshots still read with their own schema."""
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    TX.commit(t, spark.range(3).select("id", F.lit("a").alias("src")))
+    new = spark.range(10, 12).select(
+        "id", F.lit("b").alias("src"), F.lit(1.5).alias("score")
+    )
+    # without the flag: loud error naming it
+    with pytest.raises(ValueError, match="merge_schema"):
+        TX.commit(t, new, mode="append")
+    TX.commit(t, new, mode="append", merge_schema=True)
+
+    cur = TX.read_snapshot(spark, t)
+    assert cur.columns == ["id", "src", "score"]
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    assert rows[0] is None and rows[10] == 1.5
+    # time travel: v0 predates the evolution and keeps its 2-col schema
+    assert TX.read_snapshot(spark, t, version=0).columns == ["id", "src"]
+
+
+def test_schema_evolution_writer_may_omit_columns(spark, tmp_path):
+    """A merge_schema append that OMITS an existing column is legal —
+    the omitted column reads NULL from the new files."""
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    TX.commit(t, spark.range(2).select("id", F.lit("x").alias("src")))
+    TX.commit(t, spark.range(5, 7).select("id"), mode="append",
+              merge_schema=True)
+    cur = TX.read_snapshot(spark, t)
+    assert cur.columns == ["id", "src"]
+    rows = {r["id"]: r["src"] for r in cur.collect()}
+    assert rows[0] == "x" and rows[5] is None
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    TX.commit(t, spark.range(2).select("id", F.lit(1).alias("v")))
+    retyped = spark.range(2, 4).select("id", F.lit("s").alias("v"))
+    with pytest.raises(ValueError, match="cannot change column 'v'"):
+        TX.commit(t, retyped, mode="append", merge_schema=True)
+
+
+def test_schema_evolution_sticky_and_optimize_normalizes(spark, tmp_path):
+    """The evolved flag rides forward through later same-schema appends
+    (files stay mixed), and an OPTIMIZE rewrite normalizes the table
+    back to uniform files (flag cleared)."""
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    TX.commit(t, spark.range(3).select("id"))
+    TX.commit(t, spark.range(3, 5).select("id", F.lit(2.0).alias("score")),
+              mode="append", merge_schema=True)
+    TX.commit(t, spark.range(5, 6).select("id", F.lit(3.0).alias("score")),
+              mode="append")
+    assert TX.history(t)[-1].get("evolved") is True
+    before = {r["id"]: r["score"] for r in TX.read_snapshot(spark, t).collect()}
+    TX.optimize_table(spark, t, target_files=1)
+    man = TX.history(t)[-1]
+    assert not man.get("evolved")
+    after = {r["id"]: r["score"] for r in TX.read_snapshot(spark, t).collect()}
+    assert after == before
+
+
+def test_schema_evolution_cdc_in_latest_schema(spark, tmp_path):
+    """snapshot_diff across an evolution emits the feed in v_to's
+    schema, null-filling the column v_from predates."""
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    v0 = TX.commit(t, spark.range(2).select("id"))
+    v1 = TX.commit(t, spark.range(10, 12).select(
+        "id", F.lit(7.0).alias("score")), mode="append", merge_schema=True)
+    feed = TX.snapshot_diff(spark, t, v0, v1)
+    assert feed.columns == ["id", "score", "_change_type"]
+    got = {(r["id"], r["score"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(10, 7.0, "insert"), (11, 7.0, "insert")}
