@@ -62,6 +62,48 @@ def hll_rollup(registry: DataFrame) -> DataFrame:
     return per_key.unionByName(total).orderBy(F.col("key").asc_nulls_last())
 
 
+def hll_rolling_distinct(
+    registry: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Trailing-window distinct actors from the daily HLL registry — the
+    100 TB form of ``trends.rolling_distinct_users``: the window's
+    inputs are KB-sized sketches at (key, day) grain (union is
+    associative, so the registry can be built map-side over raw events
+    and this rollup never touches them again). The exact set-union
+    operator is the oracle this is accuracy-tested against (≤5%
+    relative error at lg_k=12, tests/test_sketches.py).
+
+    RANGE frame over the epoch-day index — calendar-day semantics
+    matching the exact twin (missing days contribute nothing).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day_x")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return (
+        registry.withColumn(
+            "day_x",
+            F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint"),
+        )
+        .withColumn(
+            "approx_win",
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("sketch"), F.lit(True)).over(w)
+            ).cast("bigint"),
+        )
+        .select(
+            "key",
+            "day",
+            F.hll_sketch_estimate("sketch").cast("bigint").alias("approx_day"),
+            "approx_win",
+        )
+        .orderBy("key", "day")
+    )
+
+
 def kll_daily_registry(
     events: DataFrame,
     key_col: str = "event_type",

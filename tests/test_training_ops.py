@@ -405,6 +405,36 @@ def test_hll_registry_rollup_accuracy(spark):
     ).distinct().count()
 
 
+def test_hll_rolling_distinct_tracks_exact_twin(spark):
+    """The sketch form of the trailing-7-day distinct report must land
+    within 5% of trends.rolling_distinct_users (the exact set-union
+    twin) on every (key, day) cell — the documented 100 TB swap,
+    accuracy-tested against its oracle."""
+    from logstream_processing_service_spark.operators.sketches import (
+        hll_daily_registry,
+        hll_rolling_distinct,
+    )
+    from logstream_processing_service_spark.operators.trends import (
+        rolling_distinct_users,
+    )
+    from logstream_processing_service_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        (r["key"], r["day"]): (r["approx_day"], r["approx_win"])
+        for r in hll_rolling_distinct(hll_daily_registry(ev)).collect()
+    }
+    exact = {
+        (r["event_type"], r["day"]): (r["uniq_day"], r["uniq_win"])
+        for r in rolling_distinct_users(ev).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (ed, ew) in exact.items():
+        ad, aw = approx[k]
+        assert abs(ad - ed) / ed <= 0.05, (k, ad, ed)
+        assert abs(aw - ew) / ew <= 0.05, (k, aw, ew)
+
+
 def test_substring_containment_planted_fixture(spark):
     """Hand-computable containment set: word-grain containment found,
     word-boundary fragment NOT matched, identical texts resolve to the
