@@ -143,6 +143,57 @@ def pagerank_oracle_sql(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
     """
 
 
+def weighted_pagerank(
+    edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING
+) -> DataFrame:
+    """PageRank over a WEIGHTED directed edge list (src, dst, w): each
+    node distributes its rank proportionally to outgoing edge weight —
+    the update rule of TextRank (Mihalcea & Tarau 2004, eq. 2). Same
+    per-iteration shape as pagerank(): ONE edge→rank equi-join + ONE
+    dst-keyed aggregation, persisted edges, localCheckpoint per step.
+
+    Returns (node, strength, rank_scaled): strength = Σ outgoing w
+    (BIGINT — callers pass integer co-occurrence counts), rank_scaled =
+    rank × |V| at 6 dp. Every node must have out-strength ≥ 1 (true for
+    any symmetrized edge list)."""
+    edges = edges.persist()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    nodes = outw.select(F.col("src").alias("node"), "outw").persist()
+    n = nodes.count()  # scalar: |V| (node-list cardinality, bounded)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                ranks.join(nodes, "node").select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("outw")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("w")).alias("in_mass"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.join(nodes, "node").select(
+        "node",
+        F.col("outw").cast("bigint").alias("strength"),
+        F.round(F.col("rank") * n, 6).alias("rank_scaled"),
+    )
+    edges.unpersist()
+    return out
+
+
 def incremental_components(
     spark,
     assign_dir: str,

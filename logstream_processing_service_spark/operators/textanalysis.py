@@ -562,6 +562,80 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
     )
 
 
+def cooccurrence_edges(documents: DataFrame, min_weight: int = 2) -> DataFrame:
+    """Undirected word co-occurrence graph from the adjacent-token
+    stream (window = 2): one edge per unordered word pair with its
+    corpus frequency as the weight, emitted in both directions so every
+    node has out-strength ≥ 1 (the weighted_pagerank contract).
+
+    Scale: pairs form in-row (the token_pmi transform — no position
+    self-join); the pair-grain count partial-aggregates map-side, so
+    shuffle volume is bounded by |bigram vocab|; min_weight prunes the
+    hapax tail BEFORE symmetrization doubles the edge list.
+    """
+    toks = documents.select(T.words(F.col("text")).alias("t"))
+    und = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> named_struct('w1', t[i-1], 'w2', t[i]))"
+                )
+            ).alias("bg")
+        )
+        .select(
+            F.least("bg.w1", "bg.w2").alias("a"),
+            F.greatest("bg.w1", "bg.w2").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))  # self-loops carry no rank
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .filter(F.col("w") >= min_weight)
+    )
+    return und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    k: int = 50,
+    min_weight: int = 2,
+    n_iter: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau 2004):
+    rank words by weighted PageRank over the adjacent-token
+    co-occurrence graph and return the top k. The graph-centrality
+    upgrade of top_tokens/tfidf_top_terms — a word matters not because
+    it is frequent but because it co-occurs with words that matter.
+
+    Composition: cooccurrence_edges (vocab-grain, in-row pair
+    formation) → graph.weighted_pagerank (one join + one agg per
+    iteration, checkpointed) → TakeOrdered top-k. The iteration cost is
+    |edges| ≈ |bigram vocab|, independent of corpus size once the
+    count table is built — the property that makes TextRank viable at
+    100 TB where per-document graphs would not be.
+    """
+    from .graph import weighted_pagerank
+
+    pr = weighted_pagerank(
+        cooccurrence_edges(documents, min_weight=min_weight),
+        n_iter=n_iter,
+        damping=damping,
+    )
+    return (
+        pr.select(
+            F.col("node").alias("word"), "strength", "rank_scaled"
+        )
+        .orderBy(F.desc("rank_scaled"), "word")
+        .limit(k)
+    )
+
+
 def token_pmi(documents: DataFrame, min_count: int = 5, k: int = 100) -> DataFrame:
     """Top-k collocations by pointwise mutual information over adjacent
     token pairs — the classic phrase-mining / tokenizer-merge-candidate

@@ -119,3 +119,82 @@ def test_incremental_components_equals_batch(spark, tmp_path):
     assert final[21]["canonical_id"] == 5
     assert final[5]["canonical_id"] == 5
     assert final[1]["cluster_size"] == 4 and final[5]["cluster_size"] == 5
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """Distributed weighted power iteration vs an identical dense numpy
+    iteration on a small weighted digraph."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from logstream_processing_service_spark.operators.graph import (
+        weighted_pagerank,
+    )
+
+    # weighted digraph: 0->1 (3), 0->2 (1), 1->2 (2), 2->0 (5), 1->0 (1)
+    raw = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (1, 0, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    got = {
+        r["node"]: (r["strength"], r["rank_scaled"])
+        for r in weighted_pagerank(edges, n_iter=8, damping=0.85).collect()
+    }
+    n, d = 3, 0.85
+    r = np.full(n, 1.0 / n)
+    outw = np.zeros(n)
+    for s, _, w in raw:
+        outw[s] += w
+    for _ in range(8):
+        nxt = np.full(n, (1.0 - d) / n)
+        for s, t, w in raw:
+            nxt[t] += d * r[s] * w / outw[s]
+        r = nxt
+    for i in range(n):
+        assert got[i][0] == int(outw[i])
+        assert abs(got[i][1] - round(r[i] * n, 6)) < 1e-9, (i, got[i], r[i])
+
+
+def test_weighted_pagerank_unit_weights_equal_unweighted(spark):
+    """With w=1 everywhere the weighted form must reproduce pagerank()
+    exactly (same joins, same float association)."""
+    from pyspark.sql import functions as F
+    from logstream_processing_service_spark.operators.graph import (
+        co_order_edges,
+        pagerank,
+        weighted_pagerank,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    from .conftest import SF_DIR
+
+    edges = co_order_edges(load_table(spark, SF_DIR, "lineitem"))
+    base = {
+        r["node"]: r["rank_scaled"] for r in pagerank(edges, n_iter=4).collect()
+    }
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in weighted_pagerank(
+            edges.withColumn("w", F.lit(1).cast("bigint")), n_iter=4
+        ).collect()
+    }
+    assert got == base
+
+
+def test_textrank_ranks_hub_word_first(spark):
+    """A word adjacent to everything outranks words with equal raw
+    frequency but peripheral positions — the property frequency-based
+    top_tokens cannot express."""
+    from logstream_processing_service_spark.operators.textanalysis import (
+        textrank_keywords,
+    )
+
+    # 'hub' co-occurs with every other word; fillers co-occur in pairs
+    docs = []
+    fill = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for i, w in enumerate(fill):
+        docs.append((i, f"hub {w} hub {w}"))
+    docs += [(100 + j, "aa bb aa bb") for j in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textrank_keywords(df, k=10, min_weight=1).toPandas()
+    assert out.iloc[0].word == "hub"
+    # determinism: second run identical
+    out2 = textrank_keywords(df, k=10, min_weight=1).toPandas()
+    assert out.equals(out2)
