@@ -51,6 +51,14 @@ QUERIES = [
     "session_gap_sweep",            # events-grain: one window shuffle
     "components_incremental_twin",  # documents-grain: LSH + contraction
     "drift_window_twin",            # events-grain: 3 commits + refreshes
+    # r6 continuation (trends family + collocations; stream_join_twin is
+    # excluded — its stream runs at fn() build time, the eager caveat)
+    "cohort_retention",         # events-grain: one user-keyed shuffle
+    "event_transitions",        # events-grain: user-keyed lag window
+    "ohlc_bars",                # events-grain: single aggregation
+    "funnel_conversion",        # events-grain: one sort, two windows
+    "rolling_distinct_users",   # events-grain: day-grain sets + window
+    "token_pmi",                # documents-grain: bigram vocab joins
 ]
 
 SCALE_DIR = "/tmp/logstream_scale10"
