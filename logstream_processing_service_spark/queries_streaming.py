@@ -405,15 +405,30 @@ def _stream_join_twin_oracle(n_batches: int = N_BATCHES) -> str:
       before them, so an error below w is unmatchable and evicted);
     - both in batch 2: both admitted (both ≥ w) → matched in-batch.
 
-    w is derived from the max event time over ALL batch-0 rows (every
-    type, not just the two joined sides): the operator applies
-    withWatermark BEFORE the event_type filters, and the filters are NOT
-    pushed below the EventTimeWatermark node, so both sides' watermark
-    nodes track the unfiltered max and the multipleWatermarkPolicy min
-    is that same value. DISCRIMINATED empirically at sf0.1: a
-    per-side-maxima pin (min of signup/error batch-0 maxes) admits one
-    batch-2 signup 930s above the per-side threshold but 594s below the
-    all-rows threshold — Spark drops it, proving the all-rows pin.
+    w is the max event time over batch-0 rows OF THE TWO JOINED TYPES
+    (signup/error) — NOT the all-rows max and NOT the min of per-side
+    maxima. Mechanism, pinned by the adversarial probes in
+    tests/test_watermark_probe.py: the operator applies withWatermark
+    once BEFORE the two event_type filters, so both join inputs carry
+    physical instances of the SAME logical EventTimeWatermark node;
+    the optimizer pushes each type filter below its physical instance
+    (the predicate does not reference the event-time column), so each
+    instance tracks only its own type's max — a 20:00 row of an
+    UNRELATED type advances nothing (probe A) — and the two instances'
+    reports combine into ONE node watermark by MAX, not the
+    multipleWatermarkPolicy min that governs DISTINCT nodes — a 20:00
+    row on either joined side drags BOTH sides' late filters up to
+    18:00 (probe B + threshold sweep: pairs at 17:00/17:05,
+    17:30/18:30, 09:00/09:30 and a 10:30 late-error against held state
+    all drop; 19:00/19:05 emits).
+
+    History: the first pin here ("all-rows max, filters not pushed")
+    was wrong in MECHANISM but observationally equivalent on the
+    driver's dense event data, where every type's batch-0 max lands
+    within seconds of the global max; the sf0.1 discrimination run
+    that rejected min-of-per-side-maxima could not separate
+    all-rows-max from max-over-joined-types. The sparse probes above
+    separate all three; this oracle now pins the true one.
 
     At sf0.01 every arm is non-vacuous: 92 / 30 / 32 / 21 pairs
     (both01 / signup-state / error-state / both2) — measured during
@@ -426,7 +441,8 @@ def _stream_join_twin_oracle(n_batches: int = N_BATCHES) -> str:
                CAST(event_id % {n_batches} AS INT) AS b
         FROM events
     ),
-    wm AS (SELECT max(us) - {delay_us} AS w FROM ev WHERE b = 0),
+    wm AS (SELECT max(us) - {delay_us} AS w FROM ev
+           WHERE b = 0 AND event_type IN ('signup', 'error')),
     s AS (SELECT user_id, us AS s_us, event_id AS s_id, b AS sb
           FROM ev WHERE event_type = 'signup'),
     e AS (SELECT user_id, us AS e_us, event_id AS e_id, b AS eb

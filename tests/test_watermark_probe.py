@@ -81,3 +81,83 @@ def test_watermark_one_batch_lag_probe(spark):
     # set — still worth a loud flag
     if batch != 1:
         pytest.fail(recal)
+
+
+def _run_join_probe(spark, max_row_type: str) -> list[tuple[int, int]]:
+    """3-batch correlated_pairs_stream fixture with one 20:00 row of
+    ``max_row_type`` in batch 0 (the only row anywhere near the top of
+    the time range) — whether and how that row advances the watermark
+    is exactly what discriminates the candidate semantics."""
+    from logstream_processing_service_spark.streaming.drive import (
+        run_deterministic_batches,
+    )
+    from logstream_processing_service_spark.streaming.pipeline import (
+        correlated_pairs_stream,
+    )
+
+    schema = "ts_us long, user_id long, event_type string, event_id long"
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+    slices = [
+        mk([
+            (_us(1, 0), 1, "signup", 1),
+            (_us(1, 10), 1, "error", 2),
+            (_us(20, 0), 9, max_row_type, 100),
+        ]),
+        mk([(_us(10, 0), 2, "signup", 3), (_us(10, 5), 2, "error", 4)]),
+        mk([
+            (_us(17, 0), 3, "signup", 5),
+            (_us(17, 5), 3, "error", 6),
+            (_us(19, 0), 4, "signup", 7),
+            (_us(19, 5), 4, "error", 8),
+        ]),
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        schema,
+        lambda s: correlated_pairs_stream(
+            s.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+            watermark="2 hours",
+            lookback_sec=3600,
+        ),
+        output_mode="append",
+    )
+    return sorted(
+        (r["l_event_id"], r["r_event_id"]) for r in captured.collect()
+    )
+
+
+def test_join_watermark_filtered_max_combine_probe(spark):
+    """_stream_join_twin_oracle (queries_streaming.py) pins the join
+    watermark as the MAX batch-0 event time OVER THE TWO JOINED TYPES:
+    the single logical EventTimeWatermark node branches into one
+    physical instance per join input, the type filters are pushed below
+    the instances (the predicate doesn't touch the event-time column),
+    and the instances' reports combine into the shared node's watermark
+    by MAX. Two fixture variants separate this from both rejected
+    models; if a Spark upgrade shifts ANY of it, this fails with a
+    recalibration message instead of letting the oracle silently
+    assert stale semantics.
+
+    Variant A — the 20:00 row is an UNRELATED type ('view'): it must
+    advance NOTHING (filters below the instances), watermark stays at
+    08:05, and the 17:00/17:05 batch-2 pair IS emitted. The rejected
+    all-rows-max model predicts 18:00 and drops it.
+
+    Variant B — the 20:00 row is a 'signup': it drags the SHARED node
+    to 18:00 through max-combine, so 17:00/17:05 is dropped on BOTH
+    sides even though the error-side instance only ever saw 10:05. The
+    rejected min-combine / per-side model predicts 08:05 and admits it.
+    19:00/19:05 emits in both variants (non-vacuity control).
+    """
+    recal = (
+        "Structured Streaming's watermark placement changed under this "
+        "Spark version — recalibrate _stream_join_twin_oracle in "
+        "queries_streaming.py (the filtered max-combine pin no longer "
+        "holds). Observed pairs: variant A (view-typed max row) {a}, "
+        "variant B (signup-typed max row) {b}"
+    )
+    a = _run_join_probe(spark, "view")
+    b = _run_join_probe(spark, "signup")
+    if a != [(1, 2), (3, 4), (5, 6), (7, 8)] or b != [(1, 2), (3, 4), (7, 8)]:
+        pytest.fail(recal.format(a=a, b=b))
