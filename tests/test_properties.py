@@ -881,3 +881,106 @@ def test_json_shred_profile_fuzz_vs_duckdb(spark, objs):
     assert len(got) == len(exp)
     for g, e in zip(got, exp):
         assert g == e, (g, e)
+
+
+@SLOW
+@given(event_streams())
+def test_funnel_conversion_matches_sequential_scan(spark, stream):
+    """Strict-sequencing funnel vs a per-user sequential scan over the
+    (ts, event_id)-ordered list on arbitrary tie-heavy streams."""
+    from logstream_processing_service_spark.operators.trends import (
+        funnel_conversion,
+    )
+
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (i, _BASE + datetime.timedelta(seconds=off), u, types[i % 4], 0.0, "{}")
+        for i, (u, off) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = {r["stage"]: r["n_users"] for r in funnel_conversion(df).collect()}
+    by_user: dict[int, list] = {}
+    for eid, ts, u, et, _, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    n1 = n2 = n3 = 0
+    for seq in by_user.values():
+        seq.sort()
+        p1 = p2 = p3 = None
+        for i, (_, _, et) in enumerate(seq):
+            if et == "view" and p1 is None:
+                p1 = i
+            elif et == "click" and p2 is None and p1 is not None and i > p1:
+                p2 = i
+            elif et == "purchase" and p3 is None and p2 is not None and i > p2:
+                p3 = i
+        n1 += p1 is not None
+        n2 += p2 is not None
+        n3 += p3 is not None
+    assert (out[1], out[2], out[3]) == (n1, n2, n3)
+
+
+@SLOW
+@given(event_streams())
+def test_cusum_identity_matches_recursion(spark, stream):
+    """cumsum − running-min identity vs the textbook max(0, ·)
+    recursion on arbitrary daily series (ties, zero-days, singletons)."""
+    import math
+
+    from logstream_processing_service_spark.operators.trends import (
+        cusum_changepoints,
+    )
+
+    rows = [
+        (i, _BASE + datetime.timedelta(seconds=off * 14), u, "t", 0.0, "{}")
+        for i, (u, off) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = cusum_changepoints(df).collect()
+    daily: dict[datetime.date, int] = {}
+    for _, ts, *_ in rows:
+        daily[ts.date()] = daily.get(ts.date(), 0) + 1
+    mu = sum(daily.values()) / len(daily)
+    s = 0.0
+    for r, (day, x) in zip(out, sorted(daily.items())):
+        s = max(0.0, s + (x - 1.1 * mu))
+        assert r["day"] == day and r["daily_n"] == x
+        assert math.isclose(r["cusum"], s, rel_tol=1e-9, abs_tol=1e-5)
+        assert r["is_change"] == int(s > 3 * mu)
+
+
+@SLOW
+@given(event_streams())
+def test_rolling_distinct_matches_rescan(spark, stream):
+    """Set-union sliding distinct vs a naive re-scan per (type, day)
+    window on arbitrary streams (gaps, single days, all-dup days)."""
+    from logstream_processing_service_spark.operators.trends import (
+        rolling_distinct_users,
+    )
+
+    rows = [
+        (i, _BASE + datetime.timedelta(seconds=off * 400), u, "t", 0.0, "{}")
+        for i, (u, off) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    out = rolling_distinct_users(df, window_days=7).collect()
+    per_day: dict[datetime.date, set] = {}
+    for _, ts, u, *_ in rows:
+        per_day.setdefault(ts.date(), set()).add(u)
+    assert len(out) == len(per_day)
+    for r in out:
+        day = r["day"]
+        win = set()
+        for d, us_ in per_day.items():
+            if 0 <= (day - d).days <= 6:
+                win |= us_
+        assert r["uniq_day"] == len(per_day[day])
+        assert r["uniq_win"] == len(win)
