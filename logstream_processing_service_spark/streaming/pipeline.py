@@ -280,8 +280,9 @@ def correlated_pairs_stream(
     right_type: str = "error",
     watermark: str = "2 hours",
     lookback_sec: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: every ``right_type`` event paired with the
+    """Stream-stream join: every ``right_type`` event paired with the
     same user's ``left_type`` events from the preceding ``lookback_sec``.
 
     The streaming form of the batch as-of/interval join family
@@ -291,6 +292,17 @@ def correlated_pairs_stream(
     state — without it, stream-stream state grows forever; this is the
     canonical scalable shape (state ∝ users active within the lookback,
     not stream length).
+
+    ``how='left_outer'`` additionally emits every unmatched left event
+    with NULL right columns once its join state expires (the streaming
+    "signup that never errored" report). Emission timing is driven by
+    state eviction — semantics probed and pinned in
+    tests/test_louter_twin.py: matches emit immediately (the per-batch
+    join runs BEFORE that batch's eviction), null-emits fire in the
+    batch whose eviction watermark first exceeds l_ts + lookback
+    (including a trailing no-data batch after the last input batch),
+    and unmatched lefts whose state never expires are discarded at
+    availableNow termination.
     """
     from pyspark.sql import functions as F
 
@@ -309,12 +321,14 @@ def correlated_pairs_stream(
         F.col("event_id").alias("r_event_id"),
         F.col("ts").alias("r_ts"),
     )
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     return left.join(
         right,
         (F.col("l_user") == F.col("r_user"))
         & (F.col("l_ts") <= F.col("r_ts"))
         & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {lookback_sec} SECONDS")),
-        "inner",
+        how,
     )
 
 
