@@ -61,6 +61,16 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = deg.select(F.col("src").alias("node"), "outdeg").persist()
     n = nodes.count()  # scalar: |V| (bounded — node-list cardinality)
+    if n == 0:
+        # empty edge list (e.g. every pair fell under a weight floor):
+        # the uniform start 1/n is undefined — return the empty result
+        # frame instead of a driver-side ZeroDivisionError
+        edges.unpersist()
+        return nodes.select(
+            "node",
+            F.col("outdeg").cast("bigint").alias("degree"),
+            F.lit(0.0).alias("rank_scaled"),
+        )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         contrib = (
@@ -160,6 +170,15 @@ def weighted_pagerank(
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     nodes = outw.select(F.col("src").alias("node"), "outw").persist()
     n = nodes.count()  # scalar: |V| (node-list cardinality, bounded)
+    if n == 0:
+        # same empty-graph contract as pagerank(): a weight floor can
+        # legitimately drain the edge list — return empty, don't divide
+        edges.unpersist()
+        return nodes.select(
+            "node",
+            F.col("outw").cast("bigint").alias("strength"),
+            F.lit(0.0).alias("rank_scaled"),
+        )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         contrib = (

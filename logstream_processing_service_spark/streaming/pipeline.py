@@ -295,14 +295,16 @@ def correlated_pairs_stream(
 
     ``how='left_outer'`` additionally emits every unmatched left event
     with NULL right columns once its join state expires (the streaming
-    "signup that never errored" report). Emission timing is driven by
-    state eviction — semantics probed and pinned in
+    "signup that never errored" report); ``'full_outer'`` adds the
+    symmetric right-null rows (errors no signup preceded). Emission
+    timing is driven by state eviction — semantics probed and pinned in
     tests/test_louter_twin.py: matches emit immediately (the per-batch
     join runs BEFORE that batch's eviction), null-emits fire in the
-    batch whose eviction watermark first exceeds l_ts + lookback
-    (including a trailing no-data batch after the last input batch),
-    and unmatched lefts whose state never expires are discarded at
-    availableNow termination.
+    batch whose eviction watermark first exceeds the row's matchable
+    horizon (l_ts + lookback on the left, r_ts itself on the right —
+    including a trailing no-data batch after the last input batch), and
+    unmatched state that never expires is discarded at availableNow
+    termination.
     """
     from pyspark.sql import functions as F
 
@@ -321,8 +323,8 @@ def correlated_pairs_stream(
         F.col("event_id").alias("r_event_id"),
         F.col("ts").alias("r_ts"),
     )
-    if how not in ("inner", "left_outer"):
-        raise ValueError("how must be 'inner' or 'left_outer'")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError("how must be 'inner', 'left_outer' or 'full_outer'")
     return left.join(
         right,
         (F.col("l_user") == F.col("r_user"))

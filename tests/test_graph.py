@@ -198,3 +198,28 @@ def test_textrank_ranks_hub_word_first(spark):
     # determinism: second run identical
     out2 = textrank_keywords(df, k=10, min_weight=1).toPandas()
     assert out.equals(out2)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """A weight floor can drain the edge list entirely — both pagerank
+    forms (and textrank over a too-small corpus) must return an empty
+    frame with the right schema, not divide by |V| = 0."""
+    from logstream_processing_service_spark.operators.graph import (
+        pagerank,
+        weighted_pagerank,
+    )
+    from logstream_processing_service_spark.operators.textanalysis import (
+        textrank_keywords,
+    )
+
+    e0 = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e0).count() == 0
+    assert pagerank(e0).columns == ["node", "degree", "rank_scaled"]
+    w0 = spark.createDataFrame([], "src long, dst long, w long")
+    assert weighted_pagerank(w0).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "three four")], "doc_id long, text string"
+    )
+    out = textrank_keywords(docs, min_weight=99)  # floor kills every edge
+    assert out.count() == 0
+    assert out.columns == ["word", "strength", "rank_scaled"]

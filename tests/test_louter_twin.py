@@ -212,3 +212,133 @@ def test_louter_twin_hash_matches_oracle(spark):
     con = duckdb_conn(SF_DIR)
     r = compare_one(spark, con, "louter_twin", q, _louter_oracle(), SF_DIR)
     assert r["status"] == "OK", r
+
+
+def test_fouter_right_eviction_probe(spark):
+    """full_outer adds the symmetric right-null arm: an error's state
+    evicts when r_ts < the eviction watermark (no lookback slack — it
+    only matches signups AT OR BEFORE it, so once the watermark passes
+    it no future signup can qualify), with the same same-batch and
+    trailing no-data emission mechanics as the left side."""
+    from logstream_processing_service_spark.streaming.drive import (
+        run_deterministic_batches,
+    )
+    from logstream_processing_service_spark.streaming.pipeline import (
+        correlated_pairs_stream,
+    )
+
+    schema = "ts_us long, user_id long, event_type string, event_id long"
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+    slices = [
+        mk([
+            (_us(1, 0), 1, "signup", 1), (_us(1, 10), 1, "error", 2),
+            (_us(1, 30), 9, "error", 90),   # evicts in b1 (01:30 < 03:00)
+            (_us(5, 0), 19, "error", 91),   # b0 max; evicts in b2 (< 10:00)
+        ]),
+        mk([(_us(12, 0), 8, "error", 80)]),  # drags b2's eviction wm to
+        # 10:00; itself ≥ 10:00 → silent tail
+        mk([
+            (_us(4, 0), 12, "error", 92),   # admitted (> 03:00 late
+            # filter) then evict-emitted same batch (04:00 < 10:00)
+            (_us(3, 30), 3, "signup", 61),  # the left arm still fires
+        ]),
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        schema,
+        lambda s: correlated_pairs_stream(
+            s.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+            watermark="2 hours",
+            lookback_sec=3600,
+            how="full_outer",
+        ),
+        output_mode="append",
+    )
+    key = lambda t: tuple(-1 if x is None else x for x in t)  # noqa: E731
+    got = sorted(
+        (
+            (r["l_event_id"], r["r_event_id"], r["_batch"])
+            for r in captured.collect()
+        ),
+        key=key,
+    )
+    want = sorted(
+        [
+            (1, 2, 0), (None, 90, 1), (None, 91, 2), (None, 92, 2),
+            (61, None, 2),
+        ],
+        key=key,
+    )
+    if got != want:
+        pytest.fail(
+            "Structured Streaming's full-outer eviction semantics "
+            "changed under this Spark version — recalibrate the oracle "
+            f"in tests/test_louter_twin.py. Observed: {got}"
+        )
+
+
+def _fouter_oracle(
+    delay_h: int = _DELAY_H, lb_s: int = _LOOKBACK_S, n: int = _N
+) -> str:
+    """left-outer oracle + the right-null arm: admitted never-matched
+    rights with r_ts below the final watermark (arms at sf0.01:
+    410 right null-emits, 1214 silent, 221 late-dropped — measured)."""
+    lb = lb_s * 1_000_000
+    d = delay_h * 3600 * 1_000_000
+    base = _louter_oracle(delay_h, lb_s, n)
+    head, tail = base.rsplit("ORDER BY", 1)
+    return f"""{head}
+    UNION ALL
+    SELECT a.user_id, CAST(NULL AS BIGINT), a.e_id, CAST(NULL AS BIGINT)
+    FROM e a, wm, wf
+    WHERE (a.eb <= 1 OR a.e_us >= wm.w)
+      AND a.e_us < wf.w3
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.e_id = a.e_id)
+    ORDER BY {tail}
+    """
+
+
+def test_fouter_twin_hash_matches_oracle(spark):
+    """Full driver-harness parity for how='full_outer' on the real
+    events table at the driver's SF."""
+    from logstream_processing_service_spark.sources import load_table
+    from logstream_processing_service_spark.streaming.drive import (
+        run_deterministic_batches,
+    )
+    from logstream_processing_service_spark.streaming.pipeline import (
+        correlated_pairs_stream,
+    )
+
+    def q(s, sf_dir):
+        ev = load_table(s, sf_dir, "events").select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id", "event_type", F.col("event_id"),
+        )
+        slices = [
+            ev.filter(F.col("event_id") % _N == b) for b in range(_N)
+        ]
+        cap = run_deterministic_batches(
+            s,
+            slices,
+            "ts_us long, user_id long, event_type string, event_id long",
+            lambda st: correlated_pairs_stream(
+                st.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+                watermark=f"{_DELAY_H} hours",
+                lookback_sec=_LOOKBACK_S,
+                how="full_outer",
+            ),
+            output_mode="append",
+        )
+        return cap.select(
+            F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
+            F.col("l_event_id").alias("signup_id"),
+            F.col("r_event_id").alias("error_id"),
+            F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+            .cast("bigint")
+            .alias("lag_s"),
+        ).orderBy("user_id", "signup_id", "error_id")
+
+    con = duckdb_conn(SF_DIR)
+    r = compare_one(spark, con, "fouter_twin", q, _fouter_oracle(), SF_DIR)
+    assert r["status"] == "OK", r
