@@ -127,7 +127,7 @@ def refresh_matview(
         v = TX.commit(
             view_dir,
             TX.read_snapshot(spark, view_dir),
-            extra={"base_version": now},
+            extra={"base_version": now, "refresh_mode": mode},
         )
         return {"base_version": now, "mode": mode, "view_version": v}
 
@@ -136,7 +136,11 @@ def refresh_matview(
         merged = _merge(TX.read_snapshot(spark, view_dir), delta, spec)
     else:
         merged = delta
-    v = TX.commit(view_dir, merged, extra={"base_version": now})
+    # refresh_mode rides in the manifest so deployments can audit that
+    # refreshes stayed incremental (tests assert no silent full fallback)
+    v = TX.commit(
+        view_dir, merged, extra={"base_version": now, "refresh_mode": mode}
+    )
     return {"base_version": now, "mode": mode, "view_version": v}
 
 

@@ -607,6 +607,42 @@ def read_snapshot_pruned(
     return kept.filter(F.col(col).between(lo, hi))
 
 
+def read_snapshot_null_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """IS NULL probe served from the manifest's per-file null COUNTS
+    (the third statistic commit_with_stats already records beside
+    min/max): files with ``nulls_col == 0`` cannot contribute a row to
+    "find the records missing this field" — the data-quality workhorse
+    query — and are skipped without touching their footers. Files
+    without recorded stats are conservatively read. min/max pruning
+    cannot express this (a file's [min, max] says nothing about
+    nulls, which sort outside the value order)."""
+    seen = _versions(table_dir)
+    if not seen:
+        raise ValueError(f"no committed version under {table_dir}")
+    v = seen[-1] if version is None else version
+    man = _manifest(table_dir, v)
+    stats = man.get("file_stats") or {}
+    keep = []
+    for f in man["files"]:
+        st = stats.get(f)
+        n_nulls = None if st is None else st.get(f"nulls_{col}")
+        if n_nulls is None or n_nulls > 0:
+            keep.append(f)
+    if not keep:
+        return read_snapshot(spark, table_dir, v).filter(F.lit(False))
+    if man.get("evolved"):
+        kept = spark.read.option("mergeSchema", "true").parquet(*keep)
+        kept = kept.select(*[name for name, _ in man["schema"]])
+    else:
+        kept = spark.read.parquet(*keep)
+    return kept.filter(F.col(col).isNull())
+
+
 def optimize_table(
     spark: SparkSession,
     table_dir: str,

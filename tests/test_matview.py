@@ -279,3 +279,70 @@ def test_matview_hll_measures_incremental_equals_full(spark, tmp_path, sf_dir):
     for k, n in exact.items():
         est = inc[k]["approx_distinct_user_id"]
         assert abs(est - n) / n < 0.05, (k, est, n)
+
+
+def test_wau_registry_streamed_equals_oneshot(spark, tmp_path, sf_dir):
+    """The WAU deployment composition: events stream in micro-batches →
+    txlog appends → O(delta) incremental refresh of the (key, day) HLL
+    registry view → hll_rolling_distinct serves the trailing-7-day
+    distinct report from KB sketches. The served report must estimate
+    IDENTICALLY to the one-shot registry built over all events at once
+    (HLL registers merge by max — associative — so refresh order cannot
+    change any estimate)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.matview import (
+        ViewSpec,
+        matview_sink,
+    )
+    from logstream_processing_service_spark.operators.sketches import (
+        hll_daily_registry,
+        hll_rolling_distinct,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+        "event_id",
+    )
+    spec = ViewSpec(group_cols=("key", "day"), hll_cols=("user_id",))
+    src = str(tmp_path / "src")
+    t, v = str(tmp_path / "t"), str(tmp_path / "v")
+    os.makedirs(src)
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).drop("event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema("key string, day date, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(matview_sink(t, v, spec))
+            .option("checkpointLocation", str(tmp_path / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    served_reg = TX.read_snapshot(spark, v).select(
+        "key", "day", F.col("hll_user_id").alias("sketch")
+    )
+    got = {
+        (r["key"], r["day"]): (r["approx_day"], r["approx_win"])
+        for r in hll_rolling_distinct(served_reg).collect()
+    }
+    oneshot = {
+        (r["key"], r["day"]): (r["approx_day"], r["approx_win"])
+        for r in hll_rolling_distinct(
+            hll_daily_registry(load_table(spark, sf_dir, "events"))
+        ).collect()
+    }
+    assert got == oneshot
+    # three base commits; refreshes after the first ran incrementally
+    assert len(TX.history(t)) == 3
+    modes = [m.get("refresh_mode") for m in TX.history(v)]
+    assert "full" not in modes[1:]
