@@ -984,3 +984,89 @@ def test_rolling_distinct_matches_rescan(spark, stream):
                 win |= us_
         assert r["uniq_day"] == len(per_day[day])
         assert r["uniq_win"] == len(win)
+
+
+@st.composite
+def txlog_op_sequences(draw):
+    """Short random sequences of table operations: plain appends,
+    schema-evolving appends, overwrites, OPTIMIZE rewrites, RESTOREs."""
+    n = draw(st.integers(min_value=2, max_value=6))
+    ops = []
+    for _ in range(n):
+        kind = draw(
+            st.sampled_from(
+                ["append", "append_evolved", "overwrite", "optimize",
+                 "restore"]
+            )
+        )
+        rows = draw(st.integers(min_value=1, max_value=4))
+        ops.append((kind, rows))
+    return ops
+
+
+@SLOW
+@given(txlog_op_sequences())
+def test_txlog_sequences_match_ledger_model(spark, tmp_path_factory, ops):
+    """Any interleaving of appends / evolving appends / overwrites /
+    OPTIMIZE / RESTORE must read back exactly what a trivial in-memory
+    ledger predicts — current snapshot AND a time-traveled one."""
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path_factory.mktemp("txfuzz") / "tbl")
+    ledger: list[list[tuple]] = []  # per committed version: rows
+    next_id = 0
+
+    def mk(n, with_score):
+        nonlocal next_id
+        rows = [
+            (next_id + i, float(next_id + i) / 2 if with_score else None)
+            for i in range(n)
+        ]
+        next_id += n
+        if with_score:
+            df = spark.createDataFrame(
+                [(i, s) for i, s in rows], "id long, score double"
+            )
+        else:
+            df = spark.createDataFrame(
+                [(i,) for i, _ in rows], "id long"
+            )
+        return df, rows
+
+    for kind, n in ops:
+        if kind in ("optimize", "restore") and not ledger:
+            kind = "overwrite"  # nothing to rewrite/restore yet
+        if kind == "append" and not ledger:
+            kind = "overwrite"
+        if kind == "overwrite":
+            df, rows = mk(n, with_score=False)
+            TX.commit(t, df, mode="overwrite")
+            ledger.append([(i, None) for i, _ in rows])
+        elif kind == "append":
+            # match the current schema: evolved tables keep both columns
+            evolved = any(s is not None for _, s in ledger[-1])
+            df, rows = mk(n, with_score=evolved)
+            TX.commit(t, df, mode="append", merge_schema=True)
+            ledger.append(ledger[-1] + rows)
+        elif kind == "append_evolved":
+            df, rows = mk(n, with_score=True)
+            TX.commit(t, df, mode="append", merge_schema=True)
+            ledger.append((ledger[-1] if ledger else []) + rows)
+        elif kind == "optimize":
+            TX.optimize_table(spark, t, target_files=1)
+            ledger.append(list(ledger[-1]))
+        elif kind == "restore":
+            k = len(ledger) // 2
+            TX.restore(t, k)
+            ledger.append(list(ledger[k]))
+
+    def snap(v=None):
+        df = TX.read_snapshot(spark, t, version=v)
+        if "score" not in df.columns:
+            df = df.withColumn("score", F.lit(None).cast("double"))
+        return sorted((r["id"], r["score"]) for r in df.collect())
+
+    assert snap() == sorted(ledger[-1])
+    # time travel to the middle version
+    mid = (len(ledger) - 1) // 2
+    assert snap(v=mid) == sorted(ledger[mid])
