@@ -295,8 +295,9 @@ def correlated_pairs_stream(
 
     ``how='left_outer'`` additionally emits every unmatched left event
     with NULL right columns once its join state expires (the streaming
-    "signup that never errored" report); ``'full_outer'`` adds the
-    symmetric right-null rows (errors no signup preceded). Emission
+    "signup that never errored" report); ``'right_outer'`` emits the
+    symmetric right-null rows instead (errors no signup preceded), and
+    ``'full_outer'`` emits both. Emission
     timing is driven by state eviction — semantics probed and pinned in
     tests/test_louter_twin.py: matches emit immediately (the per-batch
     join runs BEFORE that batch's eviction), null-emits fire in the
@@ -323,8 +324,11 @@ def correlated_pairs_stream(
         F.col("event_id").alias("r_event_id"),
         F.col("ts").alias("r_ts"),
     )
-    if how not in ("inner", "left_outer", "full_outer"):
-        raise ValueError("how must be 'inner', 'left_outer' or 'full_outer'")
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(
+            "how must be 'inner', 'left_outer', 'right_outer' or"
+            " 'full_outer'"
+        )
     return left.join(
         right,
         (F.col("l_user") == F.col("r_user"))

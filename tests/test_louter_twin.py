@@ -342,3 +342,54 @@ def test_fouter_twin_hash_matches_oracle(spark):
     con = duckdb_conn(SF_DIR)
     r = compare_one(spark, con, "fouter_twin", q, _fouter_oracle(), SF_DIR)
     assert r["status"] == "OK", r
+
+
+def test_router_right_arm_only(spark):
+    """right_outer = the fouter fixture's matched + right-null rows,
+    with NO left-null rows — same pinned eviction rules, one arm."""
+    from logstream_processing_service_spark.streaming.drive import (
+        run_deterministic_batches,
+    )
+    from logstream_processing_service_spark.streaming.pipeline import (
+        correlated_pairs_stream,
+    )
+
+    schema = "ts_us long, user_id long, event_type string, event_id long"
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+    slices = [
+        mk([
+            (_us(1, 0), 1, "signup", 1), (_us(1, 10), 1, "error", 2),
+            (_us(1, 30), 9, "error", 90),
+            (_us(5, 0), 19, "error", 91),
+        ]),
+        mk([(_us(8, 0), 8, "error", 80)]),
+        mk([
+            (_us(4, 0), 12, "error", 92),
+            (_us(3, 30), 3, "signup", 61),  # unmatched LEFT: must NOT
+            # null-emit under right_outer
+        ]),
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        schema,
+        lambda s: correlated_pairs_stream(
+            s.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+            watermark="2 hours",
+            lookback_sec=3600,
+            how="right_outer",
+        ),
+        output_mode="append",
+    )
+    key = lambda t: tuple(-1 if x is None else x for x in t)  # noqa: E731
+    got = sorted(
+        (
+            (r["l_event_id"], r["r_event_id"])
+            for r in captured.collect()
+        ),
+        key=key,
+    )
+    want = sorted(
+        [(1, 2), (None, 90), (None, 91), (None, 92)], key=key
+    )
+    assert got == want
