@@ -62,7 +62,17 @@ QUERIES = [
 ]
 
 SCALE_DIR = "/tmp/logstream_scale10"
+SCALE100_DIR = "/tmp/logstream_scale100"
 SRC_SF = "/root/testdata/sf0.1"
+
+# doc-grain flagships measured at the third decade under SCALE_100=1
+SCALE100_QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_substrings",
+    "contamination_overlap",
+    "bm25_search",
+    "token_pmi",
+)
 
 
 def build_scale10() -> None:
@@ -121,6 +131,50 @@ def build_scale10() -> None:
         row_group_size=50_000,
     )
     print(f"scale10 built: {len(out)} docs, {10 * ne} events", flush=True)
+
+
+def build_scale100() -> None:
+    """500k-doc slice: the scale10 recipe with 100 seeded shuffle
+    copies (marginals preserved, copies mutually non-near-dup); only
+    documents — the doc-grain flagships don't read other tables, which
+    are copied from sf0.1 so loaders resolve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(SCALE100_DIR, exist_ok=True)
+    for f in os.listdir(SRC_SF):
+        if f != "documents.parquet":
+            shutil.copy(
+                os.path.join(SRC_SF, f), os.path.join(SCALE100_DIR, f)
+            )
+    t = pq.read_table(os.path.join(SRC_SF, "documents.parquet"))
+    rows = t.to_pylist()
+    n0 = len(rows)
+    writer = pq.ParquetWriter(
+        os.path.join(SCALE100_DIR, "documents.parquet"), t.schema
+    )
+    for k in range(100):
+        out = []
+        for r in rows:
+            if k == 0:
+                out.append(r)
+                continue
+            words = r["text"].split(" ")
+            rng = random.Random(r["doc_id"] * 37 + k)
+            rng.shuffle(words)
+            text = " ".join(words)
+            out.append(
+                {
+                    "doc_id": r["doc_id"] + k * n0,
+                    "text": text,
+                    "lang": r["lang"],
+                    "source": r["source"],
+                    "n_chars": len(text),
+                }
+            )
+        writer.write_table(pa.Table.from_pylist(out, schema=t.schema))
+    writer.close()
+    print(f"scale100 built: {100 * n0} docs", flush=True)
 
 
 def main() -> None:
@@ -187,8 +241,24 @@ def main() -> None:
             shutil.rmtree(base, ignore_errors=True)
         return round(best, 3)
 
+    # SCALE_100=1: add a third decade (500k docs) for the doc-grain
+    # flagships — two measured decades make the sub-linear exponents a
+    # trend, not a point estimate. Events are not 100x'd (doc queries
+    # only; the slice reuses the scale10 recipe with 100 copies).
+    hundred = os.environ.get("SCALE_100") == "1"
+    if hundred and not os.path.exists(
+        os.path.join(SCALE100_DIR, "documents.parquet")
+    ):
+        build_scale100()
+
+    # SCALE_ONLY=a,b,c restricts the run (e.g. just the third-decade set)
+    only = os.environ.get("SCALE_ONLY")
+    queries = (
+        [q for q in QUERIES if q in set(only.split(","))] if only else QUERIES
+    )
+
     table: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in queries:
         r = {
             "sf0.01": run(name, "/root/testdata/sf0.01"),
             "sf0.1": run(name, SRC_SF),
@@ -197,18 +267,24 @@ def main() -> None:
         r["alpha_10x"] = round(
             math.log(r["scale10"] / r["sf0.1"]) / math.log(10.0), 3
         )
+        if hundred and name in SCALE100_QUERIES:
+            r["scale100"] = run(name, SCALE100_DIR)
+            r["alpha_100x"] = round(
+                math.log(r["scale100"] / r["scale10"]) / math.log(10.0), 3
+            )
         table[name] = r
         print(json.dumps({name: r}), flush=True)
 
-    r = {
-        "sf0.1": run_matview_refresh(SRC_SF),
-        "scale10": run_matview_refresh(SCALE_DIR),
-    }
-    r["alpha_10x"] = round(
-        math.log(r["scale10"] / r["sf0.1"]) / math.log(10.0), 3
-    )
-    table["matview_refresh_delta10k"] = r
-    print(json.dumps({"matview_refresh_delta10k": r}), flush=True)
+    if not only:
+        r = {
+            "sf0.1": run_matview_refresh(SRC_SF),
+            "scale10": run_matview_refresh(SCALE_DIR),
+        }
+        r["alpha_10x"] = round(
+            math.log(r["scale10"] / r["sf0.1"]) / math.log(10.0), 3
+        )
+        table["matview_refresh_delta10k"] = r
+        print(json.dumps({"matview_refresh_delta10k": r}), flush=True)
     print(json.dumps(table), flush=True)
 
 
