@@ -1150,6 +1150,21 @@ def substring_containment_pairs(
         .select("a", "b")
         .distinct()
     )
+    # length prefilter on SKINNY columns before any text joins: the
+    # final predicate implies len(ns_a) <= len(ns_b) (containment needs
+    # it; the mutual-equality arm has equal lengths), so dropping
+    # longer-than-container candidates here halves the text payload the
+    # verify join sorts/shuffles — the cost that dominates when a corpus
+    # carries large duplicate families (the scale100 study's spill).
+    lens = norm.select("doc_id", F.length("ns").alias("len"))
+    cand = (
+        cand.join(lens.select(F.col("doc_id").alias("a"),
+                              F.col("len").alias("len_a")), "a")
+        .join(lens.select(F.col("doc_id").alias("b"),
+                          F.col("len").alias("len_b")), "b")
+        .filter(F.col("len_a") <= F.col("len_b"))
+        .select("a", "b")
+    )
     na = norm.select(F.col("doc_id").alias("a"), F.col("ns").alias("ns_a"))
     nb = norm.select(F.col("doc_id").alias("b"), F.col("ns").alias("ns_b"))
     return (
