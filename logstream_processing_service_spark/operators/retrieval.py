@@ -530,3 +530,202 @@ def phrase_match_docs(documents: DataFrame, phrase: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style maxsim) retrieval
+# ---------------------------------------------------------------------------
+#
+# Khattab & Zaharia 2020 (ColBERT): score(q, d) = Σ_{t∈q} max_{u∈d} <e_t, e_u>
+# over per-TOKEN embeddings — the retrieval family between single-vector
+# dense search (operators/similarity.py) and lexical BM25. The reference
+# service has no retrieval at all (see module docstring); this is the
+# north-star extension's late-interaction member.
+#
+# Token embeddings here are the engine-portable hash featurizer (the same
+# clean-room stand-in ml/embedding.py uses at doc grain, here at token
+# grain): component j of token t is hash48("embv1:"+t+":"+j) mapped to
+# [-1, 1), L2-normalized. Every arithmetic step is written with the SAME
+# expression tree in Spark SQL and DuckDB (hash48_sql is portable; +, *,
+# /, sqrt, floor are IEEE-correctly-rounded), so the oracle hash-matches
+# bit-for-bit. A real model swaps in via the ml/embedding.py torch gate
+# without touching the join/aggregation shape.
+#
+# Cross-engine float discipline: the per-(query-token, doc) MAX over dots
+# is order-free; the per-doc SUM over query tokens is NOT, so each max is
+# floored into integer units (1e-12 resolution) first and the sum runs
+# over BIGINTs — associative, bit-identical on both engines (the
+# json_shred_profile recipe).
+
+MAXSIM_DIM = 8
+# 2^47: hash48 ∈ [0, 2^48) → raw ∈ [-1, 1). Explicit DOUBLE cast: Spark
+# parses a bare `140737488355328.0` literal as DECIMAL and would run the
+# whole normalization in decimal arithmetic (caught by the rehearsal test).
+_MAXSIM_DEN = "CAST(140737488355328 AS DOUBLE)"
+_MAXSIM_SCALE = "CAST(1000000000000 AS DOUBLE)"  # integer-unit resolution for the Σ
+
+
+def _maxsim_raw_sql(tok_sql: str, j: int) -> str:
+    """Portable SQL for component j of the UNNORMALIZED token embedding."""
+    h = T.hash48_sql(f"concat('embv1:', {tok_sql}, ':{j}')")
+    return f"({h} / {_MAXSIM_DEN} - 1.0)"
+
+
+def _with_unit_vec(df: DataFrame, tok_col: str) -> DataFrame:
+    """Append v0..v{d-1}: the L2-normalized token embedding, computed with
+    the exact expression tree the oracle SQL writes (raw components bound
+    once in a projection layer, then den, then the divisions)."""
+    raws = [
+        F.expr(_maxsim_raw_sql(tok_col, j)).alias(f"_r{j}")
+        for j in range(MAXSIM_DIM)
+    ]
+    df = df.select("*", *raws)
+    sq = F.col("_r0") * F.col("_r0")
+    for j in range(1, MAXSIM_DIM):
+        sq = sq + F.col(f"_r{j}") * F.col(f"_r{j}")
+    df = df.select("*", F.sqrt(sq).alias("_den0"))
+    df = df.select(
+        "*",
+        F.when(F.col("_den0") == 0.0, F.lit(1.0))
+        .otherwise(F.col("_den0"))
+        .alias("_den"),
+    )
+    vecs = [
+        (F.col(f"_r{j}") / F.col("_den")).alias(f"v{j}")
+        for j in range(MAXSIM_DIM)
+    ]
+    keep = [c for c in df.columns if not c.startswith("_r") and c not in ("_den0", "_den")]
+    return df.select(*keep, *vecs)
+
+
+def maxsim_topk(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k docs per query under ColBERT maxsim over hash token
+    embeddings. Distinct-token set semantics on BOTH sides (repeat tokens
+    can't change a max, and repeated query tokens would double-count).
+
+    Scale shape: doc tokens dedup IN-ROW (array_distinct, no shuffle);
+    embeddings are computed once per DISTINCT corpus token and joined
+    back (vocabulary-grain compute, AQE broadcasts the vocab when small);
+    the query side is a literal frame broadcast onto the token stream, so
+    the corpus-sized pair stream never shuffles before the partial
+    (query, qtok, doc) MAX combine. One exchange on (query_id, doc_id)
+    carries ≤ |queries|·|qtokens|·|docs| maxed rows, never raw pairs."""
+    spark = documents.sparkSession
+    dtok = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok"),
+    )
+    vocab = _with_unit_vec(dtok.select("tok").distinct(), "tok")
+    dvec = dtok.join(vocab, "tok")
+    qvec = _with_unit_vec(_query_terms(spark, queries), "tok")
+    qv = F.broadcast(
+        qvec.select(
+            "query_id",
+            F.col("tok").alias("qtok"),
+            *[F.col(f"v{j}").alias(f"q{j}") for j in range(MAXSIM_DIM)],
+        )
+    )
+    dot = F.col("q0") * F.col("v0")
+    for j in range(1, MAXSIM_DIM):
+        dot = dot + F.col(f"q{j}") * F.col(f"v{j}")
+    best = (
+        dvec.crossJoin(qv)
+        .groupBy("query_id", "qtok", "doc_id")
+        .agg(F.max(dot).alias("mdot"))
+    )
+    scored = best.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.floor(F.col("mdot") * F.expr(_MAXSIM_SCALE)).cast("bigint")
+        ).alias("score_units")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "doc_id",
+            (F.col("score_units").cast("double") / F.expr(_MAXSIM_SCALE)).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _maxsim_vec_ctes(src: str, keys: str, alias: str) -> str:
+    """Shared CTE text: raw components bound once, then den, then the
+    normalized v0..v7 — same layering as _with_unit_vec."""
+    raws = ", ".join(
+        f"{_maxsim_raw_sql('tok', j)} AS r{j}" for j in range(MAXSIM_DIM)
+    )
+    sq = " + ".join(f"r{j}*r{j}" for j in range(MAXSIM_DIM))
+    vs = ", ".join(
+        f"r{j} / (CASE WHEN den = 0 THEN 1.0 ELSE den END) AS v{j}"
+        for j in range(MAXSIM_DIM)
+    )
+    return f"""
+    {alias}_raw AS (SELECT {keys}, {raws} FROM {src}),
+    {alias}_den AS (SELECT *, sqrt({sq}) AS den FROM {alias}_raw),
+    {alias} AS (SELECT {keys}, {vs} FROM {alias}_den)
+    """.strip()
+
+
+def maxsim_oracle_sql(
+    queries: tuple[str, ...] = SEARCH_QUERIES, k: int = 10
+) -> str:
+    """DuckDB twin generated from the same constants and expression
+    trees; integer-unit flooring makes the qtoken sum associative so the
+    value hash matches bit-for-bit."""
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(queries))
+    words_duck = T.words_sql("text", "duckdb")
+    dot = " + ".join(f"q.v{j}*v.v{j}" for j in range(MAXSIM_DIM))
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {values}) AS t(query_id, qtext)),
+    qterms AS (
+        SELECT DISTINCT query_id, tok FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS tok
+            FROM q
+        )
+    ),
+    dtok AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({words_duck}) AS tok FROM documents
+        )
+    ),
+    vocab AS (SELECT DISTINCT tok FROM dtok),
+    {_maxsim_vec_ctes("vocab", "tok", "vvec")},
+    {_maxsim_vec_ctes("qterms", "query_id, tok", "qvec")},
+    best AS (
+        SELECT q.query_id, q.tok AS qtok, d.doc_id,
+               max({dot}) AS mdot
+        FROM qvec q
+        CROSS JOIN dtok d
+        JOIN vvec v ON d.tok = v.tok
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum(CAST(floor(mdot * {_MAXSIM_SCALE}) AS BIGINT)) AS BIGINT)
+                   AS score_units
+        FROM best GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+           CAST(score_units AS DOUBLE) / {_MAXSIM_SCALE} AS score
+    FROM (
+        SELECT query_id, doc_id, score_units,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_units DESC, doc_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

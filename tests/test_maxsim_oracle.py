@@ -1,0 +1,125 @@
+"""Cross-engine parity rehearsal for ColBERT-style maxsim retrieval —
+an r7 catalog candidate (operators/retrieval.py maxsim_topk).
+
+The risky surface is float determinism: per-token hash embeddings are
+normalized with /sqrt(Σ r²) and the per-doc score sums per-query-token
+maxima. The operator floors each max into 1e-12 integer units before the
+sum (associative BIGINT adds), so this rehearsal must hash-match through
+the driver's own harness at BOTH test SFs. Semantic properties (unit
+norm ⇒ score ≤ |query tokens|; self-query dominance) are pinned
+separately against a numpy recomputation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from logstream_processing_service_spark.operators.retrieval import (
+    MAXSIM_DIM,
+    maxsim_oracle_sql,
+    maxsim_topk,
+)
+
+from .conftest import SF_DIR, SF_DIR_ORACLE
+from .oracle_harness import compare_one, duckdb_conn
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_maxsim_hash_matches_duckdb_oracle(spark, sf_dir):
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark,
+        con,
+        "maxsim_search",
+        lambda s, sf: maxsim_topk(
+            s.read.parquet(f"{sf}/documents.parquet")
+        ),
+        maxsim_oracle_sql(),
+        sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+def _np_embed(tok: str) -> list[float]:
+    """Pure-float twin of the hash featurizer, replicating the ENGINES'
+    left-associative expression order exactly (np.dot/np.sum use pairwise
+    summation and drift a ulp — enough to flip a floor at an integer
+    boundary, e.g. the self-match dot of exactly 1.0). hash48 = first 12
+    nibbles of the md5 hex digest, big-endian (functions/text.py)."""
+    raw = []
+    for j in range(MAXSIM_DIM):
+        hx = hashlib.md5(f"embv1:{tok}:{j}".encode()).hexdigest()
+        raw.append(int(hx[:12], 16) / 140737488355328.0 - 1.0)
+    sq = raw[0] * raw[0]
+    for j in range(1, MAXSIM_DIM):
+        sq = sq + raw[j] * raw[j]
+    den = math.sqrt(sq)
+    if den == 0.0:
+        den = 1.0
+    return [r / den for r in raw]
+
+
+def _dot(a: list[float], b: list[float]) -> float:
+    s = a[0] * b[0]
+    for j in range(1, MAXSIM_DIM):
+        s = s + a[j] * b[j]
+    return s
+
+
+def test_maxsim_matches_numpy_recompute(spark):
+    """End-to-end score check vs a straight numpy maxsim over the same
+    distinct-token sets, on a tiny literal corpus."""
+    docs = spark.createDataFrame(
+        [
+            (0, "fast table scan fast"),
+            (1, "window agg join table"),
+            (2, "stream batch merge"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = ("fast table", "merge stream")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in maxsim_topk(docs, queries=queries, k=10).collect()
+    }
+    texts = {0: "fast table scan fast", 1: "window agg join table", 2: "stream batch merge"}
+    for qid, qtext in enumerate(queries):
+        want = []
+        qtoks = sorted(set(qtext.split()))
+        for did, t in texts.items():
+            dvecs = [_np_embed(tok) for tok in sorted(set(t.split()))]
+            units = 0
+            for qt in qtoks:
+                qv = _np_embed(qt)
+                m = max(_dot(qv, dv) for dv in dvecs)
+                units += math.floor(m * 1e12)
+            want.append((did, units))
+        want.sort(key=lambda p: (-p[1], p[0]))
+        for rank, (did, units) in enumerate(want, start=1):
+            grank, gscore = got[(qid, did)]
+            assert grank == rank, (qid, did)
+            assert gscore == pytest.approx(units / 1e12, abs=1e-12)
+
+
+def test_maxsim_score_bounded_by_query_len(spark):
+    """Unit-norm embeddings ⇒ every max-dot ≤ 1 ⇒ score ≤ |qtokens|."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for r in maxsim_topk(docs, queries=("fast table scan",), k=5).collect():
+        assert r["score"] <= 3.0 + 1e-9
+        assert r["score"] >= -3.0 - 1e-9
+
+
+def test_maxsim_self_query_is_perfect(spark):
+    """A query that IS a doc's token set scores |qtokens| on that doc
+    (every max hits the identical unit vector, dot == 1)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rows = maxsim_topk(docs, queries=("alpha beta gamma",), k=2).collect()
+    top = rows[0]
+    assert top["doc_id"] == 0 and top["rank"] == 1
+    assert top["score"] == pytest.approx(3.0, abs=1e-9)
