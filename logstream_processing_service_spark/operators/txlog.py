@@ -251,6 +251,10 @@ def vacuum(
     for v in keep_versions:
         for f in _manifest(table_dir, v)["files"]:
             kept_dirs.add(os.path.dirname(f))
+    # cross-lineage pins: branches fork-pin parent files, and a merged
+    # parent references files under a branch's data root — neither
+    # lineage's vacuum may delete the other's pins (see _external_refs)
+    kept_dirs |= _external_refs(table_dir)
     removed_manifests = 0
     for v in seen:
         if v not in keep_versions:
@@ -422,6 +426,13 @@ def snapshot_diff(
             if name not in a.columns:
                 a = a.withColumn(name, F.lit(None).cast(typ))
         a = a.select(*[name for name, _ in man_to["schema"]])
+    return _frame_cdf(a, b, key)
+
+
+def _frame_cdf(a: DataFrame, b: DataFrame, key: str | None) -> DataFrame:
+    """The general two-frame change feed (see snapshot_diff): bag-
+    semantics exceptAll without a key; ONE keyed full-outer struct
+    comparison with one."""
     if key is None:
         ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
         dels = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
@@ -680,3 +691,332 @@ def optimize_table(
     return commit(
         table_dir, rewritten, mode="overwrite", expected_version=base
     )
+
+
+# ---------------------------------------------------------------------------
+# Branching (Nessie / Delta-branch shaped refs over the same log mechanics)
+# ---------------------------------------------------------------------------
+#
+# A branch IS a table_dir: ``<table>/_branches/<name>`` gets its own
+# ``_log`` whose v0 manifest pins the parent snapshot's files (no copy),
+# so every existing operator — commit, read_snapshot, time travel,
+# snapshot_diff, restore, streaming sinks, matviews — works on a branch
+# unchanged. Fork metadata lives in an immutable ``FORK.json`` next to
+# the branch log (v0 may be vacuumed; the fork record must survive).
+#
+# Merge semantics (the Delta OCC rules at branch grain):
+# - FAST-FORWARD when the parent head is still the fork version: the
+#   parent adopts the branch head manifest wholesale.
+# - APPEND REBASE when BOTH lineages only accumulated files since the
+#   fork (checked structurally: each head's file set ⊇ the fork's file
+#   set — an overwrite/compaction breaks the superset and correctly
+#   refuses): merged files = parent head + branch-added; schemas merge
+#   additively (type conflicts refuse); per-app streaming HWMs take the
+#   per-key max so exactly-once windows never reopen.
+# - Anything else raises MergeConflict with the rewrite prescription.
+#
+# Data files never move: a merged parent manifest may reference files
+# under the branch's data root. vacuum() is cross-reference aware in both
+# directions (see _external_refs) so neither lineage can delete the
+# other's pinned files.
+
+
+class MergeConflict(Exception):
+    """Branch and parent diverged in a way auto-merge cannot reconcile."""
+
+
+def _branches_root(table_dir: str) -> str:
+    return os.path.join(table_dir, "_branches")
+
+
+def _branch_dir(table_dir: str, name: str) -> str:
+    if not name or not all(c.isalnum() or c in "-_." for c in name):
+        raise ValueError(f"invalid branch name: {name!r}")
+    return os.path.join(_branches_root(table_dir), name)
+
+
+def list_branches(table_dir: str) -> list[str]:
+    root = _branches_root(table_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        n for n in os.listdir(root)
+        if os.path.isfile(os.path.join(root, n, "FORK.json"))
+    )
+
+
+def _fork_record(branch_dir: str) -> dict:
+    with open(os.path.join(branch_dir, "FORK.json")) as fh:
+        return json.load(fh)
+
+
+def _write_manifest_linked(table_dir: str, manifest: dict) -> int:
+    """tmp-write + os.link create-if-absent — the same commit point
+    commit() uses, for manifests built from metadata instead of a df."""
+    v = manifest["version"]
+    cid = manifest["commit_id"]
+    tmp = os.path.join(_log_dir(table_dir), f"v{v}._tmp{cid}.json")
+    final = os.path.join(_log_dir(table_dir), f"v{v}.json")
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(f"v{v} was committed concurrently") from None
+    finally:
+        os.remove(tmp)
+    return v
+
+
+def create_branch(
+    table_dir: str, name: str, from_version: int | None = None
+) -> str:
+    """Fork ``name`` off the parent snapshot (default: head). Zero-copy:
+    the branch's v0 manifest lists the parent's files. Returns the branch
+    dir — a full table_dir for every other operator in this module."""
+    bdir = _branch_dir(table_dir, name)
+    seen = _versions(table_dir)
+    if not seen:
+        raise ValueError(f"no committed version under {table_dir}")
+    base = seen[-1] if from_version is None else from_version
+    if base not in seen:
+        raise ValueError(f"version {base} not found (have {seen})")
+    man = _manifest(table_dir, base)
+    os.makedirs(bdir, exist_ok=True)
+    fork_path = os.path.join(bdir, "FORK.json")
+    fork = {
+        "parent": os.path.abspath(table_dir),
+        "version": base,
+        "files": man["files"],
+        "schema": man.get("schema"),
+    }
+    tmp = fork_path + f"._tmp{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(fork, fh)
+    try:
+        os.link(tmp, fork_path)  # create-if-absent: branch names are unique
+    except FileExistsError:
+        raise ValueError(f"branch {name!r} already exists") from None
+    finally:
+        os.remove(tmp)
+    v0 = {
+        "version": 0,
+        "mode": "branch",
+        "commit_id": uuid.uuid4().hex[:12],
+        "files": man["files"],
+        "schema": man.get("schema"),
+        "forked_from": {"version": base},
+    }
+    for k in ("evolved", "last_batch_id", "txn_hwms"):
+        if man.get(k) is not None:
+            v0[k] = man[k]
+    _write_manifest_linked(bdir, v0)
+    return bdir
+
+
+def _merged_hwms(a: dict, b: dict) -> dict:
+    """Streaming exactly-once metadata under merge: per-app max — a
+    merge must never reopen a replay window on either lineage."""
+    out = {}
+    if a.get("last_batch_id") is not None or b.get("last_batch_id") is not None:
+        out["last_batch_id"] = max(
+            x for x in (a.get("last_batch_id"), b.get("last_batch_id"))
+            if x is not None
+        )
+    hwms = dict(a.get("txn_hwms") or {})
+    for app, hwm in (b.get("txn_hwms") or {}).items():
+        hwms[app] = hwm if app not in hwms else max(hwms[app], hwm)
+    if hwms:
+        out["txn_hwms"] = hwms
+    return out
+
+
+def merge_branch(table_dir: str, name: str) -> int:
+    """Merge branch ``name`` into the parent as a new parent version.
+    Fast-forward if the parent has not moved since the fork; append
+    rebase if both lineages only added files; MergeConflict otherwise.
+    The branch stays usable afterwards (its lineage is untouched) —
+    retire it with delete_branch() when done."""
+    bdir = _branch_dir(table_dir, name)
+    if not os.path.isfile(os.path.join(bdir, "FORK.json")):
+        raise ValueError(f"no branch {name!r} under {table_dir}")
+    fork = _fork_record(bdir)
+    bseen = _versions(bdir)
+    bman = _manifest(bdir, bseen[-1])
+    seen = _versions(table_dir)
+    head = seen[-1]
+    hman = _manifest(table_dir, head)
+
+    merged_from = {
+        "branch": name,
+        "branch_version": bman["version"],
+        "fork_version": fork["version"],
+    }
+    if head == fork["version"]:
+        manifest = {
+            "version": head + 1,
+            "mode": "merge",
+            "commit_id": uuid.uuid4().hex[:12],
+            "files": bman["files"],
+            "schema": bman.get("schema"),
+            "merged_from": merged_from,
+            **_merged_hwms(hman, bman),
+        }
+        if bman.get("evolved"):
+            manifest["evolved"] = True
+        return _write_manifest_linked(table_dir, manifest)
+
+    fork_files = set(fork["files"])
+    head_files = set(hman["files"])
+    branch_files = set(bman["files"])
+    if not (fork_files <= head_files and fork_files <= branch_files):
+        raise MergeConflict(
+            f"cannot auto-merge branch {name!r}: a lineage rewrote or "
+            "dropped fork-time files (overwrite/compaction/delete since "
+            f"fork v{fork['version']}) — re-apply the branch changes on "
+            "a fresh fork of the current head"
+        )
+    branch_added = [f for f in bman["files"] if f not in fork_files]
+    ps, bs = hman.get("schema"), bman.get("schema")
+    if ps is not None and bs is not None:
+        try:
+            schema = _merge_schemas(
+                [tuple(x) for x in ps], [tuple(x) for x in bs]
+            )
+        except ValueError as e:
+            raise MergeConflict(f"schema conflict merging {name!r}: {e}") from None
+    else:
+        schema = ps or bs
+    evolved = bool(hman.get("evolved") or bman.get("evolved")) or (
+        ps is not None and bs is not None and ps != bs
+    )
+    manifest = {
+        "version": head + 1,
+        "mode": "merge",
+        "commit_id": uuid.uuid4().hex[:12],
+        "files": hman["files"] + branch_added,
+        "schema": schema,
+        "merged_from": merged_from,
+        **_merged_hwms(hman, bman),
+    }
+    if evolved:
+        manifest["evolved"] = True
+    return _write_manifest_linked(table_dir, manifest)
+
+
+def delete_branch(table_dir: str, name: str) -> dict:
+    """Retire a branch: its log (and fork record) go away, ending the
+    lineage. Data directories under the branch survive if ANY other
+    manifest still references them (a merged parent does); orphaned ones
+    are removed. The branch stub directory remains while shared data
+    lives in it — parent OPTIMIZE/vacuum eventually rewrites those files
+    and a later delete_branch (or vacuum) clears the stub."""
+    bdir = _branch_dir(table_dir, name)
+    if not os.path.isfile(os.path.join(bdir, "FORK.json")):
+        raise ValueError(f"no branch {name!r} under {table_dir}")
+    refs = _all_referenced_dirs(table_dir, skip_branch=name)
+    shutil.rmtree(_log_dir(bdir), ignore_errors=True)
+    os.remove(os.path.join(bdir, "FORK.json"))
+    bdata = os.path.join(bdir, "data")
+    kept = 0
+    if os.path.isdir(bdata):
+        for d in os.listdir(bdata):
+            p = os.path.join(bdata, d)
+            if p in refs:
+                kept += 1
+            else:
+                shutil.rmtree(p)
+        if not os.listdir(bdata):
+            os.rmdir(bdata)
+    if not os.listdir(bdir):
+        os.rmdir(bdir)
+    return {"kept_shared_dirs": kept}
+
+
+def _all_referenced_dirs(table_dir: str, skip_branch: str | None = None) -> set[str]:
+    """Every data directory referenced by ANY manifest of the parent or
+    any of its branches — the global pin set for cross-lineage cleanup."""
+    refs: set[str] = set()
+    for v in _versions(table_dir):
+        for f in _manifest(table_dir, v)["files"]:
+            refs.add(os.path.dirname(f))
+    for b in list_branches(table_dir):
+        if b == skip_branch:
+            continue
+        bdir = _branch_dir(table_dir, b)
+        for v in _versions(bdir):
+            for f in _manifest(bdir, v)["files"]:
+                refs.add(os.path.dirname(f))
+    return refs
+
+
+def _external_refs(table_dir: str) -> set[str]:
+    """Dirs vacuum(table_dir) must NOT delete even though its own retained
+    manifests don't reference them: files pinned by the other lineages.
+
+    - Parent side: every manifest of every branch (a fork pins parent
+      files for the branch's whole life).
+    - Branch side: every manifest of the parent and sibling branches (a
+      merge makes the parent reference files under this branch's data
+      root)."""
+    refs: set[str] = set()
+    for b in list_branches(table_dir):
+        bdir = _branch_dir(table_dir, b)
+        for v in _versions(bdir):
+            for f in _manifest(bdir, v)["files"]:
+                refs.add(os.path.dirname(f))
+    fork_path = os.path.join(table_dir, "FORK.json")
+    if os.path.isfile(fork_path):
+        parent = _fork_record(table_dir)["parent"]
+        if os.path.isdir(os.path.join(parent, "_log")):
+            # pin parent + SIBLING references; this branch's own manifests
+            # must stay out of the set, or its own vacuum could never
+            # free its superseded data dirs
+            me = os.path.basename(os.path.abspath(table_dir))
+            refs |= _all_referenced_dirs(parent, skip_branch=me)
+    return refs
+
+
+def branch_diff(
+    spark: SparkSession, table_dir: str, name: str, key: str | None = None
+) -> DataFrame:
+    """Merge preview: the change feed merging branch ``name`` would apply
+    to the parent head, tagged like snapshot_diff (the review-before-merge
+    step of write-audit-publish).
+
+    Scale shape mirrors snapshot_diff's two tiers: when the parent head's
+    files are a subset of the branch head's (fork + branch appends,
+    parent unmoved — the WAP common case) the preview reads ONLY the
+    branch-added files, O(delta); otherwise one general frame diff."""
+    bdir = _branch_dir(table_dir, name)
+    if not os.path.isfile(os.path.join(bdir, "FORK.json")):
+        raise ValueError(f"no branch {name!r} under {table_dir}")
+    hman = _manifest(table_dir, _versions(table_dir)[-1])
+    bman = _manifest(bdir, _versions(bdir)[-1])
+    h_files, b_files = hman["files"], bman["files"]
+    if set(h_files) <= set(b_files):
+        added = [f for f in b_files if f not in set(h_files)]
+        if not added:
+            return read_snapshot(spark, table_dir).limit(0).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        if bman.get("evolved"):
+            adf = spark.read.option("mergeSchema", "true").parquet(*added)
+            for cname, typ in bman["schema"]:
+                if cname not in adf.columns:
+                    adf = adf.withColumn(cname, F.lit(None).cast(typ))
+            adf = adf.select(*[cname for cname, _ in bman["schema"]])
+        else:
+            adf = spark.read.parquet(*added)
+        return adf.withColumn("_change_type", F.lit("insert"))
+
+    a = read_snapshot(spark, table_dir)
+    b = read_snapshot(spark, bdir)
+    if a.columns != b.columns:
+        # compare in the branch head's schema (the post-merge shape)
+        for cname, typ in bman["schema"]:
+            if cname not in a.columns:
+                a = a.withColumn(cname, F.lit(None).cast(typ))
+        a = a.select(*[cname for cname, _ in bman["schema"]])
+    return _frame_cdf(a, b, key)
