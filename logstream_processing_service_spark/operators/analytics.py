@@ -1284,3 +1284,125 @@ def skew_report(
         .orderBy(F.desc("cnt"), "key")
         .limit(top_n)
     )
+
+
+def _rank_median(df: DataFrame, key: str, col: str, out: str) -> DataFrame:
+    """Per-``key`` exact median of ``col`` by RANK SELECTION: pick the
+    middle one (odd n) or two (even n) order statistics and average them
+    with one explicit (a + b) / 2.
+
+    Why not percentile()/median(): Spark's percentile interpolates
+    ``a + (b − a)·f`` while DuckDB's median computes ``(a + b) / 2`` —
+    different float expression trees that can differ in the last ulp.
+    Rank selection makes the chosen VALUES order-independent (ties give
+    equal values), and a two-term IEEE sum is commutative, so the result
+    is bit-identical across engines regardless of row order."""
+    wv = Window.partitionBy(key).orderBy(col)
+    wn = Window.partitionBy(key)
+    t = df.select(
+        key,
+        col,
+        F.row_number().over(wv).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    lo = F.expr("CAST(floor((_n + 1) / 2.0) AS BIGINT)")
+    hi = F.expr("CAST(floor((_n + 2) / 2.0) AS BIGINT)")
+    picked = t.filter((F.col("_rn") == lo) | (F.col("_rn") == hi))
+    return picked.groupBy(key).agg(
+        (F.sum(col) / F.count(F.lit(1))).alias(out)
+    )
+
+
+def mad_anomaly(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust per-type outlier census: flag values beyond
+    ``k · 1.4826 · MAD`` of the median (1.4826 scales MAD to σ under
+    normality) — the heavy-tail-safe twin of the z-score anomaly_flags
+    (reference src/ml/volume_analyzer.py's std-based flags break when
+    the tail IS the anomaly, the textbook argument for MAD).
+
+    Both medians (of values, then of absolute deviations) use
+    _rank_median, so every float on the flag path is bit-identical in
+    the DuckDB oracle. Scale: two sort-windows at (type, value) grain
+    plus broadcast-sized median joins — no driver compute, corpus
+    scanned once into the rounded projection."""
+    base = events.select(
+        "event_type", F.round("value", 2).alias("v")
+    )
+    med = _rank_median(base, "event_type", "v", "med")
+    dev = base.join(med, "event_type").select(
+        "event_type", "v", "med", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    mad = _rank_median(
+        dev.select("event_type", "d"), "event_type", "d", "mad"
+    )
+    flagged = dev.join(mad, "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (F.col("d") > F.lit(k) * F.lit(1.4826) * F.col("mad")).alias("is_out"),
+    )
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("is_out").cast("bigint")).alias("n_anomalies"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )
+
+
+def mad_anomaly_oracle_sql(k: float = 3.0) -> str:
+    """DuckDB twin: identical rank-selected medians and flag expression."""
+    return f"""
+    WITH base AS (
+        SELECT event_type, round(value, 2) AS v FROM events
+    ),
+    rv AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    med AS (
+        SELECT event_type, sum(v) / count(*) AS med
+        FROM rv
+        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+           OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+        GROUP BY 1
+    ),
+    dev AS (
+        SELECT base.event_type, v, med, abs(v - med) AS d
+        FROM base JOIN med ON base.event_type = med.event_type
+    ),
+    rd AS (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, sum(d) / count(*) AS mad
+        FROM rd
+        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+           OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+        GROUP BY 1
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(dev.med, 6) AS med,
+           round(mad.mad, 6) AS mad,
+           CAST(sum(CASE WHEN dev.d > {k} * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type, dev.med, mad.mad
+    ORDER BY dev.event_type
+    """

@@ -426,3 +426,116 @@ def rolling_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame
         )
         .orderBy("event_type", "day")
     )
+
+
+def seasonal_decompose(events: DataFrame) -> DataFrame:
+    """Classical additive seasonal decomposition of daily event volume,
+    per type: y(day) = trend + seasonal(dow) + residual — the moving-
+    average decomposition (Cleveland's STL ancestor) behind "is Monday
+    always like this, or is something wrong?" monitoring. Extends the
+    reference's rolling volume features (src/ml/volume_analyzer.py:27-73)
+    with an explicit seasonal model.
+
+    Cross-engine exactness (the volume_trend discipline): daily counts y
+    are integers; the centered ±3-day RANGE window yields (sum7, cnt7)
+    integer pairs; the detrended value y − sum7/cnt7 is represented as
+    the EXACT integer (y·cnt7 − sum7)·(420/cnt7) — 420 = lcm(1..7), so
+    the scale factor is integral for every edge-window width — and the
+    per-(type, dow) seasonal mean divides two exact integers. Every
+    double is produced by one identical division/subtraction tree in
+    both engines, then rounded at 6 dp.
+
+    Scale: one (type, day) aggregate (map-side combinable), one
+    partitioned window over |types|×|days| rows, one dow-grain
+    broadcast-back join. The corpus is touched once.
+    """
+    daily = events.groupBy(
+        F.col("event_type"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rangeBetween(-3, 3)
+    )
+    d = daily.select(
+        "event_type",
+        "x",
+        "y",
+        F.sum("y").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt7"),
+    ).select(
+        "*",
+        ((F.col("x") % 7 + 7) % 7).alias("dow"),
+        (
+            (F.col("y") * F.col("cnt7") - F.col("sum7"))
+            * (F.lit(420) / F.col("cnt7")).cast("bigint")
+        ).alias("du"),  # 420 × detrended, exact BIGINT
+    )
+    # seasonal mean as a WINDOW over (type, dow), not a groupBy + self-
+    # join: Spark does not dedupe common subplans, so the join form
+    # scans and re-aggregates the corpus TWICE (caught by the plan test)
+    ws = Window.partitionBy("event_type", "dow")
+    out = d.select(
+        "*",
+        (
+            F.sum("du").over(ws).cast("double")
+            / (F.lit(420.0) * F.count(F.lit(1)).over(ws).cast("double"))
+        ).alias("seasonal"),
+    )
+    return out.select(
+        "event_type",
+        "x",
+        F.col("dow").cast("int").alias("dow"),
+        "y",
+        F.round(
+            F.col("sum7").cast("double") / F.col("cnt7").cast("double"), 6
+        ).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("du").cast("double") / 420.0 - F.col("seasonal"), 6
+        ).alias("residual"),
+    ).orderBy("event_type", "x")
+
+
+def seasonal_decompose_oracle_sql() -> str:
+    """DuckDB twin with the identical integer-scaled expression tree."""
+    return """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, x, y,
+               CAST(sum(y) OVER w AS BIGINT) AS sum7,
+               CAST(count(*) OVER w AS BIGINT) AS cnt7
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY x
+            RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+        )
+    ),
+    du AS (
+        SELECT *, ((x % 7 + 7) % 7) AS dow,
+               (y * cnt7 - sum7) * CAST(420 / cnt7 AS BIGINT) AS du
+        FROM d
+    ),
+    seas AS (
+        SELECT *,
+               CAST(sum(du) OVER ws AS DOUBLE)
+                   / (420.0 * CAST(count(*) OVER ws AS DOUBLE)) AS seasonal
+        FROM du
+        WINDOW ws AS (PARTITION BY event_type, dow)
+    )
+    SELECT event_type, x, CAST(dow AS INT) AS dow, y,
+           round(CAST(sum7 AS DOUBLE) / CAST(cnt7 AS DOUBLE), 6) AS trend,
+           round(seasonal, 6) AS seasonal,
+           round(CAST(du AS DOUBLE) / 420.0 - seasonal, 6) AS residual
+    FROM seas
+    ORDER BY event_type, x
+    """

@@ -755,3 +755,43 @@ def test_token_pmi_no_cartesian(spark):
     plan = _plan(token_pmi(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the two scalar totals
+
+
+def test_maxsim_broadcasts_queries_and_combines_before_exchange(spark):
+    from logstream_processing_service_spark.operators.retrieval import (
+        maxsim_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(maxsim_topk(docs))
+    # the literal query frame rides a broadcast, never a shuffle-side
+    # cartesian: the cross join must be BNLJ with a broadcast build
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the per-(query, qtok, doc) MAX has a partial combine before its
+    # exchange, so raw token-pair rows never shuffle
+    import re as _re
+
+    first_agg = plan.index("HashAggregate")
+    assert "partial_max" in plan[first_agg - 2000 : first_agg + 2000] or (
+        _re.search(r"HashAggregate.*partial.*max", plan) is not None
+    )
+
+
+def test_seasonal_decompose_scans_events_once(spark):
+    from logstream_processing_service_spark.operators.trends import (
+        seasonal_decompose,
+    )
+
+    plan = _plan(seasonal_decompose(_events(spark)))
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_anomaly_no_cartesian_and_single_scan_base(spark):
+    from logstream_processing_service_spark.operators.analytics import (
+        mad_anomaly,
+    )
+
+    plan = _plan(mad_anomaly(_events(spark)))
+    assert "CartesianProduct" not in plan
