@@ -59,7 +59,51 @@ QUERIES = [
     "funnel_conversion",        # events-grain: one sort, two windows
     "rolling_distinct_users",   # events-grain: day-grain sets + window
     "token_pmi",                # documents-grain: bigram vocab joins
+    # r6 continuation-4 (unregistered r7 candidates — resolved via
+    # EXTRA_QUERIES below until their catalog slots open)
+    "maxsim_search",            # documents-grain: token-pair stream
+    "seasonal_volume_decompose",  # events-grain: daily windows
+    "mad_anomaly",              # events-grain: two value sorts
+    "unigram_token_counts",     # documents-grain: train + encode
 ]
+
+
+def _extra_queries():
+    """(spark, sf_dir) callables for operators not yet in the catalog
+    (the r7 rehearsed queue) — same run harness as registered queries."""
+    from logstream_processing_service_spark.operators.analytics import (
+        mad_anomaly,
+    )
+    from logstream_processing_service_spark.operators.retrieval import (
+        maxsim_topk,
+    )
+    from logstream_processing_service_spark.operators.trends import (
+        seasonal_decompose,
+    )
+    from logstream_processing_service_spark.operators.unigram import (
+        unigram_token_counts,
+        unigram_train,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    def _unigram(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        m = unigram_train(
+            docs, vocab_size=512, max_piece_len=8, em_iters=2,
+            min_word_count=2,
+        )
+        return unigram_token_counts(docs, m)
+
+    return {
+        "maxsim_search": lambda s, sf: maxsim_topk(
+            load_table(s, sf, "documents")
+        ),
+        "seasonal_volume_decompose": lambda s, sf: seasonal_decompose(
+            load_table(s, sf, "events")
+        ),
+        "mad_anomaly": lambda s, sf: mad_anomaly(load_table(s, sf, "events")),
+        "unigram_token_counts": _unigram,
+    }
 
 SCALE_DIR = "/tmp/logstream_scale10"
 SCALE100_DIR = "/tmp/logstream_scale100"
@@ -189,13 +233,15 @@ def main() -> None:
     spark = get_spark(app_name="scaling-study")
     spark.sparkContext.setLogLevel("ERROR")
     specs = {s.name: s for s in all_specs()}
+    extras = _extra_queries()
 
     load_table(spark, SRC_SF, "documents").count()  # JVM warm-up
 
     def run(name: str, sf_dir: str) -> float:
+        fn = specs[name].fn if name in specs else extras[name]
         best = float("inf")
         for _ in range(reps):
-            df = specs[name].fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
