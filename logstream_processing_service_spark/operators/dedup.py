@@ -1222,3 +1222,89 @@ def snapshot_diff(
         )
         .orderBy(key_col)
     )
+
+
+def dup_shingle_profile(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document duplicate-n-gram exposure (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4's
+    duplicate-text measurement): for every doc, how many of its n-gram
+    positions carry a shingle that also occurs in at least one OTHER
+    document, and the resulting duplicate fraction. This is the
+    diagnostic that tells you how much near-duplicate text a dedup pass
+    would remove BEFORE you run it.
+
+    Pinned semantics: positions count WITH multiplicity (a doc repeating
+    a cross-doc shingle 3 times has 3 duplicated positions); "duplicated"
+    means corpus document-frequency ≥ 2 over DISTINCT docs; shingle
+    identity is the 48-bit rolling word-md5 combination every dedup
+    operator here shares (functions/text.py) — strings never
+    materialize, exchanges carry 8-byte longs.
+
+    Scale shape: in-row shingling from one scan; df table via
+    groupBy(shingle) on the in-row-distinct (doc, s) rows (map-side
+    combine, skew-safe — same argument as shingle_table); one join of
+    the position stream against the df table on the long key; one
+    doc-grain aggregate.
+    """
+    wh = documents.select(
+        "doc_id",
+        F.expr(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")
+        ).alias("wh"),
+    )
+    pos = wh.select(
+        "doc_id",
+        F.explode(F.expr(T.shingle_hash_array_sql("wh", n))).alias("s"),
+    )
+    df_tbl = (
+        wh.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
+            ).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    per_doc = (
+        pos.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
+def dup_shingle_profile_oracle_sql(n: int = 5) -> str:
+    """DuckDB twin over the same portable shingle hashes; the fraction
+    divides two exact BIGINTs, so values hash bit-for-bit."""
+    wh = T.word_hash_array_sql(T.words_sql("text", "duckdb"), "duckdb")
+    sh = T.shingle_hash_array_sql("wh", n, "duckdb")
+    return f"""
+    WITH wh AS (SELECT doc_id, {wh} AS wh FROM documents),
+    pos AS (SELECT doc_id, unnest({sh}) AS s FROM wh),
+    dd AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, unnest({sh}) AS s FROM wh)
+    ),
+    dft AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM dd GROUP BY 1)
+    SELECT pos.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+    FROM pos JOIN dft ON pos.s = dft.s
+    GROUP BY pos.doc_id
+    ORDER BY pos.doc_id
+    """
