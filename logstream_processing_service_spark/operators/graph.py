@@ -308,3 +308,62 @@ def serve_components(spark, assign_dir: str) -> DataFrame:
         .withColumn("is_keeper", F.col("doc_id") == F.col("canonical_id"))
         .orderBy("doc_id")
     )
+
+
+def label_propagation(
+    edges: DataFrame, n_iter: int = 4
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007,
+    made deterministic): every node starts as its own label; each step
+    it adopts the incoming-neighbor label with the largest edge-weight
+    mass, ties broken by the lexicographically smallest label. A fixed
+    iteration count and total tie order make the run reproducible AND
+    SQL-unrollable — the community twin of the pagerank/textrank
+    oracles. Expects the symmetric (src, dst, w) edge list the other
+    graph operators use.
+
+    Why not connected components: CC fuses everything reachable; LPA
+    keeps weakly-bridged clusters apart because labels must win by
+    weight MASS, not mere reachability — the community structure a
+    co-occurrence graph actually has.
+
+    Scale: one join + one (dst, label) aggregate + one argmax window
+    per iteration, all bounded by |edges|; labels localCheckpoint per
+    step so the plan does not grow with n_iter.
+    """
+    from pyspark.sql import Window
+
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        mass = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.sum("w").alias("m"))
+        )
+        wpick = Window.partitionBy("dst").orderBy(
+            F.desc("m"), F.asc("label")
+        )
+        pick = (
+            mass.withColumn("rn", F.row_number().over(wpick))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("label").alias("nl"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("nl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    wsz = Window.partitionBy("label")
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
+    )

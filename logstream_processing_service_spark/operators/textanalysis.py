@@ -696,3 +696,28 @@ def token_pmi(documents: DataFrame, min_count: int = 5, k: int = 100) -> DataFra
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
     )
+
+
+def token_communities(
+    documents: DataFrame, min_weight: int = 2, n_iter: int = 4
+) -> DataFrame:
+    """Topic-ish word communities: deterministic weighted label
+    propagation (graph.label_propagation) over the same adjacent-token
+    co-occurrence graph TextRank ranks — centrality tells you WHICH
+    words matter, communities tell you which words move TOGETHER.
+
+    Vocab-grain like textrank_keywords: iteration cost is |bigram
+    vocab| edges regardless of corpus size once the count table exists.
+    """
+    from .graph import label_propagation
+
+    return (
+        label_propagation(
+            cooccurrence_edges(documents, min_weight=min_weight),
+            n_iter=n_iter,
+        )
+        .select(
+            F.col("node").alias("word"), "community", "community_size"
+        )
+        .orderBy("community", "word")
+    )

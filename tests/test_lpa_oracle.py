@@ -1,0 +1,152 @@
+"""Deterministic label propagation (graph.label_propagation /
+textanalysis.token_communities) — r7 catalog candidate
+`token_communities`.
+
+The DuckDB twin unrolls the synchronous iterations into chained CTEs
+(the pagerank/textrank pattern); every quantity is an exact BIGINT
+weight mass and the argmax tie order is total (mass desc, label asc),
+so the driver-harness hash must match exactly. A planted two-cluster
+graph pins the semantic difference from connected components: a weak
+bridge must NOT fuse the communities.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from logstream_processing_service_spark.functions import text as T
+
+from .conftest import SF_DIR, SF_DIR_ORACLE
+from .oracle_harness import compare_one, duckdb_conn
+
+_WORDS_DUCK = T.words_sql("text", "duckdb")
+
+
+def token_communities_oracle_sql(
+    min_weight: int = 2, n_iter: int = 4
+) -> str:
+    ctes = [
+        f"""
+    words AS (SELECT {_WORDS_DUCK} AS t FROM documents),
+    pairs AS (
+        SELECT least(t[i - 1], t[i]) AS a, greatest(t[i - 1], t[i]) AS b
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+              FROM words WHERE len(t) >= 2)
+    ),
+    und AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS w
+        FROM pairs WHERE a <> b GROUP BY 1, 2
+        HAVING count(*) >= {min_weight}
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst, w FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst, w FROM und
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
+    """.strip()
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""
+    p{i} AS (
+        SELECT dst, label FROM (
+            SELECT e.dst, l.label,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY sum(e.w) DESC, l.label
+                   ) AS rn
+            FROM edges e JOIN l{i} l ON e.src = l.node
+            GROUP BY e.dst, l.label
+        ) WHERE rn = 1
+    ),
+    l{i + 1} AS (
+        SELECT n.node, coalesce(p.label, n.label) AS label
+        FROM l{i} n LEFT JOIN p{i} p ON n.node = p.dst
+    )""".strip()
+        )
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node AS word, label AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+               AS community_size
+    FROM l{n_iter}
+    ORDER BY community, word
+    """
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_token_communities_hash_matches_oracle(spark, sf_dir):
+    from logstream_processing_service_spark.operators.textanalysis import (
+        token_communities,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark,
+        con,
+        "token_communities",
+        lambda s, sf: token_communities(load_table(s, sf, "documents")),
+        token_communities_oracle_sql(),
+        sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+def test_lpa_keeps_weakly_bridged_clusters_apart(spark):
+    """Two 3-cliques joined by ONE weight-1 bridge: connected components
+    would fuse them; LPA must keep two communities because the bridge
+    mass never beats the in-cluster mass."""
+    from logstream_processing_service_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [
+        ("a1", "a2", 5), ("a1", "a3", 5), ("a2", "a3", 5),
+        ("b1", "b2", 5), ("b1", "b3", 5), ("b2", "b3", 5),
+        ("a3", "b1", 1),  # the weak bridge
+    ]
+    edges = spark.createDataFrame(
+        [(s, d, w) for s, d, w in und] + [(d, s, w) for s, d, w in und],
+        "src string, dst string, w long",
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
+    a = {out["a1"], out["a2"], out["a3"]}
+    b = {out["b1"], out["b2"], out["b3"]}
+    assert len(a) == 1 and len(b) == 1, out
+    assert a != b, out
+
+
+def test_lpa_matches_naive_python(spark):
+    """Synchronous-update parity with a literal Python recomputation on
+    a small random-ish deterministic graph."""
+    und = [
+        ("w1", "w2", 3), ("w2", "w3", 2), ("w3", "w4", 4),
+        ("w4", "w5", 1), ("w5", "w1", 2), ("w2", "w5", 5),
+    ]
+    sym = und + [(d, s, w) for s, d, w in und]
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d, w in sym:
+        adj[d].append((s, w))
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for node, ins in adj.items():
+            mass = defaultdict(int)
+            for src, w in ins:
+                mass[labels[src]] += w
+            best = sorted(mass.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[node] = best
+        labels = new
+
+    from logstream_processing_service_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(sym, "src string, dst string, w long")
+    got = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
+    assert got == labels
