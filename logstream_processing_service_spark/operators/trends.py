@@ -539,3 +539,124 @@ def seasonal_decompose_oracle_sql() -> str:
     FROM seas
     ORDER BY event_type, x
     """
+
+
+def resample_daily_volume(events: DataFrame) -> DataFrame:
+    """Gap-filled daily volume per type: a complete calendar spine from
+    each type's first to last active day, observed counts where they
+    exist, LINEAR INTERPOLATION between the nearest observed neighbors
+    where they don't — the resampling step every downstream
+    trend/seasonal/changepoint model assumes has already happened
+    (volume_trend et al. silently treat missing days as absent, not
+    zero; this operator makes the time grid explicit).
+
+    Cross-engine exactness: the interpolated value is the rational
+    (prev_y·(next_x − x) + next_y·(x − prev_x)) / (next_x − prev_x)
+    with an exact BIGINT numerator and denominator — one identical
+    double division on both engines, then 6-dp rounding. Spine
+    endpoints are each type's own min/max day, so every gap has both
+    neighbors by construction.
+
+    Scale: the daily aggregate is map-side combinable; the spine
+    explodes in-row from a |types|-row min/max aggregate; neighbor
+    lookup is two IGNORE-NULLS window passes over |types|×|span| rows —
+    never event-grain.
+    """
+    daily = events.groupBy(
+        F.col("event_type"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    span = daily.groupBy("event_type").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("x"),
+    )
+    g = spine.join(daily, ["event_type", "x"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = g.select(
+        "event_type",
+        "x",
+        "y",
+        F.last(F.col("y"), ignorenulls=True).over(wb).alias("py"),
+        F.last(
+            F.when(F.col("y").isNotNull(), F.col("x")), ignorenulls=True
+        ).over(wb).alias("px"),
+        F.first(F.col("y"), ignorenulls=True).over(wf).alias("ny"),
+        F.first(
+            F.when(F.col("y").isNotNull(), F.col("x")), ignorenulls=True
+        ).over(wf).alias("nx"),
+    )
+    interp = (
+        F.col("py") * (F.col("nx") - F.col("x"))
+        + F.col("ny") * (F.col("x") - F.col("px"))
+    ).cast("double") / (F.col("nx") - F.col("px")).cast("double")
+    return filled.select(
+        "event_type",
+        "x",
+        F.round(
+            F.when(F.col("y").isNotNull(), F.col("y").cast("double"))
+            .otherwise(interp),
+            6,
+        ).alias("y_filled"),
+        F.col("y").isNull().alias("interpolated"),
+    ).orderBy("event_type", "x")
+
+
+def resample_daily_volume_oracle_sql() -> str:
+    """DuckDB twin: same spine, same IGNORE NULLS neighbor windows,
+    same exact-BIGINT interpolation numerator."""
+    return """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT event_type, min(x) AS lo, max(x) AS hi
+        FROM daily GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(lo, hi)) AS x FROM span
+    ),
+    g AS (
+        SELECT spine.event_type, spine.x, daily.y
+        FROM spine LEFT JOIN daily
+          ON spine.event_type = daily.event_type AND spine.x = daily.x
+    ),
+    filled AS (
+        SELECT event_type, x, y,
+               last_value(y IGNORE NULLS) OVER wb AS py,
+               last_value(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS)
+                   OVER wb AS px,
+               first_value(y IGNORE NULLS) OVER wf AS ny,
+               first_value(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS)
+                   OVER wf AS nx
+        FROM g
+        WINDOW wb AS (PARTITION BY event_type ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY x
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, x,
+           round(CASE WHEN y IS NOT NULL THEN CAST(y AS DOUBLE)
+                      ELSE CAST(py * (nx - x) + ny * (x - px) AS DOUBLE)
+                           / CAST(nx - px AS DOUBLE) END, 6) AS y_filled,
+           (y IS NULL) AS interpolated
+    FROM filled
+    ORDER BY event_type, x
+    """

@@ -128,3 +128,52 @@ def test_rank_median_matches_statistics_median(spark):
         )
         got = _rank_median(df, "g", "v", "m").collect()[0]["m"]
         assert got == pytest.approx(statistics.median(vals), abs=0)
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_resample_daily_volume_hash_matches_oracle(spark, sf_dir):
+    from logstream_processing_service_spark.operators.trends import (
+        resample_daily_volume,
+        resample_daily_volume_oracle_sql,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark,
+        con,
+        "resample_daily_volume",
+        lambda s, sf: resample_daily_volume(load_table(s, sf, "events")),
+        resample_daily_volume_oracle_sql(),
+        sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+def test_resample_fills_planted_gap_linearly(spark):
+    """Counts 4 on day 0 and 10 on day 3 with days 1-2 missing: the
+    spine must contain all 4 days and interpolate 6.0 and 8.0."""
+    from logstream_processing_service_spark.operators.trends import (
+        resample_daily_volume,
+    )
+
+    rows = []
+    eid = 0
+    for day, n in ((0, 4), (3, 10)):
+        for i in range(n):
+            rows.append((eid, 1, "click", _ts(day, i), 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    out = {
+        r["x"]: (r["y_filled"], r["interpolated"])
+        for r in resample_daily_volume(df).collect()
+    }
+    xs = sorted(out)
+    assert len(xs) == 4
+    assert out[xs[0]] == (4.0, False)
+    assert out[xs[1]] == (6.0, True)
+    assert out[xs[2]] == (8.0, True)
+    assert out[xs[3]] == (10.0, False)
