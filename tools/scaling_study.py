@@ -65,6 +65,9 @@ QUERIES = [
     "seasonal_volume_decompose",  # events-grain: daily windows
     "mad_anomaly",              # events-grain: two value sorts
     "unigram_token_counts",     # documents-grain: train + encode
+    "dup_shingle_profile",      # documents-grain: df join at long grain
+    "token_communities",        # vocab-grain: |edges|-bounded iterations
+    "resample_daily_volume",    # events-grain: daily agg + spine windows
 ]
 
 
@@ -78,6 +81,7 @@ def _extra_queries():
         maxsim_topk,
     )
     from logstream_processing_service_spark.operators.trends import (
+        resample_daily_volume,
         seasonal_decompose,
     )
     from logstream_processing_service_spark.operators.unigram import (
@@ -94,6 +98,13 @@ def _extra_queries():
         )
         return unigram_token_counts(docs, m)
 
+    from logstream_processing_service_spark.operators.dedup import (
+        dup_shingle_profile,
+    )
+    from logstream_processing_service_spark.operators.textanalysis import (
+        token_communities,
+    )
+
     return {
         "maxsim_search": lambda s, sf: maxsim_topk(
             load_table(s, sf, "documents")
@@ -103,6 +114,15 @@ def _extra_queries():
         ),
         "mad_anomaly": lambda s, sf: mad_anomaly(load_table(s, sf, "events")),
         "unigram_token_counts": _unigram,
+        "dup_shingle_profile": lambda s, sf: dup_shingle_profile(
+            load_table(s, sf, "documents")
+        ),
+        "token_communities": lambda s, sf: token_communities(
+            load_table(s, sf, "documents")
+        ),
+        "resample_daily_volume": lambda s, sf: resample_daily_volume(
+            load_table(s, sf, "events")
+        ),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
