@@ -257,12 +257,20 @@ def main() -> None:
 
     load_table(spark, SRC_SF, "documents").count()  # JVM warm-up
 
+    # queries whose fn() does eager work (localCheckpoint / driver
+    # training loops): the timer must bracket the BUILD too, or the
+    # measured time is just the final projection (the stream_join_twin
+    # caveat, now handled instead of excluded)
+    eager = {"token_communities", "unigram_token_counts"}
+
     def run(name: str, sf_dir: str) -> float:
         fn = specs[name].fn if name in specs else extras[name]
         best = float("inf")
         for _ in range(reps):
+            t0 = time.perf_counter() if name in eager else None
             df = fn(spark, sf_dir)
-            t0 = time.perf_counter()
+            if t0 is None:
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
