@@ -68,6 +68,7 @@ QUERIES = [
     "dup_shingle_profile",      # documents-grain: df join at long grain
     "token_communities",        # vocab-grain: |edges|-bounded iterations
     "resample_daily_volume",    # events-grain: daily agg + spine windows
+    "gif_frame_pixel_stats",    # documents-grain: per-payload decode
 ]
 
 
@@ -101,6 +102,10 @@ def _extra_queries():
     from logstream_processing_service_spark.operators.dedup import (
         dup_shingle_profile,
     )
+    from logstream_processing_service_spark.operators.gifcodec import (
+        gif_frame_pixel_stats,
+        with_synthetic_gif_payload,
+    )
     from logstream_processing_service_spark.operators.textanalysis import (
         token_communities,
     )
@@ -122,6 +127,9 @@ def _extra_queries():
         ),
         "resample_daily_volume": lambda s, sf: resample_daily_volume(
             load_table(s, sf, "events")
+        ),
+        "gif_frame_pixel_stats": lambda s, sf: gif_frame_pixel_stats(
+            with_synthetic_gif_payload(load_table(s, sf, "documents"))
         ),
     }
 
