@@ -69,6 +69,7 @@ QUERIES = [
     "token_communities",        # vocab-grain: |edges|-bounded iterations
     "resample_daily_volume",    # events-grain: daily agg + spine windows
     "gif_frame_pixel_stats",    # documents-grain: per-payload decode
+    "dictionary_match_counts",  # documents-grain: one AC pass per doc
 ]
 
 
@@ -102,6 +103,10 @@ def _extra_queries():
     from logstream_processing_service_spark.operators.dedup import (
         dup_shingle_profile,
     )
+    from logstream_processing_service_spark.operators.dictmatch import (
+        DICT_TERMS,
+        dictionary_match_counts,
+    )
     from logstream_processing_service_spark.operators.gifcodec import (
         gif_frame_pixel_stats,
         with_synthetic_gif_payload,
@@ -130,6 +135,9 @@ def _extra_queries():
         ),
         "gif_frame_pixel_stats": lambda s, sf: gif_frame_pixel_stats(
             with_synthetic_gif_payload(load_table(s, sf, "documents"))
+        ),
+        "dictionary_match_counts": lambda s, sf: dictionary_match_counts(
+            load_table(s, sf, "documents"), list(DICT_TERMS)
         ),
     }
 
