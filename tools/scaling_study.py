@@ -152,6 +152,10 @@ SCALE100_QUERIES = (
     "contamination_overlap",
     "bm25_search",
     "token_pmi",
+    # continuation-4 doc-grain candidates
+    "maxsim_search",
+    "dup_shingle_profile",
+    "token_communities",
 )
 
 
