@@ -729,3 +729,115 @@ def maxsim_oracle_sql(
     ) WHERE rank <= {k}
     ORDER BY query_id, rank
     """
+
+
+def maxsim_topk_routed(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+    n_anchors: int = 32,
+    n_probe: int = 8,
+) -> DataFrame:
+    """PLAID-shaped approximate maxsim (Santhanam et al. 2022 route
+    ColBERT maxima through centroid buckets): doc tokens bucket to their
+    nearest ANCHOR vector; each query token scores only the tokens in
+    its ``n_probe`` nearest anchors' buckets. Anchors are the
+    ``n_anchors`` most frequent corpus tokens' unit vectors —
+    deterministic (count desc, token asc), no k-means iterations, and
+    frequency-weighted exactly where the token mass is.
+
+    Pinned semantics: a query token with NO candidate token in a doc
+    contributes 0 to that doc's score (the exact form would contribute
+    its all-token max, possibly negative); with ``n_probe == n_anchors``
+    every bucket is probed, the candidate set is the full vocabulary,
+    and the routed score EQUALS the exact operator bit-for-bit (pinned
+    in tests — the same exactness degeneration ann_ivf is tested by).
+
+    Scale: the anchor table is tiny and broadcast everywhere; bucket
+    assignment is |vocab| × n_anchors in-row dots; the scored pair
+    stream shrinks from |qtokens|·|corpus tokens| to only probed
+    buckets — the IVF effect at token grain. Same integer-unit sum as
+    maxsim_topk.
+    """
+    spark = documents.sparkSession
+    dtok = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok"),
+    )
+    freq = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    anchors = _with_unit_vec(
+        freq.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(n_anchors)
+        .select("tok"),
+        "tok",
+    ).select(
+        F.col("tok").alias("anchor"),
+        *[F.col(f"v{j}").alias(f"a{j}") for j in range(MAXSIM_DIM)],
+    )
+
+    vocab = _with_unit_vec(dtok.select("tok").distinct(), "tok")
+    adot = F.col("a0") * F.col("v0")
+    for j in range(1, MAXSIM_DIM):
+        adot = adot + F.col(f"a{j}") * F.col(f"v{j}")
+    ranked = vocab.crossJoin(F.broadcast(anchors)).select(
+        "tok",
+        "anchor",
+        adot.alias("adot"),
+        *[F.col(f"v{j}") for j in range(MAXSIM_DIM)],
+    )
+    wa = Window.partitionBy("tok").orderBy(F.desc("adot"), F.asc("anchor"))
+    buckets = (
+        ranked.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("tok", "anchor", *[f"v{j}" for j in range(MAXSIM_DIM)])
+    )
+    dvec = dtok.join(buckets, "tok")
+
+    qvec = _with_unit_vec(_query_terms(spark, queries), "tok").select(
+        "query_id",
+        F.col("tok").alias("qtok"),
+        *[F.col(f"v{j}").alias(f"q{j}") for j in range(MAXSIM_DIM)],
+    )
+    qadot = F.col("a0") * F.col("q0")
+    for j in range(1, MAXSIM_DIM):
+        qadot = qadot + F.col(f"a{j}") * F.col(f"q{j}")
+    wq = Window.partitionBy("query_id", "qtok").orderBy(
+        F.desc("qadot"), F.asc("anchor")
+    )
+    probes = (
+        qvec.crossJoin(F.broadcast(anchors))
+        .select("query_id", "qtok", "anchor", qadot.alias("qadot"),
+                *[F.col(f"q{j}") for j in range(MAXSIM_DIM)])
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .drop("rn", "qadot")
+    )
+
+    dot = F.col("q0") * F.col("v0")
+    for j in range(1, MAXSIM_DIM):
+        dot = dot + F.col(f"q{j}") * F.col(f"v{j}")
+    best = (
+        dvec.join(F.broadcast(probes), "anchor")
+        .groupBy("query_id", "qtok", "doc_id")
+        .agg(F.max(dot).alias("mdot"))
+    )
+    scored = best.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.floor(F.col("mdot") * F.expr(_MAXSIM_SCALE)).cast("bigint")
+        ).alias("score_units")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "doc_id",
+            (F.col("score_units").cast("double") / F.expr(_MAXSIM_SCALE)).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -123,3 +123,47 @@ def test_maxsim_self_query_is_perfect(spark):
     top = rows[0]
     assert top["doc_id"] == 0 and top["rank"] == 1
     assert top["score"] == pytest.approx(3.0, abs=1e-9)
+
+
+def test_routed_full_probe_equals_exact(spark):
+    """With n_probe == n_anchors every bucket is probed, so the routed
+    operator must reproduce the exact maxsim ranking AND scores
+    bit-for-bit (the ann_ivf exactness-degeneration pin at token
+    grain)."""
+    from logstream_processing_service_spark.operators.retrieval import (
+        maxsim_topk_routed,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = [
+        tuple(r)
+        for r in maxsim_topk(docs, k=10).collect()
+    ]
+    routed = [
+        tuple(r)
+        for r in maxsim_topk_routed(
+            docs, k=10, n_anchors=16, n_probe=16
+        ).collect()
+    ]
+    assert routed == exact
+
+
+def test_routed_recall_floor(spark):
+    """Partial probing (8 of 32 buckets) must keep ≥ 0.5 top-10 recall
+    vs the exact ranking on the real corpus — the accuracy/cost dial
+    documented for the PLAID shape."""
+    from logstream_processing_service_spark.operators.retrieval import (
+        maxsim_topk_routed,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {}
+    for r in maxsim_topk(docs, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["doc_id"])
+    routed = {}
+    for r in maxsim_topk_routed(docs, k=10, n_anchors=32, n_probe=8).collect():
+        routed.setdefault(r["query_id"], set()).add(r["doc_id"])
+    recalls = [
+        len(exact[q] & routed.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
