@@ -8,6 +8,7 @@ documents before any heavier stage.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -721,3 +722,64 @@ def token_communities(
         )
         .orderBy("community", "word")
     )
+
+
+def compression_quality(
+    documents: DataFrame, min_bytes: int = 256
+) -> DataFrame:
+    """Per-document zlib compression ratio + the derived quality flags —
+    the standard cheap repetition/boilerplate signal modern corpus
+    pipelines run next to the Gopher/C4 rules (highly compressible ⇒
+    templated or repeated text; barely compressible ⇒ noise/binary
+    spill). Complements repetition_scores (n-gram grain) with a
+    whole-document information-density measure.
+
+    DEFLATE level 6 with a fixed strategy is deterministic for a given
+    zlib version, but the RATIO is what downstream thresholds consume —
+    emitted at 6 dp from exact byte counts. Rows-only (no SQL twin: the
+    oracle engine has no deflate), verified by planted
+    repetitive/random corpora and an invariance pin in tests.
+
+    Scale: one Arrow-batched UDF over the scan, zero shuffle — the same
+    embarrassingly-parallel shape as the codec lanes.
+    """
+    import zlib
+
+    @F.pandas_udf("bigint")
+    def comp(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), 6))
+        )
+
+    # the raw byte count stays JVM-side (octet_length is a builtin);
+    # only the deflate pass needs Python
+    c = documents.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        comp(F.col("text")).alias("n_compressed"),
+    )
+    ratio = F.when(
+        F.col("n_bytes") > 0,
+        F.round(
+            F.col("n_compressed").cast("double")
+            / F.col("n_bytes").cast("double"),
+            6,
+        ),
+    )
+    # the gates are undefined below min_bytes: deflate's fixed overhead
+    # (~8 bytes + dictionary warm-up) dominates short texts, making
+    # every short doc look incompressible
+    gate = F.col("n_bytes") >= min_bytes
+    return c.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        ratio.alias("compression_ratio"),
+        # the two standard gates, calibrated against deflate level 6:
+        # ~1 KB natural prose lands near 0.28-0.45, heavy templating
+        # under 0.1, printable-character noise ~0.85 (the entropy coder
+        # still shaves ~15% off a ~90-symbol alphabet, so the noise
+        # gate sits at 0.8, not 1.0)
+        F.when(gate, ratio < 0.2).alias("too_repetitive"),
+        F.when(gate, ratio > 0.8).alias("too_random"),
+    ).orderBy("doc_id")
