@@ -418,3 +418,79 @@ def unigram_token_counts(
         )
         .orderBy("doc_id")
     )
+
+
+def tokenizer_compare(
+    documents: DataFrame,
+    num_merges: int = 256,
+    vocab_size: int = 512,
+    min_word_count: int = 2,
+) -> DataFrame:
+    """Head-to-head tokenizer report on the SAME corpus: characters,
+    GPT-2 pretokens, trained BPE, trained unigram-LM — one row per
+    tokenizer with total tokens and chars/token compression. The
+    decision table a data team reads before committing a vocabulary
+    (tokenizer_fertility answers per-language fairness; this answers
+    which FAMILY compresses this corpus best at equal budget).
+
+    Scale: both trainings share the single corpus pass (the guarded
+    (word, n) table) and both encoders run once per DISTINCT word —
+    the totals are weighted sums over the word table, so the report
+    costs two vocab-grain aggregations regardless of corpus size."""
+    from .bpe import bpe_train, encode_word, word_frequency_table
+
+    wf = word_frequency_table(documents)
+    if min_word_count > 1:
+        wf = wf.filter(F.col("n") >= min_word_count)
+    wf = wf.persist()
+
+    merges = bpe_train(
+        documents, num_merges=num_merges, min_word_count=min_word_count
+    )
+    ranked = [(m.left, m.right) for m in sorted(merges, key=lambda m: m.rank)]
+    uni = unigram_train(
+        documents, vocab_size=vocab_size, min_word_count=min_word_count
+    )
+    lp = uni.logprobs()
+    max_len = uni.max_piece_len
+
+    @F.pandas_udf("bigint")
+    def n_bpe(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: len(encode_word(w, ranked)))
+
+    @F.pandas_udf("bigint")
+    def n_uni(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: len(_viterbi(w, lp, max_len)[0]))
+
+    enc = wf.select(
+        "word",
+        "n",
+        F.length("word").alias("n_chars"),
+        n_bpe(F.col("word")).alias("bpe"),
+        n_uni(F.col("word")).alias("uni"),
+    )
+    tot = enc.agg(
+        F.sum(F.col("n") * F.col("n_chars")).alias("chars"),
+        F.sum(F.col("n")).alias("pretokens"),
+        F.sum(F.col("n") * F.col("bpe")).alias("bpe_tokens"),
+        F.sum(F.col("n") * F.col("uni")).alias("uni_tokens"),
+    ).collect()[0]
+    wf.unpersist()
+
+    spark = documents.sparkSession
+    chars = int(tot["chars"])
+    rows = [
+        ("chars", chars, None),
+        ("gpt2_pretokens", int(tot["pretokens"]), len(ranked)),
+        (f"bpe_{num_merges}m", int(tot["bpe_tokens"]), len(ranked)),
+        (f"unigram_{vocab_size}v", int(tot["uni_tokens"]), len(lp)),
+    ]
+    out = spark.createDataFrame(
+        [
+            (name, n, round(chars / n, 6) if n else None, vocab)
+            for name, n, vocab in rows
+        ],
+        "tokenizer string, total_tokens bigint, chars_per_token double, "
+        "vocab_entries int",
+    )
+    return out.orderBy("tokenizer")

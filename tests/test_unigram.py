@@ -313,3 +313,31 @@ def test_model_df_roundtrip(spark):
     df = model_df(spark, m)
     back = {(r["piece"], r["logprob"]) for r in df.collect()}
     assert back == set(m.pieces)
+
+
+def test_tokenizer_compare_report(spark):
+    """The head-to-head report: chars is the upper bound on any
+    tokenizer's total; trained BPE and unigram must both compress
+    below the pretoken... no — below CHARS and above pretokens
+    (a pretoken is >= 1 token), and chars/token must exceed 1.0 for
+    both trained families."""
+    from logstream_processing_service_spark.operators.unigram import (
+        tokenizer_compare,
+    )
+
+    docs = _docs(spark, TEXTS * 4)
+    rows = {
+        r["tokenizer"]: r
+        for r in tokenizer_compare(
+            docs, num_merges=64, vocab_size=60, min_word_count=1
+        ).collect()
+    }
+    chars = rows["chars"]["total_tokens"]
+    pre = rows["gpt2_pretokens"]["total_tokens"]
+    bpe = rows["bpe_64m"]["total_tokens"]
+    uni = rows["unigram_60v"]["total_tokens"]
+    assert pre <= bpe <= chars
+    assert pre <= uni <= chars
+    assert rows["bpe_64m"]["chars_per_token"] > 1.0
+    assert rows["unigram_60v"]["chars_per_token"] > 1.0
+    assert rows["chars"]["chars_per_token"] == 1.0
