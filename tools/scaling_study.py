@@ -70,6 +70,8 @@ QUERIES = [
     "resample_daily_volume",    # events-grain: daily agg + spine windows
     "gif_frame_pixel_stats",    # documents-grain: per-payload decode
     "dictionary_match_counts",  # documents-grain: one AC pass per doc
+    "maxsim_search_routed",     # documents-grain: bucket-pruned pairs
+    "compression_quality",      # documents-grain: one deflate per doc
 ]
 
 
@@ -81,6 +83,7 @@ def _extra_queries():
     )
     from logstream_processing_service_spark.operators.retrieval import (
         maxsim_topk,
+        maxsim_topk_routed,
     )
     from logstream_processing_service_spark.operators.trends import (
         resample_daily_volume,
@@ -112,6 +115,7 @@ def _extra_queries():
         with_synthetic_gif_payload,
     )
     from logstream_processing_service_spark.operators.textanalysis import (
+        compression_quality,
         token_communities,
     )
 
@@ -138,6 +142,12 @@ def _extra_queries():
         ),
         "dictionary_match_counts": lambda s, sf: dictionary_match_counts(
             load_table(s, sf, "documents"), list(DICT_TERMS)
+        ),
+        "maxsim_search_routed": lambda s, sf: maxsim_topk_routed(
+            load_table(s, sf, "documents")
+        ),
+        "compression_quality": lambda s, sf: compression_quality(
+            load_table(s, sf, "documents")
         ),
     }
 
