@@ -3,11 +3,12 @@ list over the corpus in ONE text pass (Aho & Corasick 1975) — the
 many-keyword engine behind PII/blocklist scrubbing, brand-safety
 filters, and gazetteer entity tagging at corpus scale.
 
-Reference tie: the closest reference behavior is scrubbing/filtering by
-fixed term lists (the same instinct as sensitive_term_scrub in
-curation.py, src/processing/transformations.py's cleaning pass); that
-operator regex-scans per term — fine for 5 terms, quadratic pain for a
-50k-entry gazetteer. The automaton makes the scan O(text + matches)
+Reference tie: the reference filters logs by fixed template/keyword
+matching (src/db/pattern_ops.py's template extraction is its closest
+term-lookup surface); this module and curation.py's
+sensitive_term_scrub are the north-star generalizations — and where
+the scrub regex-scans per term (fine for 5 terms, quadratic pain for a
+50k-entry gazetteer), the automaton makes the scan O(text + matches)
 regardless of dictionary size.
 
 Pinned semantics: matches count at EVERY ending position, INCLUDING

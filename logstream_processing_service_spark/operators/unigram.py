@@ -4,10 +4,10 @@ tokenizer next to BPE (operators/bpe.py), trained with EM over a
 segmentation lattice instead of greedy pair merges.
 
 The reference counts tokens with a fixed heuristic (SURVEY §2 token
-counting; reference src/processing/transformations.py token budgeting);
-like the BPE module this LEARNS the vocabulary from the corpus so token
-budgets reflect the corpus's own distribution — and the two trainers
-cross-check each other's compression numbers (tokenizer_fertility).
+counting); like the BPE module this LEARNS the vocabulary from the
+corpus so token budgets reflect the corpus's own distribution — and the
+two trainers cross-check each other's compression numbers
+(tokenizer_fertility, tokenizer_compare).
 
 Scale design (mirrors bpe.py, the pattern a production trainer uses):
 

@@ -3,10 +3,11 @@ merge_branch / delete_branch) — Nessie/Delta-branch semantics on the
 same manifest mechanics, so every existing operator works on a branch
 dir unchanged.
 
-Reference tie: the reference's blue/green deployment
-(scripts/deploy_model.py promote/backup flow) is table-grain branch-
-and-swap; this generalizes it to data: fork, write in isolation,
-merge-or-discard — with vacuum unable to break either lineage.
+Reference tie: the reference's blue/green model deployment
+(scripts/run_training_batch.py:240-257, the staging→production atomic
+swap with a backup slot) is branch-and-swap at artifact grain; this
+generalizes it to DATA: fork, write in isolation, merge-or-discard —
+with vacuum unable to break either lineage.
 """
 
 from __future__ import annotations
