@@ -795,3 +795,55 @@ def test_mad_anomaly_no_cartesian_and_single_scan_base(spark):
 
     plan = _plan(mad_anomaly(_events(spark)))
     assert "CartesianProduct" not in plan
+
+
+def test_dictmatch_single_scan_no_cartesian(spark):
+    from logstream_processing_service_spark.operators.dictmatch import (
+        DICT_TERMS,
+        dictionary_match_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dictionary_match_counts(docs, list(DICT_TERMS)))
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_routed_maxsim_broadcasts_anchor_and_probe_sides(spark):
+    from logstream_processing_service_spark.operators.retrieval import (
+        maxsim_topk_routed,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(maxsim_topk_routed(docs))
+    # the anchor cross joins and the probe join must all ride
+    # broadcasts; nothing may fall back to a shuffle cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_compression_quality_single_scan(spark):
+    from logstream_processing_service_spark.operators.textanalysis import (
+        compression_quality,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(compression_quality(docs))
+    assert plan.count("FileScan parquet") == 1
+    assert "ArrowEvalPython" in plan  # the deflate UDF is Arrow-batched
+    assert "CartesianProduct" not in plan
+
+
+def test_gif_stats_single_scan_zero_shuffle(spark):
+    from logstream_processing_service_spark.operators.gifcodec import (
+        gif_frame_pixel_stats,
+        with_synthetic_gif_payload,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(
+        gif_frame_pixel_stats(with_synthetic_gif_payload(docs))
+    )
+    assert plan.count("FileScan parquet") == 1
+    # decode is embarrassingly parallel: no exchange anywhere
+    assert "Exchange" not in plan
