@@ -783,3 +783,123 @@ def compression_quality(
         F.when(gate, ratio < 0.2).alias("too_repetitive"),
         F.when(gate, ratio > 0.8).alias("too_random"),
     ).orderBy("doc_id")
+
+
+def vocab_divergence(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Pairwise KL and Jensen–Shannon divergence between the per-source
+    token distributions — the corpus-mixing diagnostic behind "is this
+    source redundant with that one?" and "did the new crawl shift the
+    vocabulary?" (the distributional cousin of drift_report, at token
+    grain across SOURCES instead of value grain across time).
+
+    Semantics: unigram distributions over the UNION vocabulary with
+    add-``alpha`` smoothing (p_i = (c_i + α) / (N + α·V)), so zeros are
+    defined on both sides; KL in nats; JS via the mixture m = (p+q)/2.
+
+    Cross-engine discipline: counts, totals and V are exact BIGINTs, so
+    p and q are bit-identical rationals in both engines; the ln-term
+    sums are rounded at 6 dp AFTER aggregation (the bm25 recipe — the
+    sub-ulp partial-sum order noise of a few thousand terms is ~1e-12,
+    far inside the rounding slack).
+
+    Scale: one token aggregate (map-side combinable, vocab-grain), then
+    a |sources|² × |vocab| grid — sources are few by construction, and
+    the grid joins the count table by (source, tok), never touching the
+    corpus again.
+    """
+    toks = documents.select(
+        "source", F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = counts.select("tok").distinct()
+    v = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+
+    a_side = totals.select(
+        F.col("source").alias("src_a"), F.col("n").alias("na")
+    )
+    b_side = totals.select(
+        F.col("source").alias("src_b"), F.col("n").alias("nb")
+    )
+    grid = (
+        a_side.crossJoin(b_side)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .crossJoin(F.broadcast(v))
+        .crossJoin(vocab)
+    )
+    ca = counts.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+    )
+    cb = counts.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")
+    )
+    g = (
+        grid.join(ca, ["src_a", "tok"], "left")
+        .join(cb, ["src_b", "tok"], "left")
+        .fillna(0, subset=["ca", "cb"])
+    )
+    al = F.lit(alpha)
+    p = (F.col("ca") + al) / (F.col("na") + al * F.col("v"))
+    q = (F.col("cb") + al) / (F.col("nb") + al * F.col("v"))
+    m = (p + q) / F.lit(2.0)
+    out = g.groupBy("src_a", "src_b", "na", "nb").agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_ab"),
+        F.round(F.sum(q * F.log(q / p)), 6).alias("kl_ba"),
+        F.round(
+            F.sum(p * F.log(p / m) / F.lit(2.0) + q * F.log(q / m) / F.lit(2.0)),
+            6,
+        ).alias("js"),
+    )
+    return out.select(
+        "src_a", "src_b", "na", "nb", "kl_ab", "kl_ba", "js"
+    ).orderBy("src_a", "src_b")
+
+
+def vocab_divergence_oracle_sql(alpha: float = 0.5) -> str:
+    """DuckDB twin with the identical smoothing rationals and ln-term
+    expression tree."""
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest({words_duck}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1
+    ),
+    vocab AS (SELECT DISTINCT tok FROM counts),
+    vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    grid AS (
+        SELECT a.source AS src_a, a.n AS na,
+               b.source AS src_b, b.n AS nb, vocab.tok, vn.v
+        FROM totals a, totals b, vocab, vn
+        WHERE a.source < b.source
+    ),
+    g AS (
+        SELECT grid.*, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        FROM grid
+        LEFT JOIN counts ca
+          ON grid.src_a = ca.source AND grid.tok = ca.tok
+        LEFT JOIN counts cb
+          ON grid.src_b = cb.source AND grid.tok = cb.tok
+    ),
+    terms AS (
+        SELECT src_a, src_b, na, nb,
+               (ca + {alpha}) / (na + {alpha} * v) AS p,
+               (cb + {alpha}) / (nb + {alpha} * v) AS q
+        FROM g
+    )
+    SELECT src_a, src_b, na, nb,
+           round(sum(p * ln(p / q)), 6) AS kl_ab,
+           round(sum(q * ln(q / p)), 6) AS kl_ba,
+           round(sum(p * ln(p / ((p + q) / 2.0)) / 2.0
+                     + q * ln(q / ((p + q) / 2.0)) / 2.0), 6) AS js
+    FROM terms
+    GROUP BY src_a, src_b, na, nb
+    ORDER BY src_a, src_b
+    """

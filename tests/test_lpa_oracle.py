@@ -150,3 +150,58 @@ def test_lpa_matches_naive_python(spark):
     edges = spark.createDataFrame(sym, "src string, dst string, w long")
     got = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
     assert got == labels
+
+
+# ---------------------------------------------------------------------------
+# vocab_divergence (same rehearsal file: both are corpus-structure
+# diagnostics over the token stream)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_vocab_divergence_hash_matches_oracle(spark, sf_dir):
+    from logstream_processing_service_spark.operators.textanalysis import (
+        vocab_divergence,
+        vocab_divergence_oracle_sql,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark,
+        con,
+        "vocab_divergence",
+        lambda s, sf: vocab_divergence(load_table(s, sf, "documents")),
+        vocab_divergence_oracle_sql(),
+        sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+def test_vocab_divergence_properties(spark):
+    """JS is symmetric, bounded by ln 2, zero for identical sources;
+    KL(p||q) ≥ 0 with equality iff p == q — pinned on planted corpora
+    (two identical sources + one shifted)."""
+    import math
+
+    from logstream_processing_service_spark.operators.textanalysis import (
+        vocab_divergence,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta alpha beta", "same1"),
+        (1, "alpha beta gamma delta alpha beta", "same2"),
+        (2, "omega psi chi phi omega psi", "shifted"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in vocab_divergence(docs).collect()
+    }
+    same = out[("same1", "same2")]
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0 and same["js"] == 0.0
+    for key in (("same1", "shifted"), ("same2", "shifted")):
+        r = out[key]
+        assert r["kl_ab"] > 0 and r["kl_ba"] > 0
+        assert 0 < r["js"] <= math.log(2) + 1e-9
