@@ -72,6 +72,7 @@ QUERIES = [
     "dictionary_match_counts",  # documents-grain: one AC pass per doc
     "maxsim_search_routed",     # documents-grain: bucket-pruned pairs
     "compression_quality",      # documents-grain: one deflate per doc
+    "vocab_divergence",         # vocab-grain: sources² × union vocab grid
 ]
 
 
@@ -117,6 +118,7 @@ def _extra_queries():
     from logstream_processing_service_spark.operators.textanalysis import (
         compression_quality,
         token_communities,
+        vocab_divergence,
     )
 
     return {
@@ -147,6 +149,9 @@ def _extra_queries():
             load_table(s, sf, "documents")
         ),
         "compression_quality": lambda s, sf: compression_quality(
+            load_table(s, sf, "documents")
+        ),
+        "vocab_divergence": lambda s, sf: vocab_divergence(
             load_table(s, sf, "documents")
         ),
     }
