@@ -903,3 +903,89 @@ def vocab_divergence_oracle_sql(alpha: float = 0.5) -> str:
     GROUP BY src_a, src_b, na, nb
     ORDER BY src_a, src_b
     """
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 500) -> DataFrame:
+    """Least-squares fit of ln(frequency) against ln(rank) over the top
+    ``top_n`` corpus tokens — natural language famously follows Zipf's
+    law with slope ≈ −1, so the fitted slope and r² are the classic
+    one-number "does this corpus look like language or like noise/
+    boilerplate?" diagnostic (templated corpora go flat-headed, noise
+    goes shallow).
+
+    Cross-engine discipline: ranks come from a TOTAL order (frequency
+    desc, token asc), frequencies are exact BIGINTs, ln is applied
+    per-row identically, and the closed-form moments follow the
+    volume_trend recipe — except x = ln(rank) and y = ln(freq) are
+    transcendental, so the moment sums round at 6 dp after aggregation
+    (the bm25/vocab_divergence recipe; ≤ top_n terms).
+
+    Scale: the token count is vocab-grain with map-side combine; the
+    top-N selection is TakeOrdered; the fit runs over top_n rows.
+    """
+    freq = (
+        documents.select(F.explode(T.words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    pts = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        n.cast("bigint").alias("n_tokens_fit"),
+        F.round(num / den_x, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - (num / den_x) * F.col("sx")) / n, 6
+        ).alias("intercept"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )
+
+
+def zipf_fit_oracle_sql(top_n: int = 500) -> str:
+    """DuckDB twin: identical total order, identical moment tree."""
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({words_duck}) AS tok FROM documents)
+        GROUP BY 1
+        ORDER BY c DESC, tok
+        LIMIT {top_n}
+    ),
+    pts AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+                        AS DOUBLE)) AS x,
+               ln(CAST(c AS DOUBLE)) AS y
+        FROM freq
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """

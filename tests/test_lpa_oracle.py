@@ -205,3 +205,48 @@ def test_vocab_divergence_properties(spark):
         r = out[key]
         assert r["kl_ab"] > 0 and r["kl_ba"] > 0
         assert 0 < r["js"] <= math.log(2) + 1e-9
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_zipf_fit_hash_matches_oracle(spark, sf_dir):
+    from logstream_processing_service_spark.operators.textanalysis import (
+        zipf_fit,
+        zipf_fit_oracle_sql,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark,
+        con,
+        "zipf_fit",
+        lambda s, sf: zipf_fit(load_table(s, sf, "documents")),
+        zipf_fit_oracle_sql(),
+        sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+def test_zipf_discriminates_zipfian_from_uniform(spark):
+    """A synthetic Zipf corpus (freq ∝ 1/rank) fits slope ≈ −1 with
+    high r²; a uniform corpus (all tokens equally frequent) fits slope
+    ≈ 0. The one-number language-vs-noise diagnostic, pinned."""
+    from logstream_processing_service_spark.operators.textanalysis import (
+        zipf_fit,
+    )
+
+    zipf_words = []
+    for rank in range(1, 101):
+        zipf_words.extend([f"w{rank:03d}"] * max(1, 1000 // rank))
+    uniform_words = [f"u{r:03d}" for r in range(100)] * 50
+    z = spark.createDataFrame(
+        [(0, " ".join(zipf_words))], "doc_id long, text string"
+    )
+    u = spark.createDataFrame(
+        [(0, " ".join(uniform_words))], "doc_id long, text string"
+    )
+    rz = zipf_fit(z, top_n=100).collect()[0]
+    ru = zipf_fit(u, top_n=100).collect()[0]
+    assert -1.15 <= rz["zipf_slope"] <= -0.85, rz
+    assert rz["r2"] > 0.95
+    assert abs(ru["zipf_slope"]) < 0.05, ru
