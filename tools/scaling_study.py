@@ -73,6 +73,7 @@ QUERIES = [
     "maxsim_search_routed",     # documents-grain: bucket-pruned pairs
     "compression_quality",      # documents-grain: one deflate per doc
     "vocab_divergence",         # vocab-grain: sources² × union vocab grid
+    "zipf_fit",                 # vocab-grain: count + TakeOrdered + tiny fit
 ]
 
 
@@ -119,6 +120,7 @@ def _extra_queries():
         compression_quality,
         token_communities,
         vocab_divergence,
+        zipf_fit,
     )
 
     return {
@@ -154,6 +156,7 @@ def _extra_queries():
         "vocab_divergence": lambda s, sf: vocab_divergence(
             load_table(s, sf, "documents")
         ),
+        "zipf_fit": lambda s, sf: zipf_fit(load_table(s, sf, "documents")),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
