@@ -877,7 +877,14 @@ def merge_branch(table_dir: str, name: str) -> int:
             f"fork v{fork['version']}) — re-apply the branch changes on "
             "a fresh fork of the current head"
         )
-    branch_added = [f for f in bman["files"] if f not in fork_files]
+    # exclude files the parent ALREADY has, not just fork-time files: a
+    # branch merged once and merged again would otherwise re-add its
+    # first batch's files and duplicate rows (found by the sequence
+    # fuzzer's model review; pinned by test_merge_same_branch_twice)
+    branch_added = [
+        f for f in bman["files"]
+        if f not in fork_files and f not in head_files
+    ]
     ps, bs = hman.get("schema"), bman.get("schema")
     if ps is not None and bs is not None:
         try:

@@ -316,3 +316,83 @@ def test_branch_wap_twin_hash_matches_oracle(spark):
         SF_DIR_ORACLE,
     )
     assert r["status"] == "OK", r
+
+
+# ---------------------------------------------------------------------------
+# operation-sequence fuzz vs an in-memory model (the txlog ledger-fuzzer
+# pattern applied to branch semantics)
+# ---------------------------------------------------------------------------
+
+def test_fuzz_branch_sequences_against_model(spark, tmp_path):
+    """Random append/create/merge/delete/vacuum sequences applied to the
+    real log AND a dict-based model; after every sequence, main and every
+    live branch must read back exactly the model's multiset. Appends only
+    (no overwrites), so every merge is fast-forward or append-rebase and
+    must succeed — any MergeConflict here is a bug by construction."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        t = str(tmp_path / f"fz{seed}")
+        TX.commit(t, _df(spark, [(0, "base")]))
+        model = {"__main__": {(0, "base")}}
+        branches: dict[str, set] = {}
+        forks: dict[str, set] = {}
+        nxt = 1
+        for _ in range(10):
+            # biased toward branch-append/merge interleavings so
+            # merge→append→merge on one branch (the double-merge
+            # duplication bug's shape) occurs in most sequences
+            ops = ["append_main", "append_branch", "append_branch",
+                   "create", "merge", "merge", "delete", "vacuum"]
+            op = rng.choice(ops)
+            if op == "create" and len(branches) < 3:
+                name = f"b{len(forks)}_{seed}"
+                TX.create_branch(t, name)
+                branches[name] = set(model["__main__"])
+                forks[name] = set(model["__main__"])
+            elif op == "append_main":
+                row = (nxt, f"m{nxt}")
+                nxt += 1
+                TX.commit(t, _df(spark, [row]), mode="append")
+                model["__main__"].add(row)
+            elif op == "append_branch" and branches:
+                name = rng.choice(sorted(branches))
+                row = (nxt, f"b{nxt}")
+                nxt += 1
+                TX.commit(
+                    TX._branch_dir(t, name), _df(spark, [row]), mode="append"
+                )
+                branches[name].add(row)
+            elif op == "merge" and branches:
+                name = rng.choice(sorted(branches))
+                TX.merge_branch(t, name)
+                # append-rebase: main gains the branch-added rows
+                model["__main__"] |= branches[name] - forks[name]
+            elif op == "delete" and branches:
+                name = rng.choice(sorted(branches))
+                TX.delete_branch(t, name)
+                del branches[name]
+                del forks[name]
+            elif op == "vacuum":
+                TX.vacuum(t, retain_last=1, min_age_seconds=0.0)
+        assert _vals(spark, t) == sorted(model["__main__"]), seed
+        for name, want in branches.items():
+            got = _vals(spark, TX._branch_dir(t, name))
+            assert got == sorted(want), (seed, name)
+
+
+def test_merge_same_branch_twice_does_not_duplicate(spark, table):
+    """Merging, appending more to the SAME branch, and merging again
+    must add only the new rows — the first merge's files are already in
+    the parent head and must not be re-added (a real row-duplication
+    bug found by reviewing the fuzzer's model)."""
+    b = TX.create_branch(table, "dev")
+    TX.commit(b, _df(spark, [(3, "c")]), mode="append")
+    TX.commit(table, _df(spark, [(9, "z")]), mode="append")
+    TX.merge_branch(table, "dev")
+    TX.commit(b, _df(spark, [(4, "d")]), mode="append")
+    TX.merge_branch(table, "dev")
+    assert _vals(spark, table) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (9, "z"),
+    ]
