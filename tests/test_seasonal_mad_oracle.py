@@ -177,3 +177,80 @@ def test_resample_fills_planted_gap_linearly(spark):
     assert out[xs[1]] == (6.0, True)
     assert out[xs[2]] == (8.0, True)
     assert out[xs[3]] == (10.0, False)
+
+
+def test_fuzz_resample_vs_python_recompute(spark):
+    """Random sparse day sets with random counts: the spine, the
+    neighbor selection, and the rational interpolation must match a
+    literal Python recomputation (hardens the IGNORE-NULLS window
+    logic beyond the single planted gap)."""
+    import random
+
+    from logstream_processing_service_spark.operators.trends import (
+        resample_daily_volume,
+    )
+
+    for seed in range(5):
+        rng = random.Random(400 + seed)
+        days = sorted(rng.sample(range(30), rng.randint(2, 8)))
+        counts = {d: rng.randint(1, 20) for d in days}
+        rows = []
+        eid = 0
+        for d, n in counts.items():
+            for i in range(n):
+                rows.append((eid, 1, "click", _ts(d, i), 1.0))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double",
+        )
+        got = {
+            r["x"]: (r["y_filled"], r["interpolated"])
+            for r in resample_daily_volume(df).collect()
+        }
+        base = min(got)  # epoch-day of the first active day
+        want = {}
+        for d in range(days[0], days[-1] + 1):
+            x = base + (d - days[0])
+            if d in counts:
+                want[x] = (float(counts[d]), False)
+            else:
+                pd_ = max(p for p in days if p < d)
+                nd = min(p for p in days if p > d)
+                y = round(
+                    (counts[pd_] * (nd - d) + counts[nd] * (d - pd_))
+                    / (nd - pd_),
+                    6,
+                )
+                want[x] = (y, True)
+        assert got == want, seed
+
+
+def test_fuzz_mad_vs_python_recompute(spark):
+    """Random value sets (ties, even/odd counts, negatives): median,
+    MAD, and the flag count must match a literal recomputation with
+    the same rank-selection rule."""
+    import random
+    import statistics
+
+    for seed in range(5):
+        rng = random.Random(900 + seed)
+        vals = [
+            round(rng.choice([rng.uniform(-5, 5), rng.choice([1.0, 2.0])]), 2)
+            for _ in range(rng.randint(3, 60))
+        ]
+        rows = [
+            (i, 1, "click", _ts(i % 20), v) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+            "ts timestamp, value double",
+        )
+        r = mad_anomaly(df).collect()[0]
+        med = statistics.median(vals)
+        devs = [abs(v - med) for v in vals]
+        mad = statistics.median(devs)
+        n_out = sum(1 for d in devs if d > 3.0 * 1.4826 * mad)
+        assert r["med"] == pytest.approx(med, abs=1e-9), seed
+        assert r["mad"] == pytest.approx(mad, abs=1e-9), seed
+        assert r["n_anomalies"] == n_out, seed
