@@ -91,3 +91,23 @@ def test_dictionary_match_hash_matches_oracle(spark, sf_dir):
         sf_dir,
     )
     assert r["status"] == "OK", r
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet="ab ", min_size=0, max_size=120),
+    st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=6).filter(
+            lambda t: t.strip("") != "" and t != ""
+        ),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+)
+def test_fuzz_phrase_terms_with_spaces(text, terms):
+    """Terms containing spaces (phrases) walk the same automaton as
+    single words — the space is just another symbol; fuzzed against
+    brute force over a space-heavy alphabet."""
+    auto = build_automaton(terms)
+    assert scan_text(text, auto) == _brute(text, terms)

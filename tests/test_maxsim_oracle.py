@@ -167,3 +167,45 @@ def test_routed_recall_floor(spark):
         len(exact[q] & routed.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_fuzz_maxsim_vs_python_recompute(spark):
+    """Random small corpora and queries: ranking and scores must match
+    the pure-float recomputation (generalizes the fixed-corpus test —
+    catches any corpus-shape dependence in the distinct/join/floor
+    pipeline)."""
+    import math
+    import random
+
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    for seed in range(4):
+        rng = random.Random(70 + seed)
+        texts = {
+            did: " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+            for did in range(5)
+        }
+        queries = tuple(
+            " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+            for _ in range(2)
+        )
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r["query_id"], r["doc_id"]): r["rank"]
+            for r in maxsim_topk(docs, queries=queries, k=10).collect()
+        }
+        for qid, qtext in enumerate(queries):
+            want = []
+            for did, t in texts.items():
+                dvecs = [_np_embed(tok) for tok in sorted(set(t.split()))]
+                units = sum(
+                    math.floor(
+                        max(_dot(_np_embed(qt), dv) for dv in dvecs) * 1e12
+                    )
+                    for qt in sorted(set(qtext.split()))
+                )
+                want.append((did, units))
+            want.sort(key=lambda p: (-p[1], p[0]))
+            for rank, (did, _) in enumerate(want, start=1):
+                assert got[(qid, did)] == rank, (seed, qid, did)
