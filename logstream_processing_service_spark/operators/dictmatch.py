@@ -144,7 +144,9 @@ def dictionary_match_oracle_sql(
     """DuckDB twin: per term, count ALL ending positions by brute force
     (substr equality at every offset) — overlap-inclusive like the
     automaton, O(K·text) where the operator is O(text)."""
-    values = ", ".join(f"('{t}')" for t in terms)
+    # escape quotes: the default DICT_TERMS are quote-free, but the
+    # parameter accepts arbitrary terms and must not break the oracle SQL
+    values = ", ".join("('{}')".format(t.replace("'", "''")) for t in terms)
     return f"""
     WITH terms AS (SELECT * FROM (VALUES {values}) AS t(term)),
     hits AS (

@@ -331,6 +331,11 @@ def decode_gif(b: bytes) -> tuple[list[np.ndarray], np.ndarray]:
         frames.append(canvas.copy())
         if disposal == 2:
             canvas[top : top + fh, left : left + fw] = bg
+        # GIF89a: a Graphic Control Extension applies ONLY to the image
+        # that immediately follows it — a frame without its own GCE must
+        # not inherit the previous frame's transparency/disposal
+        disposal = 0
+        transparent = None
     pal = gct if gct is not None else np.zeros((256, 3), np.uint8)
     if pal.shape[0] < 256:
         pal = np.vstack([pal, np.zeros((256 - pal.shape[0], 3), np.uint8)])

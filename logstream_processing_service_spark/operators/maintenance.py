@@ -246,13 +246,17 @@ def bloom_prune_files(index_df, col_value, k: int = BLOOM_K, m: int = BLOOM_M) -
     wasted file scan, never a wrong answer."""
     from pyspark.sql import functions as F
 
-    # SQL-literal escape: the probe value is interpolated into the hash
-    # expression; a quote in a string key must not break (or inject into)
-    # the SQL text
-    lit = str(col_value).replace("'", "''")
-    probe = F.expr(_bloom_positions(f"'{lit}'", k, m))
+    # The probe value rides in as F.lit() on a column, NEVER as an
+    # interpolated SQL literal: Spark's parser applies backslash escape
+    # sequences to string literals ('a\nb' parses to a newline), so a key
+    # containing a backslash would hash differently at probe time than the
+    # build side's CAST(col AS STRING) — pruning the file that holds it
+    # and silently dropping rows. Hashing the same expression over a
+    # literal-valued column sees the raw bytes on both sides.
+    probe = F.expr(_bloom_positions("_probe_v", k, m))
     rows = (
-        index_df.withColumn("_probe", probe)
+        index_df.withColumn("_probe_v", F.lit(str(col_value)))
+        .withColumn("_probe", probe)
         .filter(
             F.size(F.array_except(F.col("_probe"), F.col("bloom"))) == 0
         )
@@ -268,14 +272,28 @@ def read_bloom_pruned(
 ):
     """Scan only the bloom-surviving files, then re-apply the EXACT
     equality (the index is a superset filter — answers are identical to
-    a full scan, only cheaper)."""
+    a full scan, only cheaper). A provable miss returns an EMPTY
+    DataFrame with the table schema (schema read from one indexed file's
+    footer, no row data touched), so callers can chain DataFrame ops
+    without a None check. Raises ValueError on an empty index (no files
+    → no schema to produce)."""
     from pyspark.sql import functions as F
 
     files = bloom_prune_files(index_df, col_value, k, m)
     if not files:
+        any_file = index_df.select("_file").first()
+        if any_file is None:
+            raise ValueError(
+                "read_bloom_pruned: empty bloom index — no files to "
+                "derive the table schema from"
+            )
         # a true miss: the value is provably absent — empty frame with
-        # the table schema, no data touched
-        return None
+        # the table schema (footer-only read), no data touched
+        return (
+            spark.read.parquet(any_file["_file"])
+            .limit(0)
+            .filter(F.lit(False))
+        )
     return spark.read.parquet(*files).filter(
         F.col(col).cast("string") == str(col_value)
     )

@@ -387,7 +387,10 @@ def snapshot_diff(
 
     The keyed form assumes ``key`` is unique per snapshot (the usual CDC
     contract); duplicate keys would multiply through the full-outer join
-    — use the unkeyed bag-semantics form for non-unique keys.
+    — use the unkeyed bag-semantics form for non-unique keys. NULL keys
+    pair null-safely (``<=>``), so an unchanged NULL-keyed row is omitted
+    like any other; MULTIPLE NULL-keyed rows are a duplicate-key
+    situation and fall under the same caveat.
     """
     for v in (v_from, v_to):
         if v not in _versions(table_dir):
@@ -439,9 +442,12 @@ def _frame_cdf(a: DataFrame, b: DataFrame, key: str | None) -> DataFrame:
         return ins.unionByName(dels)
 
     cols = a.columns
-    a_s = a.select(F.col(key).alias("_k"), F.struct(*cols).alias("_a"))
-    b_s = b.select(F.col(key).alias("_k"), F.struct(*cols).alias("_b"))
-    j = a_s.join(b_s, "_k", "full_outer")
+    a_s = a.select(F.col(key).alias("_ka"), F.struct(*cols).alias("_a"))
+    b_s = b.select(F.col(key).alias("_kb"), F.struct(*cols).alias("_b"))
+    # eqNullSafe: a plain equi-join never matches NULL keys, which would
+    # emit an unchanged NULL-keyed row as a spurious delete+insert pair;
+    # <=> keeps it an equi-join (hashable) while pairing NULL with NULL
+    j = a_s.join(b_s, F.col("_ka").eqNullSafe(F.col("_kb")), "full_outer")
     tagged = j.select(
         F.explode(
             F.when(

@@ -75,6 +75,27 @@ def test_empty_term_rejected():
         build_automaton(["ok", ""])
 
 
+def test_oracle_sql_escapes_quoted_terms():
+    """Terms containing single quotes must not break (or inject into)
+    the DuckDB oracle text (ADVICE r6): the generated SQL parses and
+    counts the quoted term correctly."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id,"
+        " 'it''s o''brien''s, it''s true' AS text"
+    )
+    sql = dictionary_match_oracle_sql(("it's", "o'brien", "absent'q"))
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got["it's"] == (1, 2)
+    assert got["o'brien"] == (1, 1)
+    assert got["absent'q"] == (0, 0)
+
+
 @pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
 def test_dictionary_match_hash_matches_oracle(spark, sf_dir):
     from logstream_processing_service_spark.sources import load_table

@@ -101,6 +101,49 @@ def test_disposal_2_restores_background():
     assert frames[1][5, 5] == 0 and frames[1][0, 0] == 3
 
 
+def test_gce_applies_only_to_the_next_image():
+    """GIF89a: a Graphic Control Extension governs ONLY the image that
+    immediately follows it (ADVICE r6). Frame 1 carries a GCE with
+    transparency index 7 and disposal 2; frame 2 has NO GCE of its own,
+    so its 7-valued pixels must render opaque and its disposal must be
+    0 (leave), not inherited from frame 1."""
+    import struct
+
+    pal = _analytic_palette()
+    f1 = np.full((16, 16), 9, np.uint8)
+    f2 = np.full((16, 16), 7, np.uint8)  # 7 = frame 1's transparent idx
+    f3 = np.full((16, 16), 3, np.uint8)
+
+    def img(fr):
+        data = lzw_encode(fr.tobytes(), 8)
+        out = b"\x2c" + struct.pack("<HHHH", 0, 0, 16, 16) + bytes([0, 8])
+        for j in range(0, len(data), 255):
+            chunk = data[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+        return out + b"\x00"
+
+    head = encode_gif([f1], pal, disposal=2)[:-1]  # frame 1 + its GCE
+    # patch frame 1's GCE: transparency flag on, index 7. encode_gif
+    # writes it at the fixed offset header(13) + global palette(768)
+    gce = 13 + 3 * 256
+    assert head[gce : gce + 3] == bytes([0x21, 0xF9, 4])
+    head = bytearray(head)
+    head[gce + 3] |= 1  # transparency flag (disposal bits already 2)
+    head[gce + 6] = 7  # transparent index
+    b = bytes(head) + img(f2) + img(f3) + b"\x3b"
+
+    frames, _ = decode_gif(b)
+    assert len(frames) == 3
+    # frame 2's 7s are OPAQUE (no inherited transparency): the canvas
+    # shows 7 everywhere, not frame-1 remnants / restored background
+    assert (frames[1] == 7).all()
+    # frame 2's disposal is 0 (leave), not inherited 2 (restore bg):
+    # a bug would clear to background before frame 3 — invisible here
+    # since frame 3 paints fully, but frame 3 must start from 7s and
+    # end all-3s either way
+    assert (frames[2] == 3).all()
+
+
 def test_partial_frame_composites_onto_canvas():
     """A 4x4 patch at (6, 2) over a full first frame: outside the patch
     the canvas keeps frame 1's pixels (disposal 1 = leave)."""

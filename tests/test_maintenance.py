@@ -225,8 +225,12 @@ def test_bloom_file_index_point_lookup(spark, sf_dir, tmp_path):
     )
     assert got == want and len(got) > 0
 
-    # absent key: provably missing -> no scan at all
-    assert read_bloom_pruned(spark, idx, "user_id", 10**15) is None
+    # absent key: provably missing -> empty frame with the table schema,
+    # chainable without a None check (ADVICE r6)
+    miss = read_bloom_pruned(spark, idx, "user_id", 10**15)
+    assert miss.count() == 0
+    assert miss.columns == spark.read.parquet(out).columns
+    assert miss.filter("user_id > 0").count() == 0  # chains fine
     idx.unpersist()
 
 
@@ -248,3 +252,28 @@ def test_bloom_index_string_keys_with_quotes(spark, tmp_path):
     assert files  # present key survives
     got = read_bloom_pruned(spark, idx, "name", "o'brien").collect()
     assert [(r["name"], r["v"]) for r in got] == [("o'brien", 1)]
+
+
+def test_bloom_index_string_keys_with_backslashes(spark, tmp_path):
+    """Keys containing backslash escape sequences must hash identically
+    at build and probe time (ADVICE r6: a SQL-literal probe would parse
+    'a\\nb' to a newline and PRUNE the file holding the raw value — a
+    silent false negative; the F.lit probe sees the raw bytes)."""
+    from logstream_processing_service_spark.operators.maintenance import (
+        bloom_prune_files,
+        build_bloom_file_index,
+        read_bloom_pruned,
+    )
+
+    keys = [r"a\nb", r"c:\temp\new", r"mix'\q", "\\", r"\0\x41"]
+    rows = [(k, i) for i, k in enumerate(keys)] + [("plain", 99)]
+    out = str(tmp_path / "t")
+    spark.createDataFrame(rows, "name string, v long").repartition(
+        3, "name"
+    ).write.parquet(out)
+    idx = build_bloom_file_index(spark, out, "name").cache()
+    for i, k in enumerate(keys):
+        assert bloom_prune_files(idx, k), k  # never a false negative
+        got = read_bloom_pruned(spark, idx, "name", k).collect()
+        assert [(r["name"], r["v"]) for r in got] == [(k, i)], k
+    idx.unpersist()

@@ -332,6 +332,49 @@ def test_snapshot_diff_keyed_cdc(spark, tmp_path):
     ]
 
 
+def test_snapshot_diff_keyed_cdc_null_key(spark, tmp_path):
+    """NULL keys pair null-safely (ADVICE r6): an unchanged NULL-keyed
+    row is OMITTED from the feed, a changed one emits a proper
+    update_pre/postimage pair — not a spurious delete+insert."""
+    from logstream_processing_service_spark.operators import txlog as TX
+
+    t = str(tmp_path / "tbl")
+    TX.commit(
+        t,
+        spark.createDataFrame(
+            [(None, "keep"), (1, "a")], "id long, v string"
+        ),
+    )
+    # unchanged NULL row, changed non-NULL row
+    TX.commit(
+        t,
+        spark.createDataFrame(
+            [(None, "keep"), (1, "A")], "id long, v string"
+        ),
+    )
+    d = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in TX.snapshot_diff(spark, t, 0, 1, key="id").collect()
+    )
+    assert d == [(1, "A", "update_postimage"), (1, "a", "update_preimage")]
+
+    # and a CHANGED NULL-keyed row updates in place
+    TX.commit(
+        t,
+        spark.createDataFrame(
+            [(None, "changed"), (1, "A")], "id long, v string"
+        ),
+    )
+    d2 = sorted(
+        (str(r["id"]), r["v"], r["_change_type"])
+        for r in TX.snapshot_diff(spark, t, 1, 2, key="id").collect()
+    )
+    assert d2 == [
+        ("None", "changed", "update_postimage"),
+        ("None", "keep", "update_preimage"),
+    ]
+
+
 def test_restore_to_version(spark, tmp_path):
     """RESTORE: a new commit pointing at the old files — no data copy,
     history preserved, restored files protected from vacuum, streaming
