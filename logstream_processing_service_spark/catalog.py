@@ -45,9 +45,58 @@ def spec(name: str, oracle: str | None, *tags: str):
 # registration order is a coverage decision: (a) stalest first, (b) new
 # queries always get a first row (never-checked debt stays zero), (c)
 # remaining slots backfill the next-stalest set. Freshness ledger after
-# r5 (latest driver row per query, computed from CORRECTNESS_r01-r05):
-# 0 at r1, 29 at r2, 47 at r3, 50 at r4, 50 at r5.
+# r6 (latest driver row per query, union of CORRECTNESS_r01-r06):
+# 47 at r3, 50 at r4, 50 at r5, 50 at r6 — zero never-checked.
 _PRIORITY: tuple[str, ...] = (
+    # ------------------------------------------------------------------
+    # ROUND-7 WINDOW (r6 VERDICT "Next round" #1+#2).
+    # (a) ALL 20 queries registered this round (the r6-rehearsed queue —
+    # every one ran green through the driver's own compare harness at
+    # both SFs before registration; 13 oracle-paired + 7 rows-only).
+    # First driver rows: never-checked debt stays zero by construction.
+    "textrank_keywords", "ddww_twin", "louter_twin", "fouter_twin",
+    "hll_rolling_distinct", "maxsim_search", "branch_wap_twin",
+    "seasonal_volume_decompose", "mad_anomaly", "unigram_token_counts",
+    "dup_shingle_profile", "token_communities", "resample_daily_volume",
+    "gif_frame_pixel_stats", "dictionary_match_counts",
+    "maxsim_search_routed", "compression_quality", "tokenizer_compare",
+    "vocab_divergence", "zipf_fit",
+    # (b) 30 backfills from the 47 queries whose latest driver row is r3:
+    # the first 28 alphabetically (resuming at ann_pq-era names exactly
+    # where the r6 rotation stopped) plus the two r6-VERDICT-named
+    # stragglers pii_scan and pricing_summary, which displace
+    # merge_events_upsert (its txlog upsert machinery is exercised by
+    # the in-window branch_wap_twin and the r6-green optimize/cdc twins)
+    # and multimodal_features (rows-only; its decode plumbing is
+    # exercised by the in-window gif_frame_pixel_stats and the r4/r5
+    # green png/jpeg/mjpeg lanes). Both lead the r8 remainder below.
+    "ann_ivf_pq", "ann_ivfpq_index", "ann_pq", "audio_metadata",
+    "bigram_logprob", "bracketed_discount_revenue", "c4_line_stats",
+    "charclass_profile", "cheapest_supplier_per_part",
+    "clustering_quality", "contamination_overlap",
+    "cross_source_dup_matrix", "customer_order_distribution",
+    "customer_order_stats", "dataset_card", "decontaminate_bloom",
+    "dedup_paragraphs", "distinct_actors_hll_registry",
+    "doc_length_quartiles", "duplicate_spans", "embed_documents",
+    "embedding_int8_report", "embedding_near_dup_lsh",
+    "gopher_quality_report", "grouping_sets_volume",
+    "heavy_shippers_of_part_family", "large_volume_customers",
+    "linestatus_priority_split", "pii_scan", "pricing_summary",
+    # r8 remainder (the 17 r3-latest queries after this window, in
+    # rotation order — merge_events_upsert and multimodal_features
+    # first as displaced above, then alphabetical): merge_events_upsert,
+    # multimodal_features, nation_trade_volume, oov_rate,
+    # part_supplier_counts, part_value_share, promo_revenue,
+    # returned_item_customers, robust_anomaly_stats, semantic_dedup,
+    # shard_assignment, single_failed_supplier_orders, span_dup_profile,
+    # subword_token_counts, supplier_part_revenue, top_revenue_orders,
+    # user_sessions.
+)
+
+
+# Retired r6 window, kept for the displacement-rationale record the
+# VERDICT audits:
+_PRIORITY_R6: tuple[str, ...] = (
     # ------------------------------------------------------------------
     # ROUND-6 WINDOW (r5 VERDICT "Next round" #1): freshness rotation.
     # (a) ALL 29 queries whose latest driver row is from r2 — including

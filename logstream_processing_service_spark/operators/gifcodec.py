@@ -370,12 +370,19 @@ def synthetic_gif(doc_id: int) -> bytes:
     return encode_gif(frames, _analytic_palette(), interlace_odd=True)
 
 
-def with_synthetic_gif_payload(documents: DataFrame) -> DataFrame:
+def with_synthetic_gif_payload(
+    documents: DataFrame, n_parts: int = 32
+) -> DataFrame:
     @F.pandas_udf("binary")
     def make(doc_id: pd.Series) -> pd.Series:
         return doc_id.map(lambda d: synthetic_gif(int(d)))
 
-    return documents.select(
+    # codec work is CPU-bound Python: spread it across tasks BEFORE the
+    # UDFs (the jpeg-lane discipline, jpegcodec.py:416 — a doc_id-only
+    # shuffle costs ~8 bytes/row; the local testdata parquet is one row
+    # group, so without this every encode+decode runs serially in ONE
+    # task: measured 18.6s -> ~2s at sf0.1)
+    return documents.select("doc_id").repartition(n_parts, "doc_id").select(
         "doc_id", make(F.col("doc_id")).alias("payload")
     )
 

@@ -540,3 +540,96 @@ def _commit_index(
         txn_app_id=txn_app_id,
         extra=_index_state(index),
     )
+
+
+def compact_hnsw_registry(
+    spark,
+    index_dir: str,
+    min_vec_id: int | None = None,
+    retain_last: int = 2,
+    min_age_seconds: float = 3600.0,
+) -> dict:
+    """Registry maintenance for the durable HNSW index — the
+    dedup-registry compaction discipline (streaming/dedup.py
+    ``compact_registry``) applied to the ANN registry. HNSW's staleness
+    profile differs from the LSH registry's, so the policy has two
+    distinct legs:
+
+    1. GRAPH QUALITY needs no periodic re-layering — by construction.
+       The incremental insert IS the construction algorithm
+       (``insert_hnsw_batch`` continues the same RNG stream and
+       neighbor-selection heuristic ``build_hnsw`` uses), so an index
+       grown by any sequence of monotone-id batches is BIT-FOR-BIT the
+       index a from-scratch rebuild would produce (pinned by
+       tests/test_hnsw.py's insert==rebuild parity). There is no drift
+       to compact away; the LSH registry, by contrast, accumulates dead
+       band keys and NEEDS its TTL.
+
+    2. What DOES grow without bound is HISTORY and, in rolling-horizon
+       deployments, EXPIRED VECTORS. Every insert commits a full
+       overwrite snapshot (searchers keep snapshot isolation, but
+       superseded versions accumulate O(index) files each); and an
+       index meant to serve only the trailing N days keeps paying
+       search-frontier and snapshot cost for vectors past the horizon.
+
+    ``min_vec_id`` (ids are ingestion-monotone, hence time-ordered)
+    drops expired vectors by REBUILD over the kept set: deletion cannot
+    be incremental in HNSW without tombstone bookkeeping that would
+    break the parity contract, and the rebuild is driver-bounded
+    exactly like the original build (the registry stays codebook-scale
+    by design — ``build_hnsw``'s ``max_index_rows`` guard re-applies).
+    The rebuilt index is the CANONICAL index of the kept set, so
+    rebuild==incremental parity keeps holding for every later insert.
+    Exactly-once HWMs carry through the compaction commit (txlog
+    carries ``txn_hwms`` forward), so a replayed stream batch stays a
+    no-op afterwards.
+
+    ``retain_last`` / ``min_age_seconds`` then vacuum superseded
+    snapshots under txlog's retention rule (never the versions a
+    concurrent searcher may still pin inside the retention window).
+
+    Returns ``{"nodes_before", "nodes_after", "versions_before",
+    "versions_after"}``.
+    """
+    from . import txlog as TX
+
+    versions_before = len(TX._versions(index_dir))
+    index = load_hnsw(spark, index_dir)
+    nodes_before = len(index.ids)
+    nodes_after = nodes_before
+    if min_vec_id is not None:
+        keep = [i for i, vid in enumerate(index.ids) if vid >= min_vec_id]
+        nodes_after = len(keep)
+        if nodes_after == 0:
+            raise ValueError(
+                "compact_hnsw_registry would drop every vector — refusing "
+                "(an empty registry cannot serve; delete the index dir "
+                "explicitly if that is intended)"
+            )
+        if nodes_after < nodes_before:
+            # rebuild from the STORED unit vectors, skipping build_hnsw's
+            # renormalization: re-normalizing an already-unit vector
+            # wobbles last bits (||v̂|| = 1 ± ulp), which would break the
+            # bit-for-bit "compacted == canonical build of the kept set"
+            # contract the parity tests pin. The insert loop below IS
+            # build()'s, fresh RNG stream included.
+            rebuilt = HNSWIndex(
+                M=index.M, ef_construction=index.ef_construction, seed=0
+            )
+            rebuilt.vecs = index.vecs[keep].copy()
+            rebuilt.ids = [int(index.ids[i]) for i in keep]
+            draws = rebuilt.rng.random(nodes_after)
+            for j in range(nodes_after):
+                rebuilt._insert(
+                    j, int(-math.log(max(draws[j], 1e-300)) * rebuilt.ml)
+                )
+            save_hnsw(spark, rebuilt, index_dir)
+    TX.vacuum(
+        index_dir, retain_last=retain_last, min_age_seconds=min_age_seconds
+    )
+    return {
+        "nodes_before": nodes_before,
+        "nodes_after": nodes_after,
+        "versions_before": versions_before,
+        "versions_after": len(TX._versions(index_dir)),
+    }

@@ -810,8 +810,14 @@ def vocab_divergence(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
     toks = documents.select(
         "source", F.explode(T.words(F.col("text"))).alias("tok")
     )
-    counts = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # persist the vocab-grain count table: totals / vocab / V / both grid
+    # arms all derive from it, and without the persist each reference
+    # re-scans the raw corpus (6 full passes at 100 TB). Cache lifecycle
+    # is caller-owned per the repo contract (bench clears per query).
+    counts = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
     )
     totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
     vocab = counts.select("tok").distinct()
@@ -988,4 +994,128 @@ def zipf_fit_oracle_sql(top_n: int = 500) -> str:
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m
+    """
+
+
+def textrank_oracle_sql(
+    k: int = 50,
+    min_weight: int = 2,
+    n_iter: int = 8,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin of ``textrank_keywords``: the synchronous PageRank
+    iterations unrolled into chained CTEs over the same undirected
+    co-occurrence graph (exact BIGINT edge weights; the rank vector is
+    scaled by n and rounded at 6 dp after the final iteration, matching
+    the Spark side's output convention)."""
+    words_duck = T.words_sql("text", "duckdb")
+    d = damping
+    ctes = [
+        f"""
+    words AS (SELECT {words_duck} AS t FROM documents),
+    pairs AS (
+        SELECT least(t[i - 1], t[i]) AS a, greatest(t[i - 1], t[i]) AS b
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+              FROM words WHERE len(t) >= 2)
+    ),
+    und AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS w
+        FROM pairs WHERE a <> b GROUP BY 1, 2
+        HAVING count(*) >= {min_weight}
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst, w FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst, w FROM und
+    ),
+    outw AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS outw
+             FROM edges GROUP BY 1),
+    nv AS (SELECT count(*) AS n FROM outw),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM outw, nv)
+    """.strip()
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""
+    r{i + 1} AS (
+        SELECT o.node,
+               (1.0 - {d}) / n + {d} * coalesce(m.in_mass, 0.0) AS rank
+        FROM outw o
+        LEFT JOIN (
+            SELECT e.dst, sum(r.rank / ow.outw * e.w) AS in_mass
+            FROM edges e
+            JOIN r{i} r ON e.src = r.node
+            JOIN outw ow ON e.src = ow.node
+            GROUP BY e.dst
+        ) m ON o.node = m.dst
+        CROSS JOIN nv
+    )""".strip()
+        )
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT r.node AS word, o.outw AS strength,
+           round(r.rank * n, 6) AS rank_scaled
+    FROM r{n_iter} r JOIN outw o ON r.node = o.node CROSS JOIN nv
+    ORDER BY rank_scaled DESC, word
+    LIMIT {k}
+    """
+
+
+def token_communities_oracle_sql(
+    min_weight: int = 2, n_iter: int = 4
+) -> str:
+    """DuckDB twin of ``token_communities``: the synchronous label-
+    propagation iterations unrolled into chained CTEs (every quantity
+    an exact BIGINT weight mass; argmax tie order total — mass desc,
+    label asc — so the driver-harness hash matches exactly)."""
+    words_duck = T.words_sql("text", "duckdb")
+    ctes = [
+        f"""
+    words AS (SELECT {words_duck} AS t FROM documents),
+    pairs AS (
+        SELECT least(t[i - 1], t[i]) AS a, greatest(t[i - 1], t[i]) AS b
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+              FROM words WHERE len(t) >= 2)
+    ),
+    und AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS w
+        FROM pairs WHERE a <> b GROUP BY 1, 2
+        HAVING count(*) >= {min_weight}
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst, w FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst, w FROM und
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
+    """.strip()
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""
+    p{i} AS (
+        SELECT dst, label FROM (
+            SELECT e.dst, l.label,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY sum(e.w) DESC, l.label
+                   ) AS rn
+            FROM edges e JOIN l{i} l ON e.src = l.node
+            GROUP BY e.dst, l.label
+        ) WHERE rn = 1
+    ),
+    l{i + 1} AS (
+        SELECT n.node, coalesce(p.label, n.label) AS label
+        FROM l{i} n LEFT JOIN p{i} p ON n.node = p.dst
+    )""".strip()
+        )
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node AS word, label AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+               AS community_size
+    FROM l{n_iter}
+    ORDER BY community, word
     """

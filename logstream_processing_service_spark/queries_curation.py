@@ -615,3 +615,39 @@ def q_kn_trigram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     a proper distribution; normalization + prune_min=1 == unpruned
     asserted in tests/test_curation.py)."""
     return C.kn_trigram_logprob_pruned(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# r7 registrations: unigram-LM tokenizer lanes (trained models → rows-only;
+# exact-parity and ordering pins live in tests/test_bpe.py / the unigram
+# property suite)
+# ---------------------------------------------------------------------------
+
+
+@spec("unigram_token_counts", None, "tokenizer", "unigram-lm", "rows-only")
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a SentencePiece-style unigram-LM vocabulary (EM over the
+    guarded distinct-word table) and encode the corpus: per-document
+    token counts under the trained model. Rows-only: the trained
+    vocabulary has no SQL twin; Viterbi-encode exactness and the
+    pretokens ≤ tokens ≤ chars ordering pins are tested locally.
+    Vocab-grain training cost; encode runs once per DISTINCT word."""
+    from .operators.unigram import unigram_token_counts, unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    model = unigram_train(
+        docs, vocab_size=512, max_piece_len=8, em_iters=2, min_word_count=2
+    )
+    return unigram_token_counts(docs, model)
+
+
+@spec("tokenizer_compare", None, "tokenizer", "rows-only")
+def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head tokenizer report on the same corpus: characters,
+    GPT-2 pretokens, trained BPE, trained unigram-LM — total tokens and
+    chars/token per family at equal budget (the vocabulary-commitment
+    decision table). Both trainings share one corpus pass; totals are
+    weighted sums over the distinct-word table."""
+    from .operators.unigram import tokenizer_compare
+
+    return tokenizer_compare(_t(spark, sf_dir, "documents"))

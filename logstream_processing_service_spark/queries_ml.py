@@ -659,3 +659,35 @@ def q_mjpeg_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mjpeg_frame_stats(with_mjpeg_mp4_payload(docs)).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 registration: GIF multimodal lane (native decoder vs analytic oracle)
+# ---------------------------------------------------------------------------
+
+
+def _gif_oracle() -> str:
+    from .operators.gifcodec import gif_frame_stats_oracle_sql
+
+    return gif_frame_stats_oracle_sql()
+
+
+@spec(
+    "gif_frame_pixel_stats",
+    _gif_oracle(),
+    "multimodal", "image-decode", "gif",
+)
+def q_gif_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GIF decode (LZW, interlace, disposal compositing) →
+    per-frame pixel stats over the deterministic synthetic payload lane;
+    the oracle is the closed-form pixel arithmetic of the generator
+    (same recipe as the PNG/JPEG/MJPEG lanes). Arrow-batched
+    mapInPandas decode; per-document parallelism."""
+    from .operators.gifcodec import (
+        gif_frame_pixel_stats,
+        with_synthetic_gif_payload,
+    )
+
+    return gif_frame_pixel_stats(
+        with_synthetic_gif_payload(_t(spark, sf_dir, "documents"))
+    ).orderBy("doc_id", "frame_idx")

@@ -1311,3 +1311,60 @@ def q_optimize_prune_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.read_snapshot_pruned(spark, t, "user_id", 10, 30).orderBy(
         "event_id"
     )
+
+
+@spec(
+    "branch_wap_twin",
+    """
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events WHERE event_id % 5 IN (0, 1)
+    ORDER BY event_id
+    """,
+    "txlog", "branching", "write-audit-publish", "engine-ext",
+)
+def q_branch_wap_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through txlog branching: fork → branch-append
+    → merge over real events; the merged parent snapshot must equal the
+    plain union of the two slices. Branch isolation, conflict rules,
+    vacuum pinning, and the merge-rebase fuzzer live in
+    tests/test_branches.py; this driver row hash-checks the fork/merge
+    file-ledger arithmetic end to end."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    t = f"/tmp/logstream_wap_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    TX.commit(t, ev.filter(F.col("event_id") % 5 == 0))
+    b = TX.create_branch(t, "ingest")
+    TX.commit(b, ev.filter(F.col("event_id") % 5 == 1), mode="append")
+    TX.merge_branch(t, "ingest")
+    return TX.read_snapshot(spark, t).orderBy("event_id")
+
+
+@spec(
+    "hll_rolling_distinct",
+    None,
+    "sketch-registry", "A6-approx", "T5", "rows-only",
+)
+def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actors served ENTIRELY from the daily
+    (key, day) HLL registry — the 100 TB form of
+    trends.rolling_distinct_users (raw events are scanned once to build
+    the registry; the window rollup touches only KB sketches).
+    Rows-only: DataSketches estimates have no DuckDB twin; ≤5% accuracy
+    vs the exact set-union twin is asserted per cell in
+    tests/test_training_ops.py, and streamed-refresh == one-shot
+    equality in tests/test_matview.py."""
+    from .operators.sketches import hll_daily_registry, hll_rolling_distinct
+
+    return hll_rolling_distinct(
+        hll_daily_registry(_t(spark, sf_dir, "events"))
+    )

@@ -503,3 +503,240 @@ def q_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lag_s"),
     ).orderBy("user_id", "signup_id", "error_id")
+
+
+# ---------------------------------------------------------------------------
+# Outer-join stream twins (r7): the louter/fouter state machines pinned
+# by tests/test_louter_twin.py's probes. Same 20-day watermark / 6h
+# lookback / 3-batch split as stream_join_twin; the oracle adds the
+# null-emission arms (admitted never-matched rows whose state the final
+# watermark evicts — membership only, per-batch schedule not projected).
+# ---------------------------------------------------------------------------
+
+
+def _louter_oracle(
+    delay_h: int = _JOIN_DELAY_H,
+    lb_s: int = _JOIN_LOOKBACK_S,
+    n: int = N_BATCHES,
+) -> str:
+    """Inner-twin match arms + the null arm: admitted never-matched
+    lefts whose l_ts + lookback falls below the ALL-BATCHES watermark
+    (the trailing no-data batch fires that final eviction, so
+    membership needs no per-batch schedule)."""
+    lb = lb_s * 1_000_000
+    d = delay_h * 3600 * 1_000_000
+    return f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) AS us, user_id, event_type, event_id,
+               CAST(event_id % {n} AS INT) AS b
+        FROM events
+    ),
+    wm AS (SELECT max(us) - {d} AS w FROM ev
+           WHERE b = 0 AND event_type IN ('signup', 'error')),
+    wf AS (SELECT max(us) - {d} AS w3 FROM ev
+           WHERE event_type IN ('signup', 'error')),
+    s AS (SELECT user_id, us AS s_us, event_id AS s_id, b AS sb
+          FROM ev WHERE event_type = 'signup'),
+    e AS (SELECT user_id, us AS e_us, event_id AS e_id, b AS eb
+          FROM ev WHERE event_type = 'error'),
+    j AS (
+        SELECT s.user_id, s_id, e_id, s_us, e_us, sb, eb
+        FROM s JOIN e USING (user_id)
+        WHERE e_us >= s_us AND e_us <= s_us + {lb}
+    ),
+    matched AS (
+        SELECT user_id, s_id, e_id, s_us, e_us
+        FROM j, wm
+        WHERE (sb <= 1 AND eb <= 1)
+           OR (sb <= 1 AND eb = 2 AND e_us >= w AND s_us + {lb} >= w)
+           OR (sb = 2 AND eb <= 1 AND s_us >= w AND e_us >= w)
+           OR (sb = 2 AND eb = 2 AND s_us >= w AND e_us >= w)
+    ),
+    adm_s AS (SELECT s.* FROM s, wm WHERE sb <= 1 OR s_us >= w),
+    nulls AS (
+        SELECT a.user_id, a.s_id
+        FROM adm_s a, wf
+        WHERE a.s_us + {lb} < wf.w3
+          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.s_id = a.s_id)
+    )
+    SELECT user_id, s_id AS signup_id, e_id AS error_id,
+           CAST((e_us - s_us) // 1000000 AS BIGINT) AS lag_s
+    FROM matched
+    UNION ALL
+    SELECT user_id, s_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM nulls
+    ORDER BY user_id, signup_id, error_id
+    """
+
+
+def _outer_join_twin(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared driver body for the louter/fouter twins — identical to
+    q_stream_join_twin except for the join mode and the user_id
+    coalesce (a right-null row has no l_user)."""
+    from .streaming.pipeline import correlated_pairs_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id", "event_type", F.col("event_id"),
+    )
+    slices = [
+        ev.filter(F.col("event_id") % N_BATCHES == b)
+        for b in range(N_BATCHES)
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        "ts_us long, user_id long, event_type string, event_id long",
+        lambda s: correlated_pairs_stream(
+            s.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
+            watermark=f"{_JOIN_DELAY_H} hours",
+            lookback_sec=_JOIN_LOOKBACK_S,
+            how=how,
+        ),
+        output_mode="append",
+    )
+    return captured.select(
+        F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
+        F.col("l_event_id").alias("signup_id"),
+        F.col("r_event_id").alias("error_id"),
+        F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+        .cast("bigint")
+        .alias("lag_s"),
+    ).orderBy("user_id", "signup_id", "error_id")
+
+
+@spec(
+    "louter_twin",
+    _louter_oracle(),
+    "T3", "T7", "streaming", "stream-stream-join", "outer",
+)
+def q_louter_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_join_twin with how='left_outer': unmatched signups
+    null-emit when join-state eviction passes them by. Probe-pinned
+    rules in tests/test_louter_twin.py (match-beats-eviction, the
+    b−1 eviction clock vs b−2 admission clock, the trailing no-data
+    eviction batch, silent discard at availableNow termination)."""
+    return _outer_join_twin(spark, sf_dir, "left_outer")
+
+
+def _fouter_oracle(
+    delay_h: int = _JOIN_DELAY_H,
+    lb_s: int = _JOIN_LOOKBACK_S,
+    n: int = N_BATCHES,
+) -> str:
+    """Left-outer oracle + the symmetric right-null arm: admitted
+    never-matched errors with r_ts below the final watermark (no
+    lookback slack — an error only matches signups at or before it)."""
+    base = _louter_oracle(delay_h, lb_s, n)
+    head, tail = base.rsplit("ORDER BY", 1)
+    return f"""{head}
+    UNION ALL
+    SELECT a.user_id, CAST(NULL AS BIGINT), a.e_id, CAST(NULL AS BIGINT)
+    FROM e a, wm, wf
+    WHERE (a.eb <= 1 OR a.e_us >= wm.w)
+      AND a.e_us < wf.w3
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.e_id = a.e_id)
+    ORDER BY {tail}
+    """
+
+
+@spec(
+    "fouter_twin",
+    _fouter_oracle(),
+    "T3", "T7", "streaming", "stream-stream-join", "outer",
+)
+def q_fouter_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_join_twin with how='full_outer': both null arms — evicted
+    unmatched signups AND evicted unmatched errors."""
+    return _outer_join_twin(spark, sf_dir, "full_outer")
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark twin (r7): Spark's NATIVE watermarked
+# dedup state machine, rules pinned by tests/test_ddww_twin.py's probe
+# (first-processed wins and its event time is FROZEN; eviction at
+# T + delay < watermark; late rows dropped; one-batch watermark lag).
+# ---------------------------------------------------------------------------
+
+_DDWW_DELAY_H = 168  # 7 days: every oracle arm non-vacuous at sf0.01
+
+
+def _ddww_oracle(delay_h: int = _DDWW_DELAY_H, n: int = N_BATCHES) -> str:
+    """The pinned rules unrolled for the (event_id % n) batch split,
+    keyed on (user_id, event_type). Winner per (key, batch) = min
+    event_id (slices are written sorted by event_id, so file order IS
+    event_id order)."""
+    d_us = delay_h * 3600 * 1_000_000
+    return f"""
+    WITH ev AS (
+        SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
+               CAST(event_id % {n} AS INT) AS b
+        FROM events
+    ),
+    wm AS (SELECT max(us) - {d_us} AS w2 FROM ev WHERE b = 0),
+    e0 AS (SELECT user_id, event_type, min(event_id) AS id,
+                  arg_min(us, event_id) AS t
+           FROM ev WHERE b = 0 GROUP BY 1, 2),
+    e1 AS (SELECT v.user_id, v.event_type, min(v.event_id) AS id,
+                  arg_min(v.us, v.event_id) AS t
+           FROM ev v
+           WHERE b = 1 AND NOT EXISTS (
+               SELECT 1 FROM e0
+               WHERE e0.user_id = v.user_id
+                 AND e0.event_type = v.event_type)
+           GROUP BY 1, 2),
+    st AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1),
+    live AS (SELECT s.* FROM st s, wm WHERE s.t + {d_us} >= wm.w2),
+    e2 AS (SELECT v.user_id, v.event_type, min(v.event_id) AS id
+           FROM ev v, wm
+           WHERE v.b = 2 AND v.us >= wm.w2 AND NOT EXISTS (
+               SELECT 1 FROM live l
+               WHERE l.user_id = v.user_id
+                 AND l.event_type = v.event_type)
+           GROUP BY 1, 2)
+    SELECT user_id, event_type, id AS event_id, 0 AS batch FROM e0
+    UNION ALL
+    SELECT user_id, event_type, id, 1 FROM e1
+    UNION ALL
+    SELECT user_id, event_type, id, 2 FROM e2
+    ORDER BY user_id, event_type, batch
+    """
+
+
+@spec(
+    "ddww_twin",
+    _ddww_oracle(),
+    "T7", "streaming", "watermarked-dedup", "native-state",
+)
+def q_ddww_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive Spark's NATIVE dropDuplicatesWithinWatermark over the
+    3-batch split of events keyed on (user_id, event_type), 7-day
+    delay; the oracle unrolls first-wins admission, frozen expiry
+    times, batch-boundary eviction, and late-drop — so this driver row
+    hash-checks the built-in watermarked-dedup state machine end to
+    end (streaming/dedup.py's registry twin covers the custom
+    foreachBatch form)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id", "event_type", "event_id",
+    )
+    slices = [
+        ev.filter(F.col("event_id") % N_BATCHES == b).orderBy("event_id")
+        for b in range(N_BATCHES)
+    ]
+    cap = run_deterministic_batches(
+        spark,
+        slices,
+        "ts_us long, user_id long, event_type string, event_id long",
+        lambda st: st.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", f"{_DDWW_DELAY_H} hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id"),
+        output_mode="append",
+    )
+    return cap.select(
+        "user_id", "event_type", "event_id",
+        F.col("_batch").cast("int").alias("batch"),
+    ).orderBy("user_id", "event_type", "batch")

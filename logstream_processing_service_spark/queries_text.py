@@ -1580,3 +1580,87 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge candidates) — margins and joint composed in identical term
     order on both engines; see operators/textanalysis.py token_pmi."""
     return TA.token_pmi(_t(spark, sf_dir, "documents"), min_count=5, k=100)
+
+
+# ---------------------------------------------------------------------------
+# r7 registrations: corpus-structure diagnostics + dictionary matching
+# (rehearsed through the driver harness in r6; oracles live next to the
+# operators so the two sides cannot drift)
+# ---------------------------------------------------------------------------
+
+
+@spec("dup_shingle_profile", D.dup_shingle_profile_oracle_sql(), "dedup", "profiling")
+def q_dup_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus exposure profile of duplicated 5-gram shingles (what share
+    of each document's shingles are corpus-duplicated) — the dedup
+    DIAGNOSTIC that says how much minhash/substring dedup would remove
+    before running either. Shingle-grain df join, never all-pairs."""
+    return D.dup_shingle_profile(_t(spark, sf_dir, "documents"))
+
+
+from .operators.dictmatch import (  # noqa: E402
+    dictionary_match_oracle_sql as _dict_oracle_sql,
+)
+
+
+@spec(
+    "dictionary_match_counts",
+    _dict_oracle_sql(),
+    "text", "dictionary", "aho-corasick",
+)
+def q_dictionary_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aho–Corasick dictionary totals: (term, n_docs, n_occurrences) in
+    ONE automaton pass per document regardless of dictionary size (the
+    brute-force oracle is O(K·text)). Overlap-inclusive counts."""
+    from .operators.dictmatch import DICT_TERMS, dictionary_match_counts
+
+    return dictionary_match_counts(
+        _t(spark, sf_dir, "documents"), list(DICT_TERMS)
+    )
+
+
+@spec("textrank_keywords", TA.textrank_oracle_sql(), "text", "graph", "iterative")
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords: weighted PageRank over the
+    adjacent-token co-occurrence graph, top 50. Vocab-grain iteration —
+    |bigram vocab| edges per step regardless of corpus size."""
+    return TA.textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "token_communities",
+    TA.token_communities_oracle_sql(),
+    "text", "graph", "iterative", "communities",
+)
+def q_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted label propagation over the co-occurrence
+    graph: which words move TOGETHER (communities), complementing
+    textrank's which words MATTER (centrality). Exact BIGINT masses and
+    a total argmax tie order make the unrolled oracle hash-match."""
+    return TA.token_communities(_t(spark, sf_dir, "documents"))
+
+
+@spec("compression_quality", None, "text", "quality", "north-star", "rows-only")
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression-ratio quality signal (the Gopher /
+    RefinedWeb low-entropy filter). Rows-only: DuckDB has no deflate;
+    closed-form fixtures (constant text, random text, empty) pin the
+    ratio arithmetic in tests/test_compression_quality.py."""
+    return TA.compression_quality(_t(spark, sf_dir, "documents"))
+
+
+@spec("vocab_divergence", TA.vocab_divergence_oracle_sql(), "text", "corpus-structure")
+def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KL + Jensen-Shannon between per-source smoothed unigram
+    distributions over the union vocabulary — the corpus-mixing
+    diagnostic at token grain. Exact BIGINT counts; ln-sums rounded 6 dp
+    after aggregation on both engines."""
+    return TA.vocab_divergence(_t(spark, sf_dir, "documents"))
+
+
+@spec("zipf_fit", TA.zipf_fit_oracle_sql(), "text", "corpus-structure")
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares ln(freq) ~ ln(rank) over the top-500 tokens: slope
+    ≈ −1 with high r² is the one-number 'looks like language' check.
+    Vocab-grain count + TakeOrdered; the fit is 500 rows at any SF."""
+    return TA.zipf_fit(_t(spark, sf_dir, "documents"))

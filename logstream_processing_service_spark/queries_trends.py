@@ -261,3 +261,48 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-union form (sliding COUNT DISTINCT is not decomposable); see
     operators/trends.py rolling_distinct_users for the 100 TB HLL swap."""
     return TR.rolling_distinct_users(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r7 registrations: seasonal decomposition, robust anomalies, resampling
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "seasonal_volume_decompose",
+    TR.seasonal_decompose_oracle_sql(),
+    "trends", "seasonality", "W2",
+)
+def q_seasonal_volume_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event volume:
+    trend (centered 7-day mean) + day-of-week seasonal + residual.
+    One RANGE window over the daily aggregate — no self-joins; the
+    daily table is |days| rows at any corpus size."""
+    return TR.seasonal_decompose(_t(spark, sf_dir, "events"))
+
+
+from .operators.analytics import mad_anomaly_oracle_sql as _mad_oracle_sql  # noqa: E402
+
+
+@spec("mad_anomaly", _mad_oracle_sql(), "anomaly", "robust", "M10")
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly census over event values — the
+    breakdown-resistant twin of anomaly_flags' mean/stddev z-score
+    (one contaminated batch cannot shift the threshold). Two exact
+    median selections via rank, no per-group sort-collect."""
+    from .operators.analytics import mad_anomaly
+
+    return mad_anomaly(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "resample_daily_volume",
+    TR.resample_daily_volume_oracle_sql(),
+    "trends", "resample", "T5",
+)
+def q_resample_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-complete daily resample: aggregate to day grain, then
+    join onto the generated day spine so gap days appear with zero
+    volume and carried-forward context — the pandas .resample()
+    contract at Spark scale (the spine is |days| rows, broadcast)."""
+    return TR.resample_daily_volume(_t(spark, sf_dir, "events"))

@@ -377,3 +377,45 @@ def q_ann_hnsw_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(probe, out_schema)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 registrations: ColBERT-style late-interaction retrieval
+# ---------------------------------------------------------------------------
+
+
+from .operators.retrieval import maxsim_oracle_sql as _maxsim_oracle_sql  # noqa: E402
+
+
+@spec(
+    "maxsim_search",
+    _maxsim_oracle_sql(),
+    "retrieval", "late-interaction", "maxsim",
+)
+def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT maxsim top-10 per query over hash token embeddings:
+    per-query-token MAX similarity against each doc's token set, summed
+    across query tokens (Khattab & Zaharia 2020 scoring). Vocabulary-
+    grain embedding compute; partial (query, qtok, doc) MAX combine
+    before the single corpus exchange. Integer-unit flooring makes the
+    sum associative, so the DuckDB twin hash-matches bit-for-bit."""
+    from .operators.retrieval import maxsim_topk
+
+    return maxsim_topk(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "maxsim_search_routed",
+    None,
+    "retrieval", "late-interaction", "plaid", "rows-only",
+)
+def q_maxsim_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAID-routed approximate maxsim: doc tokens bucket to nearest
+    frequency-anchor; query tokens probe only their n_probe buckets.
+    Rows-only: the EXACT operator is its oracle — n_probe == n_anchors
+    degeneration equals maxsim_topk bit-for-bit (pinned in
+    tests/test_maxsim_oracle.py), and measured pruning is ~2.2× at 50k
+    docs, growing with corpus."""
+    from .operators.retrieval import maxsim_topk_routed
+
+    return maxsim_topk_routed(_t(spark, sf_dir, "documents"))

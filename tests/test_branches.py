@@ -275,44 +275,22 @@ def test_write_audit_publish_composition(spark, table):
     assert TX.history(table)[-1]["txn_hwms"] == {"wap": 1}
 
 
-def _wap_twin(spark, sf_dir):
-    """r7 catalog candidate `branch_wap_twin`: fork → branch-append →
-    merge over real events; the merged snapshot must equal the plain
-    union of the two slices (oracle below)."""
-    import re
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
-    t = f"/tmp/logstream_wap_{tag}"
-    shutil.rmtree(t, ignore_errors=True)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "event_type", F.round("value", 2).alias("value")
-    )
-    TX.commit(t, ev.filter(F.col("event_id") % 5 == 0))
-    b = TX.create_branch(t, "ingest")
-    TX.commit(b, ev.filter(F.col("event_id") % 5 == 1), mode="append")
-    TX.merge_branch(t, "ingest")
-    return TX.read_snapshot(spark, t).orderBy("event_id")
-
-
-WAP_TWIN_ORACLE = """
-    SELECT event_id, event_type, round(value, 2) AS value
-    FROM events WHERE event_id % 5 IN (0, 1)
-    ORDER BY event_id
-"""
-
-
 def test_branch_wap_twin_hash_matches_oracle(spark):
     """Driver-harness rehearsal (row count + schema + value hash) at the
-    driver's SF for the r7 `branch_wap_twin` slot."""
+    driver's SF for the REGISTERED `branch_wap_twin` catalog fn
+    (hoisted to queries_relational.py in r7)."""
+    from logstream_processing_service_spark import catalog
+    from logstream_processing_service_spark.queries_relational import (
+        q_branch_wap_twin,
+    )
+
     from .conftest import SF_DIR_ORACLE
     from .oracle_harness import compare_one, duckdb_conn
 
+    oracle = {s.name: s.oracle for s in catalog.all_specs()}["branch_wap_twin"]
     con = duckdb_conn(SF_DIR_ORACLE)
     r = compare_one(
-        spark, con, "branch_wap_twin", _wap_twin, WAP_TWIN_ORACLE,
+        spark, con, "branch_wap_twin", q_branch_wap_twin, oracle,
         SF_DIR_ORACLE,
     )
     assert r["status"] == "OK", r

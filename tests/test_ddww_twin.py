@@ -99,84 +99,14 @@ def test_ddww_semantics_probe(spark):
         )
 
 
-def _ddww_oracle(delay_h: int = _DELAY_H, n: int = _N_BATCHES) -> str:
-    """The five pinned rules unrolled for the (event_id % n) batch split
-    over the real events table, keyed on (user_id, event_type). Winner
-    per (key, batch) = min event_id (the slices are written sorted by
-    event_id, so file order IS event_id order — rule 2)."""
-    d_us = delay_h * 3600 * 1_000_000
-    return f"""
-    WITH ev AS (
-        SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
-               CAST(event_id % {n} AS INT) AS b
-        FROM events
-    ),
-    wm AS (SELECT max(us) - {d_us} AS w2 FROM ev WHERE b = 0),
-    e0 AS (SELECT user_id, event_type, min(event_id) AS id,
-                  arg_min(us, event_id) AS t
-           FROM ev WHERE b = 0 GROUP BY 1, 2),
-    e1 AS (SELECT v.user_id, v.event_type, min(v.event_id) AS id,
-                  arg_min(v.us, v.event_id) AS t
-           FROM ev v
-           WHERE b = 1 AND NOT EXISTS (
-               SELECT 1 FROM e0
-               WHERE e0.user_id = v.user_id
-                 AND e0.event_type = v.event_type)
-           GROUP BY 1, 2),
-    st AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1),
-    live AS (SELECT s.* FROM st s, wm WHERE s.t + {d_us} >= wm.w2),
-    e2 AS (SELECT v.user_id, v.event_type, min(v.event_id) AS id
-           FROM ev v, wm
-           WHERE v.b = 2 AND v.us >= wm.w2 AND NOT EXISTS (
-               SELECT 1 FROM live l
-               WHERE l.user_id = v.user_id
-                 AND l.event_type = v.event_type)
-           GROUP BY 1, 2)
-    SELECT user_id, event_type, id AS event_id, 0 AS batch FROM e0
-    UNION ALL
-    SELECT user_id, event_type, id, 1 FROM e1
-    UNION ALL
-    SELECT user_id, event_type, id, 2 FROM e2
-    ORDER BY user_id, event_type, batch
-    """
-
-
 def test_ddww_twin_hash_matches_oracle(spark):
     """Full driver-harness parity on the real events table at the
-    driver's SF — the r7 wiring rehearsal (same shape as
-    stream_join_twin: slices by event_id % 3, real availableNow
-    stream, per-batch capture)."""
-    from logstream_processing_service_spark.sources import load_table
-    from logstream_processing_service_spark.streaming.drive import (
-        run_deterministic_batches,
+    driver's SF via the registered catalog fn (hoisted in r7)."""
+    from logstream_processing_service_spark.queries_streaming import (
+        _ddww_oracle,
+        q_ddww_twin,
     )
 
-    def q(s, sf_dir):
-        ev = load_table(s, sf_dir, "events").select(
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-            "user_id", "event_type", "event_id",
-        )
-        slices = [
-            ev.filter(F.col("event_id") % _N_BATCHES == b).orderBy("event_id")
-            for b in range(_N_BATCHES)
-        ]
-        cap = run_deterministic_batches(
-            s,
-            slices,
-            "ts_us long, user_id long, event_type string, event_id long",
-            lambda st: st.withColumn(
-                "ts", F.timestamp_micros(F.col("ts_us"))
-            )
-            .withWatermark("ts", f"{_DELAY_H} hours")
-            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-            .select("user_id", "event_type", "event_id"),
-            output_mode="append",
-        )
-        return cap.select(
-            "user_id", "event_type", "event_id",
-            F.col("_batch").cast("int").alias("batch"),
-        ).orderBy("user_id", "event_type", "batch")
-
     con = duckdb_conn(SF_DIR)
-    r = compare_one(spark, con, "ddww_twin", q, _ddww_oracle(), SF_DIR)
+    r = compare_one(spark, con, "ddww_twin", q_ddww_twin, _ddww_oracle(), SF_DIR)
     assert r["status"] == "OK", r

@@ -115,102 +115,19 @@ def test_louter_semantics_probe(spark):
         )
 
 
-def _louter_oracle(
-    delay_h: int = _DELAY_H, lb_s: int = _LOOKBACK_S, n: int = _N
-) -> str:
-    """Inner-twin match arms + the null arm: admitted never-matched
-    lefts whose l_ts + lookback falls below the ALL-BATCHES watermark
-    (rule 3 guarantees the trailing no-data batch fires that final
-    eviction, so membership needs no per-batch schedule)."""
-    lb = lb_s * 1_000_000
-    d = delay_h * 3600 * 1_000_000
-    return f"""
-    WITH ev AS (
-        SELECT epoch_us(ts) AS us, user_id, event_type, event_id,
-               CAST(event_id % {n} AS INT) AS b
-        FROM events
-    ),
-    wm AS (SELECT max(us) - {d} AS w FROM ev
-           WHERE b = 0 AND event_type IN ('signup', 'error')),
-    wf AS (SELECT max(us) - {d} AS w3 FROM ev
-           WHERE event_type IN ('signup', 'error')),
-    s AS (SELECT user_id, us AS s_us, event_id AS s_id, b AS sb
-          FROM ev WHERE event_type = 'signup'),
-    e AS (SELECT user_id, us AS e_us, event_id AS e_id, b AS eb
-          FROM ev WHERE event_type = 'error'),
-    j AS (
-        SELECT s.user_id, s_id, e_id, s_us, e_us, sb, eb
-        FROM s JOIN e USING (user_id)
-        WHERE e_us >= s_us AND e_us <= s_us + {lb}
-    ),
-    matched AS (
-        SELECT user_id, s_id, e_id, s_us, e_us
-        FROM j, wm
-        WHERE (sb <= 1 AND eb <= 1)
-           OR (sb <= 1 AND eb = 2 AND e_us >= w AND s_us + {lb} >= w)
-           OR (sb = 2 AND eb <= 1 AND s_us >= w AND e_us >= w)
-           OR (sb = 2 AND eb = 2 AND s_us >= w AND e_us >= w)
-    ),
-    adm_s AS (SELECT s.* FROM s, wm WHERE sb <= 1 OR s_us >= w),
-    nulls AS (
-        SELECT a.user_id, a.s_id
-        FROM adm_s a, wf
-        WHERE a.s_us + {lb} < wf.w3
-          AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.s_id = a.s_id)
-    )
-    SELECT user_id, s_id AS signup_id, e_id AS error_id,
-           CAST((e_us - s_us) // 1000000 AS BIGINT) AS lag_s
-    FROM matched
-    UNION ALL
-    SELECT user_id, s_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM nulls
-    ORDER BY user_id, signup_id, error_id
-    """
-
-
 def test_louter_twin_hash_matches_oracle(spark):
     """Full driver-harness parity on the real events table at the
-    driver's SF — the r7 wiring rehearsal, mirroring stream_join_twin
-    with how='left_outer'."""
-    from logstream_processing_service_spark.sources import load_table
-    from logstream_processing_service_spark.streaming.drive import (
-        run_deterministic_batches,
+    driver's SF — runs the REGISTERED catalog fn (queries_streaming
+    hoisted the rehearsal in r7)."""
+    from logstream_processing_service_spark.queries_streaming import (
+        _louter_oracle,
+        q_louter_twin,
     )
-    from logstream_processing_service_spark.streaming.pipeline import (
-        correlated_pairs_stream,
-    )
-
-    def q(s, sf_dir):
-        ev = load_table(s, sf_dir, "events").select(
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-            "user_id", "event_type", F.col("event_id"),
-        )
-        slices = [
-            ev.filter(F.col("event_id") % _N == b) for b in range(_N)
-        ]
-        cap = run_deterministic_batches(
-            s,
-            slices,
-            "ts_us long, user_id long, event_type string, event_id long",
-            lambda st: correlated_pairs_stream(
-                st.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
-                watermark=f"{_DELAY_H} hours",
-                lookback_sec=_LOOKBACK_S,
-                how="left_outer",
-            ),
-            output_mode="append",
-        )
-        return cap.select(
-            F.col("l_user").alias("user_id"),
-            F.col("l_event_id").alias("signup_id"),
-            F.col("r_event_id").alias("error_id"),
-            F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
-            .cast("bigint")
-            .alias("lag_s"),
-        ).orderBy("user_id", "signup_id", "error_id")
 
     con = duckdb_conn(SF_DIR)
-    r = compare_one(spark, con, "louter_twin", q, _louter_oracle(), SF_DIR)
+    r = compare_one(
+        spark, con, "louter_twin", q_louter_twin, _louter_oracle(), SF_DIR
+    )
     assert r["status"] == "OK", r
 
 
@@ -278,69 +195,18 @@ def test_fouter_right_eviction_probe(spark):
         )
 
 
-def _fouter_oracle(
-    delay_h: int = _DELAY_H, lb_s: int = _LOOKBACK_S, n: int = _N
-) -> str:
-    """left-outer oracle + the right-null arm: admitted never-matched
-    rights with r_ts below the final watermark (arms at sf0.01:
-    410 right null-emits, 1214 silent, 221 late-dropped — measured)."""
-    lb = lb_s * 1_000_000
-    d = delay_h * 3600 * 1_000_000
-    base = _louter_oracle(delay_h, lb_s, n)
-    head, tail = base.rsplit("ORDER BY", 1)
-    return f"""{head}
-    UNION ALL
-    SELECT a.user_id, CAST(NULL AS BIGINT), a.e_id, CAST(NULL AS BIGINT)
-    FROM e a, wm, wf
-    WHERE (a.eb <= 1 OR a.e_us >= wm.w)
-      AND a.e_us < wf.w3
-      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.e_id = a.e_id)
-    ORDER BY {tail}
-    """
-
-
 def test_fouter_twin_hash_matches_oracle(spark):
-    """Full driver-harness parity for how='full_outer' on the real
-    events table at the driver's SF."""
-    from logstream_processing_service_spark.sources import load_table
-    from logstream_processing_service_spark.streaming.drive import (
-        run_deterministic_batches,
+    """Full driver-harness parity for how='full_outer' via the
+    registered catalog fn."""
+    from logstream_processing_service_spark.queries_streaming import (
+        _fouter_oracle,
+        q_fouter_twin,
     )
-    from logstream_processing_service_spark.streaming.pipeline import (
-        correlated_pairs_stream,
-    )
-
-    def q(s, sf_dir):
-        ev = load_table(s, sf_dir, "events").select(
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-            "user_id", "event_type", F.col("event_id"),
-        )
-        slices = [
-            ev.filter(F.col("event_id") % _N == b) for b in range(_N)
-        ]
-        cap = run_deterministic_batches(
-            s,
-            slices,
-            "ts_us long, user_id long, event_type string, event_id long",
-            lambda st: correlated_pairs_stream(
-                st.withColumn("ts", F.timestamp_micros(F.col("ts_us"))),
-                watermark=f"{_DELAY_H} hours",
-                lookback_sec=_LOOKBACK_S,
-                how="full_outer",
-            ),
-            output_mode="append",
-        )
-        return cap.select(
-            F.coalesce(F.col("l_user"), F.col("r_user")).alias("user_id"),
-            F.col("l_event_id").alias("signup_id"),
-            F.col("r_event_id").alias("error_id"),
-            F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
-            .cast("bigint")
-            .alias("lag_s"),
-        ).orderBy("user_id", "signup_id", "error_id")
 
     con = duckdb_conn(SF_DIR)
-    r = compare_one(spark, con, "fouter_twin", q, _fouter_oracle(), SF_DIR)
+    r = compare_one(
+        spark, con, "fouter_twin", q_fouter_twin, _fouter_oracle(), SF_DIR
+    )
     assert r["status"] == "OK", r
 
 

@@ -14,67 +14,12 @@ from __future__ import annotations
 
 import pytest
 
-from logstream_processing_service_spark.functions import text as T
+from logstream_processing_service_spark.operators.textanalysis import (
+    token_communities_oracle_sql,  # hoisted for the r7 catalog slot
+)
 
 from .conftest import SF_DIR, SF_DIR_ORACLE
 from .oracle_harness import compare_one, duckdb_conn
-
-_WORDS_DUCK = T.words_sql("text", "duckdb")
-
-
-def token_communities_oracle_sql(
-    min_weight: int = 2, n_iter: int = 4
-) -> str:
-    ctes = [
-        f"""
-    words AS (SELECT {_WORDS_DUCK} AS t FROM documents),
-    pairs AS (
-        SELECT least(t[i - 1], t[i]) AS a, greatest(t[i - 1], t[i]) AS b
-        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
-              FROM words WHERE len(t) >= 2)
-    ),
-    und AS (
-        SELECT a, b, CAST(count(*) AS BIGINT) AS w
-        FROM pairs WHERE a <> b GROUP BY 1, 2
-        HAVING count(*) >= {min_weight}
-    ),
-    edges AS (
-        SELECT a AS src, b AS dst, w FROM und
-        UNION ALL
-        SELECT b AS src, a AS dst, w FROM und
-    ),
-    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
-    """.strip()
-    ]
-    for i in range(n_iter):
-        ctes.append(
-            f"""
-    p{i} AS (
-        SELECT dst, label FROM (
-            SELECT e.dst, l.label,
-                   row_number() OVER (
-                       PARTITION BY e.dst
-                       ORDER BY sum(e.w) DESC, l.label
-                   ) AS rn
-            FROM edges e JOIN l{i} l ON e.src = l.node
-            GROUP BY e.dst, l.label
-        ) WHERE rn = 1
-    ),
-    l{i + 1} AS (
-        SELECT n.node, coalesce(p.label, n.label) AS label
-        FROM l{i} n LEFT JOIN p{i} p ON n.node = p.dst
-    )""".strip()
-        )
-    body = ",\n".join(ctes)
-    return f"""
-    WITH {body}
-    SELECT node AS word, label AS community,
-           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
-               AS community_size
-    FROM l{n_iter}
-    ORDER BY community, word
-    """
-
 
 @pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
 def test_token_communities_hash_matches_oracle(spark, sf_dir):

@@ -845,5 +845,80 @@ def test_gif_stats_single_scan_zero_shuffle(spark):
         gif_frame_pixel_stats(with_synthetic_gif_payload(docs))
     )
     assert plan.count("FileScan parquet") == 1
-    # decode is embarrassingly parallel: no exchange anywhere
-    assert "Exchange" not in plan
+    # decode is embarrassingly parallel — the ONLY exchange is the
+    # 8-bytes/row doc_id spread that fans the CPU-bound codec work
+    # across tasks (the jpeg-lane discipline); payloads and decoded
+    # stats never shuffle
+    assert plan.count("Exchange") == 1
+    scan_line = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    cols = scan_line.split("[", 2)[1].split("]")[0]
+    assert {c.split("#")[0] for c in cols.split(",")} == {"doc_id"}
+
+
+def test_token_communities_iteration_bounded_no_cartesian(spark):
+    """Each LPA step must stay an equi-join + keyed agg over |edges|
+    rows, with labels localCheckpointed per step so the FINAL plan does
+    not grow with n_iter (r6 VERDICT #5 pin for the r7 registration)."""
+    from logstream_processing_service_spark.operators.textanalysis import (
+        token_communities,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(token_communities(docs, n_iter=4))
+    assert "CartesianProduct" not in plan
+    # checkpoint truncation: the visible plan holds the LAST step only —
+    # exactly one edges-side parquet scan survives, not n_iter of them
+    assert plan.count("FileScan parquet") <= 1
+
+
+def test_resample_daily_broadcasts_spine(spark):
+    """The generated day spine must ride a broadcast onto the daily
+    aggregate, and the raw events collapse to day grain BEFORE any
+    window (the hourly_resample_ffill discipline at day grain)."""
+    from logstream_processing_service_spark.operators.trends import (
+        resample_daily_volume,
+    )
+
+    plan = _plan(resample_daily_volume(_events(spark)))
+    assert "CartesianProduct" not in plan
+    # exactly two column-pruned event scans, both collapsing to day
+    # grain immediately: one for the per-key min/max spine bounds, one
+    # for the daily counts (the spine join itself is day-grain × day-
+    # grain and rides a broadcast)
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    # day-grain partial+final aggregate pair before the spine join
+    assert "partial" in plan and "HashAggregate" in plan
+
+
+def test_vocab_divergence_source_grid_after_vocab_aggregate(spark):
+    """The sources² × union-vocab grid must form AFTER the token stream
+    collapses to (source, token) counts — the corpus-sized explode
+    never joins anything directly."""
+    from logstream_processing_service_spark.operators.textanalysis import (
+        vocab_divergence,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(vocab_divergence(docs))
+    assert "CartesianProduct" not in plan
+    # the vocab-grain count table is persisted: totals / vocab / V and
+    # both grid arms read the CACHE (InMemoryTableScan), so the corpus
+    # is scanned once no matter how many references the grid makes
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "partial" in plan  # map-side combine on the token count
+
+
+def test_zipf_fit_takeordered_no_global_sort(spark):
+    """Top-500 selection must be TakeOrdered (partial top-k per
+    partition), never a full vocab sort, and the moment sums reduce a
+    500-row frame."""
+    from logstream_processing_service_spark.operators.textanalysis import (
+        zipf_fit,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(zipf_fit(docs))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan parquet") == 1

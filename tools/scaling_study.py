@@ -235,6 +235,80 @@ def build_scale10() -> None:
     print(f"scale10 built: {len(out)} docs, {10 * ne} events", flush=True)
 
 
+HEAPS_DIR = "/tmp/logstream_scale10_heaps"
+HEAPS_BETA = 0.7
+# the operators whose cost is VOCAB-grain: the shuffle decades preserve
+# the token inventory, so their 10x exponents there carry an unmeasured
+# vocab-growth term (r6 VERDICT #4) — this decade measures it
+HEAPS_QUERIES = (
+    "maxsim_search",
+    "dup_shingle_profile",
+    "token_communities",
+    "textrank_keywords",
+    "vocab_divergence",
+    "zipf_fit",
+    "token_pmi",
+)
+
+
+def build_scale10_heaps() -> None:
+    """10x documents with vocabulary growing per Heaps' law
+    (V ∝ n^0.7): copy k>0 replaces ~20% of word occurrences with types
+    from a per-copy NEW-token pool sized so the union vocabulary hits
+    V0·10^0.7. The shuffle decade (build_scale10) preserves vocabulary
+    exactly — right for corpus-grain costs, blind to vocab-grain ones;
+    this is the corpus shape a growing real crawl has (new vocab arrives
+    as tail types with real occurrence mass)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(HEAPS_DIR, exist_ok=True)
+    for f in os.listdir(SRC_SF):
+        if f != "documents.parquet":
+            shutil.copy(os.path.join(SRC_SF, f), os.path.join(HEAPS_DIR, f))
+    t = pq.read_table(os.path.join(SRC_SF, "documents.parquet"))
+    rows = t.to_pylist()
+    n0 = len(rows)
+    v0 = len({w for r in rows for w in r["text"].split(" ") if w})
+    v_new_total = int(v0 * (10.0**HEAPS_BETA - 1.0))
+    per_copy = max(1, v_new_total // 9)
+    out = []
+    for k in range(10):
+        for r in rows:
+            if k == 0:
+                out.append(r)
+                continue
+            rng = random.Random(r["doc_id"] * 101 + k)
+            words = [
+                f"hx{k}w{rng.randrange(per_copy)}"
+                if w and rng.random() < 0.2
+                else w
+                for w in r["text"].split(" ")
+            ]
+            rng.shuffle(words)
+            text = " ".join(words)
+            out.append(
+                {
+                    "doc_id": r["doc_id"] + k * n0,
+                    "text": text,
+                    "lang": r["lang"],
+                    "source": r["source"],
+                    "n_chars": len(text),
+                }
+            )
+    big = pa.Table.from_pylist(out, schema=t.schema)
+    pq.write_table(
+        big, os.path.join(HEAPS_DIR, "documents.parquet"),
+        row_group_size=5000,
+    )
+    v1 = len({w for r in out for w in r["text"].split(" ") if w})
+    print(
+        f"scale10-heaps built: {len(out)} docs, vocab {v0} -> {v1} "
+        f"(target x{10.0**HEAPS_BETA:.2f}, actual x{v1 / v0:.2f})",
+        flush=True,
+    )
+
+
 def build_scale100() -> None:
     """500k-doc slice: the scale10 recipe with 100 seeded shuffle
     copies (marginals preserved, copies mutually non-near-dup); only
@@ -363,6 +437,15 @@ def main() -> None:
     ):
         build_scale100()
 
+    # SCALE_HEAPS=1: a vocab-GROWTH decade (V ∝ n^0.7) for the
+    # vocab-grain operators whose shuffle-decade exponents are blind to
+    # type-inventory growth (r6 VERDICT #4)
+    heaps = os.environ.get("SCALE_HEAPS") == "1"
+    if heaps and not os.path.exists(
+        os.path.join(HEAPS_DIR, "documents.parquet")
+    ):
+        build_scale10_heaps()
+
     # SCALE_ONLY=a,b,c restricts the run (e.g. just the third-decade set)
     only = os.environ.get("SCALE_ONLY")
     queries = (
@@ -383,6 +466,11 @@ def main() -> None:
             r["scale100"] = run(name, SCALE100_DIR)
             r["alpha_100x"] = round(
                 math.log(r["scale100"] / r["scale10"]) / math.log(10.0), 3
+            )
+        if heaps and name in HEAPS_QUERIES:
+            r["heaps10"] = run(name, HEAPS_DIR)
+            r["alpha_heaps"] = round(
+                math.log(r["heaps10"] / r["sf0.1"]) / math.log(10.0), 3
             )
         table[name] = r
         print(json.dumps({name: r}), flush=True)
