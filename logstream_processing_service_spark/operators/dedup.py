@@ -1308,3 +1308,88 @@ def dup_shingle_profile_oracle_sql(n: int = 5) -> str:
     GROUP BY pos.doc_id
     ORDER BY pos.doc_id
     """
+
+
+def shingle_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 500,
+) -> DataFrame:
+    """All pairs with word-n-gram set CONTAINMENT ≥ threshold in either
+    direction — Broder's asymmetric resemblance: C(A→B) = |sh(A) ∩
+    sh(B)| / |sh(A)|. The quote-detection complement of the symmetric
+    operators: a short document reproduced inside a much longer one
+    scores containment ≈ 1 while Jaccard dilutes to |A|/|B| (below any
+    useful threshold), and `substring_containment_pairs` only fires on
+    EXACT byte-level inclusion — this catches lightly-edited inclusion.
+
+    Emits (d1, d2, cont_ab, cont_ba) with d1 < d2, where cont_ab is the
+    containment of d1's shingle set in d2 and cont_ba the reverse;
+    either ≥ threshold qualifies the pair.
+
+    Scale: identical shape to ngram_jaccard_pairs — inverted-index join
+    keyed on the 48-bit shingle hash (never a cross join), df-capped
+    groups bound candidates per key at cap², pair aggregation shuffles
+    on (d1, d2). The same persisted shingle stream feeds sizes and both
+    join sides.
+    """
+    sh = shingle_table(documents, n, max_doc_freq).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("cont_ab", F.round(F.col("inter") / F.col("n1"), 4))
+        .withColumn("cont_ba", F.round(F.col("inter") / F.col("n2"), 4))
+        .filter(
+            (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
+        )
+        .select("d1", "d2", "cont_ab", "cont_ba")
+    )
+
+
+def shingle_containment_oracle_sql(
+    n: int = 3, threshold: float = 0.5, max_doc_freq: int = 500
+) -> str:
+    """DuckDB twin over the same portable 48-bit shingle hashes, with
+    the same df-cap; containment divides exact BIGINTs, rounded 4 dp
+    like the Spark side."""
+    wh = T.word_hash_array_sql(T.words_sql("text", "duckdb"), "duckdb")
+    sh = T.shingle_hash_array_sql("wh", n, "duckdb")
+    return f"""
+    WITH wh AS (SELECT doc_id, {wh} AS wh FROM documents),
+    sh_all AS (
+        SELECT DISTINCT doc_id, unnest({sh}) AS s FROM wh
+    ),
+    sh AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS _df
+            FROM sh_all
+        ) WHERE _df <= {max_doc_freq}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / s1.n_sh, 4) AS cont_ab,
+           round(inter * 1.0 / s2.n_sh, 4) AS cont_ba
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(inter * 1.0 / s1.n_sh, 4) >= {threshold}
+       OR round(inter * 1.0 / s2.n_sh, 4) >= {threshold}
+    ORDER BY d1, d2
+    """
