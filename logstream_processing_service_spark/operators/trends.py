@@ -660,3 +660,251 @@ def resample_daily_volume_oracle_sql() -> str:
     FROM filled
     ORDER BY event_type, x
     """
+
+
+def holt_winters_daily(
+    events: DataFrame,
+    m: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 7,
+) -> DataFrame:
+    """Additive Holt–Winters (triple exponential smoothing) per event
+    type over the daily volume series: in-sample one-step-ahead fits
+    plus an ``horizon``-day forecast — the forecasting upgrade of
+    ``volume_trend`` (level+trend) and ``seasonal_decompose``
+    (retrospective decomposition): HW carries level, trend AND the
+    weekly seasonal forward, which is what a capacity planner actually
+    consumes.
+
+    Semantics (both engines compute the IDENTICAL op sequence so the
+    driver hash matches bit-for-bit after 6-dp rounding):
+    - series = observed days ordered by day (row_number grain; gap days
+      are treated as consecutive observations — compose with
+      ``resample_daily_volume`` upstream for calendar-complete input);
+    - init from the first two seasons with exact BIGINT sums T1, T2:
+      level0 = T1/m, trend0 = (T2 − T1)/(m·m), seasonal_i = y_i − T1/m
+      (single divisions of exact integers — engine-identical);
+    - for t ≥ 2m (0-indexed t = seq − 1):
+        fitted  = level + trend + s_old          (one-step forecast)
+        level' = α·(y − s_old) + (1 − α)·(level + trend)
+        trend' = β·(level' − level) + (1 − β)·trend
+        s_new  = γ·(y − level') + (1 − γ)·s_old
+    - forecast h = 1..horizon (horizon ≤ m):
+        yhat = level_T + h·trend_T + s_{T−m+h}.
+    Types with fewer than 2m + 1 observed days are skipped on both
+    sides.
+
+    Scale: ONE daily-grain shuffle (map-side combined count), then the
+    recurrence runs per type over a |days|-length pandas frame inside
+    applyInPandas — the series is tiny by construction and types are
+    the parallel unit (the same judgment call as the stream twins: a
+    genuinely sequential recurrence over a small keyed series, not a
+    corpus-sized loop).
+    """
+    import pandas as pd
+
+    if horizon > m:
+        raise ValueError("horizon beyond one season needs s re-indexing")
+
+    daily = (
+        events.groupBy(
+            F.col("event_type"), F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+
+    schema = (
+        "event_type string, day date, kind string, y bigint, "
+        "yhat double, level double, trend double, seasonal double"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import datetime
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2 * m + 1:
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "day", "kind", "y", "yhat", "level",
+                    "trend", "seasonal",
+                ]
+            )
+        et = pdf["event_type"].iloc[0]
+        ys = [int(v) for v in pdf["y"]]
+        t1 = sum(ys[:m])
+        t2 = sum(ys[m : 2 * m])
+        level = t1 / m
+        trend = (t2 - t1) / (m * m)
+        s = [ys[i] - t1 / m for i in range(m)]  # s[i] seeds slot i
+        # consume the second season to warm the seasonal slots exactly
+        # like the oracle: recurrence starts at t = m (so fits cover
+        # t = 2m.. using s values updated once)
+        out = []
+        for t in range(m, n):
+            y = float(ys[t])
+            s_old = s[t % m]
+            fitted = level + trend + s_old
+            new_level = alpha * (y - s_old) + (1.0 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1.0 - beta) * trend
+            s[t % m] = gamma * (y - new_level) + (1.0 - gamma) * s_old
+            level = new_level
+            if t >= 2 * m:
+                out.append(
+                    (
+                        et, pdf["day"].iloc[t], "fit", ys[t],
+                        round(fitted, 6), round(level, 6),
+                        round(trend, 6), round(s[t % m], 6),
+                    )
+                )
+        last_day = pdf["day"].iloc[n - 1]
+        for h in range(1, horizon + 1):
+            yhat = level + h * trend + s[(n - 1 + h) % m]
+            out.append(
+                (
+                    et,
+                    last_day + datetime.timedelta(days=h),
+                    "forecast", None, round(yhat, 6), None, None, None,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type", "day", "kind", "y", "yhat", "level",
+                "trend", "seasonal",
+            ],
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(run, schema=schema)
+        .orderBy("event_type", "day")
+    )
+
+
+def holt_winters_oracle_sql(
+    m: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 7,
+) -> str:
+    """DuckDB twin: the recurrence unrolled as a RECURSIVE CTE whose
+    state row carries (type, t, level, trend, the m seasonal slots as a
+    DOUBLE list). Every coefficient is interpolated with repr() and CAST
+    to DOUBLE — DuckDB evaluates bare decimal literals in DECIMAL
+    arithmetic, and 1.0 − 0.3 in decimal is NOT the IEEE double
+    (1.0 - 0.3); casting makes both engines run the identical
+    double-precision op sequence, so 6-dp rounding hashes match."""
+    a_ = f"CAST({alpha!r} AS DOUBLE)"
+    a1 = f"CAST({1.0 - alpha!r} AS DOUBLE)"
+    b_ = f"CAST({beta!r} AS DOUBLE)"
+    b1 = f"CAST({1.0 - beta!r} AS DOUBLE)"
+    g_ = f"CAST({gamma!r} AS DOUBLE)"
+    g1 = f"CAST({1.0 - gamma!r} AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, day, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   - 1 AS t
+        FROM daily
+    ),
+    eligible AS (
+        SELECT event_type, count(*) AS n FROM series
+        GROUP BY 1 HAVING count(*) >= 2 * {m} + 1
+    ),
+    init AS (
+        SELECT s.event_type,
+               sum(CASE WHEN s.t < {m} THEN s.y END) AS t1,
+               sum(CASE WHEN s.t >= {m} AND s.t < 2 * {m} THEN s.y END)
+                   AS t2
+        FROM series s JOIN eligible e USING (event_type)
+        GROUP BY 1
+    ),
+    s0 AS (
+        SELECT s.event_type,
+               list(CAST(s.y AS DOUBLE) - i.t1 / {m} ORDER BY s.t)
+                   AS slist
+        FROM series s JOIN init i USING (event_type)
+        WHERE s.t < {m}
+        GROUP BY 1
+    ),
+    rec AS (
+        SELECT i.event_type, CAST({m} - 1 AS BIGINT) AS t,
+               CAST(NULL AS BIGINT) AS y,
+               CAST(NULL AS DOUBLE) AS fitted,
+               i.t1 / {m} AS level,
+               (i.t2 - i.t1) / {m * m} AS trend,
+               s0.slist AS slist
+        FROM init i JOIN s0 USING (event_type)
+        UNION ALL
+        SELECT st.event_type, sr.t, sr.y,
+               st.level + st.trend + st.slist[CAST(sr.t % {m} AS INT) + 1]
+                   AS fitted,
+               {a_} * (sr.y - st.slist[CAST(sr.t % {m} AS INT) + 1])
+                   + {a1} * (st.level + st.trend) AS level,
+               {b_} * (({a_} * (sr.y
+                                - st.slist[CAST(sr.t % {m} AS INT) + 1])
+                        + {a1} * (st.level + st.trend)) - st.level)
+                   + {b1} * st.trend AS trend,
+               list_transform(
+                   st.slist,
+                   (x, i) -> CASE
+                       WHEN i = CAST(sr.t % {m} AS INT) + 1
+                       THEN {g_} * (sr.y
+                                    - ({a_} * (sr.y - x)
+                                       + {a1} * (st.level + st.trend)))
+                            + {g1} * x
+                       ELSE x END
+               ) AS slist
+        FROM rec st
+        JOIN series sr
+          ON sr.event_type = st.event_type AND sr.t = st.t + 1
+    ),
+    fits AS (
+        SELECT r.event_type, s.day, 'fit' AS kind, r.y,
+               round(r.fitted, 6) AS yhat,
+               round(r.level, 6) AS level,
+               round(r.trend, 6) AS trend,
+               round(r.slist[CAST(r.t % {m} AS INT) + 1], 6) AS seasonal
+        FROM rec r
+        JOIN series s ON s.event_type = r.event_type AND s.t = r.t
+        WHERE r.t >= 2 * {m}
+    ),
+    terminal AS (
+        SELECT r.* FROM rec r
+        JOIN (SELECT event_type, max(t) AS t FROM rec GROUP BY 1) x
+          ON r.event_type = x.event_type AND r.t = x.t
+    ),
+    lastday AS (
+        SELECT s.event_type, max(s.day) AS last_day,
+               max(s.t) AS last_t
+        FROM series s JOIN eligible e USING (event_type)
+        GROUP BY 1
+    ),
+    fc AS (
+        SELECT t.event_type,
+               l.last_day + CAST(h.h AS INT) AS day,
+               'forecast' AS kind, CAST(NULL AS BIGINT) AS y,
+               round(t.level + h.h * t.trend
+                     + t.slist[CAST((l.last_t + h.h) % {m} AS INT) + 1],
+                     6) AS yhat,
+               CAST(NULL AS DOUBLE) AS level,
+               CAST(NULL AS DOUBLE) AS trend,
+               CAST(NULL AS DOUBLE) AS seasonal
+        FROM terminal t
+        JOIN lastday l USING (event_type)
+        CROSS JOIN (SELECT unnest(generate_series(1, {horizon})) AS h) h
+    )
+    SELECT * FROM fits
+    UNION ALL
+    SELECT * FROM fc
+    ORDER BY event_type, day
+    """
