@@ -297,3 +297,56 @@ def read_bloom_pruned(
     return spark.read.parquet(*files).filter(
         F.col(col).cast("string") == str(col_value)
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Exact LEFT SEMI join with a bloom pre-filter on the fact side —
+    the shuffle REDUCER for the case where the dim key set is too large
+    to broadcast as a hash relation but its bloom fits anywhere
+    (m bits ≈ m/8 bytes; the sparse set-bit array below is ≤ m ints).
+
+    Shape: ONE aggregate folds the dim keys into a single sorted
+    set-bit-position array (map-side combined explode → collect_set);
+    that one-row frame broadcasts onto the fact, and rows failing any of
+    the k probe positions drop BEFORE the semi-join exchange — at bloom
+    false-positive rate p, the shuffle carries |matching| + p·|rest|
+    rows instead of |fact|. The exact semi join then removes false
+    positives, so the result is IDENTICAL to a plain semi join by
+    construction (the read_bloom_pruned contract at row grain).
+
+    The probe hashes CAST(fact_key AS STRING) with the same expression
+    the build side hashes — the maintenance-module bloom convention, and
+    the ADVICE-r6 lesson: both sides hash raw column bytes, never an
+    interpolated SQL literal.
+    """
+    from pyspark.sql import functions as F
+
+    dim_key = dim_key or fact_key
+    build = (
+        dim_keys.select(
+            F.explode(
+                F.expr(_bloom_positions(f"CAST({dim_key} AS STRING)", k, m))
+            ).alias("pos")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_set("pos")).alias("_bloom_bits"))
+    )
+    probe = F.expr(_bloom_positions(f"CAST({fact_key} AS STRING)", k, m))
+    pre = (
+        fact.crossJoin(F.broadcast(build))
+        .withColumn("_probe", probe)
+        .filter(F.size(F.array_except(F.col("_probe"), F.col("_bloom_bits"))) == 0)
+        .drop("_probe", "_bloom_bits")
+    )
+    return pre.join(
+        dim_keys.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )

@@ -277,3 +277,41 @@ def test_bloom_index_string_keys_with_backslashes(spark, tmp_path):
         got = read_bloom_pruned(spark, idx, "name", k).collect()
         assert [(r["name"], r["v"]) for r in got] == [(k, i)], k
     idx.unpersist()
+
+
+def test_bloom_semi_join_exact_and_prefilters_before_exchange(spark, sf_dir):
+    """r8 candidate `bloom_semi_join`: result identical to a plain left
+    semi join (superset filter + exact pass), and the physical plan
+    shows the bloom probe FILTER on the fact side feeding the join —
+    the shuffle carries pre-filtered rows only."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.maintenance import (
+        bloom_semi_join,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+
+    got = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    want = li.join(
+        urgent.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    n_all, n_kept = li.count(), got.count()
+    assert 0 < n_kept < n_all  # the filter is non-vacuous at every SF
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "array_except" in plan  # the bloom probe filter
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
