@@ -1313,7 +1313,7 @@ def dup_shingle_profile_oracle_sql(n: int = 5) -> str:
 def shingle_containment_pairs(
     documents: DataFrame,
     n: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
     max_doc_freq: int = 500,
 ) -> DataFrame:
     """All pairs with word-n-gram set CONTAINMENT ≥ threshold in either
@@ -1328,19 +1328,56 @@ def shingle_containment_pairs(
     containment of d1's shingle set in d2 and cont_ba the reverse;
     either ≥ threshold qualifies the pair.
 
-    Scale: identical shape to ngram_jaccard_pairs — inverted-index join
-    keyed on the 48-bit shingle hash (never a cross join), df-capped
-    groups bound candidates per key at cap², pair aggregation shuffles
-    on (d1, d2). The same persisted shingle stream feeds sizes and both
-    join sides.
+    Scale — PREFIX FILTERING (the PPJoin principle, Xiao et al. 2008),
+    not the raw inverted-index join: order shingles globally by
+    (df asc, hash asc); if C(A→B) ≥ t, at most (1−t)·|A| of A's
+    shingles lie outside B, so A's first ⌊(1−t)·|A|⌋ + 1 shingles in
+    that order — its RAREST ones — must intersect B (pigeonhole).
+    Candidate pairs therefore come from joining only each doc's rarest
+    prefix against the inverted index, and the exact intersection is
+    then counted per CANDIDATE pair (pair-keyed joins), never for all
+    df² co-occurrences. Measured: the raw join was α = 1.24 on the
+    constant-vocab 10x decade (every df grows linearly → Σ df²
+    quadratic — exactly the corpus shape boilerplate-heavy crawls
+    have); the prefix filter joins only low-df shingles, and the
+    df-cap stays as the loud backstop. The filter's power is 1 − t of
+    each doc (pigeonhole is tight): at the quote-detection default
+    t = 0.8 the prefix is the rarest 20%; driving t toward 0.5
+    degenerates toward the full inverted-index join — inherent to
+    EXACT set-similarity joins (loose thresholds admit nearly everything),
+    so for exploratory low-t sweeps use dup_shingle_profile /
+    minhash-LSH instead.
     """
     sh = shingle_table(documents, n, max_doc_freq).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("d1"), "s")
-    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    dft = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dft, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "s")
+    cand = (
+        prefix.select(F.col("doc_id").alias("da"), "s")
+        .join(sh.select(F.col("doc_id").alias("db"), "s"), "s")
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+        )
+        .distinct()
+    )
     inter = (
-        a.join(b, "s")
-        .filter(F.col("d1") < F.col("d2"))
+        cand.join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), ["d2", "s"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -1359,7 +1396,7 @@ def shingle_containment_pairs(
 
 
 def shingle_containment_oracle_sql(
-    n: int = 3, threshold: float = 0.5, max_doc_freq: int = 500
+    n: int = 3, threshold: float = 0.8, max_doc_freq: int = 500
 ) -> str:
     """DuckDB twin over the same portable 48-bit shingle hashes, with
     the same df-cap; containment divides exact BIGINTs, rounded 4 dp

@@ -103,7 +103,9 @@ def _strip(c: Column) -> Column:
     )
 
 
-def html_text_extract(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def html_text_extract(
+    pages: DataFrame, html_col: str = "html", include_text: bool = False
+) -> DataFrame:
     """Real extraction over the html column: script/style removal FIRST
     (their bodies may contain ``<`` that breaks tag-stripping), then
     title / main-content / boilerplate isolation, tag-strip, whitespace
@@ -132,8 +134,8 @@ def html_text_extract(pages: DataFrame, html_col: str = "html") -> DataFrame:
     n_links = (F.size(F.split(main, "<a href", -1)) - 1).cast("int")
     main_chars = F.length(main_text).cast("bigint")
     boiler_chars = F.length(boiler_text).cast("bigint")
-    return pages.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         title.alias("title"),
         n_links.alias("n_links"),
         main_chars.alias("main_chars"),
@@ -142,7 +144,11 @@ def html_text_extract(pages: DataFrame, html_col: str = "html") -> DataFrame:
             main_chars / (main_chars + boiler_chars).cast("double"), 6
         ).alias("content_ratio"),
         F.md5(main_text).alias("text_md5"),
-    )
+    ]
+    if include_text:
+        # downstream curation consumes the extracted text itself
+        cols.append(main_text.alias("main_text"))
+    return pages.select(*cols)
 
 
 def html_extract_oracle_sql() -> str:

@@ -40,6 +40,23 @@ def load(path: str) -> dict:
                 continue
             if "queries" in obj:
                 return obj
+    # driver tails are HEAD-TRUNCATED fragments of the one-line JSON
+    # (only the last 2000 chars survive): recover the per-query numbers
+    # that made it into the fragment by regex — a PARTIAL map, flagged,
+    # still diffable for the queries it holds
+    import re
+
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', text)
+    drop = {"value", "sf"}
+    queries = {
+        k: float(v) for k, v in pairs if k not in drop
+    }
+    if queries:
+        sys.stderr.write(
+            f"note: {path} is a truncated tail — recovered "
+            f"{len(queries)} per-query numbers (partial)\n"
+        )
+        return {"queries": queries, "partial": True}
     raise ValueError(f"no bench JSON line found in {path}")
 
 

@@ -74,6 +74,13 @@ QUERIES = [
     "compression_quality",      # documents-grain: one deflate per doc
     "vocab_divergence",         # vocab-grain: sources² × union vocab grid
     "zipf_fit",                 # vocab-grain: count + TakeOrdered + tiny fit
+    # r7 session (unregistered r8 candidates — resolved via EXTRA_QUERIES)
+    "dedup_containment",        # documents-grain: shingle inverted index
+    "holt_winters_daily",       # events-grain: daily agg + tiny recurrence
+    "html_text_extract",        # documents-grain: zero-shuffle JVM regex
+    "url_domain_report",        # documents-grain: parse + one aggregate
+    "wordpiece_token_counts",   # documents-grain: train + encode (eager)
+    "bloom_semi_join",          # lineitem-grain: bloom prefilter + semi
 ]
 
 
@@ -97,6 +104,31 @@ def _extra_queries():
     )
     from logstream_processing_service_spark.sources import load_table
 
+    def _wordpiece(spark, sf_dir):
+        from logstream_processing_service_spark.operators.wordpiece import (
+            wordpiece_token_counts,
+            wordpiece_train,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = wordpiece_train(docs, num_merges=128, min_word_count=2)
+        return wordpiece_token_counts(docs, vocab)
+
+    def _bloom_semi(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from logstream_processing_service_spark.operators.maintenance import (
+            bloom_semi_join,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        urgent = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        return bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+
     def _unigram(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         m = unigram_train(
@@ -107,6 +139,20 @@ def _extra_queries():
 
     from logstream_processing_service_spark.operators.dedup import (
         dup_shingle_profile,
+    )
+    from logstream_processing_service_spark.operators.dedup import (
+        shingle_containment_pairs as _scp,
+    )
+    from logstream_processing_service_spark.operators.htmlextract import (
+        html_text_extract as _hx,
+        with_synthetic_html_payload as _hpay,
+    )
+    from logstream_processing_service_spark.operators.trends import (
+        holt_winters_daily as _hw,
+    )
+    from logstream_processing_service_spark.operators.urls import (
+        url_domain_report as _udr,
+        with_synthetic_url_column as _upay,
     )
     from logstream_processing_service_spark.operators.dictmatch import (
         DICT_TERMS,
@@ -157,6 +203,16 @@ def _extra_queries():
             load_table(s, sf, "documents")
         ),
         "zipf_fit": lambda s, sf: zipf_fit(load_table(s, sf, "documents")),
+        "dedup_containment": lambda s, sf: _scp(load_table(s, sf, "documents")),
+        "holt_winters_daily": lambda s, sf: _hw(load_table(s, sf, "events")),
+        "html_text_extract": lambda s, sf: _hx(
+            _hpay(load_table(s, sf, "documents"))
+        ),
+        "url_domain_report": lambda s, sf: _udr(
+            _upay(load_table(s, sf, "documents"))
+        ),
+        "wordpiece_token_counts": _wordpiece,
+        "bloom_semi_join": _bloom_semi,
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
@@ -373,7 +429,10 @@ def main() -> None:
     # training loops): the timer must bracket the BUILD too, or the
     # measured time is just the final projection (the stream_join_twin
     # caveat, now handled instead of excluded)
-    eager = {"token_communities", "unigram_token_counts"}
+    eager = {
+        "token_communities", "unigram_token_counts",
+        "wordpiece_token_counts",
+    }
 
     def run(name: str, sf_dir: str) -> float:
         fn = specs[name].fn if name in specs else extras[name]
