@@ -81,6 +81,7 @@ QUERIES = [
     "url_domain_report",        # documents-grain: parse + one aggregate
     "wordpiece_token_counts",   # documents-grain: train + encode (eager)
     "bloom_semi_join",          # lineitem-grain: bloom prefilter + semi
+    "curate_web_corpus",        # documents-grain: composed funnel
 ]
 
 
@@ -154,6 +155,9 @@ def _extra_queries():
         url_domain_report as _udr,
         with_synthetic_url_column as _upay,
     )
+    from logstream_processing_service_spark.operators.webcorpus import (
+        curate_web_corpus as _cwc,
+    )
     from logstream_processing_service_spark.operators.dictmatch import (
         DICT_TERMS,
         dictionary_match_counts,
@@ -213,6 +217,9 @@ def _extra_queries():
         ),
         "wordpiece_token_counts": _wordpiece,
         "bloom_semi_join": _bloom_semi,
+        "curate_web_corpus": lambda s, sf: _cwc(
+            load_table(s, sf, "documents")
+        ),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
