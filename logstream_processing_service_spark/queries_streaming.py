@@ -740,3 +740,42 @@ def q_ddww_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id",
         F.col("_batch").cast("int").alias("batch"),
     ).orderBy("user_id", "event_type", "batch")
+
+
+# ---------------------------------------------------------------------------
+# r8 QUEUE (rehearsed, not yet @spec-registered — the window is full at
+# 50; see ROADMAP's r8 registration map): right-outer completes the
+# stream-stream join family.
+# ---------------------------------------------------------------------------
+
+
+def _router_oracle(
+    delay_h: int = _JOIN_DELAY_H,
+    lb_s: int = _JOIN_LOOKBACK_S,
+    n: int = N_BATCHES,
+) -> str:
+    """Matched arms + ONLY the right-null arm (an unmatched signup must
+    NOT null-emit under right_outer — probe-pinned in
+    tests/test_louter_twin.py::test_router_right_arm_only)."""
+    base = _louter_oracle(delay_h, lb_s, n)
+    head, _ = base.split("adm_s AS", 1)
+    return f"""{head}matched_out AS (
+        SELECT user_id, s_id AS signup_id, e_id AS error_id,
+               CAST((e_us - s_us) // 1000000 AS BIGINT) AS lag_s
+        FROM matched
+    )
+    SELECT * FROM matched_out
+    UNION ALL
+    SELECT a.user_id, CAST(NULL AS BIGINT), a.e_id, CAST(NULL AS BIGINT)
+    FROM e a, wm, wf
+    WHERE (a.eb <= 1 OR a.e_us >= wm.w)
+      AND a.e_us < wf.w3
+      AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.e_id = a.e_id)
+    ORDER BY user_id, signup_id, error_id
+    """
+
+
+def q_router_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_join_twin with how='right_outer': evicted unmatched
+    errors null-emit; unmatched signups are silent."""
+    return _outer_join_twin(spark, sf_dir, "right_outer")

@@ -259,3 +259,19 @@ def test_router_right_arm_only(spark):
         [(1, 2), (None, 90), (None, 91), (None, 92)], key=key
     )
     assert got == want
+
+
+def test_router_twin_hash_matches_oracle(spark):
+    """Full driver-harness parity for how='right_outer' — the r8 queue
+    candidate completing the stream-stream join family (inner r6,
+    left/full r7, right r8)."""
+    from logstream_processing_service_spark.queries_streaming import (
+        _router_oracle,
+        q_router_twin,
+    )
+
+    con = duckdb_conn(SF_DIR)
+    r = compare_one(
+        spark, con, "router_twin", q_router_twin, _router_oracle(), SF_DIR
+    )
+    assert r["status"] == "OK", r

@@ -82,6 +82,7 @@ QUERIES = [
     "wordpiece_token_counts",   # documents-grain: train + encode (eager)
     "bloom_semi_join",          # lineitem-grain: bloom prefilter + semi
     "curate_web_corpus",        # documents-grain: composed funnel
+    "normalize_text",           # documents-grain: Arrow NFKC pass
 ]
 
 
@@ -158,6 +159,10 @@ def _extra_queries():
     from logstream_processing_service_spark.operators.webcorpus import (
         curate_web_corpus as _cwc,
     )
+    from logstream_processing_service_spark.operators.textnorm import (
+        normalize_text as _ntx,
+        with_noisy_text as _noisy,
+    )
     from logstream_processing_service_spark.operators.dictmatch import (
         DICT_TERMS,
         dictionary_match_counts,
@@ -219,6 +224,9 @@ def _extra_queries():
         "bloom_semi_join": _bloom_semi,
         "curate_web_corpus": lambda s, sf: _cwc(
             load_table(s, sf, "documents")
+        ),
+        "normalize_text": lambda s, sf: _ntx(
+            _noisy(load_table(s, sf, "documents"))
         ),
     }
 
