@@ -201,6 +201,23 @@ HEADLINE = [
     "tokenizer_compare",
     "vocab_divergence",
     "zipf_fit",
+    # round-8 registrations (the r7-rehearsed queue). Eager caveats:
+    # wordpiece_token_counts runs its vocab-grain merge training at
+    # fn() build time (the bpe_train pattern); router_twin runs its
+    # 3-batch availableNow stream at fn() time (stream_join_twin
+    # pattern); ann_recall_report builds the HNSW graph + IVF probes at
+    # fn() time and the bench line times the distributed hit-set joins.
+    "dedup_containment",
+    "holt_winters_daily",
+    "html_text_extract",
+    "url_parse",
+    "url_domain_report",
+    "wordpiece_token_counts",
+    "bloom_semi_join",
+    "curate_web_corpus",
+    "router_twin",
+    "normalize_text",
+    "ann_recall_report",
 ]
 
 

@@ -43,54 +43,69 @@ def spec(name: str, oracle: str | None, *tags: str):
 
 # The driver's correctness run verifies the FIRST 50 registered specs, so
 # registration order is a coverage decision: (a) stalest first, (b) new
-# queries always get a first row (never-checked debt stays zero), (c)
-# remaining slots backfill the next-stalest set. Freshness ledger after
-# r6 (latest driver row per query, union of CORRECTNESS_r01-r06):
-# 47 at r3, 50 at r4, 50 at r5, 50 at r6 — zero never-checked.
+# queries always get a first row (never-checked stays zero), (c)
+# remaining slots backfill the next-stalest set.
+#
+# STANDING ROTATION POLICY (r7 VERDICT #9): each round's window = all
+# NEW registrations (first driver rows, so never-checked debt stays
+# zero by construction) + the remaining slots backfilled
+# oldest-latest-round-first, ties alphabetical. With the catalog at
+# ~228 and growing ~10/round, the 50-slot window revisits every query
+# within ceil(catalog/50) = 5 rounds, so no query's latest driver row
+# ages past ~4 rounds; any displacement (a new query bumping a
+# backfill) must name the in-window query that exercises the displaced
+# machinery. The full local parity suite independently re-verifies
+# every oracle-paired query each session regardless of window age.
+#
+# Freshness ledger after r7 (latest driver row per query, union of
+# CORRECTNESS_r01-r07): 17 at r3, 50 each at r4/r5/r6/r7 - zero
+# never-checked.
 _PRIORITY: tuple[str, ...] = (
     # ------------------------------------------------------------------
-    # ROUND-7 WINDOW (r6 VERDICT "Next round" #1+#2).
-    # (a) ALL 20 queries registered this round (the r6-rehearsed queue —
-    # every one ran green through the driver's own compare harness at
-    # both SFs before registration; 13 oracle-paired + 7 rows-only).
-    # First driver rows: never-checked debt stays zero by construction.
-    "textrank_keywords", "ddww_twin", "louter_twin", "fouter_twin",
-    "hll_rolling_distinct", "maxsim_search", "branch_wap_twin",
-    "seasonal_volume_decompose", "mad_anomaly", "unigram_token_counts",
-    "dup_shingle_profile", "token_communities", "resample_daily_volume",
-    "gif_frame_pixel_stats", "dictionary_match_counts",
-    "maxsim_search_routed", "compression_quality", "tokenizer_compare",
-    "vocab_divergence", "zipf_fit",
-    # (b) 30 backfills from the 47 queries whose latest driver row is r3:
-    # the first 28 alphabetically (resuming at ann_pq-era names exactly
-    # where the r6 rotation stopped) plus the two r6-VERDICT-named
-    # stragglers pii_scan and pricing_summary, which displace
-    # merge_events_upsert (its txlog upsert machinery is exercised by
-    # the in-window branch_wap_twin and the r6-green optimize/cdc twins)
-    # and multimodal_features (rows-only; its decode plumbing is
-    # exercised by the in-window gif_frame_pixel_stats and the r4/r5
-    # green png/jpeg/mjpeg lanes). Both lead the r8 remainder below.
-    "ann_ivf_pq", "ann_ivfpq_index", "ann_pq", "audio_metadata",
-    "bigram_logprob", "bracketed_discount_revenue", "c4_line_stats",
-    "charclass_profile", "cheapest_supplier_per_part",
-    "clustering_quality", "contamination_overlap",
-    "cross_source_dup_matrix", "customer_order_distribution",
-    "customer_order_stats", "dataset_card", "decontaminate_bloom",
-    "dedup_paragraphs", "distinct_actors_hll_registry",
-    "doc_length_quartiles", "duplicate_spans", "embed_documents",
-    "embedding_int8_report", "embedding_near_dup_lsh",
-    "gopher_quality_report", "grouping_sets_volume",
-    "heavy_shippers_of_part_family", "large_volume_customers",
-    "linestatus_priority_split", "pii_scan", "pricing_summary",
-    # r8 remainder (the 17 r3-latest queries after this window, in
-    # rotation order — merge_events_upsert and multimodal_features
-    # first as displaced above, then alphabetical): merge_events_upsert,
-    # multimodal_features, nation_trade_volume, oov_rate,
-    # part_supplier_counts, part_value_share, promo_revenue,
-    # returned_item_customers, robust_anomaly_stats, semantic_dedup,
-    # shard_assignment, single_failed_supplier_orders, span_dup_profile,
-    # subword_token_counts, supplier_part_revenue, top_revenue_orders,
-    # user_sessions.
+    # ROUND-8 WINDOW (r7 VERDICT "Next round" #1+#2).
+    # (a) the 11 r7-rehearsed queue entries registered this round
+    # (9 oracle-paired; wordpiece_token_counts + ann_recall_report are
+    # rows-only). Every one ran green through the driver's own compare
+    # harness at both SFs before registration (rehearsal tests:
+    # test_containment, test_holtwinters, test_htmlextract, test_urls,
+    # test_textnorm, test_webcorpus, test_wordpiece, test_maintenance,
+    # test_louter_twin, test_ann_recall).
+    "dedup_containment", "holt_winters_daily", "html_text_extract",
+    "url_parse", "url_domain_report", "wordpiece_token_counts",
+    "bloom_semi_join", "curate_web_corpus", "router_twin",
+    "normalize_text", "ann_recall_report",
+    # (b) ALL 17 queries whose latest driver row is r3 (the remainder
+    # the r7 window could not fit - closes the r3 debt completely):
+    "merge_events_upsert", "multimodal_features", "nation_trade_volume",
+    "oov_rate", "part_supplier_counts", "part_value_share",
+    "promo_revenue", "returned_item_customers", "robust_anomaly_stats",
+    "semantic_dedup", "shard_assignment",
+    "single_failed_supplier_orders", "span_dup_profile",
+    "subword_token_counts", "supplier_part_revenue",
+    "top_revenue_orders", "user_sessions",
+    # (c) 22 backfills from the 50 r4-latest queries, alphabetical:
+    "activity_islands", "actor_setops", "asof_signup_before_error",
+    "audio_pcm_stats", "bm25_search", "bpe_token_counts",
+    "brand_priciest_part", "chunk_documents", "curate_corpus",
+    "dedup_keep_table", "dedup_substrings", "dsir_weights",
+    "embedding_pca", "events_in_windows_bucketed", "funnel_stages",
+    "fuzzy_customer_pairs", "heavy_hitter_words",
+    "hourly_resample_ffill", "hybrid_search_rrf", "image_dhash",
+    "image_pixel_stats", "incident_upsert_split",
+    # r9 map (pre-computed per the standing policy): r9's new
+    # registrations first, then the 28 remaining r4-latest queries
+    # (join_overlap_theta, jpeg_pixel_stats, json_key_volume,
+    # kn_trigram_logprob, leakage_safe_split, mean_shift_scores,
+    # mp4_frame_index, part_pagerank, pattern_mining,
+    # perplexity_buckets, profile_events, quality_classifier_report,
+    # quality_feature_matrix, rag_chunk_search, rolling_median_value,
+    # rollup_volume, sample_k_per_source, scd2_user_state,
+    # snapshot_diff, snapshot_timetravel_twin, streaming_bm25_twin,
+    # streaming_dedup_registry_twin, temperature_mix_plan,
+    # user_retention_theta, value_quantiles_kll_registry,
+    # vocab_growth_report, weighted_sample_docs, zorder_bucket_stats),
+    # then r5-latest alphabetical backfill (count_window_stream_twin,
+    # crosstab_counts, ...) for any remaining slots.
 )
 
 

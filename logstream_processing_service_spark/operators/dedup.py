@@ -1347,6 +1347,26 @@ def shingle_containment_pairs(
     EXACT set-similarity joins (loose thresholds admit nearly everything),
     so for exploratory low-t sweeps use dup_shingle_profile /
     minhash-LSH instead.
+
+    The prefix bound is computed in EXACT integer arithmetic:
+    qualifying pairs satisfy inter ≥ t·|A|, hence inter ≥ ⌈t·|A|⌉
+    (integers), so at most |A| − ⌈t·|A|⌉ shingles fall outside B and a
+    prefix of |A| − ⌈t·|A|⌉ + 1 must intersect B. The naive float form
+    ⌊(1−t)·|A|⌋+1 is one short whenever (1−t)·|A| is an exact integer
+    (1.0−0.8 = 0.19999…, so any |A| divisible by 5 at t=0.8 — i.e.
+    exactly the exact-threshold quote-inclusion case); the product is
+    rounded to 9 dp before ⌈⌉ so sub-nano float drift can only ever
+    widen the prefix, never shrink it. The qualifying filter compares
+    UNROUNDED containment (both here and in the oracle) so the
+    pigeonhole premise is the same predicate the output filter applies;
+    the emitted cont_ab/cont_ba columns stay rounded to 4 dp for
+    display/hash stability.
+
+    The shingle table is persisted (4 plan references: sizes, df, the
+    inverted index, the pair-keyed intersection). Cache lifecycle is
+    caller-owned per the repo contract — bench/driver clear caches per
+    query; long-lived sessions calling this repeatedly should
+    spark.catalog.clearCache() between corpora.
     """
     sh = shingle_table(documents, n, max_doc_freq).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -1363,7 +1383,9 @@ def shingle_containment_pairs(
     )
     prefix = ranked.filter(
         F.col("rn")
-        <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
+        <= F.col("n_sh")
+        - F.ceil(F.round(F.lit(float(threshold)) * F.col("n_sh"), 9))
+        + 1
     ).select("doc_id", "s")
     cand = (
         prefix.select(F.col("doc_id").alias("da"), "s")
@@ -1386,11 +1408,12 @@ def shingle_containment_pairs(
     return (
         inter.join(s1, "d1")
         .join(s2, "d2")
+        .filter(
+            (F.col("inter") / F.col("n1") >= threshold)
+            | (F.col("inter") / F.col("n2") >= threshold)
+        )
         .withColumn("cont_ab", F.round(F.col("inter") / F.col("n1"), 4))
         .withColumn("cont_ba", F.round(F.col("inter") / F.col("n2"), 4))
-        .filter(
-            (F.col("cont_ab") >= threshold) | (F.col("cont_ba") >= threshold)
-        )
         .select("d1", "d2", "cont_ab", "cont_ba")
     )
 
@@ -1399,8 +1422,10 @@ def shingle_containment_oracle_sql(
     n: int = 3, threshold: float = 0.8, max_doc_freq: int = 500
 ) -> str:
     """DuckDB twin over the same portable 48-bit shingle hashes, with
-    the same df-cap; containment divides exact BIGINTs, rounded 4 dp
-    like the Spark side."""
+    the same df-cap; containment divides exact BIGINTs. The qualifying
+    filter compares UNROUNDED containment (same IEEE-double division
+    as the Spark side, so the predicate is bit-identical); the emitted
+    columns are rounded 4 dp like the Spark side."""
     wh = T.word_hash_array_sql(T.words_sql("text", "duckdb"), "duckdb")
     sh = T.shingle_hash_array_sql("wh", n, "duckdb")
     return f"""
@@ -1426,7 +1451,7 @@ def shingle_containment_oracle_sql(
     FROM inter
     JOIN sizes s1 ON d1 = s1.doc_id
     JOIN sizes s2 ON d2 = s2.doc_id
-    WHERE round(inter * 1.0 / s1.n_sh, 4) >= {threshold}
-       OR round(inter * 1.0 / s2.n_sh, 4) >= {threshold}
+    WHERE inter * 1.0 / s1.n_sh >= {threshold}
+       OR inter * 1.0 / s2.n_sh >= {threshold}
     ORDER BY d1, d2
     """

@@ -45,6 +45,7 @@ class HNSWIndex:
         self.M0 = 2 * M  # level-0 degree cap (paper's Mmax0)
         self.ef_construction = ef_construction
         self.ml = 1.0 / math.log(M)
+        self.seed = seed  # persisted in hnsw_meta; compaction rebuilds with it
         self.rng = np.random.default_rng(seed)
         self.vecs: np.ndarray | None = None  # (n, d) L2-normalized
         self.ids: list[int] = []
@@ -367,6 +368,7 @@ def _index_state(index: HNSWIndex) -> dict:
             {
                 "M": index.M,
                 "ef_construction": index.ef_construction,
+                "seed": index.seed,
                 "entry": index.entry,
                 "max_level": index.max_level,
                 "rng_state": index.rng.bit_generator.state,
@@ -413,7 +415,13 @@ def load_hnsw(spark, index_dir: str) -> HNSWIndex:
     meta = json.loads(TX._manifest(index_dir, versions[-1])["hnsw_meta"])
     rows = TX.read_snapshot(spark, index_dir).collect()
     rows.sort(key=lambda r: r["vec_id"])
-    index = HNSWIndex(M=meta["M"], ef_construction=meta["ef_construction"])
+    # pre-r8 manifests predate the persisted seed; they were all built
+    # with the default seed=0, so the fallback preserves their parity.
+    index = HNSWIndex(
+        M=meta["M"],
+        ef_construction=meta["ef_construction"],
+        seed=int(meta.get("seed", 0)),
+    )
     index.rng.bit_generator.state = meta["rng_state"]
     index.ids = [int(r["vec_id"]) for r in rows]
     index.levels = [int(r["level"]) for r in rows]
@@ -612,9 +620,18 @@ def compact_hnsw_registry(
             # wobbles last bits (||v̂|| = 1 ± ulp), which would break the
             # bit-for-bit "compacted == canonical build of the kept set"
             # contract the parity tests pin. The insert loop below IS
-            # build()'s, fresh RNG stream included.
+            # build()'s, fresh RNG stream included — seeded with the
+            # ORIGINAL build seed from the manifest (r7 ADVICE): a
+            # hardcoded seed=0 would silently switch the level-draw
+            # stream for registries built with seed != 0, breaking
+            # "compacted == canonical build of the kept set". Parity is
+            # guaranteed only when the stored seed is reused, which is
+            # why the seed rides in hnsw_meta rather than being a
+            # compaction parameter.
             rebuilt = HNSWIndex(
-                M=index.M, ef_construction=index.ef_construction, seed=0
+                M=index.M,
+                ef_construction=index.ef_construction,
+                seed=index.seed,
             )
             rebuilt.vecs = index.vecs[keep].copy()
             rebuilt.ids = [int(index.ids[i]) for i in keep]

@@ -157,7 +157,13 @@ def html_extract_oracle_sql() -> str:
     main text is the original text plus the link anchor texts, the
     boilerplate is the nav/footer constants — no HTML touched, so a
     hash match proves the Spark extractor reversed the generator
-    exactly (the gif/jpeg closed-form-lane recipe)."""
+    exactly (the gif/jpeg closed-form-lane recipe).
+
+    The expected main_text is whitespace-collapsed + trimmed exactly
+    like the Spark side's ``_strip`` (r7 ADVICE): without it, an
+    empty-text document (expected = the bare link anchors, but the
+    naive concat keeps a leading space) or a doubled space inside
+    ``text`` would mismatch a correct extractor."""
     return f"""
     WITH base AS (
         SELECT doc_id,
@@ -168,14 +174,16 @@ def html_extract_oracle_sql() -> str:
     built AS (
         SELECT doc_id, nl,
                array_to_string(w[1:{TITLE_WORDS}], ' ') AS title,
-               text
-                   || CASE WHEN nl > 0
-                      THEN ' ' || array_to_string(
-                          list_transform(
-                              range(1, nl + 1),
-                              i -> 'link ' || CAST(i AS VARCHAR)
-                          ), ' ')
-                      ELSE '' END AS main_text,
+               trim(regexp_replace(
+                   text
+                       || CASE WHEN nl > 0
+                          THEN ' ' || array_to_string(
+                              list_transform(
+                                  range(1, nl + 1),
+                                  i -> 'link ' || CAST(i AS VARCHAR)
+                              ), ' ')
+                          ELSE '' END,
+                   '\\s+', ' ', 'g')) AS main_text,
                '{NAV_BASE}'
                    || CASE WHEN doc_id % 2 = 1 THEN '{NAV_EXTRA}'
                       ELSE '' END

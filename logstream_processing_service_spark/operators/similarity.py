@@ -270,6 +270,28 @@ def embedding_near_dup_lsh(
     )
 
 
+def _train_sample(embeddings: DataFrame, sample_n: int, salt: str):
+    """Deterministic, engine-portable training sample for driver-side
+    centroid/codebook fitting: the top-``sample_n`` vectors by
+    md5(salt:vec_id) order, vec_id tie-break (the ``stratified_sample``
+    machinery, operators/sampling.py). A vec_id PREFIX would be the
+    oldest corner of an ingestion-monotone corpus and bias the trained
+    model whenever id correlates with source/time (r7 VERDICT #4 — the
+    same bias argument as the reference's LIMIT-based sampling,
+    scripts/validate_quality.py:68, which SURVEY §5 criticizes). The
+    hash order is reproducible run-to-run, identical in any engine, and
+    the selection is a distributed TakeOrdered — never a full sort."""
+    from .sampling import split_bucket
+
+    rows = (
+        embeddings.orderBy(split_bucket("vec_id", salt), "vec_id")
+        .limit(sample_n)
+        .select("embedding")
+        .collect()
+    )
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 64,
@@ -292,17 +314,24 @@ def semantic_dedup(
     default 64 fits the sf0.1 test corpus only — at 100 TB pass
     n_clusters explicitly; ``max_cluster`` guards degenerate clusters
     exactly like the LSH ``max_bucket`` and makes under-clustering fail
-    loudly (oversized clusters are excluded, shrinking the output). Centroids are trained driver-side on a deterministic
-    ``sample_n`` prefix (dimension-sized state, rides as a closure
-    constant); assignment is ONE Arrow pass; pair expansion is in-cluster
+    loudly (oversized clusters are excluded, shrinking the output).
+    Centroids are trained driver-side on a deterministic ``sample_n``
+    sample drawn by PORTABLE md5 order over vec_id (the
+    ``stratified_sample`` machinery, operators/sampling.py) — NOT a
+    vec_id prefix: ids are ingestion-monotone, so a prefix is the
+    oldest corner of the corpus and biases centroids whenever id
+    correlates with source/time (r7 VERDICT #4; the same bias argument
+    as the reference's LIMIT-based validate_quality.py:68 sampling).
+    The hash order is reproducible run-to-run and engine-portable,
+    and the top-``sample_n`` selection is a distributed
+    TakeOrdered, not a full sort. Centroids are dimension-sized state
+    riding as a closure constant; assignment is ONE Arrow pass; pair
+    expansion is in-cluster
     array math over (id, priority) structs ONLY — embeddings never ride
     the cluster shuffle; the exact-cosine verify joins the narrow candidate
     list back to vectors, norms precomputed, same as the LSH verify.
     """
-    rows = (
-        embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
-    )
-    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    X = _train_sample(embeddings, sample_n, "semdedup-centroids-v1")
     C = _train_pq_numpy(X, 1, n_clusters)[0]
 
     @F.pandas_udf("struct<cluster:int, cdist:double>")
@@ -472,17 +501,15 @@ def train_pq_codebooks(
     """Train PQ codebooks (Jégou et al. 2011): split the vector into ``m``
     subvectors, k-means each subspace to ``k`` centroids.
 
-    Fully deterministic: the training sample is the first ``sample_n``
-    vectors by vec_id (bounded driver-side collect, same precedent as the
-    IVF probe bucket list), init is evenly-spaced rows of that sorted
+    Fully deterministic: the training sample is ``sample_n`` vectors in
+    portable md5-hash order (``_train_sample`` — unbiased under
+    id/source correlation, bounded driver-side collect, same precedent
+    as the IVF probe bucket list), init is evenly-spaced rows of that
     sample, and Lloyd runs a fixed ``iters`` rounds. Returns an
     (m, k, dim/m) numpy array — dimension-sized state that broadcasts to
     every executor as a closure constant.
     """
-    rows = (
-        embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
-    )
-    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    X = _train_sample(embeddings, sample_n, "pq-train-v1")
     return _train_pq_numpy(X, m, k, iters)
 
 
@@ -677,10 +704,7 @@ def ann_ivf_pq(
     nlist = len(crows)
     nprobe = min(nprobe, nlist)
 
-    rows = (
-        embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
-    )
-    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    X = _train_sample(embeddings, sample_n, "pq-residual-v1")
     assign = _sq_dists(X, C).argmin(1)
     books = _train_pq_numpy(X - C[assign], m, n_centroids)
     mm, kk, sub = books.shape
@@ -814,10 +838,7 @@ def build_ivfpq_index(
     C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
     labels = np.asarray([int(r["label"]) for r in crows])
 
-    rows = (
-        embeddings.orderBy("vec_id").limit(sample_n).select("embedding").collect()
-    )
-    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    X = _train_sample(embeddings, sample_n, "pq-residual-v1")
     assign = _sq_dists(X, C).argmin(1)
     books = _train_pq_numpy(X - C[assign], m, n_centroids)
     mm, kk, sub = books.shape

@@ -87,7 +87,8 @@ def curate_web_corpus_oracle_sql(
     domain_cap: int = DOMAIN_CAP,
 ) -> str:
     """Composed closed-form twin: the htmlextract and urls oracles'
-    derivations inlined, then the same four gates."""
+    derivations inlined (including htmlextract's collapse+trim
+    normalization of main_text, r7 ADVICE), then the same four gates."""
     from .htmlextract import FOOTER_TEXT, NAV_BASE, NAV_EXTRA
     from .urls import HOSTS, _dom_sql
 
@@ -95,13 +96,15 @@ def curate_web_corpus_oracle_sql(
     return f"""
     WITH built AS (
         SELECT doc_id,
-               text || CASE WHEN doc_id % 5 > 0
-                   THEN ' ' || array_to_string(
-                       list_transform(
-                           range(1, CAST(doc_id % 5 AS INT) + 1),
-                           i -> 'link ' || CAST(i AS VARCHAR)
-                       ), ' ')
-                   ELSE '' END AS main_text,
+               trim(regexp_replace(
+                   text || CASE WHEN doc_id % 5 > 0
+                       THEN ' ' || array_to_string(
+                           list_transform(
+                               range(1, CAST(doc_id % 5 AS INT) + 1),
+                               i -> 'link ' || CAST(i AS VARCHAR)
+                           ), ' ')
+                       ELSE '' END,
+                   '\\s+', ' ', 'g')) AS main_text,
                '{NAV_BASE}'
                    || CASE WHEN doc_id % 2 = 1 THEN '{NAV_EXTRA}'
                       ELSE '' END

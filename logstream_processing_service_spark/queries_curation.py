@@ -651,3 +651,43 @@ def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.unigram import tokenizer_compare
 
     return tokenizer_compare(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# r8 registrations (rehearsed r7, ROADMAP r8 map)
+# ---------------------------------------------------------------------------
+
+
+@spec("wordpiece_token_counts", None, "tokenizer", "rows-only")
+def q_wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a WordPiece vocabulary (likelihood-scored merges — the
+    BERT recipe, visibly diverging from BPE's raw-count merges on ties)
+    and encode the corpus: per-document token counts under the trained
+    vocab. Rows-only like the BPE/unigram lanes: the trained vocabulary
+    has no SQL twin; merge order, greedy longest-match encode, and the
+    pretokens ≤ tokens ≤ chars family ordering are pinned in
+    tests/test_wordpiece.py. Vocab-grain training; encode runs once per
+    DISTINCT word. alpha_10x 0.21 (ROADMAP r7 ledger)."""
+    from .operators.wordpiece import wordpiece_token_counts, wordpiece_train
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = wordpiece_train(docs, num_merges=128, min_word_count=2)
+    return wordpiece_token_counts(docs, vocab)
+
+
+from .operators import webcorpus as WC  # noqa: E402
+
+
+@spec(
+    "curate_web_corpus",
+    WC.curate_web_corpus_oracle_sql(),
+    "curation", "north-star", "funnel", "bench",
+)
+def q_curate_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl→training-data funnel: HTML extraction →
+    content-ratio gate → quality gate → exact dedup on extracted text →
+    per-registered-domain cap, with per-stage survivor counts. The
+    funnel shares ONE documents scan (plan-pinned); the composed DuckDB
+    oracle recomputes every gate closed-form. alpha_10x 0.21 (ROADMAP
+    r7 ledger)."""
+    return WC.curate_web_corpus(_t(spark, sf_dir, "documents"))

@@ -1368,3 +1368,49 @@ def q_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rolling_distinct(
         hll_daily_registry(_t(spark, sf_dir, "events"))
     )
+
+
+@spec(
+    "bloom_semi_join",
+    """
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    "J2-ext", "bloom", "semi-join", "runtime-filter",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered left semi join: lineitem ⋉ urgent orders, then
+    a per-order rollup. The fact side is filtered through a bit-packed
+    SQL bloom built from the key side BEFORE the semi-join exchange —
+    at 100 TB the shuffle carries ~1/4 of lineitem instead of all of it
+    (the whole point of the operator; plan-pinned: the array_except
+    bloom probe sits under the LeftSemi join). The bloom is a superset
+    filter + exact semi pass, so results are identical to the plain
+    semi join by construction — which is exactly what the oracle runs.
+    Money sum is exact DECIMAL cast to DOUBLE at the end."""
+    from pyspark.sql import functions as F
+
+    from .operators.maintenance import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    kept = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return (
+        kept.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -743,9 +743,8 @@ def q_ddww_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r8 QUEUE (rehearsed, not yet @spec-registered — the window is full at
-# 50; see ROADMAP's r8 registration map): right-outer completes the
-# stream-stream join family.
+# r8 registration (rehearsed r7): right-outer completes the
+# stream-stream join family (inner r6, left/full r7, right r8).
 # ---------------------------------------------------------------------------
 
 
@@ -775,7 +774,13 @@ def _router_oracle(
     """
 
 
+@spec(
+    "router_twin",
+    _router_oracle(),
+    "T3", "T7", "streaming", "stream-stream-join", "outer",
+)
 def q_router_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_join_twin with how='right_outer': evicted unmatched
-    errors null-emit; unmatched signups are silent."""
+    errors null-emit; unmatched signups are silent (the unmatched-LEFT
+    silence is probe-pinned in tests/test_louter_twin.py)."""
     return _outer_join_twin(spark, sf_dir, "right_outer")

@@ -1664,3 +1664,94 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈ −1 with high r² is the one-number 'looks like language' check.
     Vocab-grain count + TakeOrdered; the fit is 500 rows at any SF."""
     return TA.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# r8 registrations (rehearsed r7, ROADMAP r8 map): containment dedup +
+# the crawl-ingest lanes (HTML extraction, URL normalization, Unicode
+# cleanup) feeding curate_web_corpus.
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "dedup_containment",
+    D.shingle_containment_oracle_sql(),
+    "dedup", "containment", "ppjoin", "bench",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set containment pairs (Broder resemblance,
+    quote-inclusion detection) with PPJoin prefix filtering — candidate
+    pairs come only from each doc's rarest ⌈(1−t)·|A|⌉ shingles joined
+    against the inverted index, never the full df² blow-up. Measured
+    alpha 0.545 on the Heaps vocab-growth decade (ROADMAP r7 ledger);
+    the frozen-vocab decade's 1.39 is a fixture artifact documented in
+    the operator docstring. Prefix bound is exact-integer (r7 ADVICE)."""
+    return D.shingle_containment_pairs(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("d1", "d2")
+
+
+from .operators import htmlextract as HX  # noqa: E402
+from .operators import textnorm as TN  # noqa: E402
+from .operators import urls as U  # noqa: E402
+
+
+@spec(
+    "html_text_extract",
+    HX.html_extract_oracle_sql(),
+    "html", "crawl", "zero-shuffle",
+)
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl WET step: script/style removal FIRST, then
+    title / main-content / boilerplate isolation, link count, and the
+    content-ratio quality signal — all JVM string expressions, zero
+    shuffle (plan-pinned). The synthetic page generator is itself pure
+    SQL, and the DuckDB oracle recomputes expectations closed-form from
+    (doc_id, text) without parsing HTML, so the hash proves the
+    extractor reverses the generator byte-exactly."""
+    return HX.html_text_extract(
+        HX.with_synthetic_html_payload(_t(spark, sf_dir, "documents"))
+    ).orderBy("doc_id")
+
+
+@spec("url_parse", U.url_parse_oracle_sql(), "url", "crawl", "zero-shuffle")
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + normalization (lowercase host, leading-www strip,
+    default-port drop, query-param sort, fragment removal) plus the
+    public-suffix-style registered domain — the curation pipeline's
+    dedup/rollup key (README.md:62's parsed_data flattening made
+    explicit). Per-row JVM regex expressions; closed-form oracle."""
+    return U.parse_urls(
+        U.with_synthetic_url_column(_t(spark, sf_dir, "documents"))
+    ).orderBy("doc_id")
+
+
+@spec(
+    "url_domain_report",
+    U.url_domain_report_oracle_sql(),
+    "url", "crawl", "A-ext",
+)
+def q_url_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup over the parsed URLs: page count,
+    distinct hosts, scheme split — the crawl-frontier mix report a
+    domain-cap curation rule consumes. One aggregate after the
+    zero-shuffle parse."""
+    return U.url_domain_report(
+        U.with_synthetic_url_column(_t(spark, sf_dir, "documents"))
+    )
+
+
+@spec(
+    "normalize_text",
+    TN.normalize_text_oracle_sql(),
+    "text", "unicode", "zero-shuffle",
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleanup lane: NFKC fold, zero-width strip, NBSP→space,
+    whitespace collapse over a reversible noise injection — the oracle
+    checks md5(normalized) == md5(original) plus word-arithmetic
+    removal counts, so the driver hash proves the Unicode pipeline
+    without DuckDB doing any Unicode."""
+    return TN.normalize_text(
+        TN.with_noisy_text(_t(spark, sf_dir, "documents"))
+    )

@@ -306,3 +306,19 @@ def q_resample_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume and carried-forward context — the pandas .resample()
     contract at Spark scale (the spine is |days| rows, broadcast)."""
     return TR.resample_daily_volume(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "holt_winters_daily",
+    TR.holt_winters_oracle_sql(),
+    "trends", "forecast", "M8-ext",
+)
+def q_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonal) over
+    daily event volume with a 7-day forecast tail. The recurrence runs
+    at DAY grain — |days| rows at any corpus size — after one
+    distributed daily aggregate; the DuckDB twin unrolls the coupled
+    recurrence as a recursive CTE with repr()-interpolated DOUBLE
+    coefficients so both engines execute the identical IEEE sequence.
+    alpha_10x 0.05 (ROADMAP r7 ledger)."""
+    return TR.holt_winters_daily(_t(spark, sf_dir, "events"))

@@ -422,12 +422,17 @@ def q_maxsim_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r8 QUEUE (rehearsed, not yet @spec-registered): the ANN accuracy
-# surface — recall@k of every approximate index against the exact
-# baseline, as one driver-visible report.
+# r8 registration (rehearsed r7): the ANN accuracy surface — recall@k
+# of every approximate index against the exact baseline, as one
+# driver-visible report.
 # ---------------------------------------------------------------------------
 
 
+@spec(
+    "ann_recall_report",
+    None,
+    "similarity", "ann", "recall", "rows-only",
+)
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, recall_at_k, n_queries, k): brute-force (recall 1 by
     construction — the self-check row), the IVF nprobe LADDER (2/4/8 —

@@ -289,3 +289,36 @@ def test_hnsw_registry_compaction_policy(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="drop every vector"):
         H.compact_hnsw_registry(spark, d, min_vec_id=10_000)
+
+
+def test_hnsw_compaction_reuses_build_seed(spark, sf_dir, tmp_path):
+    """r7 ADVICE regression: compaction must rebuild with the ORIGINAL
+    build seed (persisted in hnsw_meta), not a hardcoded seed=0 — for a
+    seed!=0 registry the canonical-build parity contract must hold
+    against a rebuild with THAT seed."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    d = str(tmp_path / "hnsw7")
+    H.save_hnsw(
+        spark,
+        H.build_hnsw(emb.filter(F.col("vec_id") < 120), M=8,
+                     ef_construction=32, seed=7),
+        d,
+    )
+    H.insert_hnsw(spark, d, emb.filter(F.col("vec_id") >= 120))
+    H.compact_hnsw_registry(
+        spark, d, min_vec_id=60, retain_last=1, min_age_seconds=0.0
+    )
+    kept = emb.filter(F.col("vec_id") >= 60).select("vec_id", "embedding")
+    compacted = H.load_hnsw(spark, d)
+    assert compacted.seed == 7  # seed survives the save/load round-trip
+    assert _graph_equal(
+        H.build_hnsw(kept, M=8, ef_construction=32, seed=7), compacted
+    )
+    # and seed=0 is genuinely a DIFFERENT level-draw stream here, so the
+    # assertion above is discriminating (guard against a vacuous pass)
+    z = H.build_hnsw(kept, M=8, ef_construction=32, seed=0)
+    assert not _graph_equal(z, compacted)

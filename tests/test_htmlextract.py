@@ -69,6 +69,47 @@ def test_links_counted_and_in_main_text(spark):
     assert row["boiler_chars"] == len("home about products contact (c) example")
 
 
+def test_oracle_normalizes_whitespace_like_extractor(spark):
+    """r7 ADVICE regression: the closed-form oracle must collapse+trim
+    main_text exactly like the Spark side's ``_strip``. Planted edge
+    docs — empty text (expected main text = the bare link anchors, no
+    leading space) and a doubled inner space — must hash-match."""
+    import duckdb
+    import pandas as pd
+
+    from .oracle_harness import normalize
+
+    rows = [
+        (1, "", "s"),  # doc_id%5=1 -> main text is exactly "link 1"
+        (2, "alpha  beta gamma", "s"),  # doubled space collapses
+        (7, "x y", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    sdf = html_text_extract(with_synthetic_html_payload(docs)).orderBy(
+        "doc_id"
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]),
+    )
+    rel = con.sql(html_extract_oracle_sql())
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    s = normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    d = normalize(list(rel.columns), rel.fetchall())
+    assert s == d
+    # and the empty-text doc's expectation is the trimmed anchor text
+    import hashlib
+
+    got = {r["doc_id"]: r["text_md5"] for r in sdf.collect()}
+    assert got[1] == hashlib.md5(b"link 1").hexdigest()
+    assert got[2] == hashlib.md5(
+        b"alpha beta gamma link 1 link 2"
+    ).hexdigest()
+
+
 def test_extractor_plan_is_zero_shuffle_single_scan(spark):
     docs = load_table(spark, SF_DIR, "documents")
     df = html_text_extract(with_synthetic_html_payload(docs))

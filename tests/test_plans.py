@@ -922,3 +922,67 @@ def test_zipf_fit_takeordered_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_containment_prefix_filter_and_shingle_reuse(spark):
+    """dedup_containment's scale story: candidate pairs come from the
+    PPJoin rarest-prefix (the exact-integer ceil bound, r7 ADVICE) —
+    never the full df² inverted-index join — and the persisted shingle
+    table feeds all four plan references (sizes, df, inverted index,
+    pair intersection) from memory instead of four corpus scans."""
+    from logstream_processing_service_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = shingle_containment_pairs(docs)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the exact-integer prefix bound (ceil of the rounded product)
+    # survives into the executed plan — a regression to the float
+    # floor((1-t)*n) form loses the ceil
+    assert "CEIL" in plan.upper()
+    assert "row_number" in plan
+    # the persisted shingle table is reused, not re-derived per branch
+    assert plan.count("InMemoryTableScan") >= 3
+    spark.catalog.clearCache()
+
+
+def test_web_funnel_shares_one_persisted_base(spark):
+    """curate_web_corpus: the five stage counts all derive from ONE
+    persisted (extract ⋈ parse) base — without the persist each
+    stage-count branch re-scans the raw corpus (5 full passes at
+    100 TB). Extraction and URL parsing are zero-shuffle, so the
+    funnel's only exchanges are the two row_number windows + the
+    doc_id equi-join."""
+    from logstream_processing_service_spark.operators.webcorpus import (
+        curate_web_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(curate_web_corpus(docs))
+    assert "CartesianProduct" not in plan
+    # one InMemoryTableScan per stage count — every branch reads the
+    # cached base, none re-derives it (FileScan strings inside the
+    # cached-relation DEFINITION repeat per branch in toString, so the
+    # discriminating count is the InMemoryTableScan references)
+    assert plan.count("InMemoryTableScan") >= 5
+    spark.catalog.clearCache()
+
+
+def test_normalize_text_zero_exchange_arrow_batched(spark):
+    """The Unicode cleanup lane is per-row work with zero exchange and
+    a single scan; NFKC itself needs Python's unicodedata, so the UDF
+    must be the Arrow-batched form (ArrowEvalPython), never the
+    row-at-a-time pickle path (BatchEvalPython)."""
+    from logstream_processing_service_spark.operators.textnorm import (
+        normalize_text,
+        with_noisy_text,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(normalize_text(with_noisy_text(docs)))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1

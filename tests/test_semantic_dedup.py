@@ -14,7 +14,17 @@ THRESHOLD = 0.4
 
 
 def _replica(X, ids, sample_n=2048):
-    order = np.argsort(ids, kind="stable")
+    # mirror the operator's portable-md5 deterministic sample (r7
+    # VERDICT #4): order by md5('semdedup-centroids-v1:' || vec_id)
+    # hex, tie-break vec_id, take sample_n
+    import hashlib
+
+    def bucket(v):
+        return hashlib.md5(
+            f"semdedup-centroids-v1:{int(v)}".encode()
+        ).hexdigest()
+
+    order = sorted(range(len(ids)), key=lambda i: (bucket(ids[i]), ids[i]))
     Xs = X[order][:sample_n]
     C = S._train_pq_numpy(Xs, 1, N_CLUSTERS)[0]
     d2 = S._sq_dists(X, C)
