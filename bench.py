@@ -218,6 +218,15 @@ HEADLINE = [
     "router_twin",
     "normalize_text",
     "ann_recall_report",
+    # round-8 session builds. Eager caveat: bucketed_join_twin stages
+    # its bucketed managed tables at fn() build time (the
+    # bloom_point_lookup pattern); the bench line times the
+    # exchange-free join + aggregate.
+    "association_rules",
+    "kwic_snippets",
+    "readability_scores",
+    "token_entropy",
+    "bucketed_join_twin",
 ]
 
 

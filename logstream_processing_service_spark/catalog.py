@@ -74,6 +74,14 @@ _PRIORITY: tuple[str, ...] = (
     "url_parse", "url_domain_report", "wordpiece_token_counts",
     "bloom_semi_join", "curate_web_corpus", "router_twin",
     "normalize_text", "ann_recall_report",
+    # (a-cont.) 5 MORE new registrations from this session's build
+    # block, ALL oracle-paired (rehearsed green at both SFs through the
+    # compare harness before registration; tests test_mining, test_kwic,
+    # test_readability, test_bucketed_join): association-rule basket
+    # mining, KWIC search snippets, readability + token-entropy quality
+    # signals, and the bucketed co-located join twin.
+    "association_rules", "kwic_snippets", "readability_scores",
+    "token_entropy", "bucketed_join_twin",
     # (b) ALL 17 queries whose latest driver row is r3 (the remainder
     # the r7 window could not fit - closes the r3 debt completely):
     "merge_events_upsert", "multimodal_features", "nation_trade_volume",
@@ -83,18 +91,31 @@ _PRIORITY: tuple[str, ...] = (
     "single_failed_supplier_orders", "span_dup_profile",
     "subword_token_counts", "supplier_part_revenue",
     "top_revenue_orders", "user_sessions",
-    # (c) 22 backfills from the 50 r4-latest queries, alphabetical:
+    # (c) 17 backfills from the 50 r4-latest queries, alphabetical.
+    # The last 5 alphabetical slots (hourly_resample_ffill,
+    # hybrid_search_rrf, image_dhash, image_pixel_stats,
+    # incident_upsert_split) are displaced by the 5 session-new
+    # registrations above (new queries must get first driver rows):
+    # hourly_resample_ffill's spine-join gap-fill shares its expression
+    # family with r7-green resample_daily_volume; hybrid_search_rrf
+    # fuses the in-window bm25_search with the r5-green ann lanes;
+    # image_dhash and image_pixel_stats ride the same codec lanes the
+    # r7-green gif/mjpeg/jpeg pixel-stats queries hash-checked;
+    # incident_upsert_split's semi/anti split shape is exercised
+    # oracle-paired by the in-window bloom_semi_join and actor_setops.
+    # All five resume at the head of the r9 backfill list and are
+    # re-verified by the local parity suite every session.
     "activity_islands", "actor_setops", "asof_signup_before_error",
     "audio_pcm_stats", "bm25_search", "bpe_token_counts",
     "brand_priciest_part", "chunk_documents", "curate_corpus",
     "dedup_keep_table", "dedup_substrings", "dsir_weights",
     "embedding_pca", "events_in_windows_bucketed", "funnel_stages",
     "fuzzy_customer_pairs", "heavy_hitter_words",
-    "hourly_resample_ffill", "hybrid_search_rrf", "image_dhash",
-    "image_pixel_stats", "incident_upsert_split",
     # r9 map (pre-computed per the standing policy): r9's new
-    # registrations first, then the 28 remaining r4-latest queries
-    # (join_overlap_theta, jpeg_pixel_stats, json_key_volume,
+    # registrations first, then the 5 displaced r4 queries
+    # (hourly_resample_ffill, hybrid_search_rrf, image_dhash,
+    # image_pixel_stats, incident_upsert_split), then the 28 remaining
+    # r4-latest queries (join_overlap_theta, jpeg_pixel_stats, json_key_volume,
     # kn_trigram_logprob, leakage_safe_split, mean_shift_scores,
     # mp4_frame_index, part_pagerank, pattern_mining,
     # perplexity_buckets, profile_events, quality_classifier_report,

@@ -233,7 +233,17 @@ def ann_hnsw(
     (q_id, rank, vec_id, cos): graph built driver-side once, searches
     distributed over the query frame via an Arrow-batched mapInPandas
     (the graph rides the closure like the PQ LUTs — measured faster than
-    carrying index state through a join in the ann_pq lesson)."""
+    carrying index state through a join in the ann_pq lesson).
+
+    Tuning card (measured recall@10 vs exact cosine top-10 on the
+    synthetic embeddings at sf0.001 AND sf0.01, driver-visible as
+    ``ann_recall_report``, floor-pinned in tests/test_ann_recall.py):
+    ef_search=60 → recall 1.0, vs the IVF nprobe ladder's
+    0.35/0.62/0.95 at nprobe 2/4/8 — HNSW buys exactness at the cost of
+    a driver-sized graph build (guarded at ``max_index_rows``; beyond
+    that, route through ``ann_ivf_hnsw``'s SPANN shape). ef_search is
+    the runtime knob: recall falls with it (≈0.98 at ef=32 on this
+    corpus) while search cost is ~O(ef·log n)."""
     index = build_hnsw(
         embeddings, M=M, ef_construction=ef_construction, seed=seed
     )

@@ -198,3 +198,88 @@ def write_hilbert(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (r8 session, r9 queue)
+# ---------------------------------------------------------------------------
+
+
+def stage_bucketed_join_tables(
+    spark,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    n_buckets: int = 8,
+    database: str = "bucketdb",
+    location: str = "/tmp/logstream_bucketdb",
+    tag: str = "t",
+) -> tuple[str, str]:
+    """Stage both join sides as BUCKETED, bucket-sorted managed tables
+    on the join key — Spark's pre-shuffled layout: each table's files
+    are hash-partitioned by key at WRITE time, so an equi-join of two
+    tables bucketed the same way needs NO exchange at read time. This
+    is THE big-join discipline at 100 TB: the shuffle of the largest
+    table happens once, at ingest, not per query. Returns the two table
+    names.
+
+    A managed-table database pinned to an explicit LOCATION keeps the
+    staging independent of the session's working directory (the
+    bloom_point_lookup staging precedent)."""
+    import shutil
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {database} LOCATION '{location}'"
+    )
+    li_t = f"{database}.li_bucketed_{tag}"
+    od_t = f"{database}.orders_bucketed_{tag}"
+    # idempotent restage: a FRESH metastore (every driver session gets
+    # one) does not know about a previous session's table, but the
+    # managed LOCATION persists on disk and saveAsTable refuses to
+    # adopt it (LOCATION_ALREADY_EXISTS) — drop both halves explicitly
+    for t in (li_t, od_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            f"{location}/{t.split('.', 1)[1]}", ignore_errors=True
+        )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable(li_t)
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable(od_t)
+    )
+    return li_t, od_t
+
+
+def bucketed_join_priority_revenue(
+    spark, li_table: str, od_table: str
+) -> DataFrame:
+    """The query the layout pays for: lineitem ⋈ orders on orderkey →
+    per-priority item count + revenue, reading the bucketed tables. The
+    join side of the plan must contain ZERO Exchange (bucket layouts
+    align; pinned in tests/test_plans.py) — the only shuffle left is
+    the 5-row priority aggregate. Money sum is exact DECIMAL cast to
+    DOUBLE at the end."""
+    li = spark.table(li_table)
+    od = spark.table(od_table)
+    joined = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            # money convention: per-row DECIMAL(18,2) cast, EXACT sum,
+            # DOUBLE at the end — a raw double sum is summation-order
+            # dependent and diverges from the oracle in the last bits
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

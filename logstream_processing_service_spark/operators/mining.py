@@ -1,0 +1,148 @@
+"""Market-basket association mining over event streams: which event
+types co-occur in the same user's history, scored with the classic
+support / confidence / lift triple (Agrawal & Srikant 1994's Apriori
+measures at the pair grain — the 2-itemset pass that dominates real
+basket workloads).
+
+Reference tie: the reference's pattern mining (src/db/log_ops.py's
+frequent-pair query family) stops at raw pair counts; this adds the
+normalized rule scores a recommendation / anomaly pipeline consumes.
+
+Scale shape: baskets are DISTINCT (user_id, event_type) rows — one
+map-side-combined aggregate off the scan. Pair candidates come from a
+per-user self-join of that distinct table; per-user cost is quadratic
+in the user's DISTINCT TYPE count, which is bounded by the event-type
+vocabulary (tens), never by the user's raw event count (millions) —
+the distinct-first discipline is what makes the self-join safe at
+100 TB. ``basket_cap`` is the loud backstop for pathological
+vocabularies (a user with thousands of distinct types would make the
+self-join quadratic; capping mirrors the dedup df-cap pattern). Rule
+scoring joins the tiny per-item count table back by BROADCAST — no
+exchange on the pair table beyond its own aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    events: DataFrame,
+    min_pair_users: int = 2,
+    basket_cap: int = 1000,
+) -> DataFrame:
+    """Ordered rules (ante → cons) over per-user distinct event types.
+
+    Output: (ante, cons, n_ante, n_cons, n_both, support, confidence,
+    lift), one row per ORDERED pair with ≥ ``min_pair_users`` common
+    users; ratios are exact BIGINT divisions rounded 6 dp.
+
+      support    = n_both / n_users
+      confidence = n_both / n_ante        (P(cons | ante))
+      lift       = confidence / (n_cons / n_users)
+
+    ``basket_cap`` drops users with more distinct types than the cap
+    (loudly quadratic baskets; none exist in any sane event schema).
+    """
+    baskets = events.select("user_id", "event_type").distinct()
+    sizes = baskets.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_n_types")
+    )
+    capped = (
+        baskets.join(
+            F.broadcast(sizes.filter(F.col("_n_types") > basket_cap)),
+            "user_id",
+            "left_anti",
+        )
+        if basket_cap
+        else baskets
+    )
+    n_users = capped.select("user_id").distinct().count()
+
+    item = capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = capped.select("user_id", F.col("event_type").alias("ante"))
+    b = capped.select("user_id", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_users)
+    )
+    ni = F.broadcast(item)
+    return (
+        pairs.join(
+            ni.select(F.col("event_type").alias("ante"), F.col("n_item").alias("n_ante")),
+            "ante",
+        )
+        .join(
+            ni.select(F.col("event_type").alias("cons"), F.col("n_item").alias("n_cons")),
+            "cons",
+        )
+        .select(
+            "ante",
+            "cons",
+            "n_ante",
+            "n_cons",
+            "n_both",
+            F.round(F.col("n_both") / F.lit(float(n_users)), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_both") / F.col("n_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_both") / F.col("n_ante"))
+                / (F.col("n_cons") / F.lit(float(n_users))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
+def association_rules_oracle_sql(
+    min_pair_users: int = 2, basket_cap: int = 1000
+) -> str:
+    """DuckDB twin: identical distinct-basket derivation; every ratio
+    divides exact BIGINTs in DOUBLE (same IEEE ops, same 6-dp round)."""
+    return f"""
+    WITH baskets0 AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    big AS (
+        SELECT user_id FROM baskets0
+        GROUP BY user_id HAVING count(*) > {basket_cap}
+    ),
+    baskets AS (
+        SELECT * FROM baskets0
+        WHERE user_id NOT IN (SELECT user_id FROM big)
+    ),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM baskets),
+    item AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+        FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS ante, b.event_type AS cons,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_pair_users}
+    )
+    SELECT ante, cons,
+           ia.n_item AS n_ante, ic.n_item AS n_cons, n_both,
+           round(n_both / nu.n, 6) AS support,
+           round(n_both * 1.0 / ia.n_item, 6) AS confidence,
+           round((n_both * 1.0 / ia.n_item)
+                 / (ic.n_item * 1.0 / nu.n), 6) AS lift
+    FROM pairs
+    JOIN item ia ON pairs.ante = ia.event_type
+    JOIN item ic ON pairs.cons = ic.event_type
+    CROSS JOIN nu
+    ORDER BY ante, cons
+    """

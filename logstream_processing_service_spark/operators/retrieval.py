@@ -841,3 +841,67 @@ def maxsim_topk_routed(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# KWIC snippets (r8 session, r9 queue)
+# ---------------------------------------------------------------------------
+
+
+def kwic_snippets(
+    documents: DataFrame, term: str = "table", window: int = 2
+) -> DataFrame:
+    """Keyword-in-context snippet extraction — the search-serving step
+    after BM25/maxsim ranking: for every document, the non-overlapping
+    ``±window``-word contexts around exact occurrences of ``term``.
+
+    Output: (doc_id, n_matches, first_snippet, last_snippet) — the
+    per-document summary a result page renders (n_matches counts
+    NON-OVERLAPPING windows: a second occurrence inside the previous
+    window is absorbed by it, identically in any leftmost-greedy regex
+    engine, which keeps the DuckDB twin bit-exact).
+
+    Scale: one JVM regex pass per row, zero shuffle, column-pruned scan
+    — snippet extraction never becomes a join. The pattern uses only
+    RE2-safe syntax (no lookbehind/possessives) so the same regex runs
+    on Spark (java.util.regex) and DuckDB (RE2) with identical
+    leftmost-greedy semantics.
+    """
+    import re as _re
+
+    pat = (
+        rf"(?:\S+ ){{0,{window}}}\b{_re.escape(term)}\b(?: \S+){{0,{window}}}"
+    )
+    l = F.regexp_extract_all(F.col("text"), F.lit(pat), 0)
+    return documents.select(
+        "doc_id",
+        F.size(l).cast("int").alias("n_matches"),
+        F.when(F.size(l) > 0, F.element_at(l, 1))
+        .otherwise(F.lit(None))
+        .alias("first_snippet"),
+        F.when(F.size(l) > 0, F.element_at(l, -1))
+        .otherwise(F.lit(None))
+        .alias("last_snippet"),
+    )
+
+
+def kwic_oracle_sql(term: str = "table", window: int = 2) -> str:
+    """DuckDB twin: same RE2-safe pattern, same non-overlapping
+    leftmost-greedy extraction."""
+    import re as _re
+
+    pat = (
+        rf"(?:\S+ ){{0,{window}}}\b{_re.escape(term)}\b(?: \S+){{0,{window}}}"
+    )
+    return f"""
+    WITH m AS (
+        SELECT doc_id, regexp_extract_all(text, '{pat}') AS l
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(l) AS INT) AS n_matches,
+           CASE WHEN len(l) > 0 THEN l[1] END AS first_snippet,
+           CASE WHEN len(l) > 0 THEN l[-1] END AS last_snippet
+    FROM m
+    ORDER BY doc_id
+    """

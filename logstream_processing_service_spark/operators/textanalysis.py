@@ -1119,3 +1119,150 @@ def token_communities_oracle_sql(
     FROM l{n_iter}
     ORDER BY community, word
     """
+
+
+# ---------------------------------------------------------------------------
+# Readability + token-entropy quality signals (r8 session, r9 queue)
+# ---------------------------------------------------------------------------
+
+
+def readability_scores(documents: DataFrame) -> DataFrame:
+    """Flesch-reading-ease-style readability over the word/syllable
+    heuristics that survive any language: syllables ≈ vowel-group runs
+    ('[aeiouy]+'), sentences ≈ terminal-punctuation runs (min 1 — the
+    synthetic corpus has none, so each doc is one 'sentence', which the
+    oracle reproduces exactly).
+
+        flesch = 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word)
+
+    Per-row double formulas with a fixed evaluation order — NO rounding
+    (the quality_scores convention): bits reproduce on any engine or
+    cluster size. Zero shuffle, column-pruned scan.
+    """
+    low = F.lower(F.col("text"))
+    n_words = F.size(_word_col())
+    n_syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0))
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.when(
+        F.col("n_words") > 0, F.col("n_syllables") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    base = documents.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        n_sent.cast("bigint").alias("n_sentences"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        spw.alias("syll_per_word"),
+        (
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ).alias("flesch"),
+    )
+
+
+def readability_oracle_sql() -> str:
+    """DuckDB twin. Constants are CAST AS DOUBLE (bare decimal literals
+    are DECIMAL-typed in DuckDB and 206.835 − … would run in decimal
+    arithmetic, off the double result by an ulp); identical operand
+    order keeps the unrounded doubles bit-equal."""
+    w = T.words_sql("text", "duckdb")
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len({w}) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS n_sentences
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           CASE WHEN n_words > 0
+                THEN n_syllables * 1.0 / n_words ELSE 0.0
+           END AS syll_per_word,
+           CAST('206.835' AS DOUBLE)
+               - CAST('1.015' AS DOUBLE) * (n_words * 1.0 / n_sentences)
+               - CAST('84.6' AS DOUBLE)
+                 * (CASE WHEN n_words > 0
+                         THEN n_syllables * 1.0 / n_words ELSE 0.0 END)
+               AS flesch
+    FROM base
+    ORDER BY doc_id
+    """
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the within-document token
+    distribution — the repetition/diversity quality signal (a doc that
+    repeats one token has H→0; uniformly diverse text has H→ln V).
+    Computed in the numerically associative form
+    H = ln(n) − (Σ c·ln c)/n over exact BIGINT token counts, rounded
+    6 dp AFTER aggregation (the vocab_divergence convention: sub-ulp
+    summation-order drift between engines dies at 6 dp);
+    norm_entropy = H / ln(V) for V > 1 else 0.
+
+    Scale: one explode + two keyed aggregates at (doc, token) grain —
+    map-side combine makes the shuffle carry distinct-token rows, not
+    token occurrences.
+    """
+    w = _word_col()
+    toks = documents.select("doc_id", F.explode(w).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clc"),
+    )
+    h = F.log(F.col("n")) - F.col("_clc") / F.col("n")
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_distinct",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1, h / F.log(F.col("n_distinct"))
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+def token_entropy_oracle_sql() -> str:
+    """DuckDB twin over the same exact counts; ln-sums rounded 6 dp
+    after aggregation on both engines."""
+    w = T.words_sql("text", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({w}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               sum(c * ln(c)) AS clc
+        FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(ln(n_tokens) - clc / n_tokens, 6) AS entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN (ln(n_tokens) - clc / n_tokens)
+                           / ln(n_distinct)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM agg
+    ORDER BY doc_id
+    """

@@ -1066,3 +1066,26 @@ def q_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          "name": "unique:events.event_id"},
     ]
     return constraint_report(tables, rules)
+
+
+# ---------------------------------------------------------------------------
+# r8 continuation registrations (rehearsed this session)
+# ---------------------------------------------------------------------------
+
+
+from .operators import mining as MI  # noqa: E402
+
+
+@spec(
+    "association_rules",
+    MI.association_rules_oracle_sql(),
+    "mining", "J1-ext", "basket",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support/confidence/lift association rules over per-user DISTINCT
+    event-type baskets (the Apriori 2-itemset pass). Distinct-first
+    makes the per-user self-join quadratic in the TYPE vocabulary, not
+    the event count; the per-item count table broadcasts for scoring;
+    basket_cap guards degenerate vocabularies loudly. Exact BIGINT
+    counts; ratios divide them in double, rounded 6 dp."""
+    return MI.association_rules(_t(spark, sf_dir, "events"))

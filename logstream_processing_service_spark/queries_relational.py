@@ -1414,3 +1414,42 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@spec(
+    "bucketed_join_twin",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    "J1-ext", "layout", "bucketing", "engine-ext",
+)
+def q_bucketed_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located big join via table bucketing: lineitem and orders are
+    staged ONCE as bucketed, bucket-sorted managed tables on the
+    orderkey, and the equi-join then runs with ZERO exchange on the
+    join side — the shuffle of the biggest table moved from every query
+    to write time, which is THE discipline for repeated 100 TB joins
+    (plan-pinned: no Exchange below the SortMergeJoin, bucketed scan
+    honored). Eager caveat: the staging write runs at fn() build time
+    (the bloom_point_lookup precedent); the oracle is the plain parquet
+    join — bucketing is pure layout, results identical by
+    construction."""
+    import re
+
+    from .operators.layout import (
+        bucketed_join_priority_revenue,
+        stage_bucketed_join_tables,
+    )
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li_t, od_t = stage_bucketed_join_tables(spark, li, od, tag=tag)
+    return bucketed_join_priority_revenue(spark, li_t, od_t)

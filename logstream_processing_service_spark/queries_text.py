@@ -1755,3 +1755,49 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TN.normalize_text(
         TN.with_noisy_text(_t(spark, sf_dir, "documents"))
     )
+
+
+from .operators.retrieval import kwic_oracle_sql as _kwic_oracle  # noqa: E402
+
+
+@spec(
+    "kwic_snippets",
+    _kwic_oracle(),
+    "retrieval", "search-serving", "zero-shuffle",
+)
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippet extraction (the search-result render
+    step): per-document non-overlapping ±2-word windows around the
+    query term, as (n_matches, first/last snippet). One RE2-safe JVM
+    regex pass, zero shuffle; the DuckDB twin runs the SAME pattern
+    under identical leftmost-greedy semantics."""
+    from .operators.retrieval import kwic_snippets
+
+    return kwic_snippets(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "readability_scores",
+    TA.readability_oracle_sql(),
+    "text", "quality", "zero-shuffle",
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability from vowel-run syllables and
+    terminal-punctuation sentences — unrounded per-row double formulas
+    (the quality_scores convention); the oracle CASTs its constants AS
+    DOUBLE so both engines run the identical IEEE sequence."""
+    return TA.readability_scores(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "token_entropy",
+    TA.token_entropy_oracle_sql(),
+    "text", "quality", "A-ext",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the within-doc token
+    distribution (repetition/diversity signal), in the associative
+    H = ln n − (Σ c·ln c)/n form over exact BIGINT counts, 6-dp rounded
+    after aggregation. Map-side combine keeps the shuffle at
+    distinct-token grain."""
+    return TA.token_entropy(_t(spark, sf_dir, "documents"))

@@ -319,6 +319,14 @@ HEAPS_QUERIES = (
     "vocab_divergence",
     "zipf_fit",
     "token_pmi",
+    # r8 additions: the tokenizer TRAINERS are the most vocab-sensitive
+    # operators in the repo (distinct-word tables drive the EM/merge
+    # loops), so the growing-vocabulary decade is the honest one for
+    # them; dedup_containment's heaps exponent (0.545, r7) re-measures
+    # alongside for trend continuity.
+    "wordpiece_token_counts",
+    "unigram_token_counts",
+    "dedup_containment",
 )
 
 
