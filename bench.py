@@ -227,6 +227,8 @@ HEADLINE = [
     "readability_scores",
     "token_entropy",
     "bucketed_join_twin",
+    "word_triangles",
+    "mmr_rerank",
 ]
 
 

@@ -81,7 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     # mining, KWIC search snippets, readability + token-entropy quality
     # signals, and the bucketed co-located join twin.
     "association_rules", "kwic_snippets", "readability_scores",
-    "token_entropy", "bucketed_join_twin",
+    "token_entropy", "bucketed_join_twin", "word_triangles",
+    "mmr_rerank",
     # (b) ALL 17 queries whose latest driver row is r3 (the remainder
     # the r7 window could not fit - closes the r3 debt completely):
     "merge_events_upsert", "multimodal_features", "nation_trade_volume",
@@ -105,12 +106,19 @@ _PRIORITY: tuple[str, ...] = (
     # oracle-paired by the in-window bloom_semi_join and actor_setops.
     # All five resume at the head of the r9 backfill list and are
     # re-verified by the local parity suite every session.
+    # (heavy_hitter_words additionally yields its slot to the
+    # session-new word_triangles: its explode+count vocab machinery is
+    # exercised by the in-window token_entropy and the r7-green
+    # vocab_divergence; fuzzy_customer_pairs yields to the session-new
+    # mmr_rerank: its blocked pair-verify machinery shares the
+    # candidate-then-exact-verify shape with the in-window
+    # dedup_containment and the r7-green embedding_near_dup_lsh. Both
+    # resume r9.)
     "activity_islands", "actor_setops", "asof_signup_before_error",
     "audio_pcm_stats", "bm25_search", "bpe_token_counts",
     "brand_priciest_part", "chunk_documents", "curate_corpus",
     "dedup_keep_table", "dedup_substrings", "dsir_weights",
     "embedding_pca", "events_in_windows_bucketed", "funnel_stages",
-    "fuzzy_customer_pairs", "heavy_hitter_words",
     # r9 map (pre-computed per the standing policy): r9's new
     # registrations first, then the 5 displaced r4 queries
     # (hourly_resample_ffill, hybrid_search_rrf, image_dhash,

@@ -1107,3 +1107,97 @@ def embedding_pca_report(
         )
         .orderBy("component")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    the RAG-serving step after retrieval: from each query's exact
+    top-``pool`` cosine candidates, greedily select ``k`` balancing
+    relevance against redundancy,
+
+        mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s),
+
+    so near-duplicate passages don't crowd the context window (pure
+    top-k hands an LLM the same quote five times; MMR hands it five
+    DIFFERENT relevant passages).
+
+    Output: (q_id, mmr_rank, vec_id, rel, score) — score is the MMR
+    objective at selection time, rel the plain cosine.
+
+    Determinism: rel and pairwise sims are quantized to 9 dp before the
+    greedy argmax, vec_id breaks ties — bit-stable under any executor
+    layout (the HNSW _dist discipline). Rows-only in the catalog: the
+    greedy loop has no SQL twin; an exact numpy replica + a planted
+    redundant-passage fixture pin it in tests/test_mmr.py.
+
+    Scale: candidate generation is the broadcast-query exact top-pool
+    (swap in ann_ivf/ann_hnsw upstream for corpus scale — the contract
+    is just (q_id, vec_id, rel)); the greedy pass is one Arrow-batched
+    applyInPandas per query over ≤ pool candidates — O(k·pool) flops on
+    a (pool, dim) matrix per query, queries distributed across tasks,
+    nothing collected.
+    """
+    import pandas as pd
+
+    cand = ann_bruteforce(embeddings, queries, k=pool).select(
+        "q_id", "vec_id", F.col("cos").alias("rel")
+    )
+    withv = cand.join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    ).select("q_id", "vec_id", "rel", "embedding")
+
+    lam_f = float(lam)
+    k_i = int(k)
+    out_schema = (
+        "q_id long, mmr_rank int, vec_id long, rel double, score double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        U = X / nrm[:, None]
+        S = np.round(U @ U.T, 9)  # quantized pairwise sims
+        n = len(ids)
+        chosen: list[int] = []
+        best_sim = np.full(n, -np.inf)
+        rows = []
+        for r in range(min(k_i, n)):
+            if chosen:
+                score = lam_f * rel - (1.0 - lam_f) * best_sim
+            else:
+                score = lam_f * rel
+            score = np.round(score, 9)
+            score[chosen] = -np.inf
+            # argmax with vec_id tie-break: ids are sorted ascending,
+            # so the FIRST max index is the smallest vec_id
+            i = int(np.argmax(score))
+            rows.append(
+                (
+                    int(pdf["q_id"].iloc[0]),
+                    r + 1,
+                    int(ids[i]),
+                    float(rel[i]),
+                    float(score[i]),
+                )
+            )
+            chosen.append(i)
+            best_sim = np.maximum(best_sim, S[:, i])
+        return pd.DataFrame(
+            rows, columns=["q_id", "mmr_rank", "vec_id", "rel", "score"]
+        )
+
+    return (
+        withv.groupBy("q_id")
+        .applyInPandas(greedy, out_schema)
+        .orderBy("q_id", "mmr_rank")
+    )

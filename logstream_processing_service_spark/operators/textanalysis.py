@@ -1266,3 +1266,65 @@ def token_entropy_oracle_sql() -> str:
     FROM agg
     ORDER BY doc_id
     """
+
+
+def word_triangles(documents: DataFrame, min_weight: int = 2) -> DataFrame:
+    """Triangle census + local clustering coefficient over the same
+    adjacent-token co-occurrence graph TextRank/LPA consume — the third
+    graph diagnostic: centrality says which words MATTER, communities
+    say which move TOGETHER, clustering says how CLIQUISH each word's
+    neighborhood is (boilerplate/template words sit in dense triangles;
+    freely-combining function words do not). Vocab-grain: the census
+    costs |edges| ≈ |bigram vocab| regardless of corpus size, with the
+    degree-orientation wedge bound (operators/graph.py
+    ``triangle_census``)."""
+    from .graph import triangle_census
+
+    return triangle_census(
+        cooccurrence_edges(documents, min_weight=min_weight)
+    )
+
+
+def word_triangles_oracle_sql(min_weight: int = 2) -> str:
+    """DuckDB twin: a < b < c enumeration over the same undirected
+    edges — exact BIGINT counts; the coefficient divides them in double
+    with the identical (2·T) / (d·(d−1)) operand order, 6-dp round."""
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH words AS (SELECT {words_duck} AS t FROM documents),
+    pairs AS (
+        SELECT least(t[i - 1], t[i]) AS a, greatest(t[i - 1], t[i]) AS b
+        FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+              FROM words WHERE len(t) >= 2)
+    ),
+    e AS (
+        SELECT a, b FROM pairs WHERE a <> b GROUP BY 1, 2
+        HAVING count(*) >= {min_weight}
+    ),
+    deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+        ) GROUP BY 1
+    ),
+    tris AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    per_node AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS n FROM tris
+            UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris
+        ) GROUP BY 1
+    )
+    SELECT deg.n AS word, deg.d AS degree,
+           CAST(coalesce(per_node.n_triangles, 0) AS BIGINT)
+               AS n_triangles,
+           round(CAST(2 AS DOUBLE) * coalesce(per_node.n_triangles, 0)
+                 / (deg.d * (deg.d - 1)), 6) AS clustering
+    FROM deg LEFT JOIN per_node ON deg.n = per_node.n
+    WHERE deg.d >= 2
+    ORDER BY word
+    """

@@ -1801,3 +1801,16 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     after aggregation. Map-side combine keeps the shuffle at
     distinct-token grain."""
     return TA.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "word_triangles",
+    TA.word_triangles_oracle_sql(),
+    "text", "graph", "A-ext",
+)
+def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + clustering coefficient over the token
+    co-occurrence graph (degree-orientation wedge bound — a degree-10⁶
+    hub generates zero wedges instead of 10¹²). Exact BIGINT triangle
+    counts; the DuckDB twin enumerates a<b<c directly."""
+    return TA.word_triangles(_t(spark, sf_dir, "documents"))

@@ -484,3 +484,18 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("method")
+
+
+@spec("mmr_rerank", None, "similarity", "rag-serving", "rows-only")
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank of each query's exact top-50 candidates
+    (λ=0.7, k=10) — the RAG-serving step that keeps near-duplicate
+    passages from crowding the context window. Rows-only: the greedy
+    selection has no SQL twin; an exact numpy replica and a planted
+    redundant-passage fixture pin it (tests/test_mmr.py). One
+    Arrow-batched grouped pass per query, nothing collected."""
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return S.mmr_rerank(emb, q, k=10, pool=50, lam=0.7)
