@@ -23,7 +23,7 @@ exchange on the pair table beyond its own aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -145,4 +145,128 @@ def association_rules_oracle_sql(
     JOIN item ic ON pairs.cons = ic.event_type
     CROSS JOIN nu
     ORDER BY ante, cons
+    """
+
+
+def purchase_attribution(
+    events: DataFrame, lookback_s: int = 7 * 24 * 3600
+) -> DataFrame:
+    """Last-touch / first-touch attribution: for every ``purchase``
+    event, the user's latest click BEFORE it within ``lookback_s``
+    seconds, and the user's first click overall — the two classic
+    marketing-attribution models, as one pass.
+
+    Output: (event_id, user_id, purchase_ts_us, last_click_id,
+    last_click_lag_s, first_click_id) — last_click_* NULL when no click
+    precedes the purchase inside the window.
+
+    Engine-portable determinism: the "latest preceding click" is a
+    running window MAX over a zero-padded ``ts:event_id`` string (both
+    engines order the same strings identically; packing into one
+    BIGINT would overflow at microsecond scale). Equal-timestamp events
+    order by event_id — the same total order on both engines.
+
+    Scale: ONE user-keyed window pass over the event stream (ROWS
+    UNBOUNDED PRECEDING → 1 PRECEDING running max is O(1) per row) —
+    no self-join of purchases against clicks, which is the naive
+    quadratic form. The purchase filter prunes output AFTER the window
+    but the shuffle is the single user partition exchange either way.
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.when(
+            F.col("event_type") == "click",
+            F.concat_ws(
+                ":",
+                F.lpad(ts_us.cast("string"), 20, "0"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            ),
+        ).alias("click_key"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.max("click_key").over(w).alias("last_ck"),
+        F.min("click_key").over(w).alias("first_ck"),
+    )
+    lag_s = (
+        F.col("ts_us") - F.split(F.col("last_ck"), ":")[0].cast("bigint")
+    ) / F.lit(1000000.0)
+    out = (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.when(
+                F.col("last_ck").isNotNull()
+                & (lag_s <= F.lit(float(lookback_s))),
+                F.split(F.col("last_ck"), ":")[1].cast("bigint"),
+            ).alias("last_click_id"),
+            F.when(
+                F.col("last_ck").isNotNull()
+                & (lag_s <= F.lit(float(lookback_s))),
+                F.round(lag_s, 6),
+            ).alias("last_click_lag_s"),
+            F.split(F.col("first_ck"), ":")[1]
+            .cast("bigint")
+            .alias("first_click_id"),
+        )
+        .orderBy("event_id")
+    )
+    return out
+
+
+def purchase_attribution_oracle_sql(lookback_s: int = 7 * 24 * 3600) -> str:
+    """DuckDB twin: the same packed-string running window max/min; lag
+    divides exact BIGINT microseconds by 1e6 in double, 6-dp round."""
+    return f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'click' THEN
+                   lpad(CAST(epoch_us(ts) AS VARCHAR),
+                        20, '0')
+                   || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+               END AS click_key
+        FROM events
+    ),
+    enriched AS (
+        SELECT event_id, user_id, event_type, ts_us,
+               max(click_key) OVER w AS last_ck,
+               min(click_key) OVER w AS first_ck
+        FROM tagged
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_id, user_id, ts_us AS purchase_ts_us,
+           CASE WHEN last_ck IS NOT NULL AND
+                     (ts_us - CAST(string_split(last_ck, ':')[1] AS BIGINT))
+                     / CAST(1000000 AS DOUBLE) <= {float(lookback_s)!r}
+                THEN CAST(string_split(last_ck, ':')[2] AS BIGINT)
+           END AS last_click_id,
+           CASE WHEN last_ck IS NOT NULL AND
+                     (ts_us - CAST(string_split(last_ck, ':')[1] AS BIGINT))
+                     / CAST(1000000 AS DOUBLE) <= {float(lookback_s)!r}
+                THEN round((ts_us -
+                     CAST(string_split(last_ck, ':')[1] AS BIGINT))
+                     / CAST(1000000 AS DOUBLE), 6)
+           END AS last_click_lag_s,
+           CAST(string_split(first_ck, ':')[2] AS BIGINT) AS first_click_id
+    FROM enriched
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
     """
