@@ -208,6 +208,19 @@ def _bloom_positions(key_sql: str, k: int = BLOOM_K, m: int = BLOOM_M) -> str:
     return f"array({elems})"
 
 
+def _bloom_positions_fast(col_sql: str, k: int, m: int) -> str:
+    """In-query bloom positions: per-probe-seeded xxhash64 over the RAW
+    column (one JVM hash per probe — no md5, no string concat). NOT
+    portable across engines/files: use only where build and probe live
+    in the same plan (bloom_semi_join); persisted indexes keep the
+    md5-based ``_bloom_positions`` so positions survive re-reads."""
+    elems = ", ".join(
+        f"CAST(pmod(xxhash64({i}, {col_sql}), {m}) AS INT)"
+        for i in range(k)
+    )
+    return f"array({elems})"
+
+
 def build_bloom_file_index(
     spark: SparkSession,
     path: str,
@@ -312,38 +325,67 @@ def bloom_semi_join(
     to broadcast as a hash relation but its bloom fits anywhere
     (m bits ≈ m/8 bytes; the sparse set-bit array below is ≤ m ints).
 
-    Shape: ONE aggregate folds the dim keys into a single sorted
-    set-bit-position array (map-side combined explode → collect_set);
-    that one-row frame broadcasts onto the fact, and rows failing any of
-    the k probe positions drop BEFORE the semi-join exchange — at bloom
-    false-positive rate p, the shuffle carries |matching| + p·|rest|
-    rows instead of |fact|. The exact semi join then removes false
-    positives, so the result is IDENTICAL to a plain semi join by
-    construction (the read_bloom_pruned contract at row grain).
+    Shape: ONE aggregate folds the dim keys into bit-packed 64-bit
+    words (explode positions → bit_or per word, map-side combined; the
+    sparse words collect driver-side BOUNDED at m/64 rows — the
+    decontaminate_bloom precedent) and the dense ``array<long>`` rides
+    a one-row broadcast onto the fact. The probe is a JVM ``forall``
+    bit test — O(k) element_at lookups per row. (The first form of
+    this operator kept the bloom as a sorted set-bit-position ARRAY
+    and probed with array_except, which rebuilds the set's hash table
+    PER FACT ROW — O(|set bits|) per row; at sf0.1 that was 2,440 s
+    where the bit-test form is sub-second. Caught by the r8 full
+    bench; the plan pin in tests/test_maintenance.py now asserts the
+    bit-test form and the absence of array_except.)
 
-    The probe hashes CAST(fact_key AS STRING) with the same expression
-    the build side hashes — the maintenance-module bloom convention, and
-    the ADVICE-r6 lesson: both sides hash raw column bytes, never an
-    interpolated SQL literal.
+    Rows failing any of the k probe positions drop BEFORE the
+    semi-join exchange — at bloom false-positive rate p, the shuffle
+    carries |matching| + p·|rest| rows instead of |fact|. The exact
+    semi join then removes false positives, so the result is IDENTICAL
+    to a plain semi join by construction (the read_bloom_pruned
+    contract at row grain).
+
+    Probe and build hash the same RAW column expression with the same
+    per-probe-seeded xxhash64 (``_bloom_positions_fast`` — this bloom
+    lives and dies inside one plan, so the md5 portability convention
+    would only buy 5 md5 computations per fact row; the ADVICE-r6
+    lesson still applies: both sides hash column bytes, never an
+    interpolated SQL literal).
     """
     from pyspark.sql import functions as F
 
     dim_key = dim_key or fact_key
-    build = (
+    n_words = m // 64
+    sparse = (
         dim_keys.select(
             F.explode(
-                F.expr(_bloom_positions(f"CAST({dim_key} AS STRING)", k, m))
+                F.expr(_bloom_positions_fast(dim_key, k, m))
             ).alias("pos")
         )
-        .groupBy()
-        .agg(F.sort_array(F.collect_set("pos")).alias("_bloom_bits"))
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()  # bounded: at most m/64 = 16384 rows
     )
-    probe = F.expr(_bloom_positions(f"CAST({fact_key} AS STRING)", k, m))
+    words = [0] * n_words
+    for r in sparse:
+        words[int(r["w"])] = int(r["bits"])
+    bits_df = fact.sparkSession.createDataFrame(
+        [(words,)], "_bloom_words array<long>"
+    )
+    probe_sql = _bloom_positions_fast(fact_key, k, m)
+    bit_test = (
+        f"forall({probe_sql}, p -> "
+        "(element_at(_bloom_words, cast(p div 64 as int) + 1)"
+        " & shiftleft(1L, cast(p % 64 as int))) != 0)"
+    )
     pre = (
-        fact.crossJoin(F.broadcast(build))
-        .withColumn("_probe", probe)
-        .filter(F.size(F.array_except(F.col("_probe"), F.col("_bloom_bits"))) == 0)
-        .drop("_probe", "_bloom_bits")
+        fact.crossJoin(F.broadcast(bits_df))
+        .filter(F.expr(bit_test))
+        .drop("_bloom_words")
     )
     return pre.join(
         dim_keys.select(F.col(dim_key).alias(fact_key)).distinct(),

@@ -1390,8 +1390,8 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-order rollup. The fact side is filtered through a bit-packed
     SQL bloom built from the key side BEFORE the semi-join exchange —
     at 100 TB the shuffle carries ~1/4 of lineitem instead of all of it
-    (the whole point of the operator; plan-pinned: the array_except
-    bloom probe sits under the LeftSemi join). The bloom is a superset
+    (the whole point of the operator; plan-pinned: the O(k) packed-word
+    bit-test probe sits under the LeftSemi join). The bloom is a superset
     filter + exact semi pass, so results are identical to the plain
     semi join by construction — which is exactly what the oracle runs.
     Money sum is exact DECIMAL cast to DOUBLE at the end."""
