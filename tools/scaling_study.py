@@ -83,6 +83,13 @@ QUERIES = [
     "bloom_semi_join",          # lineitem-grain: bloom prefilter + semi
     "curate_web_corpus",        # documents-grain: composed funnel
     "normalize_text",           # documents-grain: Arrow NFKC pass
+    # r8 session builds
+    "association_rules",        # events-grain: distinct-basket self-join
+    "kwic_snippets",            # documents-grain: one regex pass
+    "readability_scores",       # documents-grain: zero-shuffle formulas
+    "token_entropy",            # documents-grain: (doc, token) combine
+    "word_triangles",           # vocab-grain: oriented wedge join
+    "purchase_attribution",     # events-grain: one user window pass
 ]
 
 
@@ -228,6 +235,10 @@ def _extra_queries():
         "normalize_text": lambda s, sf: _ntx(
             _noisy(load_table(s, sf, "documents"))
         ),
+        "purchase_attribution": lambda s, sf: __import__(
+            "logstream_processing_service_spark.operators.mining",
+            fromlist=["purchase_attribution"],
+        ).purchase_attribution(load_table(s, sf, "events")),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
@@ -327,6 +338,9 @@ HEAPS_QUERIES = (
     "wordpiece_token_counts",
     "unigram_token_counts",
     "dedup_containment",
+    # r8 builds at vocab grain
+    "word_triangles",
+    "token_entropy",
 )
 
 
