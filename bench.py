@@ -229,6 +229,7 @@ HEADLINE = [
     "bucketed_join_twin",
     "word_triangles",
     "mmr_rerank",
+    "salted_join_twin",
 ]
 
 

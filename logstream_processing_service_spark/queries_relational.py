@@ -1453,3 +1453,49 @@ def q_bucketed_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li_t, od_t = stage_bucketed_join_tables(spark, li, od, tag=tag)
     return bucketed_join_priority_revenue(spark, li_t, od_t)
+
+
+@spec(
+    "salted_join_twin",
+    """
+    WITH dim AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS user_n
+        FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(user_n) AS BIGINT) AS sum_user_n
+    FROM events JOIN dim USING (user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    "J-ext", "skew", "salting", "engine-ext",
+)
+def q_salted_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-salting join under the driver hash: the fact
+    side salts on pmod(xxhash64(event_id), 8) and the dim side
+    replicates ×8, so a hot join key's rows spread over 8 tasks instead
+    of one straggler — the known-skew form of what AQE's skew split
+    does adaptively (relational.salted_join; deterministic salt, never
+    rand(), so retries are stable). Salting is pure partitioning: the
+    (key, salt) inner join equals the plain key join row-for-row, which
+    is exactly what the oracle runs. Exact BIGINT aggregates."""
+    from pyspark.sql import functions as F
+
+    from .operators.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("user_n")
+    )
+    joined = salted_join(ev, dim, "user_id", salt_col_source="event_id",
+                         n_salt=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("user_n").cast("bigint").alias("sum_user_n"),
+        )
+        .orderBy("event_type")
+    )
