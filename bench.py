@@ -230,6 +230,7 @@ HEADLINE = [
     "word_triangles",
     "mmr_rerank",
     "salted_join_twin",
+    "holt_winters_anomaly",
 ]
 
 

@@ -908,3 +908,77 @@ def holt_winters_oracle_sql(
     SELECT * FROM fc
     ORDER BY event_type, day
     """
+
+
+def holt_winters_anomaly(
+    events: DataFrame,
+    m: int = 7,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Forecast-residual anomaly flags: the Holt–Winters one-step fits
+    become an expectation, and days whose residual (y − ŷ) z-scores
+    beyond ``z_thresh`` against the per-type residual distribution are
+    flagged — the forecasting upgrade of the static z-score
+    (anomaly_flags) and the robust census (mad_anomaly): a traffic
+    level that is normal on Monday can be anomalous on Sunday, and only
+    a seasonal expectation sees that.
+
+    Output: (event_type, day, y, yhat, residual, z, is_anomaly) over
+    the in-sample fit rows. Residuals derive from the 6-dp-rounded
+    fits (bit-equal on both engines); z rounds at 4 dp BEFORE the
+    threshold so the flag itself is engine-deterministic (the
+    volume_zscore convention for double aggregates).
+
+    Scale: holt_winters_daily's one daily-grain shuffle + per-type
+    pandas recurrence, then one type-keyed window for the residual
+    moments — day-grain data throughout.
+    """
+    hw = holt_winters_daily(events, m=m).filter(F.col("kind") == "fit")
+    resid = F.col("y") - F.col("yhat")
+    w = Window.partitionBy("event_type")
+    scored = hw.select(
+        "event_type",
+        "day",
+        "y",
+        "yhat",
+        F.round(resid, 6).alias("residual"),
+        F.round(
+            (resid - F.avg(resid).over(w))
+            / (F.stddev_pop(resid).over(w) + F.lit(1e-9)),
+            4,
+        ).alias("z"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "y",
+        "yhat",
+        "residual",
+        "z",
+        (F.abs(F.col("z")) > F.lit(float(z_thresh))).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+def holt_winters_anomaly_oracle_sql(
+    m: int = 7, z_thresh: float = 3.0
+) -> str:
+    """DuckDB twin: the full HW recursive-CTE oracle wrapped as a CTE,
+    then the same residual moments per type (window aggregates over
+    doubles; z rounded 4 dp before the threshold on both engines)."""
+    inner = holt_winters_oracle_sql(m=m)
+    return f"""
+    WITH hw AS ({inner})
+    SELECT event_type, day, y, yhat,
+           round(y - yhat, 6) AS residual,
+           round((y - yhat - avg(y - yhat) OVER w)
+                 / (stddev_pop(y - yhat) OVER w
+                    + CAST('1e-9' AS DOUBLE)), 4) AS z,
+           abs(round((y - yhat - avg(y - yhat) OVER w)
+                 / (stddev_pop(y - yhat) OVER w
+                    + CAST('1e-9' AS DOUBLE)), 4))
+               > CAST({z_thresh!r} AS DOUBLE) AS is_anomaly
+    FROM hw
+    WHERE kind = 'fit'
+    WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_type, day
+    """

@@ -322,3 +322,17 @@ def q_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficients so both engines execute the identical IEEE sequence.
     alpha_10x 0.05 (ROADMAP r7 ledger)."""
     return TR.holt_winters_daily(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "holt_winters_anomaly",
+    TR.holt_winters_anomaly_oracle_sql(),
+    "trends", "anomaly", "M10-ext",
+)
+def q_holt_winters_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-residual anomaly flags: days whose volume z-scores
+    beyond 3σ against the Holt-Winters one-step expectation — the
+    seasonal-aware upgrade of the static z-score (a normal Monday level
+    is an anomaly on Sunday). Residuals from the 6-dp fits; z rounded
+    4 dp before the threshold on both engines."""
+    return TR.holt_winters_anomaly(_t(spark, sf_dir, "events"))
