@@ -231,6 +231,7 @@ HEADLINE = [
     "mmr_rerank",
     "salted_join_twin",
     "holt_winters_anomaly",
+    "embedding_drift_report",
 ]
 
 

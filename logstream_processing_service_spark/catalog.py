@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "association_rules", "kwic_snippets", "readability_scores",
     "token_entropy", "bucketed_join_twin", "word_triangles",
     "mmr_rerank", "salted_join_twin", "holt_winters_anomaly",
+    "embedding_drift_report",
     # (b) ALL 17 queries whose latest driver row is r3 (the remainder
     # the r7 window could not fit - closes the r3 debt completely):
     "merge_events_upsert", "multimodal_features", "nation_trade_volume",
@@ -120,12 +121,13 @@ _PRIORITY: tuple[str, ...] = (
     # user_sessions; events_in_windows_bucketed yields to the
     # session-new holt_winters_anomaly: its bucketized interval-join
     # machinery is the r5-green events_in_windows family and the plan
-    # pin re-checks it locally every session. Both resume r9.)
+    # pin re-checks it locally every session; embedding_pca yields to
+    # the session-new embedding_drift_report, which exercises the SAME
+    # posexplode per-dim aggregate grain oracle-paired. All resume r9.)
     "activity_islands", "actor_setops", "asof_signup_before_error",
     "audio_pcm_stats", "bm25_search", "bpe_token_counts",
     "brand_priciest_part", "chunk_documents", "curate_corpus",
     "dedup_keep_table", "dedup_substrings", "dsir_weights",
-    "embedding_pca",
     # r9 map (pre-computed per the standing policy): r9's new
     # registrations first, then the 5 displaced r4 queries
     # (hourly_resample_ffill, hybrid_search_rrf, image_dhash,

@@ -1201,3 +1201,58 @@ def mmr_rerank(
         .applyInPandas(greedy, out_schema)
         .orderBy("q_id", "mmr_rank")
     )
+
+
+def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space drift diagnostic: per-label centroid shift from
+    the GLOBAL corpus centroid plus norm statistics — the fleet-health
+    report an embedding pipeline watches across model or corpus
+    versions (a label whose centroid walks away from the corpus mean,
+    or whose norms inflate, signals upstream distribution change before
+    any downstream metric moves).
+
+    Output: (label, n, centroid_shift, avg_norm, norm_ratio) —
+    centroid_shift = ‖c_label − c_global‖₂ over per-dimension means,
+    norm_ratio = label mean norm / corpus mean norm; 6-dp rounds AFTER
+    all aggregation (per-dim double means carry summation-order ulps;
+    the nearest_centroid oracle proved this grain hash-stable at 9 dp).
+
+    Scale: two posexplode aggregates keyed by (label, dim) and (dim) —
+    shuffle volume is labels×dim + dim rows, never corpus-sized; the
+    dim-grain join is a broadcast.
+    """
+    exploded = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "x")
+    ).select("label", "i", F.col("x").cast("double").alias("x"))
+    per_label = exploded.groupBy("label", "i").agg(
+        F.avg("x").alias("c")
+    )
+    global_ = exploded.groupBy("i").agg(F.avg("x").alias("g"))
+    shift = (
+        per_label.join(F.broadcast(global_), "i")
+        .groupBy("label")
+        .agg(
+            F.sqrt(F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g"))))
+            .alias("_shift")
+        )
+    )
+    nrm = V.norm(F.col("embedding"))
+    stats = embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg(nrm).alias("_avg_norm"),
+    )
+    gnorm = embeddings.agg(F.avg(nrm).alias("_g_norm"))
+    return (
+        stats.join(shift, "label")
+        .crossJoin(F.broadcast(gnorm))
+        .select(
+            "label",
+            "n",
+            F.round("_shift", 6).alias("centroid_shift"),
+            F.round("_avg_norm", 6).alias("avg_norm"),
+            F.round(F.col("_avg_norm") / F.col("_g_norm"), 6).alias(
+                "norm_ratio"
+            ),
+        )
+        .orderBy("label")
+    )

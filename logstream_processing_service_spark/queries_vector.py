@@ -499,3 +499,45 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     return S.mmr_rerank(emb, q, k=10, pool=50, lam=0.7)
+
+
+@spec(
+    "embedding_drift_report",
+    f"""
+    WITH ex AS (
+        SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, range(1, {DIM + 1}) t(i)
+    ),
+    per_label AS (
+        SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2
+    ),
+    gmean AS (SELECT i, avg(x) AS g FROM ex GROUP BY 1),
+    shift AS (
+        SELECT label, sqrt(sum((c - g) * (c - g))) AS _shift
+        FROM per_label JOIN gmean USING (i) GROUP BY label
+    ),
+    stats AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               avg({V.norm_sql_duckdb("embedding", DIM)}) AS _avg_norm
+        FROM embeddings GROUP BY label
+    ),
+    gnorm AS (
+        SELECT avg({V.norm_sql_duckdb("embedding", DIM)}) AS _g_norm
+        FROM embeddings
+    )
+    SELECT label, n,
+           round(_shift, 6) AS centroid_shift,
+           round(_avg_norm, 6) AS avg_norm,
+           round(_avg_norm / _g_norm, 6) AS norm_ratio
+    FROM stats JOIN shift USING (label) CROSS JOIN gnorm
+    ORDER BY label
+    """,
+    "vector", "drift", "M5-ext",
+)
+def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift from the corpus centroid + norm
+    statistics — the embedding-pipeline drift dashboard (a label whose
+    centroid walks or whose norms inflate signals upstream change
+    before downstream metrics move). Two (label, dim)-grain aggregates;
+    shuffle volume is labels×dim, never corpus-sized."""
+    return S.embedding_drift_report(_t(spark, sf_dir, "embeddings"))
