@@ -1455,3 +1455,80 @@ def shingle_containment_oracle_sql(
        OR inter * 1.0 / s2.n_sh >= {threshold}
     ORDER BY d1, d2
     """
+
+
+def novelty_scores(
+    documents: DataFrame, n: int = 5, max_doc_freq: int = 500
+) -> DataFrame:
+    """Per-document shingle NOVELTY under ingestion order: the fraction
+    of a doc's distinct n-gram shingles whose FIRST occurrence (minimum
+    doc_id) is this document — the contribution score a dedup-aware
+    sampler ranks by (a page that only repeats earlier shingles adds
+    nothing to a training mix; the complement of dup_shingle_profile's
+    "how duplicated am I" is "what do I add"). First-arrival semantics
+    match the dedup keep rule (min doc_id wins), so novelty ≈ the mass
+    an exact shingle-grain dedup would retain from each doc.
+
+    Output: (doc_id, n_shingles, n_novel, novelty) over distinct
+    shingles; exact BIGINT counts, fraction rounded 6 dp.
+
+    Scale: the shared ``shingle_table`` scan + ONE min-aggregate keyed
+    by shingle + one doc-keyed count — the dup_shingle_profile shape
+    with min(doc_id) instead of df; shuffles carry (shingle, doc)
+    longs only.
+    """
+    sh = shingle_table(documents, n, max_doc_freq)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def novelty_scores_oracle_sql(n: int = 5, max_doc_freq: int = 500) -> str:
+    """DuckDB twin over the same portable shingle hashes + df-cap;
+    exact BIGINT counts divide in double, 6-dp round."""
+    wh = T.word_hash_array_sql(T.words_sql("text", "duckdb"), "duckdb")
+    sh = T.shingle_hash_array_sql("wh", n, "duckdb")
+    return f"""
+    WITH wh AS (SELECT doc_id, {wh} AS wh FROM documents),
+    sh_all AS (
+        SELECT DISTINCT doc_id, unnest({sh}) AS s FROM wh
+    ),
+    sh AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS _df
+            FROM sh_all
+        ) WHERE _df <= {max_doc_freq}
+    ),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0
+                          END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN first ON sh.s = first.s
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """
