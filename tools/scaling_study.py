@@ -90,6 +90,7 @@ QUERIES = [
     "token_entropy",            # documents-grain: (doc, token) combine
     "word_triangles",           # vocab-grain: oriented wedge join
     "purchase_attribution",     # events-grain: one user window pass
+    "novelty_scores",           # documents-grain: shingle min-aggregate
 ]
 
 
@@ -239,6 +240,10 @@ def _extra_queries():
             "logstream_processing_service_spark.operators.mining",
             fromlist=["purchase_attribution"],
         ).purchase_attribution(load_table(s, sf, "events")),
+        "novelty_scores": lambda s, sf: __import__(
+            "logstream_processing_service_spark.operators.dedup",
+            fromlist=["novelty_scores"],
+        ).novelty_scores(load_table(s, sf, "documents")),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
