@@ -1406,3 +1406,90 @@ def mad_anomaly_oracle_sql(k: float = 3.0) -> str:
     GROUP BY dev.event_type, dev.med, mad.mad
     ORDER BY dev.event_type
     """
+
+
+def equidepth_bins(events: DataFrame, n_bins: int = 4) -> DataFrame:
+    """Exact equi-depth (quantile) binning of ``value`` per event type —
+    the ML feature-binning primitive (equal-population bins for WOE /
+    calibration / histogram features). The naive form is a GLOBAL
+    ``ntile`` window — one partition, one task, the canonical
+    scale-killer; this computes the n_bins−1 cut points as exact
+    rank-selected order statistics (the mad_anomaly machinery: the
+    value at integer rank ⌈i·n/n_bins⌉ is well-defined under ties
+    regardless of row_number permutation) and assigns bins by comparing
+    against the broadcast-sized cut list — every stage stays keyed by
+    event_type.
+
+    Output: (event_type, bin, n, lo, hi, mean_v) — bin b holds values
+    strictly above cut_b (ties at a cut land in the lower bin,
+    identically on both engines).
+    """
+    base = events.select("event_type", F.round("value", 2).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    cut_rank = None
+    cuts = None
+    for i in range(1, n_bins):
+        c = ranked.filter(
+            F.col("rn")
+            == F.expr(f"(({i} * n) + {n_bins} - 1) div {n_bins}")
+        ).select("event_type", F.col("v").alias("cut"))
+        cuts = c if cuts is None else cuts.unionByName(c)
+    cut_list = cuts.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("cut")).alias("cuts")
+    )
+    binned = base.join(F.broadcast(cut_list), "event_type").select(
+        "event_type",
+        "v",
+        F.size(
+            F.filter(F.col("cuts"), lambda c: F.col("v") > c)
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+def equidepth_bins_oracle_sql(n_bins: int = 4) -> str:
+    """DuckDB twin: identical integer-rank cut selection and
+    strictly-greater bin assignment over the same rounded values."""
+    cut_ranks = " UNION ALL ".join(
+        f"SELECT event_type, v AS cut FROM rv "
+        f"WHERE rn = (({i} * n) + {n_bins} - 1) // {n_bins}"
+        for i in range(1, n_bins)
+    )
+    return f"""
+    WITH base AS (
+        SELECT event_type, round(value, 2) AS v FROM events
+    ),
+    rv AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    cuts AS ({cut_ranks}),
+    binned AS (
+        SELECT b.event_type, b.v,
+               CAST((SELECT count(*) FROM cuts c
+                     WHERE c.event_type = b.event_type AND b.v > c.cut)
+                    AS INT) AS bin
+        FROM base b
+    )
+    SELECT event_type, bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(v) AS lo, max(v) AS hi,
+           round(avg(v), 6) AS mean_v
+    FROM binned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """

@@ -91,6 +91,7 @@ QUERIES = [
     "word_triangles",           # vocab-grain: oriented wedge join
     "purchase_attribution",     # events-grain: one user window pass
     "novelty_scores",           # documents-grain: shingle min-aggregate
+    "equidepth_bins",           # events-grain: type-keyed rank windows
 ]
 
 
@@ -244,6 +245,10 @@ def _extra_queries():
             "logstream_processing_service_spark.operators.dedup",
             fromlist=["novelty_scores"],
         ).novelty_scores(load_table(s, sf, "documents")),
+        "equidepth_bins": lambda s, sf: __import__(
+            "logstream_processing_service_spark.operators.analytics",
+            fromlist=["equidepth_bins"],
+        ).equidepth_bins(load_table(s, sf, "events")),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
