@@ -57,10 +57,45 @@ def spec(name: str, oracle: str | None, *tags: str):
 # machinery. The full local parity suite independently re-verifies
 # every oracle-paired query each session regardless of window age.
 #
-# Freshness ledger after r7 (latest driver row per query, union of
-# CORRECTNESS_r01-r07): 17 at r3, 50 each at r4/r5/r6/r7 - zero
+# Freshness ledger after r8 (latest driver row per query, union of
+# CORRECTNESS_r01-r08): 38 at r4, 50 each at r5/r6/r7/r8 - zero
 # never-checked.
 _PRIORITY: tuple[str, ...] = (
+    # ------------------------------------------------------------------
+    # ROUND-9 WINDOW (r8 VERDICT "Next round" #1+#2) — exactly the
+    # pre-computed r9 map: (a) the 3 rehearsed r9-queue registrations
+    # (first driver rows; all three rehearsed green at both SFs in r8
+    # through the compare harness — tests/test_attribution.py,
+    # tests/test_novelty.py, tests/test_equidepth.py):
+    "purchase_attribution", "novelty_scores", "equidepth_bins",
+    # (b) ALL 38 queries whose latest driver row is r4 (computed from
+    # the union of CORRECTNESS_r01-r08; includes the 5+5 r8-displaced
+    # queries resuming per their named rationales) — closes the r4 debt
+    # completely; after this round nothing is older than r5:
+    "embedding_pca", "events_in_windows_bucketed", "funnel_stages",
+    "fuzzy_customer_pairs", "heavy_hitter_words",
+    "hourly_resample_ffill", "hybrid_search_rrf", "image_dhash",
+    "image_pixel_stats", "incident_upsert_split", "join_overlap_theta",
+    "jpeg_pixel_stats", "json_key_volume", "kn_trigram_logprob",
+    "leakage_safe_split", "mean_shift_scores", "mp4_frame_index",
+    "part_pagerank", "pattern_mining", "perplexity_buckets",
+    "profile_events", "quality_classifier_report",
+    "quality_feature_matrix", "rag_chunk_search", "rolling_median_value",
+    "rollup_volume", "sample_k_per_source", "scd2_user_state",
+    "snapshot_diff", "snapshot_timetravel_twin", "streaming_bm25_twin",
+    "streaming_dedup_registry_twin", "temperature_mix_plan",
+    "user_retention_theta", "value_quantiles_kll_registry",
+    "vocab_growth_report", "weighted_sample_docs", "zorder_bucket_stats",
+    # (c) 9 backfills from the 50 r5-latest queries, alphabetical:
+    "ann_bruteforce", "ann_hnsw", "ann_ivf_hnsw", "anomaly_flags",
+    "audio_dominant_tone", "batch_volume", "constraint_report",
+    "count_window_stream_twin", "crosstab_counts",
+)
+
+
+# Retired r8 window, kept for the displacement-rationale record the
+# VERDICT audits:
+_PRIORITY_R8: tuple[str, ...] = (
     # ------------------------------------------------------------------
     # ROUND-8 WINDOW (r7 VERDICT "Next round" #1+#2).
     # (a) the 11 r7-rehearsed queue entries registered this round

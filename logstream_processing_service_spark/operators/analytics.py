@@ -1425,28 +1425,43 @@ def equidepth_bins(events: DataFrame, n_bins: int = 4) -> DataFrame:
     identically on both engines).
     """
     base = events.select("event_type", F.round("value", 2).alias("v"))
-    w = Window.partitionBy("event_type").orderBy("v")
-    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
-    )
-    cut_rank = None
-    cuts = None
-    for i in range(1, n_bins):
-        c = ranked.filter(
-            F.col("rn")
-            == F.expr(f"(({i} * n) + {n_bins} - 1) div {n_bins}")
-        ).select("event_type", F.col("v").alias("cut"))
-        cuts = c if cuts is None else cuts.unionByName(c)
-    cut_list = cuts.groupBy("event_type").agg(
-        F.array_sort(F.collect_list("cut")).alias("cuts")
-    )
-    binned = base.join(F.broadcast(cut_list), "event_type").select(
-        "event_type",
-        "v",
-        F.size(
-            F.filter(F.col("cuts"), lambda c: F.col("v") > c)
-        ).alias("bin"),
-    )
+    if n_bins <= 1:
+        # single bin: no cuts to compute, every value lands in bin 0
+        binned = base.select("event_type", "v", F.lit(0).alias("bin"))
+    else:
+        w = Window.partitionBy("event_type").orderBy("v")
+        ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        # ONE pass over the ranked table selects ALL n_bins−1 cut ranks:
+        # explode the subset of cut ranks equal to this row's rn (the
+        # explode keeps MULTIPLICITY — when n < n_bins several cut ranks
+        # coincide on one row, and the duplicate cuts must each count in
+        # the strictly-greater bin assignment, identically to the
+        # oracle's UNION ALL). The previous form filtered `ranked` once
+        # per cut rank, re-running the scan + per-type sort n_bins−1
+        # times (ADVICE-r8).
+        rank_arr = F.expr(
+            f"transform(sequence(1, {n_bins - 1}),"
+            f" i -> ((i * n) + {n_bins} - 1) div {n_bins})"
+        )
+        cuts = ranked.select(
+            "event_type",
+            F.col("v").alias("cut"),
+            F.explode(
+                F.filter(rank_arr, lambda r: r == F.col("rn"))
+            ).alias("_r"),
+        ).select("event_type", "cut")
+        cut_list = cuts.groupBy("event_type").agg(
+            F.array_sort(F.collect_list("cut")).alias("cuts")
+        )
+        binned = base.join(F.broadcast(cut_list), "event_type").select(
+            "event_type",
+            "v",
+            F.size(
+                F.filter(F.col("cuts"), lambda c: F.col("v") > c)
+            ).alias("bin"),
+        )
     return (
         binned.groupBy("event_type", "bin")
         .agg(
@@ -1461,7 +1476,18 @@ def equidepth_bins(events: DataFrame, n_bins: int = 4) -> DataFrame:
 
 def equidepth_bins_oracle_sql(n_bins: int = 4) -> str:
     """DuckDB twin: identical integer-rank cut selection and
-    strictly-greater bin assignment over the same rounded values."""
+    strictly-greater bin assignment over the same rounded values.
+    ``n_bins<=1`` mirrors the Spark fast path (no cuts, bin 0)."""
+    if n_bins <= 1:
+        return """
+        SELECT event_type, CAST(0 AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               min(round(value, 2)) AS lo, max(round(value, 2)) AS hi,
+               round(avg(round(value, 2)), 6) AS mean_v
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+        """
     cut_ranks = " UNION ALL ".join(
         f"SELECT event_type, v AS cut FROM rv "
         f"WHERE rn = (({i} * n) + {n_bins} - 1) // {n_bins}"

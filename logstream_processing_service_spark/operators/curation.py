@@ -713,6 +713,7 @@ def perplexity_buckets_exact(
     # persist: BOTH the threshold sample and the final assignment consume
     # this frame — without the cache the whole bigram-surprisal DAG
     # executes twice (measured ~2.6s -> ~2.0s warm at sf0.1)
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     labeled = documents.select("doc_id", "lang").join(lp, "doc_id").persist()
     samp = sample_k_per_group(labeled, "lang", "doc_id", sample_n, salt=salt)
     th = (
@@ -805,6 +806,7 @@ def curate_corpus(
             & ~(stop_ratio < min_stop_ratio)
         )
         .select("doc_id", "text", quality_col)
+        # cache: caller-owned (repo contract — bench/driver clear per query)
         .persist()
     )
     pairs = minhash_lsh_pairs(surv, n=n, threshold=threshold)
@@ -934,6 +936,7 @@ def dsir_weights(
     feat = wh.select(
         "doc_id", "lang",
         F.explode(F.expr(_dsir_bucket_sql("spark", n_buckets))).alias("b"),
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     ).persist()  # four consumers (per-doc, target, source, totals)
     per_doc = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
     target = feat.filter(F.col("lang") == target_lang).groupBy("b").agg(

@@ -118,6 +118,7 @@ def ngram_jaccard_pairs(
     exchange reuse does not apply: the consumers sit under differently-
     keyed exchanges). At 100 TB stage it to parquet instead.
     """
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     sh = shingle_table(documents, n, max_doc_freq).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
@@ -221,6 +222,7 @@ def minhash_lsh_pairs(
         shingle_table(documents, n, max_doc_freq=0)
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("ss"))
+        # cache: caller-owned (repo contract — bench/driver clear per query)
         .persist()  # 4 consumers (hot, signatures, both verify sides):
         # AQE ReuseExchange recovers only some branches (measured 2 of 4
         # at sf0.1); the pinned doc-set frame guarantees ONE md5 pass
@@ -422,6 +424,7 @@ def duplicate_spans(
     """
     sh = shingle_table(documents, n, max_doc_freq=0)
     if min_docs == 2:
+        # cache: caller-owned (repo contract — bench/driver clear per query)
         sh = sh.persist()
         totals = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_spans")
@@ -589,6 +592,7 @@ def decontaminate_report(
         F.explode(
             F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
         ).alias("s"),
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     ).persist()  # two consumers (eval set + train semi-join): one md5 scan
     eval_sh = sh.filter(F.col("split") == "test").select("s").distinct()
     contaminated = (
@@ -644,6 +648,7 @@ def contamination_overlap(
                 split_bucket("doc_id", salt) < test_threshold_hex, "test"
             ).otherwise("train"),
         )
+        # cache: caller-owned (repo contract — bench/driver clear per query)
         .persist()
     )
     eval_sh = (
@@ -1003,6 +1008,7 @@ def decontaminate_report_bloom(
                 split_bucket("doc_id", salt) < test_threshold_hex, "test"
             ).otherwise("train"),
         )
+        # cache: caller-owned (repo contract — bench/driver clear per query)
         .persist()
     )
     h1 = F.col("s") % m_bits
@@ -1131,6 +1137,7 @@ def substring_containment_pairs(
     # sf0.1 (same measured rationale as ngram_jaccard_pairs; at 100 TB
     # stage it to parquet). Persisting `norm` as well measured neutral
     # (±5%) while pinning corpus-sized text — deliberately not cached.
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     sh = shingle_table(documents, n, max_doc_freq=0).persist()
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rarest = (
@@ -1475,9 +1482,13 @@ def novelty_scores(
     Scale: the shared ``shingle_table`` scan + ONE min-aggregate keyed
     by shingle + one doc-keyed count — the dup_shingle_profile shape
     with min(doc_id) instead of df; shuffles carry (shingle, doc)
-    longs only.
+    longs only. The shingle stream is ``persist()``-ed — two consumers
+    (the first-arrival aggregate and the join probe side) would each
+    re-run the md5 shingle scan otherwise. Cache lifecycle is
+    caller-owned (the dedup-module convention): unpersist/clearCache
+    when done; at 100 TB stage the shingle table to parquet instead.
     """
-    sh = shingle_table(documents, n, max_doc_freq)
+    sh = shingle_table(documents, n, max_doc_freq).persist()
     first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first, "s")

@@ -57,8 +57,10 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
     Every node must have out-degree >= 1 (true for any symmetrized edge
     list); dangling-node redistribution is intentionally out of scope and
     guarded by construction here."""
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     nodes = deg.select(F.col("src").alias("node"), "outdeg").persist()
     n = nodes.count()  # scalar: |V| (bounded — node-list cardinality)
     if n == 0:
@@ -166,8 +168,10 @@ def weighted_pagerank(
     (BIGINT — callers pass integer co-occurrence counts), rank_scaled =
     rank × |V| at 6 dp. Every node must have out-strength ≥ 1 (true for
     any symmetrized edge list)."""
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     edges = edges.persist()
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     nodes = outw.select(F.col("src").alias("node"), "outw").persist()
     n = nodes.count()  # scalar: |V| (node-list cardinality, bounded)
     if n == 0:
@@ -333,6 +337,7 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("node")).distinct()

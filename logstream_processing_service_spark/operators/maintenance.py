@@ -351,15 +351,33 @@ def bloom_semi_join(
     would only buy 5 md5 computations per fact row; the ADVICE-r6
     lesson still applies: both sides hash column bytes, never an
     interpolated SQL literal).
+
+    Type canonicalization (ADVICE-r8): Spark's xxhash64 hashes INT and
+    BIGINT (and STRING) through different code paths, so hashing a raw
+    INT fact key against a BIGINT dim key would set/probe DIFFERENT
+    positions — false negatives the exact semi join can never recover.
+    When the two key dtypes differ, BOTH sides are cast to STRING (the
+    universal canonical) before hashing; same-typed keys hash raw (the
+    fast path). The bloom stays a superset filter either way.
     """
     from pyspark.sql import functions as F
 
     dim_key = dim_key or fact_key
-    n_words = m // 64
+    fact_type = dict(fact.dtypes).get(fact_key)
+    dim_type = dict(dim_keys.dtypes).get(dim_key)
+    if fact_type != dim_type:
+        fact_expr = f"CAST({fact_key} AS STRING)"
+        dim_expr = f"CAST({dim_key} AS STRING)"
+    else:
+        fact_expr, dim_expr = fact_key, dim_key
+    # ceil, not floor: a partial last word must still exist or probes
+    # landing in it element_at out of range → NULL forall → silently
+    # dropped matches (ADVICE-r8).
+    n_words = (m + 63) // 64
     sparse = (
         dim_keys.select(
             F.explode(
-                F.expr(_bloom_positions_fast(dim_key, k, m))
+                F.expr(_bloom_positions_fast(dim_expr, k, m))
             ).alias("pos")
         )
         .select(
@@ -376,7 +394,7 @@ def bloom_semi_join(
     bits_df = fact.sparkSession.createDataFrame(
         [(words,)], "_bloom_words array<long>"
     )
-    probe_sql = _bloom_positions_fast(fact_key, k, m)
+    probe_sql = _bloom_positions_fast(fact_expr, k, m)
     bit_test = (
         f"forall({probe_sql}, p -> "
         "(element_at(_bloom_words, cast(p div 64 as int) + 1)"

@@ -108,19 +108,27 @@ def association_rules_oracle_sql(
     min_pair_users: int = 2, basket_cap: int = 1000
 ) -> str:
     """DuckDB twin: identical distinct-basket derivation; every ratio
-    divides exact BIGINTs in DOUBLE (same IEEE ops, same 6-dp round)."""
-    return f"""
-    WITH baskets0 AS (
-        SELECT DISTINCT user_id, event_type FROM events
-    ),
-    big AS (
+    divides exact BIGINTs in DOUBLE (same IEEE ops, same 6-dp round).
+    A falsy ``basket_cap`` disables the cap on BOTH engines (the Spark
+    side skips the anti-join entirely — ADVICE-r8: the oracle must
+    mirror that conditional, not emit ``HAVING count(*) > 0``)."""
+    big_cte = (
+        f"""big AS (
         SELECT user_id FROM baskets0
         GROUP BY user_id HAVING count(*) > {basket_cap}
     ),
     baskets AS (
         SELECT * FROM baskets0
         WHERE user_id NOT IN (SELECT user_id FROM big)
+    ),"""
+        if basket_cap
+        else "baskets AS (SELECT * FROM baskets0),"
+    )
+    return f"""
+    WITH baskets0 AS (
+        SELECT DISTINCT user_id, event_type FROM events
     ),
+    {big_cte}
     nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM baskets),
     item AS (
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
@@ -153,8 +161,11 @@ def purchase_attribution(
 ) -> DataFrame:
     """Last-touch / first-touch attribution: for every ``purchase``
     event, the user's latest click BEFORE it within ``lookback_s``
-    seconds, and the user's first click overall — the two classic
-    marketing-attribution models, as one pass.
+    seconds, and the user's first click PRECEDING the purchase (the
+    running window is UNBOUNDED PRECEDING → 1 PRECEDING, so a user
+    whose only clicks come after the purchase gets NULL for both
+    models) — the two classic marketing-attribution models, as one
+    pass.
 
     Output: (event_id, user_id, purchase_ts_us, last_click_id,
     last_click_lag_s, first_click_id) — last_click_* NULL when no click

@@ -381,6 +381,7 @@ def robust_anomaly_stats(events: DataFrame, k: float = 3.0) -> DataFrame:
     med = (
         events.groupBy("event_type")
         .agg(F.percentile("value", F.lit(0.5)).alias("med"))
+        # cache: caller-owned (repo contract — bench/driver clear per query)
         .persist()
     )
     dev = events.join(F.broadcast(med), "event_type").withColumn(
@@ -393,6 +394,7 @@ def robust_anomaly_stats(events: DataFrame, k: float = 3.0) -> DataFrame:
             F.percentile("_ad", F.lit(0.5)).alias("mad"),
             F.count(F.lit(1)).alias("n"),
         )
+        # cache: caller-owned (repo contract — bench/driver clear per query)
         .persist()
     )
     flagged = (

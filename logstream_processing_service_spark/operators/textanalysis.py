@@ -442,6 +442,7 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         "lang",
         F.length("text").alias("n_chars"),
         F.expr(T.hash48_sql("text")).alias("_h"),
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     ).persist()
     per_source = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -442,6 +442,7 @@ def tokenizer_compare(
     wf = word_frequency_table(documents)
     if min_word_count > 1:
         wf = wf.filter(F.col("n") >= min_word_count)
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     wf = wf.persist()
 
     merges = bpe_train(

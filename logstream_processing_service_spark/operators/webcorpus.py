@@ -49,6 +49,7 @@ def curate_web_corpus(
     doms = parse_urls(with_synthetic_url_column(documents)).select(
         "doc_id", "registered_domain"
     )
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     base = pages.join(doms, "doc_id").persist()
 
     s1 = base.filter(F.col("content_ratio") >= min_content_ratio)

@@ -1089,3 +1089,38 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket_cap guards degenerate vocabularies loudly. Exact BIGINT
     counts; ratios divide them in double, rounded 6 dp."""
     return MI.association_rules(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# r9 registrations (rehearsed in r8, registered per ROADMAP's r9 map)
+# ---------------------------------------------------------------------------
+
+
+@spec(
+    "purchase_attribution",
+    MI.purchase_attribution_oracle_sql(),
+    "mining", "W-ext", "attribution",
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch + first-preceding-touch attribution for every
+    purchase event: ONE user-keyed running-window pass (no
+    purchase×click self-join); the "latest preceding click" rides a
+    zero-padded ts:id string MAX (identical total order on both
+    engines); lag divides exact BIGINT micros by CAST(1e6 AS DOUBLE).
+    The reference's watermark-incremental join shape
+    (pattern_ops.py:28-65) applied at user grain."""
+    return MI.purchase_attribution(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "equidepth_bins",
+    A.equidepth_bins_oracle_sql(),
+    "A-ext", "binning",
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (quantile) binning of value per event type —
+    rank-selected cut points from type-keyed windows (NO global ntile
+    single-partition window); duplicate cut multiplicity preserved so
+    n < n_bins degenerates identically on both engines; bins assigned
+    against the broadcast cut list."""
+    return A.equidepth_bins(_t(spark, sf_dir, "events"))

@@ -1814,3 +1814,18 @@ def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub generates zero wedges instead of 10¹²). Exact BIGINT triangle
     counts; the DuckDB twin enumerates a<b<c directly."""
     return TA.word_triangles(_t(spark, sf_dir, "documents"))
+
+
+@spec(
+    "novelty_scores",
+    D.novelty_scores_oracle_sql(),
+    "dedup", "sampling", "curation",
+)
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the fraction of a doc's distinct
+    n-gram shingles whose FIRST occurrence (min doc_id — the dedup keep
+    rule) is this doc, i.e. what the doc ADDS to the corpus. The
+    dedup-aware sampling complement of dup_shingle_profile: same shared
+    shingle_table scan, one shingle-keyed min-aggregate + one doc-keyed
+    count; shuffles carry (shingle, doc) longs only."""
+    return D.novelty_scores(_t(spark, sf_dir, "documents"))

@@ -455,6 +455,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
+    # cache: caller-owned (repo contract — bench/driver clear per query)
     exact = ann_bruteforce(emb, q, k=k).select("q_id", "vec_id").persist()
     n_exact = exact.count()
     n_q = q.count()

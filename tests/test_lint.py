@@ -36,3 +36,24 @@ def test_no_shadowed_toplevel_definitions():
                 else:
                     seen[node.name] = node.lineno
     assert not offenders, "\n".join(offenders)
+
+
+def test_every_persist_states_cache_contract():
+    """VERDICT r8 #9: every ``.persist()`` site must state the
+    caller-owned cache-lifecycle contract — either in the enclosing
+    docstring or as the standard greppable marker line within the 12
+    lines above the call. Without it, a long-lived session calling the
+    operator repeatedly accumulates corpus-sized cached relations."""
+    offenders = []
+    for py in sorted(PKG.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if ".persist()" not in ln:
+                continue
+            ctx = "\n".join(lines[max(0, i - 12):i + 2])
+            if "caller-owned" not in ctx and "caller owned" not in ctx:
+                offenders.append(f"{py.relative_to(PKG.parent)}:{i + 1}")
+    assert not offenders, (
+        "persist() without a caller-owned cache-contract note:\n"
+        + "\n".join(offenders)
+    )

@@ -320,3 +320,61 @@ def test_bloom_semi_join_exact_and_prefilters_before_exchange(spark, sf_dir):
     assert "array_except" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_semi_join_mixed_key_types_no_false_negatives(spark):
+    """ADVICE-r8 (medium): Spark's xxhash64 hashes INT and BIGINT (and
+    STRING) differently, so hashing raw mismatched-typed keys would set
+    and probe DIFFERENT bloom positions — silent false negatives the
+    exact semi join cannot recover. bloom_semi_join canonicalizes both
+    sides to STRING when dtypes differ; the result must equal a plain
+    semi join for int-vs-bigint and string-vs-bigint key pairs."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.maintenance import (
+        bloom_semi_join,
+    )
+
+    fact = spark.range(2000).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dim_long = spark.range(0, 2000, 3).select(F.col("id").alias("dk"))
+    want = sorted(
+        map(
+            tuple,
+            fact.join(
+                dim_long.select(F.col("dk").cast("int").alias("k")),
+                "k",
+                "left_semi",
+            ).collect(),
+        )
+    )
+    # int fact key vs bigint dim key
+    got = bloom_semi_join(fact, dim_long, "k", "dk")
+    assert sorted(map(tuple, got.collect())) == want and want
+    # string fact key vs bigint dim key
+    fact_s = fact.select(F.col("k").cast("string").alias("k"), "v")
+    got_s = bloom_semi_join(fact_s, dim_long, "k", "dk")
+    assert sorted(
+        (int(r["k"]), r["v"]) for r in got_s.collect()
+    ) == want
+
+
+def test_bloom_semi_join_m_not_multiple_of_64(spark):
+    """ADVICE-r8 (low): m//64 truncated the packed-word array, so probes
+    in the partial last word read out of range -> NULL forall -> dropped
+    matches. With ceil words, an odd m keeps the exact-semi contract."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.maintenance import (
+        bloom_semi_join,
+    )
+
+    fact = spark.range(5000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 5000, 2).select(F.col("id").alias("k"))
+    got = bloom_semi_join(fact, dim, "k", "k", k=5, m=1001)
+    want = fact.join(dim.distinct(), "k", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 2500

@@ -81,3 +81,21 @@ def test_rules_plan_no_cartesian_broadcast_scoring(spark):
     # the per-item count table rides as a broadcast, never reshuffling
     # the pair table
     assert "BroadcastHashJoin" in plan
+
+
+def test_rules_basket_cap_disabled_oracle_parity(spark):
+    """ADVICE-r8 (low): basket_cap=0 disables the cap on the Spark side;
+    the oracle must mirror the conditional (its old HAVING count(*) > 0
+    dropped every 2+-type user — an engine divergence)."""
+    con = duckdb_conn(SF_DIR)
+    r = compare_one(
+        spark,
+        con,
+        "association_rules_nocap",
+        lambda s, sf: association_rules(
+            load_table(s, sf, "events"), basket_cap=0
+        ),
+        association_rules_oracle_sql(basket_cap=0),
+        SF_DIR,
+    )
+    assert r["status"] == "OK", r

@@ -986,3 +986,50 @@ def test_normalize_text_zero_exchange_arrow_batched(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_attribution_single_user_exchange_no_self_join(spark):
+    """purchase_attribution's scale claim: ONE user-keyed window pass —
+    never the naive purchase×click self-join (quadratic per user). The
+    plan has exactly one hash-partitioning exchange (user_id) plus the
+    final presentation sort, and no join operator of any kind."""
+    from logstream_processing_service_spark.operators.mining import (
+        purchase_attribution,
+    )
+
+    plan = _plan(purchase_attribution(_events(spark)))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_novelty_shingle_scan_persisted_once(spark):
+    """novelty_scores: the first-arrival aggregate and the join probe
+    both read the PERSISTED shingle table (InMemoryTableScan), so the
+    md5 shingle scan runs once, not twice — the dup_shingle_profile
+    family's shared-scan discipline."""
+    from logstream_processing_service_spark.operators.dedup import (
+        novelty_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(novelty_scores(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
+def test_equidepth_no_global_exchange_single_rank_window(spark):
+    """equidepth_bins: cut selection is ONE per-type rank window (no
+    per-cut re-scan) and nothing in the plan funnels to a single
+    partition (the global-ntile scale-killer)."""
+    from logstream_processing_service_spark.operators.analytics import (
+        equidepth_bins,
+    )
+
+    plan = _plan(equidepth_bins(_events(spark), n_bins=8))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("row_number()") == 1
