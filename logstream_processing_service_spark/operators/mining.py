@@ -281,3 +281,53 @@ def purchase_attribution_oracle_sql(lookback_s: int = 7 * 24 * 3600) -> str:
     WHERE event_type = 'purchase'
     ORDER BY event_id
     """
+
+
+def event_path_trigrams(
+    events: DataFrame, min_count: int = 5
+) -> DataFrame:
+    """Frequent 3-step user paths (sequential pattern mining, the
+    PrefixSpan k=3 slice): consecutive event-type trigrams per user
+    under the (ts, event_id) total order, counted corpus-wide — the
+    "what do users do next" flow report the reference's pattern mining
+    (pattern_ops.py:28-65) begs for at path grain.
+
+    Output: (step1, step2, step3, n_paths) for trigrams with
+    ≥ ``min_count`` occurrences; exact BIGINT counts.
+
+    Scale: ONE user-keyed window exchange (two leads over the same
+    window spec collapse into one Window node), then a map-side-combined
+    count keyed by the trigram — cardinality bounded by |event_type|³,
+    a vocabulary, not the corpus.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = events.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .filter(F.col("n_paths") >= min_count)
+        .orderBy("step1", "step2", "step3")
+    )
+
+
+def event_path_trigrams_oracle_sql(min_count: int = 5) -> str:
+    """DuckDB twin: identical (ts, event_id)-ordered leads per user."""
+    return f"""
+    WITH tri AS (
+        SELECT event_type AS step1,
+               lead(event_type, 1) OVER w AS step2,
+               lead(event_type, 2) OVER w AS step3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM tri
+    WHERE step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= {min_count}
+    ORDER BY 1, 2, 3
+    """

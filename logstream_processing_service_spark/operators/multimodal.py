@@ -760,17 +760,10 @@ def dhash_bytes(px: "np.ndarray", grid_w: int = 9, grid_h: int = 8) -> str:
     return bytes(np.packbits(bits.flatten())).hex()
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
-    """Perceptual near-duplicate image detection: decode → 9×8 dHash →
-    group by hash. The end-to-end composition of the native codecs with
-    the dedup discipline — visually-identical content collides on a 64-bit
-    key regardless of re-encode/scale, so dedup is a hash groupBy exactly
-    like ``dedup_exact``, never pairwise pixel comparison.
-
-    Scale: decode + hash are in-row Arrow-batched work; the only shuffle
-    is the 16-char-key group count. Output: (doc_id, dhash, n_same) where
-    n_same counts corpus images sharing the hash.
-    """
+def image_dhash_table(media: DataFrame) -> DataFrame:
+    """(doc_id, dhash) for every image: decode → 9×8 dHash, all in-row
+    Arrow-batched work (zero exchange). Shared by ``image_dhash`` and
+    ``dhash_near_dup_report``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .jpegcodec import decode_jpeg
@@ -791,11 +784,119 @@ def image_dhash(media: DataFrame) -> DataFrame:
     flat = media.select(
         "doc_id", "payload", F.col("meta.media_type").alias("media_type")
     )
-    hashed = flat.mapInPandas(run, DHASH_SCHEMA)
+    return flat.mapInPandas(run, DHASH_SCHEMA)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual near-duplicate image detection: decode → 9×8 dHash →
+    group by hash. The end-to-end composition of the native codecs with
+    the dedup discipline — visually-identical content collides on a 64-bit
+    key regardless of re-encode/scale, so dedup is a hash groupBy exactly
+    like ``dedup_exact``, never pairwise pixel comparison.
+
+    Scale: decode + hash are in-row Arrow-batched work; the only shuffle
+    is the 16-char-key group count. Output: (doc_id, dhash, n_same) where
+    n_same counts corpus images sharing the hash.
+    """
+    hashed = image_dhash_table(media)
     counts = hashed.groupBy("dhash").agg(
         F.count(F.lit(1)).alias("n_same")
     )
     return hashed.join(counts, "dhash").select("doc_id", "dhash", "n_same")
+
+
+def dhash_near_dup_report(
+    media: DataFrame, threshold: int = 2, max_bucket: int = 64
+) -> DataFrame:
+    """Per-image NEAR-duplicate exposure under Hamming distance on the
+    64-bit dHash — the multimodal twin of the text near-dup operators:
+    exact-collision dedup (``image_dhash``) misses re-encodes that flip
+    a few perceptual bits, so candidates come from banded LSH over the
+    hash (4 bands × 16 bits: any pair within Hamming ≤ 3 shares at
+    least one exact band by pigeonhole, so recall at ``threshold`` ≤ 3
+    is total up to the bucket cap) and are verified with the exact
+    64-bit Hamming distance.
+
+    Output (doc-grain, one row per image): (doc_id, n_candidates,
+    n_near_dup, min_hamming) where n_near_dup counts banded candidates
+    with hamming ≤ threshold and min_hamming is NULL for images with no
+    candidate.
+
+    Scale: dHash is in-row Arrow-batched decode work; banding shuffles
+    (band, 16-bit key) longs; ``max_bucket`` drops degenerate buckets
+    (flat-image hashes) with the same loud recall note as the minhash
+    mega-bucket guard — the oracle applies the same cap so parity holds
+    by construction. In-bucket pair expansion is array math bounded by
+    cap²; the verify is an O(4) band xor per candidate, never pixel
+    work.
+    """
+    hashed = (
+        image_dhash_table(media)
+        # cache: caller-owned (repo contract — bench/driver clear per query)
+        .persist()  # two consumers: band explode + the doc-grain spine
+    )
+    # 4 × 16-bit band values parsed straight from the hex hash (conv
+    # returns a decimal STRING in Spark — cast back to long)
+    band_arr = F.expr(
+        "transform(sequence(0, 3), i -> "
+        "struct(i AS b, cast(conv(substring(dhash, i*4+1, 4), 16, 10) "
+        "AS bigint) AS bv))"
+    )
+    banded = hashed.select(
+        "doc_id", F.explode(band_arr).alias("p")
+    ).select("doc_id", F.col("p.b").alias("b"), F.col("p.bv").alias("bv"))
+    groups = (
+        banded.groupBy("b", "bv")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, max_bucket))
+    )
+    combos = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i+2, size(ids)-i-1), "
+        "y -> struct(x AS d1, y AS d2))))"
+    )
+    cand = (
+        groups.select(F.explode(combos).alias("p"))
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+    h1 = hashed.select(F.col("doc_id").alias("d1"), F.col("dhash").alias("_h1"))
+    h2 = hashed.select(F.col("doc_id").alias("d2"), F.col("dhash").alias("_h2"))
+    hamming = F.expr(
+        "aggregate(transform(sequence(0, 3), i -> "
+        "bit_count(cast(conv(substring(_h1, i*4+1, 4), 16, 10) AS bigint) "
+        "^ cast(conv(substring(_h2, i*4+1, 4), 16, 10) AS bigint))), "
+        "0, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        cand.join(h1, "d1").join(h2, "d2").select("d1", "d2", hamming.alias("hd"))
+    )
+    # doc-grain rollup: each pair contributes to BOTH endpoints
+    both = pairs.select(
+        F.col("d1").alias("doc_id"), "hd"
+    ).unionByName(pairs.select(F.col("d2").alias("doc_id"), "hd"))
+    per_doc = both.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("hd") <= threshold, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_dup"),
+        F.min("hd").cast("int").alias("min_hamming"),
+    )
+    return (
+        hashed.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_near_dup", F.lit(0)).cast("bigint").alias(
+                "n_near_dup"
+            ),
+            "min_hamming",
+        )
+        .orderBy("doc_id")
+    )
 
 
 PCM_STATS_SCHEMA = StructType(

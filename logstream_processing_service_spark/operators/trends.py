@@ -982,3 +982,135 @@ def holt_winters_anomaly_oracle_sql(
     WINDOW w AS (PARTITION BY event_type)
     ORDER BY event_type, day
     """
+
+
+def ewma_control_chart(
+    events: DataFrame, alpha: float = 0.2, L: float = 3.0
+) -> DataFrame:
+    """EWMA control chart per event type over the daily volume series
+    (Roberts 1959; the SPC standard for detecting SMALL sustained
+    shifts that a Shewhart/z chart misses): the smoothed statistic
+    s_t = α·y_t + (1−α)·s_{t−1} (s_0 = y_0) is flagged when it leaves
+    the asymptotic control band mu ± L·sigma·sqrt(α/(2−α)).
+
+    Engine-exact parity: mu and sigma derive from EXACT BIGINT daily
+    counts (n, Σy, Σy²) in one fixed double-op order (mu = Σy/n,
+    var = Σy²/n − mu², sigma = sqrt(var)); the recurrence runs the
+    identical op sequence on both engines; displayed values round 6 dp,
+    the flag compares UNROUNDED doubles that share every upstream op.
+
+    Output: (event_type, day, y, ewma, ucl, lcl, flag).
+
+    Scale: ONE daily-grain shuffle (map-side combined count); the
+    recurrence runs per type over a |days|-length pandas frame inside
+    applyInPandas (the holt_winters_daily judgment call: genuinely
+    sequential, vocabulary-keyed, series-sized — never corpus-sized).
+    """
+    import math
+
+    import pandas as pd
+
+    daily = events.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+
+    schema = (
+        "event_type string, day date, y bigint, ewma double, "
+        "ucl double, lcl double, flag boolean"
+    )
+    factor = math.sqrt(alpha / (2.0 - alpha))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        n = len(ys)
+        total = sum(ys)
+        sumsq = sum(v * v for v in ys)
+        mu = total / n
+        var = sumsq / n - mu * mu
+        sigma = math.sqrt(var if var > 0 else 0.0)
+        ucl = mu + L * sigma * factor
+        lcl = mu - L * sigma * factor
+        out, s = [], None
+        for t in range(n):
+            y = float(ys[t])
+            s = y if s is None else alpha * y + (1.0 - alpha) * s
+            out.append(
+                (
+                    pdf["event_type"].iloc[0], pdf["day"].iloc[t], ys[t],
+                    round(s, 6), round(ucl, 6), round(lcl, 6),
+                    bool(s > ucl or s < lcl),
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=["event_type", "day", "y", "ewma", "ucl", "lcl", "flag"],
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(run, schema=schema)
+        .orderBy("event_type", "day")
+    )
+
+
+def ewma_control_chart_oracle_sql(alpha: float = 0.2, L: float = 3.0) -> str:
+    """DuckDB twin: the recurrence as a RECURSIVE CTE; every float
+    coefficient interpolated with repr() and CAST AS DOUBLE (bare
+    decimal literals evaluate in DECIMAL arithmetic — the known trap),
+    mu/sigma from the SAME exact BIGINT aggregates in the same op
+    order, flag compared on unrounded doubles."""
+    a_ = f"CAST({alpha!r} AS DOUBLE)"
+    a1 = f"CAST({1.0 - alpha!r} AS DOUBLE)"
+    l_ = f"CAST({L!r} AS DOUBLE)"
+    two = "CAST(2.0 AS DOUBLE)"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, day, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   - 1 AS t
+        FROM daily
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS total,
+               CAST(sum(y * y) AS BIGINT) AS sumsq
+        FROM series GROUP BY 1
+    ),
+    lim AS (
+        SELECT event_type,
+               total / n AS mu,
+               sqrt(CASE WHEN sumsq / n - (total / n) * (total / n) > 0
+                         THEN sumsq / n - (total / n) * (total / n)
+                         ELSE CAST(0.0 AS DOUBLE) END) AS sigma
+        FROM stats
+    ),
+    band AS (
+        SELECT event_type, mu,
+               mu + {l_} * sigma * sqrt({a_} / ({two} - {a_})) AS ucl,
+               mu - {l_} * sigma * sqrt({a_} / ({two} - {a_})) AS lcl
+        FROM lim
+    ),
+    rec AS (
+        SELECT s.event_type, s.t, s.day, s.y, CAST(s.y AS DOUBLE) AS s
+        FROM series s WHERE s.t = 0
+        UNION ALL
+        SELECT sr.event_type, sr.t, sr.day, sr.y,
+               {a_} * sr.y + {a1} * r.s AS s
+        FROM rec r JOIN series sr
+          ON sr.event_type = r.event_type AND sr.t = r.t + 1
+    )
+    SELECT r.event_type, r.day, r.y,
+           round(r.s, 6) AS ewma,
+           round(b.ucl, 6) AS ucl,
+           round(b.lcl, 6) AS lcl,
+           (r.s > b.ucl OR r.s < b.lcl) AS flag
+    FROM rec r JOIN band b USING (event_type)
+    ORDER BY r.event_type, r.day
+    """

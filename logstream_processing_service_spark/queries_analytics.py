@@ -1124,3 +1124,15 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     n < n_bins degenerates identically on both engines; bins assigned
     against the broadcast cut list."""
     return A.equidepth_bins(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "event_path_trigrams",
+    MI.event_path_trigrams_oracle_sql(),
+    "mining", "W-ext", "sequence",
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step user paths (PrefixSpan k=3 slice): one
+    user-keyed window exchange, trigram counts at event-type-vocabulary
+    grain, exact BIGINT counts with a min-count floor."""
+    return MI.event_path_trigrams(_t(spark, sf_dir, "events"))

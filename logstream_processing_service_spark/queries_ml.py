@@ -691,3 +691,99 @@ def q_gif_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_frame_pixel_stats(
         with_synthetic_gif_payload(_t(spark, sf_dir, "documents"))
     ).orderBy("doc_id", "frame_idx")
+
+
+def _dhash_near_dup_oracle(threshold: int = 2, max_bucket: int = 64) -> str:
+    """Closed-form twin of dhash_near_dup_report over the gradient PNGs:
+    the _image_dhash_oracle byte grid feeds 4×16-bit bands, the same
+    bucket cap, banded candidate pairs, exact 64-bit Hamming verify and
+    the per-doc rollup (pairs count toward BOTH endpoints)."""
+    return f"""
+    WITH g AS (
+      SELECT doc_id, doc_id % 48 + 8 AS w, doc_id % 37 + 8 AS h,
+             doc_id % 256 AS seed
+      FROM documents
+    ),
+    cell AS (
+      SELECT doc_id, ys.y AS y, xs.x AS x,
+             (((xs.x * w) // 9) * 3 + ((ys.y * h) // 8) * 7 + seed) % 256 AS v
+      FROM g
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys
+      CROSS JOIN (SELECT unnest(range(0, 9)) AS x) xs
+    ),
+    bit AS (
+      SELECT a.doc_id, a.y, a.x,
+             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM cell a JOIN cell b
+        ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    byt AS (
+      SELECT doc_id, y, CAST(sum(bit * (1 << (7 - x))) AS INT) AS byte
+      FROM bit GROUP BY doc_id, y
+    ),
+    band AS (
+      SELECT doc_id, y // 2 AS b,
+             CAST(sum(byte * CASE WHEN y % 2 = 0 THEN 256 ELSE 1 END)
+                  AS BIGINT) AS bv
+      FROM byt GROUP BY doc_id, y // 2
+    ),
+    ok AS (
+      SELECT b, bv FROM (
+        SELECT b, bv, count(*) AS n FROM band GROUP BY 1, 2
+      ) WHERE n BETWEEN 2 AND {max_bucket}
+    ),
+    bandk AS (SELECT band.* FROM band JOIN ok USING (b, bv)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bandk a JOIN bandk b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.d1, c.d2, CAST(sum(bit_count(xor(x.bv, y2.bv))) AS BIGINT) AS hd
+      FROM cand c
+      JOIN band x ON x.doc_id = c.d1
+      JOIN band y2 ON y2.doc_id = c.d2 AND y2.b = x.b
+      GROUP BY c.d1, c.d2
+    ),
+    ends AS (
+      SELECT d1 AS doc_id, hd FROM pairs
+      UNION ALL
+      SELECT d2 AS doc_id, hd FROM pairs
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN hd <= {threshold} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_near_dup,
+             CAST(min(hd) AS INT) AS min_hamming
+      FROM ends GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_candidates, 0) AS n_candidates,
+           COALESCE(p.n_near_dup, 0) AS n_near_dup,
+           p.min_hamming
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@spec(
+    "dhash_near_dup_report",
+    _dhash_near_dup_oracle(),
+    "multimodal", "image-decode", "dedup", "north-star",
+)
+def q_dhash_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup exposure per image: native PNG decode → 9x8
+    dHash → 4x16-bit banded LSH candidates (bucket-capped) → exact
+    Hamming verify → doc-grain rollup, verified against the closed-form
+    pixel oracle end-to-end."""
+    from .operators.multimodal import (
+        dhash_near_dup_report,
+        with_gradient_image_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        32, "doc_id"
+    )
+    return dhash_near_dup_report(with_gradient_image_payload(docs))

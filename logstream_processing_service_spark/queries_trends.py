@@ -336,3 +336,16 @@ def q_holt_winters_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an anomaly on Sunday). Residuals from the 6-dp fits; z rounded
     4 dp before the threshold on both engines."""
     return TR.holt_winters_anomaly(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "ewma_control_chart",
+    TR.ewma_control_chart_oracle_sql(),
+    "trends", "anomaly", "A-ext",
+)
+def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per event type (Roberts 1959): smoothed
+    daily-volume statistic vs the asymptotic mu ± L·sigma·sqrt(α/(2−α))
+    band — detects small sustained shifts the z chart misses. Exact
+    BIGINT moments; identical double-op recurrence on both engines."""
+    return TR.ewma_control_chart(_t(spark, sf_dir, "events"))

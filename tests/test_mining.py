@@ -99,3 +99,48 @@ def test_rules_basket_cap_disabled_oracle_parity(spark):
         SF_DIR,
     )
     assert r["status"] == "OK", r
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_path_trigrams_hash_match_oracle(spark, sf_dir):
+    from logstream_processing_service_spark.operators.mining import (
+        event_path_trigrams,
+        event_path_trigrams_oracle_sql,
+    )
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark,
+        con,
+        "event_path_trigrams",
+        lambda s, sf: event_path_trigrams(load_table(s, sf, "events")),
+        event_path_trigrams_oracle_sql(),
+        sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+def test_path_trigrams_hand_fixture(spark):
+    """User 1: a->b->c->b => trigrams (a,b,c),(b,c,b); user 2: a->b->c
+    => (a,b,c). min_count=2 keeps only (a,b,c)."""
+    from datetime import datetime
+
+    from logstream_processing_service_spark.operators.mining import (
+        event_path_trigrams,
+    )
+
+    rows = [
+        (1, 1, "a", datetime(2024, 1, 1, 0, 0, 0)),
+        (2, 1, "b", datetime(2024, 1, 1, 0, 0, 1)),
+        (3, 1, "c", datetime(2024, 1, 1, 0, 0, 2)),
+        (4, 1, "b", datetime(2024, 1, 1, 0, 0, 3)),
+        (5, 2, "a", datetime(2024, 1, 1, 0, 0, 0)),
+        (6, 2, "b", datetime(2024, 1, 1, 0, 0, 1)),
+        (7, 2, "c", datetime(2024, 1, 1, 0, 0, 2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = event_path_trigrams(ev, min_count=2).collect()
+    assert [(r["step1"], r["step2"], r["step3"], r["n_paths"])
+            for r in got] == [("a", "b", "c", 2)]

@@ -351,6 +351,10 @@ HEAPS_QUERIES = (
     # r8 builds at vocab grain
     "word_triangles",
     "token_entropy",
+    # r9: novelty_scores is shingle-grain (the family the frozen-vocab
+    # decade is adversarial for — scaling-decade-shapes memory), so its
+    # honest exponent is the Heaps one (VERDICT r8 #6)
+    "novelty_scores",
 )
 
 
