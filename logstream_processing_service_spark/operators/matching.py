@@ -137,3 +137,144 @@ def fuzzy_pairs_oracle_sql(
     FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
     WHERE levenshtein(a.{key_col}, b.{key_col}) <= {max_ed}
     """
+
+
+# Fellegi–Sunter field parameters: (agreement m-probability among true
+# matches, agreement u-probability among non-matches). Published-style
+# constants; the SCORE is what the operator computes — parameter fitting
+# (EM over agreement patterns) is a separate concern.
+FS_FIELDS = {
+    "name_sfx": (0.90, 0.001),
+    "segment": (0.95, 0.20),
+    "bal_bucket": (0.85, 0.005),
+}
+FS_POSSIBLE = 0.0  # score thresholds: >= upper → match,
+FS_MATCH = 8.0     # >= lower → possible, else non-match (dropped)
+
+
+def fellegi_sunter_pairs(customer: DataFrame) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969): score
+    candidate customer pairs by the log-likelihood ratio of their field
+    agreement pattern — agree on field i adds log2(m_i/u_i), disagree
+    adds log2((1−m_i)/(1−u_i)) — and keep pairs scoring at least the
+    ``possible`` threshold, classified match/possible. The decision
+    framework every serious entity-resolution pipeline uses instead of
+    ad-hoc similarity cutoffs (weights are evidence; rare agreements
+    count more).
+
+    Fields: last-3-digit name suffix, market segment, and the
+    100-unit account-balance bucket (floor(acctbal/100) — one double
+    division, engine-identical). Blocking: same nation (the block key
+    every candidate pair must share — at 100 TB use a finer composite
+    block, e.g. nation × name-suffix, exactly like the delete-
+    neighborhood blocks above; the score math is block-agnostic).
+
+    Output: (id_a, id_b, agree_name, agree_seg, agree_bal, score,
+    verdict) with id_a < id_b, score rounded 6 dp (threshold compares
+    run on the unrounded double).
+
+    Scale: ONE nation-keyed exchange; in-block pair expansion is the
+    explicit quadratic the block-key choice owns (documented, as in
+    fuzzy_pairs); weights are Python-computed constants folded into the
+    plan, so the score is a branch-free column expression.
+    """
+    import math
+
+    base = customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nk"),
+        F.substring("c_name", 16, 3).alias("sfx"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(100.0)).alias("bb"),
+    )
+    a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
+    pairs = a.join(b, F.col("nk_a") == F.col("nk_b")).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+
+    def w(field: str, agree_col):
+        m, u = FS_FIELDS[field]
+        return F.when(agree_col, F.lit(math.log2(m / u))).otherwise(
+            F.lit(math.log2((1.0 - m) / (1.0 - u)))
+        )
+
+    agree_name = F.col("sfx_a") == F.col("sfx_b")
+    agree_seg = F.col("seg_a") == F.col("seg_b")
+    agree_bal = F.col("bb_a") == F.col("bb_b")
+    score = (
+        w("name_sfx", agree_name)
+        + w("segment", agree_seg)
+        + w("bal_bucket", agree_bal)
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            agree_name.alias("agree_name"),
+            agree_seg.alias("agree_seg"),
+            agree_bal.alias("agree_bal"),
+            score.alias("_s"),
+        )
+        .filter(F.col("_s") >= F.lit(FS_POSSIBLE))
+        .select(
+            "id_a",
+            "id_b",
+            "agree_name",
+            "agree_seg",
+            "agree_bal",
+            F.round("_s", 6).alias("score"),
+            F.when(F.col("_s") >= F.lit(FS_MATCH), F.lit("match"))
+            .otherwise(F.lit("possible"))
+            .alias("verdict"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def fellegi_sunter_oracle_sql() -> str:
+    """DuckDB twin: identical blocking, agreement tests and weight
+    constants (repr()-interpolated, CAST AS DOUBLE — the decimal-literal
+    trap); thresholds compare the unrounded score."""
+    import math
+
+    def w(field):
+        m, u = FS_FIELDS[field]
+        return (
+            f"CAST({math.log2(m / u)!r} AS DOUBLE)",
+            f"CAST({math.log2((1.0 - m) / (1.0 - u))!r} AS DOUBLE)",
+        )
+
+    nm1, nm0 = w("name_sfx")
+    sg1, sg0 = w("segment")
+    bb1, bb0 = w("bal_bucket")
+    return f"""
+    WITH base AS (
+        SELECT c_custkey AS id, c_nationkey AS nk,
+               substring(c_name, 16, 3) AS sfx,
+               c_mktsegment AS seg,
+               floor(c_acctbal / CAST(100.0 AS DOUBLE)) AS bb
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.sfx = b.sfx AS agree_name,
+               a.seg = b.seg AS agree_seg,
+               a.bb = b.bb AS agree_bal
+        FROM base a JOIN base b ON a.nk = b.nk AND a.id < b.id
+    ),
+    scored AS (
+        SELECT *,
+               (CASE WHEN agree_name THEN {nm1} ELSE {nm0} END
+                + CASE WHEN agree_seg THEN {sg1} ELSE {sg0} END
+                + CASE WHEN agree_bal THEN {bb1} ELSE {bb0} END) AS s
+        FROM pairs
+    )
+    SELECT id_a, id_b, agree_name, agree_seg, agree_bal,
+           round(s, 6) AS score,
+           CASE WHEN s >= CAST({FS_MATCH!r} AS DOUBLE) THEN 'match'
+                ELSE 'possible' END AS verdict
+    FROM scored
+    WHERE s >= CAST({FS_POSSIBLE!r} AS DOUBLE)
+    ORDER BY id_a, id_b
+    """

@@ -1256,3 +1256,71 @@ def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Contrastive-training pair mining: for every query vector, the k
+    HARD NEGATIVES (most-similar vectors with a DIFFERENT label — the
+    near-miss impostors a contrastive loss learns the most from) and
+    the k HARD POSITIVES (least-similar vectors with the SAME label —
+    the far-flung in-class examples that stretch the margin). The
+    standard batch-mining step for triplet/InfoNCE fine-tuning
+    (Schroff et al. 2015, FaceNet §3.2's semi-hard selection, done
+    corpus-wide).
+
+    Output: (q_id, kind 'neg'|'pos', rank, vec_id, label, cos) — exact
+    cosine, deterministic (cos, vec_id) tiebreak, 6-dp display round.
+
+    Scale: the query frame broadcasts (the ann_bruteforce shape — this
+    is the exact-scoring baseline; swap ann_ivf/ann_hnsw upstream for
+    candidate generation at corpus scale); both rankings partition by
+    (q_id, same-label flag), so ONE exchange serves the two windows.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            (F.col("label") == F.col("q_label")).alias("same"),
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 9).alias(
+                "cos"
+            ),
+        )
+    )
+    w_neg = Window.partitionBy("q_id", "same").orderBy(
+        F.desc("cos"), F.col("vec_id")
+    )
+    w_pos = Window.partitionBy("q_id", "same").orderBy(
+        F.asc("cos"), F.col("vec_id")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_neg).alias("_rn_neg"),
+        F.row_number().over(w_pos).alias("_rn_pos"),
+    )
+    neg = ranked.filter(~F.col("same") & (F.col("_rn_neg") <= k)).select(
+        "q_id",
+        F.lit("neg").alias("kind"),
+        F.col("_rn_neg").cast("int").alias("rank"),
+        "vec_id",
+        "label",
+        F.round("cos", 6).alias("cos"),
+    )
+    pos = ranked.filter(F.col("same") & (F.col("_rn_pos") <= k)).select(
+        "q_id",
+        F.lit("pos").alias("kind"),
+        F.col("_rn_pos").cast("int").alias("rank"),
+        "vec_id",
+        "label",
+        F.round("cos", 6).alias("cos"),
+    )
+    return neg.unionByName(pos).orderBy("q_id", "kind", "rank")

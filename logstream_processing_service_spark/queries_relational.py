@@ -1499,3 +1499,21 @@ def q_salted_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+from .operators.matching import fellegi_sunter_oracle_sql  # noqa: E402
+
+
+@spec(
+    "record_linkage_fs",
+    fellegi_sunter_oracle_sql(),
+    "matching", "J-ext", "entity-resolution",
+)
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over nation-blocked
+    customer pairs: agreement-pattern log-likelihood scores
+    (log2(m/u) per field), match/possible classification — one
+    block-keyed exchange, weights folded as plan constants."""
+    from .operators.matching import fellegi_sunter_pairs
+
+    return fellegi_sunter_pairs(_t(spark, sf_dir, "customer"))

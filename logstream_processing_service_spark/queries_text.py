@@ -1829,3 +1829,43 @@ def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_table scan, one shingle-keyed min-aggregate + one doc-keyed
     count; shuffles carry (shingle, doc) longs only."""
     return D.novelty_scores(_t(spark, sf_dir, "documents"))
+
+
+def _word_kcore_oracle(k: int = 3, min_weight: int = 2) -> str:
+    from .operators.graph import kcore_oracle_sql
+
+    words_duck = T.words_sql("text", "duckdb")
+    edge_cte = f"""
+        WITH words AS (SELECT {words_duck} AS t FROM documents),
+        pairs AS (
+            SELECT least(t[i - 1], t[i]) AS a, greatest(t[i - 1], t[i]) AS b
+            FROM (SELECT t, unnest(generate_series(2, len(t))) AS i
+                  FROM words WHERE len(t) >= 2)
+        ),
+        und AS (
+            SELECT a, b FROM pairs WHERE a <> b GROUP BY 1, 2
+            HAVING count(*) >= {min_weight}
+        )
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst FROM und
+    """
+    return kcore_oracle_sql(edge_cte, k=k)
+
+
+@spec(
+    "word_kcore",
+    _word_kcore_oracle(),
+    "text", "graph", "A-ext",
+)
+def q_word_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the token co-occurrence graph (Seidman 1983 peeling):
+    the dense vocabulary nucleus — iterative sub-k-degree removal to
+    fixpoint, RAISING past the unroll bound instead of returning a
+    non-fixpoint; vocab-grain edge list, one count + two semi-joins per
+    peel."""
+    from .operators.graph import kcore_decomposition
+
+    return kcore_decomposition(
+        TA.cooccurrence_edges(_t(spark, sf_dir, "documents"))
+    )

@@ -542,3 +542,46 @@ def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     before downstream metrics move). Two (label, dim)-grain aggregates;
     shuffle volume is labels×dim, never corpus-sized."""
     return S.embedding_drift_report(_t(spark, sf_dir, "embeddings"))
+
+
+@spec(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id, e.label,
+               (e.label = q.q_label) AS same,
+               round({V.cosine_sql_duckdb("q.q_emb", "e.embedding", DIM)}, 9) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY q_id, same
+                                  ORDER BY cos DESC, vec_id) AS rn_neg,
+               row_number() OVER (PARTITION BY q_id, same
+                                  ORDER BY cos ASC, vec_id) AS rn_pos
+        FROM scored
+    )
+    SELECT q_id, 'neg' AS kind, CAST(rn_neg AS INT) AS rank, vec_id, label,
+           round(cos, 6) AS cos
+    FROM ranked WHERE NOT same AND rn_neg <= 5
+    UNION ALL
+    SELECT q_id, 'pos' AS kind, CAST(rn_pos AS INT) AS rank, vec_id, label,
+           round(cos, 6) AS cos
+    FROM ranked WHERE same AND rn_pos <= 5
+    ORDER BY q_id, kind, rank
+    """,
+    "similarity", "training", "north-star",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining: k hardest negatives (nearest
+    other-label) + k hardest positives (farthest same-label) per query
+    vector — exact cosine baseline with a broadcast query frame; swap
+    the ANN lanes upstream for corpus-scale candidate generation."""
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hard_negative_mining(emb, emb.filter(F.col("vec_id") < 10), k=5)
