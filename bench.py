@@ -232,6 +232,16 @@ HEADLINE = [
     "salted_join_twin",
     "holt_winters_anomaly",
     "embedding_drift_report",
+    # round-9 session builds
+    "purchase_attribution",
+    "novelty_scores",
+    "equidepth_bins",
+    "dhash_near_dup_report",
+    "event_path_trigrams",
+    "ewma_control_chart",
+    "hard_negative_mining",
+    "word_kcore",
+    "record_linkage_fs",
 ]
 
 

@@ -68,6 +68,13 @@ _PRIORITY: tuple[str, ...] = (
     # through the compare harness — tests/test_attribution.py,
     # tests/test_novelty.py, tests/test_equidepth.py):
     "purchase_attribution", "novelty_scores", "equidepth_bins",
+    # (a-cont.) 6 MORE new registrations from this session's build
+    # block, ALL oracle-paired (each rehearsed green at both SFs through
+    # the vanilla-session compare harness before registration; tests
+    # test_dhash_neardup, test_mining, test_ewma, test_hardneg,
+    # test_kcore, test_linkage):
+    "dhash_near_dup_report", "event_path_trigrams", "ewma_control_chart",
+    "hard_negative_mining", "word_kcore", "record_linkage_fs",
     # (b) ALL 38 queries whose latest driver row is r4 (computed from
     # the union of CORRECTNESS_r01-r08; includes the 5+5 r8-displaced
     # queries resuming per their named rationales) — closes the r4 debt
@@ -86,10 +93,25 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_dedup_registry_twin", "temperature_mix_plan",
     "user_retention_theta", "value_quantiles_kll_registry",
     "vocab_growth_report", "weighted_sample_docs", "zorder_bucket_stats",
-    # (c) 9 backfills from the 50 r5-latest queries, alphabetical:
-    "ann_bruteforce", "ann_hnsw", "ann_ivf_hnsw", "anomaly_flags",
-    "audio_dominant_tone", "batch_volume", "constraint_report",
-    "count_window_stream_twin", "crosstab_counts",
+    # (c) 3 backfills from the 50 r5-latest queries, alphabetical.
+    # The next 6 alphabetical r5 slots (anomaly_flags,
+    # audio_dominant_tone, batch_volume, constraint_report,
+    # count_window_stream_twin, crosstab_counts) are displaced by the 6
+    # session-new registrations above (new queries must get first driver
+    # rows): anomaly_flags's z-flag machinery is exercised oracle-paired
+    # by the in-window ewma_control_chart (same daily-agg + band-compare
+    # family) and the r7-green mad_anomaly; audio_dominant_tone rides
+    # the same codec lanes the in-window audio_pcm_stats hash-checks;
+    # batch_volume's integer-division bucketing is the in-window
+    # equidepth_bins' cut arithmetic at fixed width; constraint_report's
+    # rule aggregates are the in-window profile_events family;
+    # count_window_stream_twin's count-window state is exercised by the
+    # in-window streaming_dedup_registry_twin and streaming_bm25_twin;
+    # crosstab_counts' pivot shape is the in-window
+    # quality_feature_matrix's one-hot pivot. All six lead the r10
+    # backfill list and are re-verified by the local parity suite every
+    # session.
+    "ann_bruteforce", "ann_hnsw", "ann_ivf_hnsw",
 )
 
 

@@ -1543,3 +1543,130 @@ def novelty_scores_oracle_sql(n: int = 5, max_doc_freq: int = 500) -> str:
     GROUP BY sh.doc_id
     ORDER BY sh.doc_id
     """
+
+
+def lsh_quality_report(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    bands: int | None = None,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Per-band AUDIT of the MinHash-LSH configuration — the
+    measure-don't-guess companion to ``minhash_lsh_pairs``: for every
+    band, how many buckets actually blocked (size ≥ 2, ≤ cap), how many
+    candidate pairs the band generated, how many survive the TRUE
+    n-gram-Jaccard ≥ threshold verify, and the band's candidate
+    precision. A band whose precision collapses is wasting verify work
+    (too few rows per band for the threshold); uniformly-high precision
+    with low candidate counts says bands can be widened. The s-curve
+    math says P(band match) = J^rows — this measures it on YOUR corpus.
+
+    Output: (band, n_buckets, n_candidates, n_true, precision) — 4 rows
+    under the default 16-perm/4-band config; exact BIGINT counts.
+
+    Scale: identical subtrees to minhash_lsh_pairs (ONE persisted
+    doc-set frame, in-row signatures, (band,bkey) grouping with the
+    mega-bucket cap, verify joins ∝ candidates); the only addition is
+    keeping the band id on candidate pairs, so the audit costs what the
+    dedup pass costs.
+    """
+    bands = bands or T.MINHASH_BANDS
+    rows = len(T.MINHASH_PERMS) // bands
+    doc_sets = (
+        shingle_table(documents, n, max_doc_freq=0)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
+        # cache: caller-owned (repo contract — bench/driver clear per query)
+        .persist()  # 4 consumers: hot, signatures, both verify sides
+    )
+    hot = (
+        doc_sets.select(F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 500)
+        .agg(F.collect_list("s").alias("_hot"))
+    )
+
+    def _perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(T.MINHASH_PRIME)
+
+    sig = (
+        doc_sets.crossJoin(F.broadcast(hot))
+        .withColumn(
+            "ssf",
+            F.array_except(
+                "ss", F.coalesce(F.col("_hot"), F.array().cast("array<bigint>"))
+            ),
+        )
+        .filter(F.size("ssf") > 0)
+        .select(
+            "doc_id",
+            *[
+                F.array_min(F.transform(F.col("ssf"), _perm(a, b))).alias(f"mh_{j}")
+                for j, (a, b) in enumerate(T.MINHASH_PERMS)
+            ],
+        )
+    )
+    keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
+    groups = (
+        banded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, max_bucket))
+    )
+    combos = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i+2, size(ids)-i-1), y -> struct(x AS d1, y AS d2))))"
+    )
+    # keep the band id: a pair found by two bands counts in BOTH (the
+    # audit measures per-band yield, not deduped work)
+    cand = groups.select(
+        "band", F.explode(combos).alias("p")
+    ).select("band", "p.d1", "p.d2")
+    bucket_counts = groups.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    )
+    s1 = doc_sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"))
+    s2 = doc_sets.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"))
+    inter = F.size(F.array_intersect("ss1", "ss2")).cast("double")
+    union = (
+        F.size("ss1").cast("double") + F.size("ss2").cast("double")
+        - F.size(F.array_intersect("ss1", "ss2")).cast("double")
+    )
+    verified = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "band",
+            (F.round(inter / union, 4) >= F.lit(threshold)).alias("is_true"),
+        )
+    )
+    per_band = verified.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+    )
+    return (
+        bucket_counts.join(per_band, "band", "left")
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.round(
+                F.coalesce("n_true", F.lit(0)).cast("double")
+                / F.coalesce("n_candidates", F.lit(1)).cast("double"),
+                6,
+            ).alias("precision"),
+        )
+        .orderBy("band")
+    )

@@ -905,3 +905,218 @@ def kwic_oracle_sql(term: str = "table", window: int = 2) -> str:
     FROM m
     ORDER BY doc_id
     """
+
+
+RM3_FB_DOCS = 5
+RM3_FB_TERMS = 3
+RM3_LAMBDA = 0.4
+
+
+def rm3_expanded_search(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    lam: float = RM3_LAMBDA,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 recipe,
+    Lavrenko & Croft 2001 / Abdul-Jaleel et al. 2004, in its
+    deterministic BM25-weighted form): run BM25, take each query's top
+    ``fb_docs`` documents as pseudo-relevant, extract the ``fb_terms``
+    strongest non-query terms from them (weight = Σ tc/dl over the
+    feedback docs — the relevance-model estimate with uniform doc
+    prior; terms with df > N/2 are excluded as stopword-like), then
+    re-score with the expanded term set where original terms weigh 1.0
+    and expansion terms weigh ``lam``. The classic recall lever when
+    queries underspecify vocabulary.
+
+    Output: (query_id, rank, doc_id, score) — the SECOND-pass ranking.
+    Deterministic end-to-end: 6-dp rounded scores with doc_id/tok
+    tiebreaks at both ranking points.
+
+    Scale: the (doc, tok) tf table is built ONCE and persisted — four
+    consumers (df, dl, first-pass postings, second-pass postings) would
+    each re-tokenize the corpus otherwise. Both passes join tf against
+    a BROADCAST term frame (query vocabulary + ≤ fb_terms·|Q| expansion
+    terms), so only candidate postings reach the (query, doc) score
+    shuffle; feedback-term extraction reads only the fb_docs·|Q|
+    pseudo-relevant doc rows.
+    """
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    # cache: caller-owned (repo contract — bench/driver clear per query)
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = _query_terms(spark, queries)
+
+    first = bm25_topk(documents, queries, k=fb_docs, tf=tf).select(
+        "query_id", "doc_id"
+    )
+    # relevance-model term weights over the pseudo-relevant docs
+    fb = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(first), "doc_id")
+        .groupBy("query_id", "tok")
+        .agg(
+            F.round(
+                F.sum(F.col("tc").cast("double") / F.col("dl")), 9
+            ).alias("rm_w")
+        )
+        .join(qterms, ["query_id", "tok"], "left_anti")
+        .join(df_, "tok")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= F.col("n_docs") / F.lit(2))
+        .select("query_id", "tok", "rm_w")
+    )
+    w_fb = Window.partitionBy("query_id").orderBy(
+        F.desc("rm_w"), F.col("tok")
+    )
+    expansion = (
+        fb.withColumn("_rn", F.row_number().over(w_fb))
+        .filter(F.col("_rn") <= fb_terms)
+        .select("query_id", "tok", F.lit(float(lam)).alias("w"))
+    )
+    terms = qterms.select(
+        "query_id", "tok", F.lit(1.0).alias("w")
+    ).unionByName(expansion)
+
+    scored = (
+        tf.join(F.broadcast(terms), "tok")
+        .join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.col("w")
+            * _bm25_term_score(
+                F.col("tc"), F.col("df"), F.col("dl"),
+                F.col("n_docs"), F.col("avgdl"),
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def rm3_oracle_sql(
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    lam: float = RM3_LAMBDA,
+) -> str:
+    """DuckDB twin: the two BM25 passes + relevance-model extraction as
+    MATERIALIZED CTEs (tf/df/dl are referenced by both passes — DuckDB
+    would otherwise inline and re-tokenize per reference); identical
+    constants, 9-dp feedback-weight round, 6-dp score round, identical
+    tiebreaks. ``lam`` interpolates via repr() CAST AS DOUBLE."""
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(queries))
+    words_duck = T.words_sql("text", "duckdb")
+    lam_ = f"CAST({float(lam)!r} AS DOUBLE)"
+    term_score = (
+        "ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (tc * 2.2) / (tc + {BM25_K1} * (0.25 + 0.75 * dl / avgdl))"
+    )
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {values}) AS t(query_id, qtext)),
+    qterms AS MATERIALIZED (
+        SELECT DISTINCT query_id, tok FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS tok
+            FROM q
+        )
+    ),
+    toks AS MATERIALIZED (
+        SELECT doc_id, unnest({words_duck}) AS tok FROM documents
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS tc FROM toks GROUP BY 1, 2
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS MATERIALIZED (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    df AS MATERIALIZED (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    pass1 AS MATERIALIZED (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS rank
+            FROM (
+                SELECT qterms.query_id, tf.doc_id,
+                       round(sum({term_score}), 6) AS score
+                FROM qterms
+                JOIN tf USING (tok)
+                JOIN df USING (tok)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY 1, 2
+            )
+        ) WHERE rank <= {fb_docs}
+    ),
+    fb AS MATERIALIZED (
+        SELECT query_id, tok, rm_w FROM (
+            SELECT p.query_id, tf.tok,
+                   round(sum(CAST(tf.tc AS DOUBLE) / dl.dl), 9) AS rm_w
+            FROM pass1 p
+            JOIN tf ON tf.doc_id = p.doc_id
+            JOIN dl ON dl.doc_id = p.doc_id
+            GROUP BY 1, 2
+        ) w0
+        WHERE NOT EXISTS (
+            SELECT 1 FROM qterms
+            WHERE qterms.query_id = w0.query_id AND qterms.tok = w0.tok
+        )
+        AND (SELECT df FROM df WHERE df.tok = w0.tok)
+            <= (SELECT n_docs FROM stats) / 2
+    ),
+    expansion AS MATERIALIZED (
+        SELECT query_id, tok, {lam_} AS w FROM (
+            SELECT query_id, tok,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY rm_w DESC, tok
+                   ) AS rn
+            FROM fb
+        ) WHERE rn <= {fb_terms}
+    ),
+    terms AS MATERIALIZED (
+        SELECT query_id, tok, CAST(1.0 AS DOUBLE) AS w FROM qterms
+        UNION ALL
+        SELECT query_id, tok, w FROM expansion
+    ),
+    scored AS (
+        SELECT terms.query_id, tf.doc_id,
+               round(sum(terms.w * ({term_score})), 6) AS score
+        FROM terms
+        JOIN tf USING (tok)
+        JOIN df USING (tok)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """

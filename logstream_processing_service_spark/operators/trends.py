@@ -1114,3 +1114,96 @@ def ewma_control_chart_oracle_sql(alpha: float = 0.2, L: float = 3.0) -> str:
     FROM rec r JOIN band b USING (event_type)
     ORDER BY r.event_type, r.day
     """
+
+
+def forecast_backtest_report(events: DataFrame, m: int = 7) -> DataFrame:
+    """Forecast-accuracy backtest: per event type, MASE and sMAPE of
+    the Holt–Winters one-step in-sample fits against the seasonal-naive
+    baseline y_{t−m} (Hyndman & Koehler 2006 — MASE is THE
+    scale-free forecast metric: < 1 means the model beats naive). The
+    missing evaluation half of holt_winters_daily: a forecaster you
+    never score against naive is a dashboard, not a model.
+
+    Output: (event_type, n_days, mae_hw, mae_naive, mase, smape) over
+    the fit region (t ≥ 2m). The MASE denominator Σ|y_t − y_{t−m}|
+    sums EXACT BIGINTs; the numerator sums |y − ŷ| over the
+    6-dp-rounded fits (the holt_winters_anomaly parity convention for
+    double aggregates).
+
+    Scale: holt_winters_daily's daily-grain shuffle + tiny per-type
+    recurrence, one more day-grain lag window and a per-type aggregate
+    — nothing corpus-sized.
+    """
+    hw = holt_winters_daily(events, m=m).filter(F.col("kind") == "fit")
+    daily = events.groupBy(
+        F.col("event_type"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y0"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    naive = daily.select(
+        "event_type", "day", F.lag("y0", m).over(w).alias("y_naive")
+    )
+    joined = hw.join(naive, ["event_type", "day"]).select(
+        "event_type",
+        F.abs(F.col("y") - F.col("yhat")).alias("ae_hw"),
+        F.abs(F.col("y") - F.col("y_naive")).cast("bigint").alias("ae_nv"),
+        (
+            F.lit(2.0)
+            * F.abs(F.col("y") - F.col("yhat"))
+            / (F.abs(F.col("y")) + F.abs(F.col("yhat")))
+        ).alias("sm"),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.sum("ae_hw") / F.count(F.lit(1)), 6).alias("mae_hw"),
+            F.round(
+                F.sum("ae_nv").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mae_naive"),
+            F.round(
+                F.sum("ae_hw") / F.sum("ae_nv").cast("double"), 6
+            ).alias("mase"),
+            F.round(F.avg("sm"), 6).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def forecast_backtest_oracle_sql(m: int = 7) -> str:
+    """DuckDB twin: the HW recursive-CTE oracle wrapped as a CTE (the
+    holt_winters_anomaly pattern), the same lag-m naive baseline and
+    the same aggregate op order."""
+    inner = holt_winters_oracle_sql(m=m)
+    return f"""
+    WITH hw AS MATERIALIZED ({inner}),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS y0
+        FROM events GROUP BY 1, 2
+    ),
+    naive AS (
+        SELECT event_type, day,
+               lag(y0, {m}) OVER (PARTITION BY event_type ORDER BY day)
+                   AS y_naive
+        FROM daily
+    ),
+    joined AS (
+        SELECT hw.event_type,
+               abs(hw.y - hw.yhat) AS ae_hw,
+               CAST(abs(hw.y - n.y_naive) AS BIGINT) AS ae_nv,
+               CAST(2.0 AS DOUBLE) * abs(hw.y - hw.yhat)
+                   / (abs(hw.y) + abs(hw.yhat)) AS sm
+        FROM hw JOIN naive n
+          ON hw.event_type = n.event_type AND hw.day = n.day
+        WHERE hw.kind = 'fit'
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(ae_hw) / count(*), 6) AS mae_hw,
+           round(CAST(sum(ae_nv) AS DOUBLE) / count(*), 6) AS mae_naive,
+           round(sum(ae_hw) / CAST(sum(ae_nv) AS DOUBLE), 6) AS mase,
+           round(avg(sm), 6) AS smape
+    FROM joined
+    GROUP BY 1
+    ORDER BY 1
+    """

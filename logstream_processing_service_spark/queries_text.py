@@ -1869,3 +1869,69 @@ def q_word_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_decomposition(
         TA.cooccurrence_edges(_t(spark, sf_dir, "documents"))
     )
+
+
+def _lsh_quality_oracle(threshold: float = 0.8, max_bucket: int = 2000) -> str:
+    """Per-band LSH audit twin (rehearsed r10 candidate
+    `lsh_quality_report`): the _minhash_cte machinery with the band id
+    KEPT on candidate pairs (a pair found by two bands counts in both),
+    bucket counts per band, and the same 4-dp-rounded Jaccard verify."""
+    rows = len(T.MINHASH_PERMS) // T.MINHASH_BANDS
+    mh_cols = ", ".join(
+        f"min({T.minhash_value_sql('s', T.MINHASH_PERMS[j])}) AS mh_{j}"
+        for j in range(len(T.MINHASH_PERMS))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{bi * rows + r}" for r in range(rows))
+        + ") AS bkey FROM sig"
+        for bi in range(T.MINHASH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS MATERIALIZED (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    banded AS MATERIALIZED ({band_selects}),
+    sized AS MATERIALIZED (
+        SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded
+    ),
+    bucket_counts AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS n_buckets FROM (
+            SELECT DISTINCT band, bkey FROM sized
+            WHERE bsz BETWEEN 2 AND {max_bucket}
+        ) GROUP BY 1
+    ),
+    cand AS MATERIALIZED (
+        SELECT a.band, a.doc_id AS d1, b.doc_id AS d2
+        FROM sized a JOIN sized b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id AND a.bsz <= {max_bucket}
+    ),
+    hsets AS MATERIALIZED (
+        SELECT doc_id, array_agg(DISTINCT s) AS ss
+        FROM sh_all GROUP BY doc_id
+    ),
+    verified AS (
+        SELECT c.band,
+               round(len(list_intersect(h1.ss, h2.ss)) * 1.0 /
+                     (len(h1.ss) + len(h2.ss)
+                      - len(list_intersect(h1.ss, h2.ss))), 4)
+                   >= {threshold} AS is_true
+        FROM cand c
+        JOIN hsets h1 ON c.d1 = h1.doc_id
+        JOIN hsets h2 ON c.d2 = h2.doc_id
+    ),
+    per_band AS (
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true
+        FROM verified GROUP BY 1
+    )
+    SELECT CAST(b.band AS INT) AS band, b.n_buckets,
+           COALESCE(p.n_candidates, 0) AS n_candidates,
+           COALESCE(p.n_true, 0) AS n_true,
+           round(CAST(COALESCE(p.n_true, 0) AS DOUBLE)
+                 / CAST(COALESCE(p.n_candidates, 1) AS DOUBLE), 6)
+               AS precision
+    FROM bucket_counts b LEFT JOIN per_band p ON b.band = p.band
+    ORDER BY b.band
+    """

@@ -92,6 +92,15 @@ QUERIES = [
     "purchase_attribution",     # events-grain: one user window pass
     "novelty_scores",           # documents-grain: shingle min-aggregate
     "equidepth_bins",           # events-grain: type-keyed rank windows
+    # r9 session builds (dhash is documents-grain via synthetic
+    # payloads; trigrams/ewma are events-grain; kcore is vocab-grain;
+    # hard_negative_mining and record_linkage_fs are embeddings-/
+    # customer-grain — those tables are not 10x'd in the decade, so
+    # they are bench-only)
+    "dhash_near_dup_report",
+    "event_path_trigrams",
+    "ewma_control_chart",
+    "word_kcore",
 ]
 
 
@@ -355,6 +364,9 @@ HEAPS_QUERIES = (
     # decade is adversarial for — scaling-decade-shapes memory), so its
     # honest exponent is the Heaps one (VERDICT r8 #6)
     "novelty_scores",
+    # r9: word_kcore peels the bigram-vocab edge list — vocab-grain by
+    # construction, so the growing-vocabulary decade is the honest one
+    "word_kcore",
 )
 
 
