@@ -112,6 +112,31 @@ _PRIORITY: tuple[str, ...] = (
     # backfill list and are re-verified by the local parity suite every
     # session.
     "ann_bruteforce", "ann_hnsw", "ann_ivf_hnsw",
+    # ------------------------------------------------------------------
+    # r10 map (pre-computed per the standing policy, assuming the r9
+    # driver run lands this window): r10's new registrations — the
+    # rehearsed queue rm3_expanded_search, forecast_backtest_report,
+    # lsh_quality_report (coordinates in ROADMAP's r10 queue) — followed
+    # by ALL 47 remaining r5-latest queries (exactly filling the 50
+    # slots; closes the r5 debt completely): anomaly_flags,
+    # audio_dominant_tone, batch_volume, constraint_report,
+    # count_window_stream_twin, crosstab_counts, cube_volume,
+    # customers_without_orders, decayed_volume,
+    # decayed_volume_stream_twin, dedup_minhash_lsh,
+    # denstream_stream_twin, distinct_actors, distinct_actors_approx,
+    # drift_report, events_in_windows, first_order_per_customer,
+    # hourly_volume, idle_rich_customers, image_histogram_stats,
+    # json_shred_profile, keyed_overwrite, kn_trigram_pruned,
+    # language_id, log_templates, matview_refresh_twin,
+    # mjpeg_frame_pixel_stats, national_market_share, nearest_centroid,
+    # orders_with_error_events, pattern_mining_incremental,
+    # perplexity_buckets_exact, priority_order_counts,
+    # revenue_by_nation, scan_slice, session_volume_stream_twin,
+    # small_quantity_part_revenue, top_quarter_suppliers,
+    # upsert_append_dedup, value_counts_topk, value_histogram,
+    # value_percentiles, value_percentiles_approx,
+    # volume_history_window, volume_zscore, watermark_bounds,
+    # windowed_volume_stream_twin.
 )
 
 

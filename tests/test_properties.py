@@ -1070,3 +1070,74 @@ def test_txlog_sequences_match_ledger_model(spark, tmp_path_factory, ops):
     # time travel to the middle version
     mid = (len(ledger) - 1) // 2
     assert snap(v=mid) == sorted(ledger[mid])
+
+
+@SLOW
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_equidepth_invariants(spark, values, n_bins):
+    """For ANY value multiset and bin count: bins partition the rows
+    (counts sum to n), bin ids stay within [0, n_bins-1], and bin
+    boundaries never interleave (max of bin b <= min of bin b+1)."""
+    from logstream_processing_service_spark.operators.analytics import (
+        equidepth_bins,
+    )
+
+    rows = [(i, "t", float(v)) for i, v in enumerate(values)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = sorted(
+        equidepth_bins(ev, n_bins=n_bins).collect(), key=lambda r: r["bin"]
+    )
+    assert sum(r["n"] for r in out) == len(values)
+    assert all(0 <= r["bin"] < n_bins for r in out)
+    for lo_r, hi_r in zip(out, out[1:]):
+        assert lo_r["hi"] <= hi_r["lo"]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_kcore_invariants(spark, raw_edges, k):
+    """For ANY undirected graph and k: every returned node has core
+    degree >= k, and the core is closed (each member's core_degree
+    counts only other members)."""
+    from logstream_processing_service_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    if not und:
+        return
+    rows = [(str(a), str(b)) for a, b in und] + [
+        (str(b), str(a)) for a, b in und
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["node"]: r["core_degree"]
+           for r in kcore_decomposition(edges, k=k, max_iters=40).collect()}
+    assert all(d >= k for d in got.values())
+    # closure: recompute degrees within the returned node set
+    member = set(got)
+    for node in member:
+        deg = sum(
+            1 for a, b in und
+            if (str(a) == node and str(b) in member)
+            or (str(b) == node and str(a) in member)
+        )
+        assert deg == got[node]
