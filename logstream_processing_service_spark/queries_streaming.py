@@ -784,3 +784,86 @@ def q_router_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors null-emit; unmatched signups are silent (the unmatched-LEFT
     silence is probe-pinned in tests/test_louter_twin.py)."""
     return _outer_join_twin(spark, sf_dir, "right_outer")
+
+
+# ---------------------------------------------------------------------------
+# r10 queue (rehearsed in r9, NOT yet registered — registration is one
+# @spec away; tests/test_ewma_stream.py runs the compare harness)
+# ---------------------------------------------------------------------------
+
+
+def ewma_stream_twin_oracle(n_batches: int = N_BATCHES) -> str:
+    """Chained-CTE fold of the streaming EWMA recurrence (s seeds at the
+    key's FIRST observed batch; absent batches don't update — the
+    GroupState invocation contract). α via repr() CAST AS DOUBLE."""
+    from .streaming.state import EWMA_STREAM_ALPHA
+
+    a_ = f"CAST({EWMA_STREAM_ALPHA!r} AS DOUBLE)"
+    a1 = f"CAST({1.0 - EWMA_STREAM_ALPHA!r} AS DOUBLE)"
+    ctes = [
+        f"""pb AS (
+        SELECT event_type AS key, CAST(event_id % {n_batches} AS INT) AS b,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT key, b, y,
+               row_number() OVER (PARTITION BY key ORDER BY b) AS rn
+        FROM pb
+    ),
+    r1 AS (SELECT key, rn, y, y AS s FROM seq WHERE rn = 1)"""
+    ]
+    for i in range(2, n_batches + 1):
+        ctes.append(
+            f"""r{i} AS (
+        SELECT f.key, f.rn, f.y, {a_} * f.y + {a1} * r{i - 1}.s AS s
+        FROM seq f JOIN r{i - 1} ON f.key = r{i - 1}.key WHERE f.rn = {i}
+    )"""
+        )
+    unioned = " UNION ALL ".join(
+        f"SELECT * FROM r{i}" for i in range(1, n_batches + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    unioned AS ({unioned}),
+    final AS (
+        SELECT key, s, rn,
+               row_number() OVER (PARTITION BY key ORDER BY rn DESC) AS rev
+        FROM unioned
+    )
+    SELECT key, round(s, 6) AS ewma, CAST(rn AS BIGINT) AS batches_seen
+    FROM final WHERE rev = 1 ORDER BY key
+    """
+    )
+
+
+def q_ewma_volume_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ACTUAL ewma_volume_stream stateful operator over 3
+    deterministic micro-batches; return each key's final smoothed
+    volume and observed-batch count. The oracle unrolls the per-batch
+    EWMA recurrence as a chained CTE fold (the decayed_volume twin
+    discipline)."""
+    from .streaming.drive import last_batch_per_key, run_deterministic_batches
+    from .streaming.state import ewma_volume_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.col("event_id").alias("_id"),
+    )
+    slices = [
+        ev.filter(F.col("_id") % N_BATCHES == b).drop("_id")
+        for b in range(N_BATCHES)
+    ]
+    captured = run_deterministic_batches(
+        spark,
+        slices,
+        "key string",
+        lambda s: ewma_volume_stream(s, "key"),
+        output_mode="append",
+    )
+    final = last_batch_per_key(captured, "key")
+    return final.select(
+        "key", F.round("ewma", 6).alias("ewma"), "batches_seen"
+    ).orderBy("key")

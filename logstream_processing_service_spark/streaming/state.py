@@ -408,3 +408,65 @@ def denstream_stream(df: DataFrame, key_col: str = "key") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA volume monitor (T4/T6 × the r9 ewma_control_chart): the
+# per-micro-batch volume smoothed by s_b = α·n_b + (1−α)·s_prev — the
+# ops-monitor statistic that damps single-batch spikes but tracks
+# sustained shifts. State carries (s, batches_seen); a key updates only
+# on batches where it appears (the GroupState invocation contract).
+# ---------------------------------------------------------------------------
+
+EWMA_STREAM_ALPHA = 0.3
+
+EWMA_STREAM_STATE_SCHEMA = StructType(
+    [
+        StructField("s", DoubleType()),
+        StructField("batches_seen", LongType()),
+    ]
+)
+
+EWMA_STREAM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ewma", DoubleType()),
+        StructField("n_batch", LongType()),
+        StructField("batches_seen", LongType()),
+    ]
+)
+
+
+def _ewma_apply_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """EWMA over per-batch counts: first observed batch seeds s = n
+    (the ewma_control_chart s_0 = y_0 convention); later batches fold
+    s = α·n + (1−α)·s. Pure float ops in a fixed order — the chained-CTE
+    oracle replays them bit-for-bit."""
+    s, seen = state.get if state.exists else (None, 0)
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    y = float(n)
+    s = y if seen == 0 else EWMA_STREAM_ALPHA * y + (1.0 - EWMA_STREAM_ALPHA) * s
+    seen = int(seen) + 1
+    state.update((float(s), seen))
+    yield pd.DataFrame(
+        {
+            "key": [str(key[0])],
+            "ewma": [float(s)],
+            "n_batch": [n],
+            "batches_seen": [seen],
+        }
+    )
+
+
+def ewma_volume_stream(df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key EWMA of micro-batch volumes over a stream with a
+    ``key_col`` column. Emits one running-state row per key per batch."""
+    return df.groupBy(key_col).applyInPandasWithState(
+        _ewma_apply_fn,
+        outputStructType=EWMA_STREAM_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
