@@ -1519,3 +1519,105 @@ def equidepth_bins_oracle_sql(n_bins: int = 4) -> str:
     GROUP BY 1, 2
     ORDER BY 1, 2
     """
+
+
+def rfm_segments(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994, the classic
+    marketing-analytics primitive): per customer — Recency (last order
+    date), Frequency (order count), Monetary (exact DECIMAL revenue
+    sum) — each scored into within-NATION quintiles, composed into the
+    3-digit RFM segment code (555 = best-everything).
+
+    Quintiles are integer rank arithmetic, never a global ntile: rank r
+    of n within the nation (metric asc, custkey tiebreak) scores
+    q = (r−1)·5 div n + 1 — identical integer ops on both engines, and
+    every window is KEYED by nation (the equidepth_bins discipline:
+    the single-partition global sort never appears). Monetary sums cast
+    through DECIMAL(18,2) so the aggregate is exact, then surface as
+    DOUBLE (the engine-portability convention).
+
+    Output: (c_custkey, nation, recency_us, frequency, monetary,
+    r_score, f_score, m_score, segment).
+
+    Scale: one customer-keyed aggregate over orders, one broadcast-sized
+    join to customer, three windows sharing the SAME nation
+    partitioning (one exchange serves all three sorts).
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+            "recency_us"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    base = per_cust.join(
+        customer.select(
+            F.col("c_custkey"), F.col("c_nationkey").alias("nation")
+        ),
+        per_cust["o_custkey"] == F.col("c_custkey"),
+    ).select("c_custkey", "nation", "recency_us", "frequency", "monetary")
+    n_w = Window.partitionBy("nation")
+
+    def score(metric: str) -> "F.Column":
+        w = Window.partitionBy("nation").orderBy(metric, "c_custkey")
+        r = F.row_number().over(w)
+        n = F.count(F.lit(1)).over(n_w)
+        return ((r - F.lit(1)) * F.lit(5) / n).cast("bigint") + F.lit(1)
+
+    scored = base.select(
+        "c_custkey",
+        "nation",
+        "recency_us",
+        "frequency",
+        "monetary",
+        score("recency_us").cast("int").alias("r_score"),
+        score("frequency").cast("int").alias("f_score"),
+        score("monetary").cast("int").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("segment"),
+    ).orderBy("c_custkey")
+
+
+def rfm_segments_oracle_sql() -> str:
+    """DuckDB twin: identical integer rank arithmetic; (r−1)·5 / n uses
+    integer division on both engines (Spark's cast-to-bigint of the
+    exact small integer ratio equals DuckDB's //)."""
+    return """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               epoch_us(CAST(max(o_orderdate) AS TIMESTAMP)) AS recency_us,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY 1
+    ),
+    base AS (
+        SELECT c.c_custkey, c.c_nationkey AS nation,
+               p.recency_us, p.frequency, p.monetary
+        FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    ),
+    scored AS (
+        SELECT c_custkey, nation, recency_us, frequency, monetary,
+               CAST((row_number() OVER (PARTITION BY nation
+                        ORDER BY recency_us, c_custkey) - 1) * 5
+                    // count(*) OVER (PARTITION BY nation) + 1 AS INT)
+                   AS r_score,
+               CAST((row_number() OVER (PARTITION BY nation
+                        ORDER BY frequency, c_custkey) - 1) * 5
+                    // count(*) OVER (PARTITION BY nation) + 1 AS INT)
+                   AS f_score,
+               CAST((row_number() OVER (PARTITION BY nation
+                        ORDER BY monetary, c_custkey) - 1) * 5
+                    // count(*) OVER (PARTITION BY nation) + 1 AS INT)
+                   AS m_score
+        FROM base
+    )
+    SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+    FROM scored ORDER BY c_custkey
+    """
