@@ -101,6 +101,10 @@ QUERIES = [
     "event_path_trigrams",
     "ewma_control_chart",
     "word_kcore",
+    # r10 queue (unregistered; resolved via EXTRA_QUERIES)
+    "rm3_expanded_search",      # documents-grain: two BM25 passes
+    "forecast_backtest_report", # events-grain: daily series + HW fit
+    "lsh_quality_report",       # documents-grain: shingle sig + verify
 ]
 
 
@@ -196,7 +200,28 @@ def _extra_queries():
         zipf_fit,
     )
 
+    from logstream_processing_service_spark.operators.dedup import (
+        lsh_quality_report as _lshq,
+    )
+    from logstream_processing_service_spark.operators.retrieval import (
+        rm3_expanded_search as _rm3,
+    )
+    from logstream_processing_service_spark.operators.trends import (
+        forecast_backtest_report as _fbt,
+    )
+
     return {
+        # r10 queue (rehearsed, unregistered — exponents measured BEFORE
+        # registration per the VERDICT-r8 #6 discipline)
+        "rm3_expanded_search": lambda s, sf: _rm3(
+            load_table(s, sf, "documents")
+        ),
+        "forecast_backtest_report": lambda s, sf: _fbt(
+            load_table(s, sf, "events")
+        ),
+        "lsh_quality_report": lambda s, sf: _lshq(
+            load_table(s, sf, "documents")
+        ),
         "maxsim_search": lambda s, sf: maxsim_topk(
             load_table(s, sf, "documents")
         ),
@@ -367,6 +392,11 @@ HEAPS_QUERIES = (
     # r9: word_kcore peels the bigram-vocab edge list — vocab-grain by
     # construction, so the growing-vocabulary decade is the honest one
     "word_kcore",
+    # r10 queue: rm3 joins the tf table against a query-vocab frame
+    # (df table is vocab-grain) and lsh_quality is shingle-grain — both
+    # in the family the frozen-vocab decade is adversarial for
+    "rm3_expanded_search",
+    "lsh_quality_report",
 )
 
 
