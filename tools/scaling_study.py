@@ -300,6 +300,11 @@ SCALE100_QUERIES = (
     "maxsim_search",
     "dup_shingle_profile",
     "token_communities",
+    # r9 doc-grain flagships: the dedup-aware sampling signal and the
+    # perceptual near-dup report — two decades make the sub-linear
+    # exponents a trend, not a point estimate
+    "novelty_scores",
+    "dhash_near_dup_report",
 )
 
 
