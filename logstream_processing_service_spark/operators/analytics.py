@@ -1621,3 +1621,63 @@ def rfm_segments_oracle_sql() -> str:
     SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
     FROM scored ORDER BY c_custkey
     """
+
+
+def profile_diff_report(
+    old: DataFrame, new: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Data-quality DRIFT report between two snapshots of the same
+    table (the Deequ AnalyzerContext-diff primitive): per column — the
+    old/new row, null and distinct counts, the null-RATE delta, and the
+    distinct-cardinality ratio. The check a pipeline runs between
+    ingest batches to catch schema rot (nulls creeping in, an enum
+    exploding, a column going constant) BEFORE a model trains on it.
+
+    Output: (col_name, n_old, n_new, nulls_old, nulls_new,
+    null_rate_delta, distinct_old, distinct_new, distinct_ratio) —
+    rates divide exact BIGINTs in double, 6-dp rounded;
+    distinct_ratio = new/old (NULL when old is 0).
+
+    Scale: two profile_table passes (each ONE scan + the expand for
+    exact distincts — swap approx_count_distinct at 100 TB per the
+    profile_table card) joined on the column name — a |columns|-row
+    join, nothing corpus-sized crosses.
+    """
+    po = profile_table(old, columns).select(
+        "col_name",
+        F.col("n_rows").alias("n_old"),
+        F.col("n_nulls").alias("nulls_old"),
+        F.col("n_distinct").alias("distinct_old"),
+    )
+    pn = profile_table(new, columns).select(
+        "col_name",
+        F.col("n_rows").alias("n_new"),
+        F.col("n_nulls").alias("nulls_new"),
+        F.col("n_distinct").alias("distinct_new"),
+    )
+    return (
+        po.join(pn, "col_name")
+        .select(
+            "col_name",
+            "n_old",
+            "n_new",
+            "nulls_old",
+            "nulls_new",
+            F.round(
+                F.col("nulls_new").cast("double") / F.col("n_new")
+                - F.col("nulls_old").cast("double") / F.col("n_old"),
+                6,
+            ).alias("null_rate_delta"),
+            "distinct_old",
+            "distinct_new",
+            F.when(
+                F.col("distinct_old") > 0,
+                F.round(
+                    F.col("distinct_new").cast("double")
+                    / F.col("distinct_old"),
+                    6,
+                ),
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("col_name")
+    )

@@ -1136,3 +1136,50 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed window exchange, trigram counts at event-type-vocabulary
     grain, exact BIGINT counts with a min-count floor."""
     return MI.event_path_trigrams(_t(spark, sf_dir, "events"))
+
+
+def profile_diff_oracle_sql() -> str:
+    """Twin for the r10-queue `profile_diff_report` rehearsal: events
+    split by event_id parity into old/new snapshots; per column the
+    same exact counts and 6-dp rate deltas."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def prof(tag: str, pred: str) -> str:
+        parts = [
+            f"""SELECT '{c}' AS col_name,
+                CAST(count(*) AS BIGINT) AS n_{tag},
+                CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS nulls_{tag},
+                CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_{tag}
+            FROM events WHERE {pred}"""
+            for c in cols
+        ]
+        return " UNION ALL ".join(parts)
+
+    return f"""
+    WITH po AS ({prof("old", "event_id % 2 = 0")}),
+    pn AS ({prof("new", "event_id % 2 = 1")})
+    SELECT po.col_name, n_old, n_new, nulls_old, nulls_new,
+           round(CAST(nulls_new AS DOUBLE) / n_new
+                 - CAST(nulls_old AS DOUBLE) / n_old, 6) AS null_rate_delta,
+           distinct_old, distinct_new,
+           CASE WHEN distinct_old > 0
+                THEN round(CAST(distinct_new AS DOUBLE) / distinct_old, 6)
+           END AS distinct_ratio
+    FROM po JOIN pn ON po.col_name = pn.col_name
+    ORDER BY po.col_name
+    """
+
+
+def q_profile_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10-queue rehearsal entry (unregistered): data-quality drift
+    between the even/odd event_id snapshots of events."""
+    from pyspark.sql import functions as F
+
+    from .operators.analytics import profile_diff_report
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_diff_report(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
