@@ -62,6 +62,66 @@ def spec(name: str, oracle: str | None, *tags: str):
 # never-checked.
 _PRIORITY: tuple[str, ...] = (
     # ------------------------------------------------------------------
+    # ROUND-10 WINDOW (r9 VERDICT "Next round" #1+#2) — exactly the
+    # pre-computed r10 map: (a) the 6 rehearsed r10-queue registrations
+    # (first driver rows; all six rehearsed green at both SFs in r9
+    # through the compare harness — tests/test_rm3.py,
+    # tests/test_backtest.py, tests/test_lsh_quality.py,
+    # tests/test_ewma_stream.py, tests/test_rfm.py,
+    # tests/test_profile_diff.py):
+    "rm3_expanded_search", "forecast_backtest_report",
+    "lsh_quality_report", "ewma_volume_stream_twin", "rfm_segments",
+    "profile_diff_report",
+    # (b) 44 backfills = the first 44 (alphabetical) of the 47 queries
+    # whose latest driver row is r5 (computed from the union of
+    # CORRECTNESS_r01-r09). The last 3 alphabetical r5 slots
+    # (volume_zscore, watermark_bounds, windowed_volume_stream_twin)
+    # are displaced by the 3 extra queue registrations beyond the
+    # originally-mapped 3 (new queries must get first driver rows):
+    # volume_zscore's lag/rolling-window z machinery is exercised
+    # oracle-paired by the in-window anomaly_flags (the same daily
+    # z-flag family) and volume_history_window (same partitioned window
+    # frames); watermark_bounds' global min/max scalar aggregate is
+    # subsumed by the in-window constraint_report's min/max+count rule
+    # aggregates over the same events scan; windowed_volume_stream_twin's
+    # run_deterministic_batches tumbling-window state is exercised by
+    # the in-window session_volume_stream_twin / count_window_stream_twin
+    # / decayed_volume_stream_twin and the NEW ewma_volume_stream_twin
+    # (same T4/T6 foreachBatch family). All three lead the r11 backfill
+    # list and are re-verified by the local parity suite every session.
+    "anomaly_flags", "audio_dominant_tone", "batch_volume",
+    "constraint_report", "count_window_stream_twin", "crosstab_counts",
+    "cube_volume", "customers_without_orders", "decayed_volume",
+    "decayed_volume_stream_twin", "dedup_minhash_lsh",
+    "denstream_stream_twin", "distinct_actors", "distinct_actors_approx",
+    "drift_report", "events_in_windows", "first_order_per_customer",
+    "hourly_volume", "idle_rich_customers", "image_histogram_stats",
+    "json_shred_profile", "keyed_overwrite", "kn_trigram_pruned",
+    "language_id", "log_templates", "matview_refresh_twin",
+    "mjpeg_frame_pixel_stats", "national_market_share",
+    "nearest_centroid", "orders_with_error_events",
+    "pattern_mining_incremental", "perplexity_buckets_exact",
+    "priority_order_counts", "revenue_by_nation", "scan_slice",
+    "session_volume_stream_twin", "small_quantity_part_revenue",
+    "top_quarter_suppliers", "upsert_append_dedup", "value_counts_topk",
+    "value_histogram", "value_percentiles", "value_percentiles_approx",
+    "volume_history_window",
+    # ------------------------------------------------------------------
+    # r11 map (pre-computed per the standing policy, assuming the r10
+    # driver run lands this window): r11's new registrations first,
+    # then the 3 displaced r5 stragglers (volume_zscore,
+    # watermark_bounds, windowed_volume_stream_twin — the r5 debt
+    # closes), then r6-latest alphabetical backfill for the remaining
+    # slots (the r6 cohort is 50 queries: ann_hnsw_registry,
+    # bloom_point_lookup, cm_user_counts, dsir_gumbel_sample, ... —
+    # recompute from the CORRECTNESS union at r11 start).
+)
+
+
+# Retired r9 window, kept for the displacement-rationale record the
+# VERDICT audits:
+_PRIORITY_R9: tuple[str, ...] = (
+    # ------------------------------------------------------------------
     # ROUND-9 WINDOW (r8 VERDICT "Next round" #1+#2) — exactly the
     # pre-computed r9 map: (a) the 3 rehearsed r9-queue registrations
     # (first driver rows; all three rehearsed green at both SFs in r8

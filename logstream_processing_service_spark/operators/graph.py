@@ -500,6 +500,7 @@ def kcore_decomposition(
     """
     cur = edges.select("src", "dst").localCheckpoint(eager=True)
     prev_edges = cur.count()
+    converged = False
     for _ in range(max_iters):
         keep = (
             cur.groupBy("src")
@@ -515,14 +516,34 @@ def kcore_decomposition(
         n = nxt.count()
         cur = nxt
         if n == prev_edges:
+            converged = True
             break
         prev_edges = n
-    else:
-        raise RuntimeError(
-            f"kcore_decomposition: no fixpoint within {max_iters} peels "
-            f"(edges still shrinking at {prev_edges}) — raise max_iters "
-            "in BOTH the operator and the unrolled oracle"
+    if not converged:
+        # All max_iters peels strictly shrank — the result may STILL be
+        # the fixpoint (peel depth exactly max_iters). One extra
+        # convergence probe: count what a further peel would keep,
+        # WITHOUT checkpointing it. Equal → cur is stable and matches
+        # the oracle's max_iters-level unroll; smaller → genuinely
+        # deeper than the bound, raise. This makes the usable peel
+        # depth exactly max_iters, same as documented and unrolled.
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("src")
         )
+        n = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .count()
+        )
+        if n != prev_edges:
+            raise RuntimeError(
+                f"kcore_decomposition: no fixpoint within {max_iters} "
+                f"peels (edges still shrinking at {n}) — raise max_iters "
+                "in BOTH the operator and the unrolled oracle"
+            )
     return (
         cur.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))

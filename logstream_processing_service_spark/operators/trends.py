@@ -1146,11 +1146,19 @@ def forecast_backtest_report(events: DataFrame, m: int = 7) -> DataFrame:
         "event_type",
         F.abs(F.col("y") - F.col("yhat")).alias("ae_hw"),
         F.abs(F.col("y") - F.col("y_naive")).cast("bigint").alias("ae_nv"),
-        (
+        # sMAPE term, guarded: when y = yhat = 0 the ratio is 0/0 —
+        # defined as 0 (a zero forecast of a zero actual is perfect),
+        # the same CASE on the DuckDB side. Unreachable on real daily
+        # counts (y ≥ 1 by construction) but keeps degenerate fixtures
+        # engine-identical instead of NULL-vs-nan divergent.
+        F.when(
+            (F.abs(F.col("y")) + F.abs(F.col("yhat"))) > 0,
             F.lit(2.0)
             * F.abs(F.col("y") - F.col("yhat"))
-            / (F.abs(F.col("y")) + F.abs(F.col("yhat")))
-        ).alias("sm"),
+            / (F.abs(F.col("y")) + F.abs(F.col("yhat"))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sm"),
     )
     return (
         joined.groupBy("event_type")
@@ -1160,8 +1168,16 @@ def forecast_backtest_report(events: DataFrame, m: int = 7) -> DataFrame:
             F.round(
                 F.sum("ae_nv").cast("double") / F.count(F.lit(1)), 6
             ).alias("mae_naive"),
-            F.round(
-                F.sum("ae_hw") / F.sum("ae_nv").cast("double"), 6
+            # MASE denominator guarded: an exactly-periodic series makes
+            # the seasonal-naive baseline perfect (Σ|y_t − y_{t−m}| = 0);
+            # Spark non-ANSI division would yield NULL while DuckDB can
+            # yield inf/nan — so BOTH engines return NULL explicitly
+            # (when / NULLIF), "MASE undefined against a perfect naive".
+            F.when(
+                F.sum("ae_nv") > 0,
+                F.round(
+                    F.sum("ae_hw") / F.sum("ae_nv").cast("double"), 6
+                ),
             ).alias("mase"),
             F.round(F.avg("sm"), 6).alias("smape"),
         )
@@ -1191,8 +1207,10 @@ def forecast_backtest_oracle_sql(m: int = 7) -> str:
         SELECT hw.event_type,
                abs(hw.y - hw.yhat) AS ae_hw,
                CAST(abs(hw.y - n.y_naive) AS BIGINT) AS ae_nv,
-               CAST(2.0 AS DOUBLE) * abs(hw.y - hw.yhat)
-                   / (abs(hw.y) + abs(hw.yhat)) AS sm
+               CASE WHEN abs(hw.y) + abs(hw.yhat) > 0
+                    THEN CAST(2.0 AS DOUBLE) * abs(hw.y - hw.yhat)
+                         / (abs(hw.y) + abs(hw.yhat))
+                    ELSE CAST(0.0 AS DOUBLE) END AS sm
         FROM hw JOIN naive n
           ON hw.event_type = n.event_type AND hw.day = n.day
         WHERE hw.kind = 'fit'
@@ -1201,7 +1219,8 @@ def forecast_backtest_oracle_sql(m: int = 7) -> str:
            CAST(count(*) AS BIGINT) AS n_days,
            round(sum(ae_hw) / count(*), 6) AS mae_hw,
            round(CAST(sum(ae_nv) AS DOUBLE) / count(*), 6) AS mae_naive,
-           round(sum(ae_hw) / CAST(sum(ae_nv) AS DOUBLE), 6) AS mase,
+           round(sum(ae_hw) / NULLIF(CAST(sum(ae_nv) AS DOUBLE), 0), 6)
+               AS mase,
            round(avg(sm), 6) AS smape
     FROM joined
     GROUP BY 1

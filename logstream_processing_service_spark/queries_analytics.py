@@ -1171,9 +1171,18 @@ def profile_diff_oracle_sql() -> str:
     """
 
 
+@spec(
+    "profile_diff_report",
+    profile_diff_oracle_sql(),
+    "quality", "drift", "A-ext",
+)
 def q_profile_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r10-queue rehearsal entry (unregistered): data-quality drift
-    between the even/odd event_id snapshots of events."""
+    """Data-quality drift between the even/odd event_id snapshots of
+    events (the Deequ AnalyzerContext diff; r10 queue, rehearsed r9):
+    per column, exact old/new row/null/distinct counts + null-rate
+    delta + distinct-cardinality ratio, two one-scan profiles joined
+    at column grain. Engine-grade form of the reference's quality
+    audit loop (validate_quality.py:59-112) applied to snapshots."""
     from pyspark.sql import functions as F
 
     from .operators.analytics import profile_diff_report
@@ -1182,4 +1191,20 @@ def q_profile_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_diff_report(
         ev.filter(F.col("event_id") % 2 == 0),
         ev.filter(F.col("event_id") % 2 == 1),
+    )
+
+
+@spec(
+    "rfm_segments",
+    A.rfm_segments_oracle_sql(),
+    "analytics", "segmentation", "A-ext",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (Hughes 1994; r10 queue, rehearsed
+    r9): within-NATION quintiles by integer-rank arithmetic
+    ((r−1)·5 div n + 1 — float-safe), monetary through DECIMAL(18,2);
+    all three windows share ONE nation exchange (no global ntile —
+    plan-pinned in tests/test_rfm.py)."""
+    return A.rfm_segments(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     )

@@ -787,8 +787,7 @@ def q_router_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r10 queue (rehearsed in r9, NOT yet registered — registration is one
-# @spec away; tests/test_ewma_stream.py runs the compare harness)
+# r10 queue (rehearsed in r9, registered in r10)
 # ---------------------------------------------------------------------------
 
 
@@ -839,12 +838,17 @@ def ewma_stream_twin_oracle(n_batches: int = N_BATCHES) -> str:
     )
 
 
+@spec(
+    "ewma_volume_stream_twin",
+    ewma_stream_twin_oracle(),
+    "T4", "T6", "streaming", "stateful", "ewma",
+)
 def q_ewma_volume_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the ACTUAL ewma_volume_stream stateful operator over 3
     deterministic micro-batches; return each key's final smoothed
     volume and observed-batch count. The oracle unrolls the per-batch
     EWMA recurrence as a chained CTE fold (the decayed_volume twin
-    discipline)."""
+    discipline). r10 queue, rehearsed r9 (tests/test_ewma_stream.py)."""
     from .streaming.drive import last_batch_per_key, run_deterministic_batches
     from .streaming.state import ewma_volume_stream
 

@@ -1935,3 +1935,39 @@ def _lsh_quality_oracle(threshold: float = 0.8, max_bucket: int = 2000) -> str:
     FROM bucket_counts b LEFT JOIN per_band p ON b.band = p.band
     ORDER BY b.band
     """
+
+
+@spec(
+    "lsh_quality_report",
+    _lsh_quality_oracle(),
+    "dedup", "north-star", "audit", "bench",
+)
+def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band MinHash-LSH audit (r10 queue, rehearsed r9): candidate
+    precision per band against TRUE shingle Jaccard — the
+    measure-don't-guess check of the (bands, rows) config. One shared
+    shingle scan feeds signatures and the verify sets; band id kept on
+    candidate pairs so a pair found by two bands counts in both."""
+    from .operators.dedup import lsh_quality_report
+
+    return lsh_quality_report(_t(spark, sf_dir, "documents"))
+
+
+from .operators.retrieval import (  # noqa: E402
+    rm3_expanded_search as _rm3_search,
+    rm3_oracle_sql as _rm3_oracle,
+)
+
+
+@spec(
+    "rm3_expanded_search",
+    _rm3_oracle(),
+    "retrieval", "north-star", "prf", "bench",
+)
+def q_rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback search (Lavrenko & Croft 2001;
+    r10 queue, rehearsed r9): BM25 first pass, relevance-model term
+    extraction from the top fb_docs, interpolated second pass. The
+    (doc, tok) tf frame is persisted once for its four consumers
+    (plan-pinned in tests/test_rm3.py); term frames broadcast."""
+    return _rm3_search(_t(spark, sf_dir, "documents"))

@@ -349,3 +349,17 @@ def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     band — detects small sustained shifts the z chart misses. Exact
     BIGINT moments; identical double-op recurrence on both engines."""
     return TR.ewma_control_chart(_t(spark, sf_dir, "events"))
+
+
+@spec(
+    "forecast_backtest_report",
+    TR.forecast_backtest_oracle_sql(),
+    "trends", "forecast-eval", "M-ext",
+)
+def q_forecast_backtest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest (Hyndman & Koehler 2006; r10 queue,
+    rehearsed r9): MASE and sMAPE of the Holt-Winters one-step fits vs
+    the seasonal-naive y_{t-m} baseline. Exact-BIGINT MASE denominator,
+    NULL-guarded against a perfect naive (r9 advice); day-grain shuffle
+    only."""
+    return TR.forecast_backtest_report(_t(spark, sf_dir, "events"))

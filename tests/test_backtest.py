@@ -29,6 +29,72 @@ def test_backtest_hash_matches_oracle(spark, sf_dir):
     assert r["status"] == "OK", r
 
 
+def test_perfect_seasonal_naive_yields_null_mase_on_both_engines(spark):
+    """r9 advice regression: an EXACTLY weekly-periodic series makes
+    the seasonal-naive baseline perfect (Σ|y_t − y_{t−7}| = 0). MASE
+    must come back NULL — not NaN, not inf, not a crash — from BOTH
+    engines, and the full rows must hash-identically through the
+    driver's normalizer."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pandas as pd
+
+    from .oracle_harness import normalize
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    week = [10, 12, 15, 11, 20, 30, 25]
+    for d in range(35):
+        for _ in range(week[d % 7]):
+            rows.append((eid, "t", base + timedelta(days=d, minutes=eid % 50)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    sdf = forecast_backtest_report(ev)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert len(s_rows) == 1
+    assert s_rows[0][sdf.columns.index("mase")] is None
+    assert s_rows[0][sdf.columns.index("mae_naive")] == 0.0
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts"])
+    con = duckdb.connect()
+    con.register("events", pdf)
+    rel = con.sql(forecast_backtest_oracle_sql())
+    assert normalize(sdf.columns, s_rows) == normalize(
+        list(rel.columns), rel.fetchall()
+    )
+
+
+def test_zero_actual_zero_forecast_smape_term_is_zero(spark):
+    """The per-row sMAPE guard: y = yhat = 0 contributes 0 (perfect
+    zero forecast), not NULL/NaN, on both engines. Unreachable from
+    real daily counts (y ≥ 1), so exercise the expression directly
+    with the same CASE the oracle uses."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0.0, 0.0), (10.0, 5.0)], "y double, yhat double")
+    sm = df.select(
+        F.when(
+            (F.abs(F.col("y")) + F.abs(F.col("yhat"))) > 0,
+            F.lit(2.0) * F.abs(F.col("y") - F.col("yhat"))
+            / (F.abs(F.col("y")) + F.abs(F.col("yhat"))),
+        ).otherwise(F.lit(0.0)).alias("sm")
+    ).collect()
+    want = duckdb.sql(
+        """SELECT CASE WHEN abs(y) + abs(yhat) > 0
+                  THEN CAST(2.0 AS DOUBLE) * abs(y - yhat)
+                       / (abs(y) + abs(yhat))
+                  ELSE CAST(0.0 AS DOUBLE) END AS sm
+           FROM (VALUES (0.0, 0.0), (10.0, 5.0)) t(y, yhat)"""
+    ).fetchall()
+    assert sorted(r["sm"] for r in sm) == sorted(r[0] for r in want)
+    assert sorted(r["sm"] for r in sm) == [0.0, 2.0 / 3.0]
+
+
 def test_perfect_weekly_seasonality_beats_nothing(spark):
     """A perfectly periodic weekly series: the seasonal-naive baseline
     is PERFECT (y_t == y_{t-7}), so MASE is undefined-large — the
