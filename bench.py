@@ -242,6 +242,13 @@ HEADLINE = [
     "hard_negative_mining",
     "word_kcore",
     "record_linkage_fs",
+    # round-10 additions (the 6 registered r10-queue entries)
+    "rm3_expanded_search",
+    "forecast_backtest_report",
+    "lsh_quality_report",
+    "ewma_volume_stream_twin",
+    "rfm_segments",
+    "profile_diff_report",
 ]
 
 

@@ -1439,3 +1439,154 @@ def dsir_gumbel_oracle_sql(
     FROM ({dsir_oracle_sql(target_lang, n_buckets)}) w
     ORDER BY gumbel_key DESC, doc_id LIMIT {k}
     """
+
+
+def shard_manifest_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    n_shards: int = 16,
+    salt: str = "manifest-v1",
+) -> DataFrame:
+    """Shard-grain MANIFEST diff between two corpus snapshots — the
+    incremental-curation planner: after a corpus update (crawl refresh,
+    dedup pass, policy scrub), which training-data shards actually need
+    re-materializing? Docs are assigned to shards by the same stable
+    keyed hash discipline as ``shard_assignment`` (reproducible across
+    reruns and cluster sizes), the two snapshots are compared ONCE at
+    doc grain, and everything rolls up to one row per shard:
+
+    (shard, n_docs_old, n_docs_new, n_added, n_removed, n_changed,
+    chars_old, chars_new, needs_rewrite) — ``n_changed`` counts docs
+    present in both whose text hash differs; ``needs_rewrite`` is true
+    iff the shard's content moved at all. A 100 TB export with 1%
+    churn re-writes only the touched shards (the txlog/CDC complement:
+    snapshot_diff answers WHICH rows changed, this answers WHICH
+    OUTPUT FILES must be rebuilt).
+
+    Scale: one doc-grain full-outer join on doc_id (hash-partitioned,
+    no skew — doc_id is unique on each side), text compared via the
+    48-bit md5 hash so the join carries (id, shard, hash, len) — never
+    two copies of the corpus text; then ONE shard-grain aggregate
+    (n_shards rows). Shard ids are identical on both sides by
+    construction, so a doc never "moves shards" in the diff.
+    """
+    h_shard = F.expr(
+        T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
+    )
+    # hash/len over coalesce(text, ''): md5(NULL) is NULL on both
+    # engines, which would silently drop a NULL-text doc from the
+    # presence counts — a null-text doc is a present (empty) doc, not
+    # an absent one. Same coalesce in the oracle.
+    h_text = F.expr(T.hash48_sql("coalesce(text, '')"))
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "doc_id",
+            (h_shard % n_shards).cast("int").alias("shard"),
+            h_text.alias(f"h_{tag}"),
+            F.length(F.coalesce("text", F.lit(""))).cast("bigint").alias(
+                f"len_{tag}"
+            ),
+        )
+    o = prep(old_docs, "old")
+    n = prep(new_docs, "new").withColumnRenamed("shard", "shard_n")
+    j = o.join(n, "doc_id", "full_outer").select(
+        F.coalesce("shard", "shard_n").alias("shard"),
+        "h_old", "h_new", "len_old", "len_new",
+    )
+    return (
+        j.groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("h_old").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_docs_old"),
+            F.sum(F.when(F.col("h_new").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_docs_new"),
+            F.sum(
+                F.when(
+                    F.col("h_old").isNull() & F.col("h_new").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_added"),
+            F.sum(
+                F.when(
+                    F.col("h_new").isNull() & F.col("h_old").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_removed"),
+            F.sum(
+                F.when(
+                    F.col("h_old").isNotNull()
+                    & F.col("h_new").isNotNull()
+                    & (F.col("h_old") != F.col("h_new")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_changed"),
+            F.sum(F.coalesce("len_old", F.lit(0))).cast("bigint").alias(
+                "chars_old"
+            ),
+            F.sum(F.coalesce("len_new", F.lit(0))).cast("bigint").alias(
+                "chars_new"
+            ),
+        )
+        .withColumn(
+            "needs_rewrite",
+            (F.col("n_added") + F.col("n_removed") + F.col("n_changed"))
+            > 0,
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_manifest_diff_oracle_sql(
+    old_cte: str,
+    new_cte: str,
+    n_shards: int = 16,
+    salt: str = "manifest-v1",
+) -> str:
+    """DuckDB twin over caller-supplied old/new snapshot CTE bodies
+    (each must yield (doc_id, text)); same hash48 shard/text keys."""
+    h_shard = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
+    h_text = T.hash48_sql("coalesce(text, '')")
+    return f"""
+    WITH old_snap AS ({old_cte}),
+    new_snap AS ({new_cte}),
+    o AS (
+        SELECT doc_id, CAST(({h_shard}) % {n_shards} AS INT) AS shard,
+               ({h_text}) AS h_old,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS len_old
+        FROM old_snap
+    ),
+    n AS (
+        SELECT doc_id, CAST(({h_shard}) % {n_shards} AS INT) AS shard_n,
+               ({h_text}) AS h_new,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS len_new
+        FROM new_snap
+    ),
+    j AS (
+        SELECT coalesce(o.shard, n.shard_n) AS shard,
+               h_old, h_new, len_old, len_new
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT shard,
+           CAST(sum(CASE WHEN h_old IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_old,
+           CAST(sum(CASE WHEN h_new IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_new,
+           CAST(sum(CASE WHEN h_old IS NULL AND h_new IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN h_new IS NULL AND h_old IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL
+                         AND h_old <> h_new THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(sum(coalesce(len_old, 0)) AS BIGINT) AS chars_old,
+           CAST(sum(coalesce(len_new, 0)) AS BIGINT) AS chars_new,
+           (sum(CASE WHEN h_old IS NULL AND h_new IS NOT NULL
+                     THEN 1 ELSE 0 END)
+            + sum(CASE WHEN h_new IS NULL AND h_old IS NOT NULL
+                       THEN 1 ELSE 0 END)
+            + sum(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL
+                       AND h_old <> h_new THEN 1 ELSE 0 END)) > 0
+               AS needs_rewrite
+    FROM j
+    GROUP BY shard
+    ORDER BY shard
+    """

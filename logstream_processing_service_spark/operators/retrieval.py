@@ -1120,3 +1120,406 @@ def rm3_oracle_sql(
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+PROX_K1 = 20
+PROX_W_COV = 0.5
+PROX_W_PROX = 1.0
+
+
+def proximity_rerank(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+    k1: int = PROX_K1,
+    w_cov: float = PROX_W_COV,
+    w_prox: float = PROX_W_PROX,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage rerank pipeline with JOINT (query, doc) second-stage
+    features — the cross-encoder serving shape: a cheap first stage
+    ranks the whole corpus (BM25 bag-of-words, which never sees query
+    terms TOGETHER in the doc), then an expensive joint scorer runs on
+    only the k1·|Q| candidates. The deterministic joint features are
+    the classic pre-neural pair (term proximity + coverage: Büttcher
+    et al. 2006, Tao & Zhai 2007 — documents where the query terms
+    appear NEAR each other outrank scattered mentions):
+
+      score = bm25 + w_cov·(matched_terms / query_terms)
+                   + w_prox / (1 + min_dist)
+
+    where min_dist is the minimum token-position distance between
+    occurrences of two DIFFERENT query terms (NULL when <2 distinct
+    terms match — the proximity term then contributes 0). A real
+    cross-encoder (torch pandas_udf over the (qtext, text) pair) slots
+    in at exactly this grain — candidates only, never the corpus.
+
+    Scale: stage 1 is bm25_topk's broadcast-probe plan; stage 2
+    re-reads ONLY candidate docs (left-semi join on the ≤ k1·|Q|-row
+    candidate id set, broadcast), posexplodes their tokens, and the
+    hit table (candidate docs × matched query-term positions) is tiny —
+    the pairwise min-distance self-join is candidate-grain, bounded by
+    (positions per doc)², never corpus work.
+
+    Output: (query_id, rank, doc_id, bm25, coverage, min_dist, score),
+    top-k per query by the 6-dp-rounded joint score, doc_id tiebreak.
+    """
+    return proximity_rerank_with_stage1(
+        documents, queries, k, k1, w_cov, w_prox, tf
+    )[1]
+
+
+def proximity_rerank_with_stage1(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+    k1: int = PROX_K1,
+    w_cov: float = PROX_W_COV,
+    w_prox: float = PROX_W_PROX,
+    tf: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """proximity_rerank plus its PERSISTED stage-1 frame
+    (query_id, rank, doc_id, bm25 — the k1-deep BM25 ranking), so a
+    caller that also needs the first-stage ranking (retrieval_eval's
+    two-system comparison: bm25@k is exactly the rank ≤ k prefix of
+    this frame, the top-k property of a deterministic total order)
+    reuses ONE computation instead of running BM25 twice. Stage-1
+    cache lifecycle is caller-owned (the repo contract): the k1·|Q|-row
+    frame has four consumers here (doc-id gate, hit semi-filter,
+    scored base — two of them BROADCAST, and an unpersisted broadcast
+    re-executes the whole BM25 subtree per consumer: the wrapping eval
+    report measured 13.2 s at sf0.1 unpersisted+double-BM25 and 6.1 s
+    with this persist + the stage-1 prefix reuse)."""
+    spark = documents.sparkSession
+    # cache: caller-owned (see docstring); measured indifferent for
+    # the plain rerank (4.5 s either way at sf0.1 — exchange reuse
+    # already shares most of the subtree) and a 13 s → 6 s win for the
+    # eval report's extra consumers.
+    cands_ranked = bm25_topk(documents, queries, k=k1, tf=tf).select(
+        "query_id", "rank", "doc_id", F.col("score").alias("bm25")
+    ).persist()
+    cands = cands_ranked.select("query_id", "doc_id", "bm25")
+    cand_docs = cands.select("doc_id").distinct()
+    tokpos = (
+        documents.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.posexplode(T.words(F.col("text"))).alias("pos", "tok"),
+        )
+    )
+    qterms = _query_terms(spark, queries)
+    nq = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_qterms")
+    )
+    hits = (
+        tokpos.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(cands.select("query_id", "doc_id")),
+              ["query_id", "doc_id"], "left_semi")
+        .select("query_id", "doc_id", "tok", "pos")
+    )
+    cov = hits.groupBy("query_id", "doc_id").agg(
+        F.count_distinct("tok").alias("n_hit")
+    )
+    h2 = hits.select(
+        "query_id", "doc_id",
+        F.col("tok").alias("tok2"), F.col("pos").alias("pos2"),
+    )
+    md = (
+        hits.join(h2, ["query_id", "doc_id"])
+        .filter(F.col("tok") < F.col("tok2"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.min(F.abs(F.col("pos") - F.col("pos2"))).cast("int")
+             .alias("min_dist"))
+    )
+    scored = (
+        cands.join(cov, ["query_id", "doc_id"])
+        .join(md, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id", "doc_id", "bm25", "min_dist",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_qterms").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("bm25")
+                + F.lit(w_cov) * F.col("coverage")
+                + F.coalesce(
+                    F.lit(w_prox)
+                    / (F.lit(1.0) + F.col("min_dist").cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    reranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", "bm25", "coverage",
+            "min_dist", "score",
+        )
+    )
+    return cands_ranked, reranked
+
+
+def proximity_rerank_oracle_sql(
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+    k1: int = PROX_K1,
+    w_cov: float = PROX_W_COV,
+    w_prox: float = PROX_W_PROX,
+) -> str:
+    """DuckDB twin: stage 1 is the bm25 oracle verbatim as a subquery;
+    positions via LATERAL generate_series (0-based to match
+    posexplode); identical rounding and left-assoc score sum."""
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(queries))
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH cand AS MATERIALIZED (
+        SELECT query_id, doc_id, score AS bm25
+        FROM ({bm25_oracle_sql(queries, k1)})
+    ),
+    q AS (SELECT * FROM (VALUES {values}) AS t(query_id, qtext)),
+    qterms AS (
+        SELECT DISTINCT query_id, tok FROM (
+            SELECT query_id,
+                   unnest(list_filter(string_split(qtext, ' '),
+                          x -> x <> '')) AS tok
+            FROM q
+        )
+    ),
+    nq AS (SELECT query_id, count(*) AS n_qterms FROM qterms GROUP BY 1),
+    t AS (
+        SELECT doc_id, {words_duck} AS arr FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM cand)
+    ),
+    tokpos AS (
+        SELECT doc_id, CAST(i AS INT) - 1 AS pos, arr[CAST(i AS INT)] AS tok
+        FROM t, LATERAL (
+            SELECT unnest(generate_series(1, len(arr))) AS i)
+    ),
+    hits AS MATERIALIZED (
+        SELECT c.query_id, c.doc_id, p.tok, p.pos
+        FROM cand c
+        JOIN qterms qt ON c.query_id = qt.query_id
+        JOIN tokpos p ON p.doc_id = c.doc_id AND p.tok = qt.tok
+    ),
+    cov AS (
+        SELECT query_id, doc_id, count(DISTINCT tok) AS n_hit
+        FROM hits GROUP BY 1, 2
+    ),
+    md AS (
+        SELECT a.query_id, a.doc_id,
+               CAST(min(abs(a.pos - b.pos)) AS INT) AS min_dist
+        FROM hits a JOIN hits b
+          ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+         AND a.tok < b.tok
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.query_id, c.doc_id, c.bm25, md.min_dist,
+               round(CAST(cov.n_hit AS DOUBLE)
+                     / CAST(nq.n_qterms AS DOUBLE), 6) AS coverage,
+               round(c.bm25
+                     + {w_cov!r} * round(CAST(cov.n_hit AS DOUBLE)
+                           / CAST(nq.n_qterms AS DOUBLE), 6)
+                     + coalesce({w_prox!r}
+                           / (1.0 + CAST(md.min_dist AS DOUBLE)), 0.0),
+                     6) AS score
+        FROM cand c
+        JOIN cov ON c.query_id = cov.query_id AND c.doc_id = cov.doc_id
+        LEFT JOIN md ON c.query_id = md.query_id AND c.doc_id = md.doc_id
+        JOIN nq ON c.query_id = nq.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25, coverage,
+           min_dist, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def retrieval_eval_report(
+    documents: DataFrame,
+    queries: tuple[str, ...] = SEARCH_QUERIES,
+    k: int = 10,
+) -> DataFrame:
+    """IR-effectiveness report: recall@k, MRR and binary nDCG@k for
+    BOTH ranking stages (BM25 and the proximity rerank) against
+    deterministic pseudo-qrels — a document is relevant to a query iff
+    it contains the query PHRASE verbatim (instr > 0). The
+    measure-don't-guess audit for the ranking stack (the
+    lsh_quality_report discipline applied to retrieval): phrase
+    containment is exactly the signal bag-of-words BM25 can miss and
+    the proximity stage is built to recover, so the report quantifies
+    the second stage's win instead of asserting it.
+
+    Output, (system, query_id) grain (2·|Q| rows): (system, query_id,
+    n_rel, rel_at_k, recall_at_k, mrr, ndcg). Zero-relevant queries:
+    recall/ndcg NULL on BOTH engines (the forecast_backtest guard
+    discipline), mrr 0.0 by convention when no relevant doc is
+    retrieved.
+
+    Scale: the qrel pass is ONE corpus scan with the literal query
+    frame broadcast (in-row instr, no shuffle before the query-grain
+    count); the (doc, tok) tf table is built ONCE, persisted, and
+    threaded through BOTH rankers (bm25 directly and the rerank's
+    internal first stage), so the corpus is tokenized once, not three
+    times; the metric joins are all at (system, query, rank) grain —
+    ≤ 2·k·|Q| rows. DCG/IDCG are ≤ k-term double sums rounded 6 dp on
+    both engines (the hybrid_search_rrf precedent for
+    order-robustness). tf cache lifecycle is caller-owned (the repo
+    contract — bench/driver clearCache per query).
+    """
+    spark = documents.sparkSession
+    toks = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    # cache: caller-owned (see docstring) — two ranking consumers
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tc")
+    ).persist()
+    q = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(queries)], "query_id INT, qtext STRING"
+    )
+    # cache: caller-owned (repo contract) — two consumers (the
+    # query-grain n_rel count and the ranked-hits join)
+    rel = (
+        documents.crossJoin(F.broadcast(q))
+        .filter(F.instr(F.col("text"), F.col("qtext")) > 0)
+        .select("query_id", "doc_id")
+        .persist()
+    )
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    stage1, reranked = proximity_rerank_with_stage1(
+        documents, queries, k=k, tf=tf
+    )
+    ranked = (
+        # bm25@k == the rank ≤ k prefix of the persisted k1-deep
+        # stage-1 ranking (deterministic total order) — no second BM25
+        stage1.filter(F.col("rank") <= k)
+        .select(F.lit("bm25").alias("system"), "query_id", "rank", "doc_id")
+        .unionByName(
+            reranked.select(
+                F.lit("prox").alias("system"), "query_id", "rank", "doc_id"
+            )
+        )
+    )
+    hits = ranked.join(
+        rel.withColumn("rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    per = hits.groupBy("system", "query_id").agg(
+        F.sum(F.coalesce("rel", F.lit(0))).cast("bigint").alias("rel_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("_frr"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.lit(1.0) / F.log2(F.col("rank").cast("double") + 1.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("_dcg"),
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, least(n_rel, {k})), cast(0 as double), "
+        "(a, i) -> a + 1.0/log2(cast(i as double) + 1.0))"
+    )
+    return (
+        per.join(n_rel, "query_id", "left")
+        .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)).cast("bigint"))
+        .select(
+            "system",
+            "query_id",
+            "n_rel",
+            "rel_at_k",
+            F.when(
+                F.col("n_rel") > 0,
+                F.round(
+                    F.col("rel_at_k").cast("double")
+                    / F.col("n_rel").cast("double"),
+                    6,
+                ),
+            ).alias("recall_at_k"),
+            F.when(
+                F.col("_frr").isNotNull(),
+                F.round(F.lit(1.0) / F.col("_frr").cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+            F.when(
+                F.col("n_rel") > 0, F.round(F.col("_dcg") / idcg, 6)
+            ).alias("ndcg"),
+        )
+        .orderBy("system", "query_id")
+    )
+
+
+def retrieval_eval_oracle_sql(
+    queries: tuple[str, ...] = SEARCH_QUERIES, k: int = 10
+) -> str:
+    """DuckDB twin: both system oracles verbatim as subqueries, the
+    same instr() pseudo-qrels, the same NULL guards, and IDCG as a
+    correlated generate_series sum."""
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(queries))
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {values}) AS t(query_id, qtext)),
+    rel AS MATERIALIZED (
+        SELECT query_id, doc_id
+        FROM documents, q WHERE instr(text, qtext) > 0
+    ),
+    nrel AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        FROM rel GROUP BY 1
+    ),
+    ranked AS MATERIALIZED (
+        SELECT 'bm25' AS system, query_id, rank, doc_id
+        FROM ({bm25_oracle_sql(queries, k)})
+        UNION ALL
+        SELECT 'prox' AS system, query_id, rank, doc_id
+        FROM ({proximity_rerank_oracle_sql(queries, k)})
+    ),
+    hits AS (
+        SELECT s.system, s.query_id, s.rank,
+               CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM ranked s LEFT JOIN rel r
+          ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+    ),
+    per AS (
+        SELECT system, query_id,
+               CAST(sum(rel) AS BIGINT) AS rel_at_k,
+               min(CASE WHEN rel = 1 THEN rank END) AS frr,
+               sum(CASE WHEN rel = 1
+                        THEN 1.0 / log2(CAST(rank AS DOUBLE) + 1.0)
+                        ELSE 0.0 END) AS dcg
+        FROM hits GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT p.system, p.query_id, coalesce(n.n_rel, 0) AS n_rel,
+               p.rel_at_k, p.frr, p.dcg
+        FROM per p LEFT JOIN nrel n ON p.query_id = n.query_id
+    )
+    SELECT system, query_id, n_rel, rel_at_k,
+           CASE WHEN n_rel > 0
+                THEN round(CAST(rel_at_k AS DOUBLE)
+                           / CAST(n_rel AS DOUBLE), 6)
+           END AS recall_at_k,
+           CASE WHEN frr IS NOT NULL
+                THEN round(1.0 / CAST(frr AS DOUBLE), 6)
+                ELSE 0.0 END AS mrr,
+           CASE WHEN n_rel > 0
+                THEN round(dcg / (
+                    SELECT sum(1.0 / log2(CAST(i AS DOUBLE) + 1.0))
+                    FROM unnest(generate_series(1, least(n_rel, {k})))
+                        AS t(i)), 6)
+           END AS ndcg
+    FROM j
+    ORDER BY system, query_id
+    """

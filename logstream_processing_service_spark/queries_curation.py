@@ -691,3 +691,43 @@ def q_curate_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes every gate closed-form. alpha_10x 0.21 (ROADMAP
     r7 ledger)."""
     return WC.curate_web_corpus(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# r11 queue (rehearsed in r10, NOT yet registered — registration is one
+# @spec away; tests/test_manifest_diff.py runs the compare harness)
+# ---------------------------------------------------------------------------
+
+# Deterministic snapshot split for the catalog entry: OLD misses the
+# doc_id % 17 == 3 docs (they appear as ADDED in new), NEW drops the
+# doc_id % 13 == 2 docs (REMOVED) and rewrites text to upper() for
+# doc_id % 11 == 5 (CHANGED) — all three transition kinds exercised
+# from one documents scan per side, identically on both engines.
+_MANIFEST_OLD_CTE = "SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3"
+_MANIFEST_NEW_CTE = (
+    "SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN upper(text) ELSE text END"
+    " AS text FROM documents WHERE doc_id % 13 <> 2"
+)
+
+
+def manifest_diff_oracle_sql() -> str:
+    return C.shard_manifest_diff_oracle_sql(
+        _MANIFEST_OLD_CTE, _MANIFEST_NEW_CTE
+    )
+
+
+def q_shard_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11-queue rehearsal entry (unregistered): shard-grain manifest
+    diff between two deterministic snapshots of documents — which
+    output shards would an incremental re-materialization rewrite."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 5, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return C.shard_manifest_diff(old, new)

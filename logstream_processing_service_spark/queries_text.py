@@ -1971,3 +1971,69 @@ def q_rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, tok) tf frame is persisted once for its four consumers
     (plan-pinned in tests/test_rm3.py); term frames broadcast."""
     return _rm3_search(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# r11 queue (rehearsed in r10, NOT yet registered — registration is one
+# @spec away; tests/test_char_windows.py and tests/test_prox_rerank.py
+# run the compare harness)
+# ---------------------------------------------------------------------------
+
+
+def q_char_window_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11-queue rehearsal entry (unregistered): exact char-grain
+    substring duplication profile (Lee et al. 2022 — the suffix-array
+    dedup signal as stride-1 fixed-window equality)."""
+    return D.char_window_dup_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11-queue rehearsal entry (unregistered): two-stage rerank with
+    joint (query, doc) proximity + coverage features over BM25
+    candidates — the cross-encoder serving shape at deterministic
+    feature grain."""
+    from .operators.retrieval import proximity_rerank
+
+    return proximity_rerank(_t(spark, sf_dir, "documents"))
+
+
+def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11-queue rehearsal entry (unregistered): recall@10 / MRR /
+    binary nDCG@10 of BM25 vs the proximity rerank against verbatim
+    phrase-containment pseudo-qrels — quantifies the second stage's
+    win instead of asserting it."""
+    from .operators.retrieval import retrieval_eval_report
+
+    return retrieval_eval_report(_t(spark, sf_dir, "documents"))
+
+
+def _jaccard_sweep_oracle() -> str:
+    """DuckDB twin for the r11-queue `jaccard_threshold_sweep`
+    rehearsal: the shared shingle CTE + the same decile floor (clamped
+    to 9) + a 10-row descending cumulative sum."""
+    return f"""
+    WITH {_SHINGLE_CTE},
+    {_JACCARD_CORE.format(sh="sh")},
+    banded AS (
+        SELECT least(CAST(floor(jaccard * 10) AS INT), 9) AS band
+        FROM jac
+    ),
+    hist AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM banded GROUP BY 1
+    )
+    SELECT round(band / 10.0, 1) AS band_lo, n_pairs,
+           CAST(sum(n_pairs) OVER (
+               ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_pairs_ge
+    FROM hist
+    ORDER BY band_lo
+    """
+
+
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11-queue rehearsal entry (unregistered): pair-similarity decile
+    histogram over all co-shingle pairs — the dedup-threshold picking
+    audit (where is the near-dup valley)."""
+    return D.jaccard_threshold_sweep(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,49 @@
+"""Pair-similarity decile histogram (dedup-threshold picking audit) —
+rehearsed r11 catalog candidate `jaccard_threshold_sweep`."""
+
+from __future__ import annotations
+
+import pytest
+
+from logstream_processing_service_spark.operators.dedup import (
+    jaccard_threshold_sweep,
+)
+
+from .conftest import SF_DIR, SF_DIR_ORACLE
+from .oracle_harness import compare_one, duckdb_conn
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_jaccard_sweep_hash_matches_oracle(spark, sf_dir):
+    from logstream_processing_service_spark.queries_text import (
+        _jaccard_sweep_oracle,
+        q_jaccard_threshold_sweep,
+    )
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark, con, "jaccard_threshold_sweep", q_jaccard_threshold_sweep,
+        _jaccard_sweep_oracle(), sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+def test_planted_bimodal_histogram(spark):
+    """A verbatim duplicate pair (jaccard 1.0 → decile-9 band via the
+    floor clamp) plus a pair sharing exactly one 3-gram out of many
+    (low band): the histogram is bimodal and cum_pairs_ge counts down
+    correctly (top band 1 pair, bottom band all pairs)."""
+    body = " ".join(f"w{i}" for i in range(20))
+    low_a = "shared one two " + " ".join(f"a{i}" for i in range(15))
+    low_b = "shared one two " + " ".join(f"b{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, low_a), (4, low_b)],
+        "doc_id long, text string",
+    )
+    rows = {r["band_lo"]: r for r in jaccard_threshold_sweep(docs).collect()}
+    assert rows[0.9]["n_pairs"] == 1          # the verbatim pair
+    assert rows[0.9]["cum_pairs_ge"] == 1
+    low = min(rows)                            # the one-shingle pair
+    assert low < 0.2
+    assert rows[low]["n_pairs"] == 1
+    assert rows[low]["cum_pairs_ge"] == 2      # both pairs at-or-above

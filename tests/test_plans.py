@@ -1033,3 +1033,100 @@ def test_equidepth_no_global_exchange_single_rank_window(spark):
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("row_number()") == 1
+
+
+def test_char_window_single_df_exchange_no_probe_join(spark):
+    """char_window_dup_profile's plan iteration (r10 ROADMAP): the
+    window doc-frequency is a count() OVER (PARTITION BY w) analytic,
+    NOT a groupBy+probe-join — the corpus-grain (doc, window) frame is
+    exchanged ONCE on the window key (then once more at doc grain for
+    the rollup); the only join left is the doc-grain spine join.
+    Measured 2x faster at sf0.1, 3.6x at 50k docs than the join plan."""
+    from logstream_processing_service_spark.operators.dedup import (
+        char_window_dup_profile,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(char_window_dup_profile(docs))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # window-key exchange + doc-grain rollup exchange + spine-join side(s);
+    # the pre-optimization probe-join plan had TWO corpus-grain exchanges
+    # on w (aggregate build + join probe) — pin that w appears once
+    assert plan.count("hashpartitioning(w#") == 1
+
+
+def test_manifest_diff_single_doc_join_no_text_shuffle(spark):
+    """shard_manifest_diff: ONE doc-grain join (the full-outer id
+    match), and the joined frame carries hashes/lengths — the text
+    column must be projected away BEFORE the exchange (never shuffle
+    two corpus texts to compare them)."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.operators.curation import (
+        shard_manifest_diff,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 2 != 0).select("doc_id", "text")
+    plan = _plan(shard_manifest_diff(old, new))
+    assert "CartesianProduct" not in plan
+    assert plan.count("FullOuter") == 1
+    # both sides compute their md5 hashes BELOW the join (scan-side
+    # projection), so the exchanges carry (id, shard, hash, len) —
+    # never the raw corpus text
+    assert plan.count("md5(") >= 2
+
+
+def test_prox_rerank_stage2_candidate_bounded(spark):
+    """proximity_rerank: stage 2 re-reads only CANDIDATE docs — the
+    second documents scan is gated by a broadcast left-semi join on
+    the candidate id set, and the pairwise min-distance join is
+    candidate-grain (broadcast), never a corpus SortMergeJoin."""
+    from logstream_processing_service_spark.operators.retrieval import (
+        proximity_rerank,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(proximity_rerank(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_retrieval_eval_qrel_pass_is_broadcast_no_cartesian(spark):
+    """retrieval_eval_report: the pseudo-qrel pass is ONE corpus scan
+    with the literal query frame BROADCAST (BroadcastNestedLoopJoin —
+    a |Q|-row build side, in-row instr filter), never a shuffled
+    CartesianProduct; the rerank stage keeps its broadcast left-semi
+    candidate gate."""
+    from logstream_processing_service_spark.operators.retrieval import (
+        retrieval_eval_report,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(retrieval_eval_report(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftSemi" in plan
+    # the shared tf table is persisted and read by both rankers
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
+def test_jaccard_sweep_shared_shingle_scan_tiny_final_window(spark):
+    """jaccard_threshold_sweep: the capped shingle stream is persisted
+    once for its three consumers (sizes + both inverted-index join
+    sides — InMemoryTableScan x3), and the only single-partition stage
+    is the 10-row decile cumulative window (band grain, bounded by
+    construction)."""
+    from logstream_processing_service_spark.operators.dedup import (
+        jaccard_threshold_sweep,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(jaccard_threshold_sweep(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("Exchange SinglePartition") == 1
+    spark.catalog.clearCache()

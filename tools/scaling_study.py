@@ -105,6 +105,12 @@ QUERIES = [
     "rm3_expanded_search",      # documents-grain: two BM25 passes
     "forecast_backtest_report", # events-grain: daily series + HW fit
     "lsh_quality_report",       # documents-grain: shingle sig + verify
+    # r11 queue (unregistered; resolved via EXTRA_QUERIES)
+    "char_window_dup_profile",  # documents-grain: char-window df join
+    "shard_manifest_diff",      # documents-grain: one id join + 16-row agg
+    "proximity_rerank",         # documents-grain stage 1; candidate stage 2
+    "retrieval_eval_report",    # documents-grain: 2 rankings + qrel scan
+    "jaccard_threshold_sweep",  # documents-grain: full co-shingle pair join
 ]
 
 
@@ -283,6 +289,26 @@ def _extra_queries():
             "logstream_processing_service_spark.operators.analytics",
             fromlist=["equidepth_bins"],
         ).equidepth_bins(load_table(s, sf, "events")),
+        "char_window_dup_profile": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_char_window_dup_profile"],
+        ).q_char_window_dup_profile(s, sf),
+        "shard_manifest_diff": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_shard_manifest_diff"],
+        ).q_shard_manifest_diff(s, sf),
+        "proximity_rerank": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_proximity_rerank"],
+        ).q_proximity_rerank(s, sf),
+        "retrieval_eval_report": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_retrieval_eval_report"],
+        ).q_retrieval_eval_report(s, sf),
+        "jaccard_threshold_sweep": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_jaccard_threshold_sweep"],
+        ).q_jaccard_threshold_sweep(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
