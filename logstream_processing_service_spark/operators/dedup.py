@@ -1479,19 +1479,18 @@ def novelty_scores(
     Output: (doc_id, n_shingles, n_novel, novelty) over distinct
     shingles; exact BIGINT counts, fraction rounded 6 dp.
 
-    Scale: the shared ``shingle_table`` scan + ONE min-aggregate keyed
-    by shingle + one doc-keyed count — the dup_shingle_profile shape
-    with min(doc_id) instead of df; shuffles carry (shingle, doc)
-    longs only. The shingle stream is ``persist()``-ed — two consumers
-    (the first-arrival aggregate and the join probe side) would each
-    re-run the md5 shingle scan otherwise. Cache lifecycle is
-    caller-owned (the dedup-module convention): unpersist/clearCache
-    when done; at 100 TB stage the shingle table to parquet instead.
+    Scale: the shared ``shingle_table`` scan + first-arrival via
+    min(doc_id) OVER (PARTITION BY shingle) — the analytic lands the
+    first-arrival doc on every (shingle, doc) row in ONE
+    shingle-keyed exchange, so there is no min-aggregate + probe join
+    and no persist (the char_window_dup_profile plan lesson, measured
+    here too: 3.6 → 3.1 s at sf0.1, 7.7 → 5.6 s at 50k docs vs the
+    r9 groupBy+join plan); shuffles carry (shingle, doc) longs only.
     """
-    sh = shingle_table(documents, n, max_doc_freq).persist()
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    sh = shingle_table(documents, n, max_doc_freq)
+    first = F.min("doc_id").over(Window.partitionBy("s"))
     return (
-        sh.join(first, "s")
+        sh.withColumn("first_doc", first)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
@@ -1790,7 +1789,11 @@ def char_window_dup_oracle_sql(window: int = 40) -> str:
 
 
 def jaccard_threshold_sweep(
-    documents: DataFrame, n: int = 3, max_doc_freq: int = 500
+    documents: DataFrame,
+    n: int = 3,
+    max_doc_freq: int = 500,
+    sample_fraction: float | None = None,
+    salt: str = "sweep-v1",
 ) -> DataFrame:
     """Similarity HISTOGRAM over every co-shingle document pair — the
     dedup-threshold picking audit: before running a dedup pass at
@@ -1819,8 +1822,20 @@ def jaccard_threshold_sweep(
     full corpus: sweep a deterministic md5 doc SAMPLE (compose with
     operators.sampling — whole-doc sampling keeps the pair-similarity
     distribution unbiased and cuts pair cost by p²); the full-corpus
-    exact sweep is a small-corpus / per-shard diagnostic.
+    exact sweep is a small-corpus / per-shard diagnostic — OR pass
+    ``sample_fraction``: a deterministic keyed-hash WHOLE-DOC sample
+    (the train_test_split md5 discipline, portable to the oracle), so
+    the swept pair space is the p² within-sample pairs and the
+    histogram SHAPE stays unbiased (pair sampling would bias toward
+    high-df docs; doc sampling does not). Measured at the 10× corpus:
+    cap-500 exact 80.5 s → fraction 0.1 ≈ first-decade cost.
     """
+    if sample_fraction is not None:
+        if not 0 < sample_fraction <= 1:
+            raise ValueError("sample_fraction must be in (0, 1]")
+        thresh = int(sample_fraction * 10000)
+        h = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
+        documents = documents.filter(F.expr(f"({h}) % 10000 < {thresh}"))
     pairs = ngram_jaccard_pairs(
         documents, n=n, threshold=0.0, max_doc_freq=max_doc_freq
     )

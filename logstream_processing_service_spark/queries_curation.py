@@ -731,3 +731,38 @@ def q_shard_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return C.shard_manifest_diff(old, new)
+
+
+def q_manifest_timetravel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11-queue rehearsal entry (unregistered): the shard-manifest
+    diff computed between two TXLOG VERSIONS — commit the old snapshot
+    as v0, overwrite with the new snapshot as v1, then diff
+    time-travel reads of both versions. The hash match against the
+    base-table oracle proves version isolation feeds the
+    incremental-curation planner: at 100 TB this is exactly "which
+    shards changed between yesterday's corpus commit and today's",
+    answered from the log without keeping two physical corpus copies."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 5, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    t = f"/tmp/logstream_manifest_twin_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    TX.commit(t, old)
+    TX.commit(t, new, mode="overwrite")
+    return C.shard_manifest_diff(
+        TX.read_snapshot(spark, t, version=0),
+        TX.read_snapshot(spark, t, version=1),
+    )

@@ -2007,12 +2007,24 @@ def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval_report(_t(spark, sf_dir, "documents"))
 
 
-def _jaccard_sweep_oracle() -> str:
+def _jaccard_sweep_oracle(
+    sample_fraction: float | None = None, salt: str = "sweep-v1"
+) -> str:
     """DuckDB twin for the r11-queue `jaccard_threshold_sweep`
     rehearsal: the shared shingle CTE + the same decile floor (clamped
-    to 9) + a 10-row descending cumulative sum."""
+    to 9) + a 10-row descending cumulative sum; optional deterministic
+    keyed-hash doc sample (same hash48 predicate as the operator)."""
+    shingle_cte = _SHINGLE_CTE
+    if sample_fraction is not None:
+        thresh = int(sample_fraction * 10000)
+        h = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
+        shingle_cte = shingle_cte.replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE ({h}) % 10000 < {thresh})",
+            1,
+        )
     return f"""
-    WITH {_SHINGLE_CTE},
+    WITH {shingle_cte},
     {_JACCARD_CORE.format(sh="sh")},
     banded AS (
         SELECT least(CAST(floor(jaccard * 10) AS INT), 9) AS band

@@ -47,3 +47,37 @@ def test_planted_bimodal_histogram(spark):
     assert low < 0.2
     assert rows[low]["n_pairs"] == 1
     assert rows[low]["cum_pairs_ge"] == 2      # both pairs at-or-above
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_sampled_sweep_hash_matches_oracle(sf_dir, spark):
+    """The scale path: a deterministic keyed-hash 50% doc sample on
+    BOTH engines — the sampled histogram hash-matches (same hash48
+    predicate), proving the knob is oracle-portable, not Spark-only."""
+    from logstream_processing_service_spark.queries_text import (
+        _jaccard_sweep_oracle,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark,
+        con,
+        "jaccard_threshold_sweep_sampled",
+        lambda s, sf: jaccard_threshold_sweep(
+            load_table(s, sf, "documents"), sample_fraction=0.5
+        ),
+        _jaccard_sweep_oracle(sample_fraction=0.5),
+        sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+def test_sample_fraction_validation(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="sample_fraction"):
+        jaccard_threshold_sweep(docs, sample_fraction=0.0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        jaccard_threshold_sweep(docs, sample_fraction=1.5)

@@ -95,3 +95,21 @@ def test_null_text_doc_counts_as_present_empty(spark):
     # NULL and '' hash identically under the coalesce -> unchanged
     assert (r["n_added"], r["n_removed"], r["n_changed"]) == (0, 0, 0)
     assert r["needs_rewrite"] is False
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_manifest_timetravel_twin_hash_matches_oracle(spark, sf_dir):
+    """The txlog composition: the SAME oracle as the snapshot diff,
+    but the Spark side reads both snapshots back through time-travel
+    over an overwrite commit — version isolation proven by the hash."""
+    from logstream_processing_service_spark.queries_curation import (
+        manifest_diff_oracle_sql,
+        q_manifest_timetravel_twin,
+    )
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark, con, "manifest_timetravel_twin", q_manifest_timetravel_twin,
+        manifest_diff_oracle_sql(), sf_dir,
+    )
+    assert r["status"] == "OK", r

@@ -1141,3 +1141,105 @@ def test_kcore_invariants(spark, raw_edges, k):
             or (str(b) == node and str(a) in member)
         )
         assert deg == got[node]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab ",  # tiny alphabet maximizes window collisions
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_char_window_profile_matches_python_recount(spark, texts, window):
+    """For ANY doc set and window length: every profile row equals a
+    pure-Python recount of distinct in-doc windows and their cross-doc
+    frequencies — exactness of the stride-1 window semantics on
+    adversarial collision-heavy text."""
+    from logstream_processing_service_spark.operators.dedup import (
+        char_window_dup_profile,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    wins = {
+        i: {t[j:j + window] for j in range(len(t) - window + 1)}
+        for i, t in docs
+    }
+    from collections import Counter
+
+    df_counts = Counter(w for ws in wins.values() for w in ws)
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           char_window_dup_profile(sdf, window=window).collect()}
+    assert set(got) == set(wins)
+    for i, ws in wins.items():
+        r = got[i]
+        assert r["n_windows"] == len(ws)
+        assert r["n_dup_windows"] == sum(
+            1 for w in ws if df_counts[w] >= 2
+        )
+        if ws:
+            assert r["max_window_df"] == max(df_counts[w] for w in ws)
+            assert r["dup_ratio"] == round(
+                r["n_dup_windows"] / r["n_windows"], 6
+            )
+        else:
+            assert r["max_window_df"] is None and r["dup_ratio"] is None
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_manifest_diff_identities(spark, old_rows, new_rows):
+    """For ANY pair of snapshots: totals balance (Σ n_docs_old = |old|),
+    per-shard added/removed/changed reconcile with a pure-Python diff,
+    and the diff is ANTISYMMETRIC (swapping snapshots swaps added and
+    removed, keeps changed)."""
+    from pyspark.sql import types as Ty
+
+    from logstream_processing_service_spark.operators.curation import (
+        shard_manifest_diff,
+    )
+
+    schema = Ty.StructType([
+        Ty.StructField("doc_id", Ty.LongType()),
+        Ty.StructField("text", Ty.StringType()),
+    ])
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    fwd = shard_manifest_diff(old, new, n_shards=4).collect()
+    o, n = dict(old_rows), dict(new_rows)
+    assert sum(r["n_docs_old"] for r in fwd) == len(o)
+    assert sum(r["n_docs_new"] for r in fwd) == len(n)
+    assert sum(r["n_added"] for r in fwd) == len(set(n) - set(o))
+    assert sum(r["n_removed"] for r in fwd) == len(set(o) - set(n))
+    assert sum(r["n_changed"] for r in fwd) == sum(
+        1 for k in set(o) & set(n) if o[k] != n[k]
+    )
+    bwd = shard_manifest_diff(new, old, n_shards=4).collect()
+    assert sum(r["n_added"] for r in bwd) == sum(r["n_removed"] for r in fwd)
+    assert sum(r["n_removed"] for r in bwd) == sum(r["n_added"] for r in fwd)
+    assert sum(r["n_changed"] for r in bwd) == sum(r["n_changed"] for r in fwd)
