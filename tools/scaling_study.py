@@ -313,6 +313,7 @@ def _extra_queries():
 
 SCALE_DIR = "/tmp/logstream_scale10"
 SCALE100_DIR = "/tmp/logstream_scale100"
+SCALE1000_DIR = "/tmp/logstream_scale1000"
 SRC_SF = "/root/testdata/sf0.1"
 
 # doc-grain flagships measured at the third decade under SCALE_100=1
@@ -533,6 +534,57 @@ def build_scale100() -> None:
     print(f"scale100 built: {100 * n0} docs", flush=True)
 
 
+SCALE1000_QUERIES = (
+    # fourth decade (5M docs) for the two VERDICT-watched doc-grain
+    # flagships only — three measured decades make the exponent a
+    # curve, not a line through two points
+    "novelty_scores",
+    "dhash_near_dup_report",
+)
+
+
+def build_scale1000() -> None:
+    """5M-doc slice: the scale100 recipe with 1000 seeded shuffle
+    copies, streamed to the parquet writer batch-by-batch (~1.5 GB)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(SCALE1000_DIR, exist_ok=True)
+    for f in os.listdir(SRC_SF):
+        if f != "documents.parquet":
+            shutil.copy(
+                os.path.join(SRC_SF, f), os.path.join(SCALE1000_DIR, f)
+            )
+    t = pq.read_table(os.path.join(SRC_SF, "documents.parquet"))
+    rows = t.to_pylist()
+    n0 = len(rows)
+    writer = pq.ParquetWriter(
+        os.path.join(SCALE1000_DIR, "documents.parquet"), t.schema
+    )
+    for k in range(1000):
+        out = []
+        for r in rows:
+            if k == 0:
+                out.append(r)
+                continue
+            words = r["text"].split(" ")
+            rng = random.Random(r["doc_id"] * 37 + k)
+            rng.shuffle(words)
+            text = " ".join(words)
+            out.append(
+                {
+                    "doc_id": r["doc_id"] + k * n0,
+                    "text": text,
+                    "lang": r["lang"],
+                    "source": r["source"],
+                    "n_chars": len(text),
+                }
+            )
+        writer.write_table(pa.Table.from_pylist(out, schema=t.schema))
+    writer.close()
+    print(f"scale1000 built: {1000 * n0} docs", flush=True)
+
+
 def main() -> None:
     reps = int(os.environ.get("SCALE_REPS", "3"))
     if not os.path.exists(os.path.join(SCALE_DIR, "documents.parquet")):
@@ -620,6 +672,13 @@ def main() -> None:
     ):
         build_scale100()
 
+    # SCALE_1000=1: a FOURTH decade (5M docs) for the flagship pair
+    thousand = os.environ.get("SCALE_1000") == "1"
+    if thousand and not os.path.exists(
+        os.path.join(SCALE1000_DIR, "documents.parquet")
+    ):
+        build_scale1000()
+
     # SCALE_HEAPS=1: a vocab-GROWTH decade (V ∝ n^0.7) for the
     # vocab-grain operators whose shuffle-decade exponents are blind to
     # type-inventory growth (r6 VERDICT #4)
@@ -650,6 +709,13 @@ def main() -> None:
             r["alpha_100x"] = round(
                 math.log(r["scale100"] / r["scale10"]) / math.log(10.0), 3
             )
+        if thousand and name in SCALE1000_QUERIES:
+            r["scale1000"] = run(name, SCALE1000_DIR)
+            if "scale100" in r:
+                r["alpha_1000x"] = round(
+                    math.log(r["scale1000"] / r["scale100"])
+                    / math.log(10.0), 3
+                )
         if heaps and name in HEAPS_QUERIES:
             r["heaps10"] = run(name, HEAPS_DIR)
             r["alpha_heaps"] = round(
