@@ -108,13 +108,29 @@ _PRIORITY: tuple[str, ...] = (
     "volume_history_window",
     # ------------------------------------------------------------------
     # r11 map (pre-computed per the standing policy, assuming the r10
-    # driver run lands this window): r11's new registrations first,
+    # driver run lands this window): the 6 rehearsed r11-queue entries
+    # (char_window_dup_profile, shard_manifest_diff, proximity_rerank,
+    # retrieval_eval_report, jaccard_threshold_sweep,
+    # manifest_timetravel_twin — coordinates in ROADMAP's r11 queue),
     # then the 3 displaced r5 stragglers (volume_zscore,
     # watermark_bounds, windowed_volume_stream_twin — the r5 debt
-    # closes), then r6-latest alphabetical backfill for the remaining
-    # slots (the r6 cohort is 50 queries: ann_hnsw_registry,
-    # bloom_point_lookup, cm_user_counts, dsir_gumbel_sample, ... —
-    # recompute from the CORRECTNESS union at r11 start).
+    # closes), then the first 41 (alphabetical) of the 50 r6-latest
+    # queries: ann_hnsw_registry, ann_ivf, bloom_point_lookup,
+    # cm_user_counts, cohort_retention, components_incremental_twin,
+    # curation_funnel, cusum_changepoints, decontaminate_report,
+    # dedup_clusters, dedup_exact, dedup_ngram_jaccard, dedup_simhash,
+    # doc_fingerprints, doc_stats, domain_mix_plan, domain_mix_sample,
+    # drift_window_twin, dsir_gumbel_sample, embedding_near_dup,
+    # embedding_norm_stats, event_transitions, funnel_conversion,
+    # image_dimensions, kmeans_refit_assign, ohlc_bars,
+    # onehot_event_type, optimize_prune_twin, pack_sequences,
+    # packing_efficiency, repetition_scores, rolling_distinct_users,
+    # sensitive_term_scrub, session_gap_sweep, skew_report,
+    # snapshot_cdc_twin, standardize_value, stratified_sample_docs,
+    # stream_join_twin, template_match, text_quality. The 9 displaced
+    # r6 rows (tfidf_top_terms ... weekly_heavy_actors, alphabetical)
+    # lead the r12 backfill; re-verify against the CORRECTNESS union at
+    # r11 start before registering.
 )
 
 
