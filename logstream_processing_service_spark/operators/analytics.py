@@ -1681,3 +1681,104 @@ def profile_diff_report(
         )
         .orderBy("col_name")
     )
+
+
+def benford_deviation_report(events: DataFrame) -> DataFrame:
+    """Benford first-significant-digit audit per event type (Newcomb
+    1881 / Benford 1938; the Deequ-style numeric-forensics analyzer):
+    naturally-generated positive amounts follow P(d) = log10(1 + 1/d);
+    fabricated, truncated, or unit-capped values do not — a per-segment
+    deviation table is the classic screen for synthetic or corrupted
+    numeric feeds before they poison a training mix.
+
+    Digit extraction is EXACT and engine-portable by design: ``value``
+    carries 2 decimals, so cents = CAST(round(value·100) AS BIGINT) is
+    an exact integer, and Benford's law is SCALE-INVARIANT (multiplying
+    by 10^k never changes the leading significant digit), so the first
+    character of the integer's decimal string IS the first significant
+    digit of value. This deliberately avoids floor(v / 10^floor(log10 v))
+    — near exact powers of ten that expression sits one libm ulp from
+    the wrong digit, and Spark (JVM StrictMath) and DuckDB (C libm) do
+    NOT promise bit-identical log10/pow.
+
+    Output, (event_type × digit 1-9) spine (zeros kept — a MISSING
+    digit is the strongest fabrication signal): (event_type, digit, n,
+    observed_p, expected_p, abs_dev), 6-dp rounds.
+
+    Scale: one corpus scan → (type, digit) count (map-side combine,
+    ≤ 9·|types| groups), a broadcast 9-row digit spine, and the
+    per-type total as a sum() OVER (PARTITION BY event_type) on the
+    spine frame (the r10 window-analytic discipline — no totals join).
+    """
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("bigint")
+    base = events.filter(F.col("value") > 0).select(
+        "event_type",
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+    )
+    counts = base.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    types = events.select("event_type").distinct()
+    digits = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    spine = types.select("event_type", digits)
+    joined = spine.join(counts, ["event_type", "digit"], "left").select(
+        "event_type", "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    expected = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
+    )
+    observed = F.round(F.col("n").cast("double") / total.cast("double"), 6)
+    return (
+        joined.select(
+            "event_type",
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            observed.alias("observed_p"),
+            expected.alias("expected_p"),
+        )
+        .withColumn(
+            "abs_dev",
+            F.round(F.abs(F.col("observed_p") - F.col("expected_p")), 6),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+def benford_oracle_sql() -> str:
+    """DuckDB twin: the same exact cents-string digit, the same 9-row
+    spine cross join, the same window total and 6-dp rounds."""
+    return """
+    WITH base AS (
+        SELECT event_type,
+               CAST(substr(CAST(CAST(round(value * 100.0, 0) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM events WHERE value > 0
+    ),
+    counts AS (
+        SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT t.event_type, CAST(d.d AS INT) AS digit
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+    ),
+    j AS (
+        SELECT s.event_type, s.digit, coalesce(c.n, 0) AS n
+        FROM spine s LEFT JOIN counts c
+          ON s.event_type = c.event_type AND s.digit = c.digit
+    ),
+    w AS (
+        SELECT event_type, digit, CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                   PARTITION BY event_type) AS DOUBLE), 6) AS observed_p,
+               round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                   AS expected_p
+        FROM j
+    )
+    SELECT event_type, digit, n, observed_p, expected_p,
+           round(abs(observed_p - expected_p), 6) AS abs_dev
+    FROM w
+    ORDER BY event_type, digit
+    """

@@ -1208,3 +1208,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.rfm_segments(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     )
+
+
+def q_benford_deviation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11-queue rehearsal entry (unregistered): Benford
+    first-significant-digit audit of events.value per event type —
+    the numeric-forensics screen for fabricated/truncated feeds."""
+    return A.benford_deviation_report(_t(spark, sf_dir, "events"))

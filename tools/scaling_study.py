@@ -111,6 +111,7 @@ QUERIES = [
     "proximity_rerank",         # documents-grain stage 1; candidate stage 2
     "retrieval_eval_report",    # documents-grain: 2 rankings + qrel scan
     "jaccard_threshold_sweep",  # documents-grain: full co-shingle pair join
+    "benford_deviation_report", # events-grain: one scan + 9-row spine
 ]
 
 
@@ -309,6 +310,10 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_text",
             fromlist=["q_jaccard_threshold_sweep"],
         ).q_jaccard_threshold_sweep(s, sf),
+        "benford_deviation_report": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_analytics",
+            fromlist=["q_benford_deviation_report"],
+        ).q_benford_deviation_report(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
