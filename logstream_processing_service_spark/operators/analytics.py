@@ -1728,7 +1728,13 @@ def benford_deviation_report(events: DataFrame) -> DataFrame:
     expected = F.round(
         F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
     )
-    observed = F.round(F.col("n").cast("double") / total.cast("double"), 6)
+    # The spine covers ALL event types but counts only value>0 rows, so a
+    # type with no positive values has total = 0; guard the share to NULL
+    # (not 0/0 -> NaN — NaN-vs-NULL is engine/version dependent, the same
+    # divergence class forecast_backtest_report guards with NULLIF).
+    observed = F.when(
+        total > 0, F.round(F.col("n").cast("double") / total.cast("double"), 6)
+    )
     return (
         joined.select(
             "event_type",
@@ -1771,8 +1777,8 @@ def benford_oracle_sql() -> str:
     ),
     w AS (
         SELECT event_type, digit, CAST(n AS BIGINT) AS n,
-               round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
-                   PARTITION BY event_type) AS DOUBLE), 6) AS observed_p,
+               round(CAST(n AS DOUBLE) / CAST(NULLIF(sum(n) OVER (
+                   PARTITION BY event_type), 0) AS DOUBLE), 6) AS observed_p,
                round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
                    AS expected_p
         FROM j

@@ -1788,6 +1788,17 @@ def char_window_dup_oracle_sql(window: int = 40) -> str:
     """
 
 
+def sample_threshold(sample_fraction: float) -> int:
+    """Per-10000 keyed-hash sample threshold, shared by the sweep
+    operator and its DuckDB oracle so the predicate can never drift.
+    round(), not int(): truncation under-samples any fraction whose
+    ·10000 is not exactly representable (0.3 -> 2999, one bucket off).
+    """
+    if not 0 < sample_fraction <= 1:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    return round(sample_fraction * 10000)
+
+
 def jaccard_threshold_sweep(
     documents: DataFrame,
     n: int = 3,
@@ -1831,9 +1842,7 @@ def jaccard_threshold_sweep(
     cap-500 exact 80.5 s → fraction 0.1 ≈ first-decade cost.
     """
     if sample_fraction is not None:
-        if not 0 < sample_fraction <= 1:
-            raise ValueError("sample_fraction must be in (0, 1]")
-        thresh = int(sample_fraction * 10000)
+        thresh = sample_threshold(sample_fraction)
         h = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
         documents = documents.filter(F.expr(f"({h}) % 10000 < {thresh}"))
     pairs = ngram_jaccard_pairs(

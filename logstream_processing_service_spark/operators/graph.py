@@ -498,21 +498,24 @@ def kcore_decomposition(
     Each round materializes via localCheckpoint to truncate the
     iterative lineage.
     """
-    cur = edges.select("src", "dst").localCheckpoint(eager=True)
-    prev_edges = cur.count()
-    converged = False
-    for _ in range(max_iters):
+    def one_peel(frame: DataFrame) -> DataFrame:
+        # One peel step, shared by the loop body and the convergence
+        # probe so the fixpoint check can never drift from the peel.
         keep = (
-            cur.groupBy("src")
+            frame.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") >= k)
             .select("src")
         )
-        nxt = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+        return frame.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
         )
+
+    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    prev_edges = cur.count()
+    converged = False
+    for _ in range(max_iters):
+        nxt = one_peel(cur).localCheckpoint(eager=True)
         n = nxt.count()
         cur = nxt
         if n == prev_edges:
@@ -527,17 +530,7 @@ def kcore_decomposition(
         # the oracle's max_iters-level unroll; smaller → genuinely
         # deeper than the bound, raise. This makes the usable peel
         # depth exactly max_iters, same as documented and unrolled.
-        keep = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .filter(F.col("_d") >= k)
-            .select("src")
-        )
-        n = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .count()
-        )
+        n = one_peel(cur).count()
         if n != prev_edges:
             raise RuntimeError(
                 f"kcore_decomposition: no fixpoint within {max_iters} "

@@ -69,3 +69,41 @@ def test_missing_digit_kept_as_zero_row(spark):
     assert out[9]["n"] == 0
     assert out[9]["observed_p"] == 0.0
     assert out[9]["abs_dev"] == out[9]["expected_p"]
+
+
+def test_type_with_no_positive_values_is_null_not_nan(spark):
+    """r10-advice regression: the spine covers ALL event types but
+    counts only value>0 rows, so a type whose values are all <= 0 has a
+    zero window total. observed_p must be NULL (guarded) on BOTH
+    engines — never 0.0/0.0 -> NaN, whose NULL-vs-nan rendering is
+    engine/version dependent."""
+    import duckdb
+    import pandas as pd
+
+    from .oracle_harness import normalize
+
+    rows = [(0, "pos", 12.5), (1, "pos", 91.0), (2, "neg", -3.0),
+            (3, "neg", 0.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    out = benford_deviation_report(ev)
+    got = {(r["event_type"], r["digit"]): r for r in out.collect()}
+    assert len(got) == 18  # both types keep the full 9-digit spine
+    for d in range(1, 10):
+        r = got[("neg", d)]
+        assert r["n"] == 0
+        assert r["observed_p"] is None  # guarded, not NaN
+        assert r["abs_dev"] is None
+    assert got[("pos", 1)]["observed_p"] == 0.5
+    assert got[("pos", 9)]["observed_p"] == 0.5
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(rows, columns=["event_id", "event_type", "value"]),
+    )
+    rel = con.sql(benford_oracle_sql())
+    s_norm = normalize(out.columns, [tuple(r) for r in out.collect()])
+    d_norm = normalize(list(rel.columns), rel.fetchall())
+    assert s_norm == d_norm
