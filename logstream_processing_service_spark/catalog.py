@@ -62,6 +62,75 @@ def spec(name: str, oracle: str | None, *tags: str):
 # never-checked.
 _PRIORITY: tuple[str, ...] = (
     # ------------------------------------------------------------------
+    # ROUND-11 WINDOW (r10 VERDICT "Next round" #1+#2) — exactly the
+    # pre-computed r11 map, re-verified against the CORRECTNESS_r01-r10
+    # union at r11 start (histogram {r5:3, r6:50, r7:50, r8:50, r9:50,
+    # r10:50}, matching the map's assumption): (a) the 7 rehearsed
+    # r11-queue registrations (first driver rows; all seven rehearsed
+    # green at both SFs in r10 through the compare harness —
+    # tests/test_char_windows.py, tests/test_manifest_diff.py,
+    # tests/test_prox_rerank.py, tests/test_retrieval_eval.py,
+    # tests/test_jaccard_sweep.py, tests/test_benford.py;
+    # jaccard_threshold_sweep registered in the SAMPLED form per the
+    # r10 verdict):
+    "char_window_dup_profile", "shard_manifest_diff", "proximity_rerank",
+    "retrieval_eval_report", "jaccard_threshold_sweep",
+    "manifest_timetravel_twin", "benford_deviation_report",
+    # (b) the 3 displaced r5 stragglers (the r5 debt closes — after
+    # this round nothing is older than r6):
+    "volume_zscore", "watermark_bounds", "windowed_volume_stream_twin",
+    # (c) 40 backfills = the first 40 (alphabetical) of the 50 queries
+    # whose latest driver row is r6 (recomputed from the union this
+    # session — matches the r10 map verbatim). The pre-computed map
+    # said 41; the 7th queue registration (benford_deviation_report,
+    # rehearsed after the map was written) displaces the last
+    # alphabetical slot, text_quality, whose scoring family is
+    # exercised by the in-window curation_funnel (same gopher-rule
+    # gates) and the quality_feature_matrix parity suite:
+    "ann_hnsw_registry", "ann_ivf", "bloom_point_lookup",
+    "cm_user_counts", "cohort_retention", "components_incremental_twin",
+    "curation_funnel", "cusum_changepoints", "decontaminate_report",
+    "dedup_clusters", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_fingerprints", "doc_stats", "domain_mix_plan",
+    "domain_mix_sample", "drift_window_twin", "dsir_gumbel_sample",
+    "embedding_near_dup", "embedding_norm_stats", "event_transitions",
+    "funnel_conversion", "image_dimensions", "kmeans_refit_assign",
+    "ohlc_bars", "onehot_event_type", "optimize_prune_twin",
+    "pack_sequences", "packing_efficiency", "repetition_scores",
+    "rolling_distinct_users", "sensitive_term_scrub",
+    "session_gap_sweep", "skew_report", "snapshot_cdc_twin",
+    "standardize_value", "stratified_sample_docs", "stream_join_twin",
+    "template_match",
+    # ------------------------------------------------------------------
+    # r12 map (pre-computed per the standing policy, assuming the r11
+    # driver run lands this window): the rehearsed r12-queue entries
+    # (coordinates in ROADMAP's r12 queue; first driver rows), then the
+    # 10 remaining r6-latest queries (closes the r6 debt: text_quality,
+    # tfidf_top_terms, token_counts, token_pmi, tokenizer_fertility,
+    # top_tokens, train_test_split, unigram_logprob, volume_trend,
+    # weekly_heavy_actors), then backfill the remaining slots from the
+    # 50 r7-latest queries alphabetical (ann_ivf_pq, ann_ivfpq_index,
+    # ann_pq, audio_metadata, bigram_logprob, bracketed_discount_revenue,
+    # branch_wap_twin, c4_line_stats, charclass_profile,
+    # cheapest_supplier_per_part, clustering_quality,
+    # compression_quality, contamination_overlap,
+    # cross_source_dup_matrix, customer_order_distribution,
+    # customer_order_stats, dataset_card, ddww_twin,
+    # decontaminate_bloom, dedup_paragraphs, dictionary_match_counts,
+    # distinct_actors_hll_registry, doc_length_quartiles,
+    # dup_shingle_profile, duplicate_spans, embed_documents,
+    # embedding_int8_report, embedding_near_dup_lsh, fouter_twin,
+    # gif_frame_pixel_stats, ... — take 50 − |new| − 10 of these; any
+    # displacement must name the in-window query exercising the
+    # displaced machinery). Re-verify against the CORRECTNESS union at
+    # r12 start before registering.
+)
+
+
+# Retired r10 window, kept for the displacement-rationale record the
+# VERDICT audits:
+_PRIORITY_R10: tuple[str, ...] = (
+    # ------------------------------------------------------------------
     # ROUND-10 WINDOW (r9 VERDICT "Next round" #1+#2) — exactly the
     # pre-computed r10 map: (a) the 6 rehearsed r10-queue registrations
     # (first driver rows; all six rehearsed green at both SFs in r9

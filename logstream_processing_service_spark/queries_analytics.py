@@ -1210,8 +1210,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    "benford_deviation_report",
+    A.benford_oracle_sql(),
+    "analytics", "forensics",
+)
 def q_benford_deviation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11-queue rehearsal entry (unregistered): Benford
-    first-significant-digit audit of events.value per event type —
-    the numeric-forensics screen for fabricated/truncated feeds."""
+    """Benford first-significant-digit audit of events.value per event
+    type — the numeric-forensics screen for fabricated/truncated feeds
+    (Newcomb 1881 / Benford 1938; r11 queue, rehearsed r10). Exact
+    cents-string digit extraction (engine-portable by design — no libm
+    log10/pow at the digit boundary); per-type total as a window
+    analytic over the 9-digit spine, NULL-guarded for types with no
+    positive values (r10 advice); alpha_10x 0.146."""
     return A.benford_deviation_report(_t(spark, sf_dir, "events"))

@@ -694,8 +694,8 @@ def q_curate_web_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r11 queue (rehearsed in r10, NOT yet registered — registration is one
-# @spec away; tests/test_manifest_diff.py runs the compare harness)
+# r11 registrations (rehearsed in r10 — tests/test_manifest_diff.py
+# runs the compare harness)
 # ---------------------------------------------------------------------------
 
 # Deterministic snapshot split for the catalog entry: OLD misses the
@@ -716,10 +716,16 @@ def manifest_diff_oracle_sql() -> str:
     )
 
 
+@spec(
+    "shard_manifest_diff",
+    manifest_diff_oracle_sql(),
+    "curation", "incremental",
+)
 def q_shard_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11-queue rehearsal entry (unregistered): shard-grain manifest
-    diff between two deterministic snapshots of documents — which
-    output shards would an incremental re-materialization rewrite."""
+    """Shard-grain manifest diff between two deterministic snapshots of
+    documents — which output shards would an incremental
+    re-materialization rewrite (r11 queue, rehearsed r10; one doc-grain
+    full-outer join, alpha_10x 0.083)."""
     from pyspark.sql import functions as F
 
     docs = _t(spark, sf_dir, "documents")
@@ -733,9 +739,14 @@ def q_shard_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.shard_manifest_diff(old, new)
 
 
+@spec(
+    "manifest_timetravel_twin",
+    manifest_diff_oracle_sql(),
+    "curation", "incremental", "txlog",
+)
 def q_manifest_timetravel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11-queue rehearsal entry (unregistered): the shard-manifest
-    diff computed between two TXLOG VERSIONS — commit the old snapshot
+    """The shard-manifest diff computed between two TXLOG VERSIONS
+    (r11 queue, rehearsed r10) — commit the old snapshot
     as v0, overwrite with the new snapshot as v1, then diff
     time-travel reads of both versions. The hash match against the
     base-table oracle proves version isolation feeds the

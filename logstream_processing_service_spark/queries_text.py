@@ -1974,37 +1974,60 @@ def q_rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r11 queue (rehearsed in r10, NOT yet registered — registration is one
-# @spec away; tests/test_char_windows.py and tests/test_prox_rerank.py
-# run the compare harness)
+# r11 registrations (rehearsed in r10 — tests/test_char_windows.py,
+# tests/test_prox_rerank.py, tests/test_retrieval_eval.py,
+# tests/test_jaccard_sweep.py run the compare harness)
 # ---------------------------------------------------------------------------
 
 
+@spec(
+    "char_window_dup_profile",
+    D.char_window_dup_oracle_sql(),
+    "dedup", "char-grain", "bench",
+)
 def q_char_window_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11-queue rehearsal entry (unregistered): exact char-grain
-    substring duplication profile (Lee et al. 2022 — the suffix-array
-    dedup signal as stride-1 fixed-window equality)."""
+    """Exact char-grain substring duplication profile (Lee et al. 2022
+    — the suffix-array dedup signal as stride-1 fixed-window equality;
+    r11 queue, rehearsed r10). Window-function plan (dup windows via
+    count() OVER the window hash, no self-join) — measured 6.8→3.5 s
+    at 50k docs, alpha_10x 0.274 post-optimization."""
     return D.char_window_dup_profile(_t(spark, sf_dir, "documents"))
 
 
+from .operators.retrieval import (  # noqa: E402
+    proximity_rerank as _prox_rerank,
+    proximity_rerank_oracle_sql as _prox_oracle,
+    retrieval_eval_report as _retr_eval,
+    retrieval_eval_oracle_sql as _retr_eval_oracle,
+)
+
+
+@spec(
+    "proximity_rerank",
+    _prox_oracle(),
+    "retrieval", "rerank", "bench",
+)
 def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11-queue rehearsal entry (unregistered): two-stage rerank with
-    joint (query, doc) proximity + coverage features over BM25
-    candidates — the cross-encoder serving shape at deterministic
-    feature grain."""
-    from .operators.retrieval import proximity_rerank
-
-    return proximity_rerank(_t(spark, sf_dir, "documents"))
+    """Two-stage rerank with joint (query, doc) proximity + coverage
+    features over BM25 candidates — the cross-encoder serving shape at
+    deterministic feature grain (r11 queue, rehearsed r10);
+    alpha_10x 0.234, candidate-bounded second stage."""
+    return _prox_rerank(_t(spark, sf_dir, "documents"))
 
 
+@spec(
+    "retrieval_eval_report",
+    _retr_eval_oracle(),
+    "retrieval", "eval", "bench",
+)
 def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11-queue rehearsal entry (unregistered): recall@10 / MRR /
-    binary nDCG@10 of BM25 vs the proximity rerank against verbatim
-    phrase-containment pseudo-qrels — quantifies the second stage's
-    win instead of asserting it."""
-    from .operators.retrieval import retrieval_eval_report
-
-    return retrieval_eval_report(_t(spark, sf_dir, "documents"))
+    """recall@10 / MRR / binary nDCG@10 of BM25 vs the proximity
+    rerank against verbatim phrase-containment pseudo-qrels —
+    quantifies the second stage's win instead of asserting it (r11
+    queue, rehearsed r10). Zero-relevant queries: recall/ndcg NULL on
+    both engines; qrel pass plan-pinned broadcast (never cartesian);
+    alpha_10x 0.089."""
+    return _retr_eval(_t(spark, sf_dir, "documents"))
 
 
 def _jaccard_sweep_oracle(
@@ -2016,7 +2039,7 @@ def _jaccard_sweep_oracle(
     keyed-hash doc sample (same hash48 predicate as the operator)."""
     shingle_cte = _SHINGLE_CTE
     if sample_fraction is not None:
-        thresh = int(sample_fraction * 10000)
+        thresh = D.sample_threshold(sample_fraction)
         h = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
         shingle_cte = shingle_cte.replace(
             "FROM documents",
@@ -2044,8 +2067,23 @@ def _jaccard_sweep_oracle(
     """
 
 
+@spec(
+    "jaccard_threshold_sweep",
+    _jaccard_sweep_oracle(sample_fraction=0.3),
+    "dedup", "audit", "sampled",
+)
 def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11-queue rehearsal entry (unregistered): pair-similarity decile
-    histogram over all co-shingle pairs — the dedup-threshold picking
-    audit (where is the near-dup valley)."""
-    return D.jaccard_threshold_sweep(_t(spark, sf_dir, "documents"))
+    """Pair-similarity decile histogram over co-shingle pairs — the
+    dedup-threshold picking audit (where is the near-dup valley; r11
+    queue, rehearsed r10). REGISTERED IN THE SAMPLED FORM per the r10
+    verdict: the exact all-pairs sweep is Σ df² (measured alpha 1.24,
+    super-linear by construction), so the catalog entry runs the
+    deterministic keyed-hash 30% WHOLE-DOC sample — the predicate
+    (``% 10000 < 3000``, round not int per r10 advice) is identical on
+    both engines and pinned in tests/test_plans.py; doc sampling keeps
+    the similarity-distribution shape unbiased (pair sampling would
+    not). The exact form stays available as the operator default for
+    small-corpus / per-shard diagnostics."""
+    return D.jaccard_threshold_sweep(
+        _t(spark, sf_dir, "documents"), sample_fraction=0.3
+    )

@@ -21,8 +21,29 @@ def test_jaccard_sweep_hash_matches_oracle(spark, sf_dir):
     )
 
     con = duckdb_conn(sf_dir)
+    # The catalog entry is the SAMPLED form (fraction 0.3 — the r10
+    # verdict's scale-path registration); oracle must carry the same
+    # sample predicate.
     r = compare_one(
         spark, con, "jaccard_threshold_sweep", q_jaccard_threshold_sweep,
+        _jaccard_sweep_oracle(sample_fraction=0.3), sf_dir,
+    )
+    assert r["status"] == "OK", r
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_exact_sweep_hash_matches_oracle(spark, sf_dir):
+    """The exact all-pairs form (operator default, small-corpus
+    diagnostic) still hash-matches its exact oracle."""
+    from logstream_processing_service_spark.queries_text import (
+        _jaccard_sweep_oracle,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark, con, "jaccard_threshold_sweep_exact",
+        lambda s, sf: jaccard_threshold_sweep(load_table(s, sf, "documents")),
         _jaccard_sweep_oracle(), sf_dir,
     )
     assert r["status"] == "OK", r
@@ -81,3 +102,32 @@ def test_sample_fraction_validation(spark):
         jaccard_threshold_sweep(docs, sample_fraction=0.0)
     with pytest.raises(ValueError, match="sample_fraction"):
         jaccard_threshold_sweep(docs, sample_fraction=1.5)
+
+
+def test_sample_threshold_rounds_not_truncates():
+    """r10-advice regression: int(0.3 * 10000) truncates to 2999 —
+    systematically under-sampling any fraction whose ·10000 is not
+    exactly representable. The shared helper (used by BOTH the operator
+    and the oracle builder) must round."""
+    from logstream_processing_service_spark.operators.dedup import (
+        sample_threshold,
+    )
+
+    assert sample_threshold(0.3) == 3000
+    assert sample_threshold(0.29) == 2900
+    assert sample_threshold(0.1) == 1000
+    assert sample_threshold(1.0) == 10000
+    with pytest.raises(ValueError, match="sample_fraction"):
+        sample_threshold(0.0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        sample_threshold(1.5)
+
+
+def test_operator_and_oracle_share_threshold_helper(spark):
+    """The oracle builder must embed the SAME per-10000 threshold the
+    operator filters with — probe a fraction where round != int."""
+    from logstream_processing_service_spark.queries_text import (
+        _jaccard_sweep_oracle,
+    )
+
+    assert "% 10000 < 3000" in _jaccard_sweep_oracle(sample_fraction=0.3)

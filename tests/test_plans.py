@@ -1139,3 +1139,26 @@ def test_jaccard_sweep_shared_shingle_scan_tiny_final_window(spark):
     assert plan.count("InMemoryTableScan") >= 3
     assert plan.count("Exchange SinglePartition") == 1
     spark.catalog.clearCache()
+
+
+def test_jaccard_sweep_registered_form_pins_sample_predicate(spark):
+    """The CATALOG registration is the sampled form (r10 verdict): the
+    executed plan must carry the deterministic keyed-hash predicate at
+    threshold 3000 (round(0.3·10000) — NOT int()'s 2999, the r10 advice
+    fix) applied BEFORE the shingle explode, so the pair space is p² of
+    the doc sample, never the full corpus."""
+    from logstream_processing_service_spark.queries_text import (
+        q_jaccard_threshold_sweep,
+    )
+
+    plan = _plan(q_jaccard_threshold_sweep(spark, SF_DIR))
+    assert "< 3000" in plan and "2999" not in plan
+    assert "% 10000" in plan
+    assert "CartesianProduct" not in plan
+    # sample filter sits below the explode (filter-then-shingle, not
+    # shingle-then-filter): the Generate node must appear ABOVE the
+    # sample predicate in the plan tree dump
+    gen = plan.index("Generate explode")
+    pred = plan.index("< 3000")
+    assert gen < pred  # toString prints parents first: explode above filter
+    spark.catalog.clearCache()
