@@ -1590,3 +1590,151 @@ def shard_manifest_diff_oracle_sql(
     GROUP BY shard
     ORDER BY shard
     """
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining") — r12 queue
+# rehearsal
+# ---------------------------------------------------------------------------
+
+
+def doremi_domain_weights(
+    documents: DataFrame,
+    eta: float = 1.0,
+    eps: float = 0.01,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Domain mixture weights by EXCESS LOSS, the DoReMi recipe at
+    proxy grain: DoReMi trains a small proxy model with group-DRO,
+    upweighting domains whose proxy loss most exceeds a reference
+    model's, then reuses the learned mixture for the big run. The
+    deterministic engine-side analogue replaces the learned excess
+    loss with a closed-form one — the per-token KL divergence of the
+    domain's unigram distribution from the corpus mixture,
+    excess(d) = Σ_tok (c_dt/n_d)·ln((c_dt·N)/(n_d·c_t)) — which is
+    exactly the cross-entropy penalty a corpus-mixture reference LM
+    pays on domain d, per token. Domains far from the mixture (the
+    ones a shared model underfits) get upweighted, which is the DoReMi
+    direction. With a STATIC loss signal the T-round multiplicative-
+    weights update collapses to a single exponential tilt
+    w(d) ∝ exp(η·excess(d)) (T absorbs into η); ``eps`` is DoReMi's
+    uniform smoothing on the output mixture,
+    final = (1−ε)·w + ε·u. No training, no randomness — both engines
+    compute the identical table.
+
+    Output, one row per domain: (source, n_tokens, excess_kl,
+    domain_weight, smoothed_weight), 6-dp rounds; weights sum to 1
+    before rounding.
+
+    Cross-engine discipline (the vocab_divergence recipe): counts,
+    totals and N are exact BIGINTs, so every ln argument is a
+    bit-identical rational; the ln-term sum rounds at 6 dp AFTER
+    aggregation, and exp/normalize run on the ROUNDED excess so both
+    engines feed libm the same double.
+
+    Scale: one corpus scan to (source, tok) counts (map-side combine,
+    vocab-grain), one vocab-grain re-aggregate for the corpus counts,
+    then all weight arithmetic on the |domains|-row dimension table —
+    nothing corpus-sized crosses the exp/normalize stage. At 100 TB
+    this is the domain-mixing planner that feeds temperature_mix_plan's
+    sampler: compute weights here, sample there.
+    """
+    toks = documents.select(
+        strata_col, F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    counts = (
+        toks.groupBy(strata_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # cache: caller-owned (repo contract — bench/driver clear per
+        # query); three consumers: totals, corpus counts, KL terms
+        .persist()
+    )
+    totals = counts.groupBy(strata_col).agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    corpus = counts.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    big_n = totals.agg(F.sum("n").cast("bigint").alias("nn"))
+    term = (
+        F.col("c").cast("double") / F.col("n")
+        * F.log(
+            (F.col("c").cast("double") * F.col("nn"))
+            / (F.col("n").cast("double") * F.col("ct"))
+        )
+    )
+    excess = (
+        counts.join(corpus, "tok")
+        .join(F.broadcast(totals), strata_col)
+        .crossJoin(F.broadcast(big_n))
+        .groupBy(strata_col)
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.round(F.sum(term), 6).alias("excess_kl"),
+        )
+    )
+    w_raw = F.exp(F.lit(eta) * F.col("excess_kl"))
+    z = Window.partitionBy()
+    n_dom = F.count(F.lit(1)).over(z)
+    weight = w_raw / F.sum(w_raw).over(z)
+    smoothed = (F.lit(1.0) - F.lit(eps)) * weight + F.lit(eps) / n_dom
+    return (
+        excess.select(
+            strata_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "excess_kl",
+            F.round(weight, 6).alias("domain_weight"),
+            F.round(smoothed, 6).alias("smoothed_weight"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+def doremi_oracle_sql(
+    eta: float = 1.0, eps: float = 0.01, strata_col: str = "source"
+) -> str:
+    """DuckDB twin: identical BIGINT rationals into ln, identical
+    6-dp-rounded excess into exp, same normalize-then-round order."""
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT {strata_col}, unnest({words_duck}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT {strata_col}, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT {strata_col}, CAST(sum(c) AS BIGINT) AS n
+        FROM counts GROUP BY 1
+    ),
+    corpus AS (
+        SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM counts GROUP BY 1
+    ),
+    big_n AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM totals),
+    excess AS (
+        SELECT c.{strata_col}, max(t.n) AS n_tokens,
+               round(sum(
+                   CAST(c.c AS DOUBLE) / t.n
+                   * ln((CAST(c.c AS DOUBLE) * b.N)
+                        / (CAST(t.n AS DOUBLE) * k.ct))
+               ), 6) AS excess_kl
+        FROM counts c
+        JOIN corpus k USING (tok)
+        JOIN totals t USING ({strata_col})
+        CROSS JOIN big_n b
+        GROUP BY 1
+    )
+    SELECT {strata_col},
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           excess_kl,
+           round(exp({eta} * excess_kl)
+                 / sum(exp({eta} * excess_kl)) OVER (), 6)
+               AS domain_weight,
+           round((1.0 - {eps}) * exp({eta} * excess_kl)
+                 / sum(exp({eta} * excess_kl)) OVER ()
+                 + {eps} / count(*) OVER (), 6) AS smoothed_weight
+    FROM excess
+    ORDER BY {strata_col}
+    """

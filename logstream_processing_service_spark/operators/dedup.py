@@ -1869,3 +1869,142 @@ def jaccard_threshold_sweep(
         )
         .orderBy("band_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared-affix (prefix/suffix) profile at char grain — r12 queue rehearsal
+# ---------------------------------------------------------------------------
+
+AFFIX_LADDER = (4, 8, 16, 32, 64)
+
+
+def shared_affix_profile(
+    documents: DataFrame, ladder: tuple[int, ...] = AFFIX_LADDER
+) -> DataFrame:
+    """Longest shared PREFIX and SUFFIX per document, at power-of-two
+    char grain — the complement of the fixed-length interior-window
+    signal (:func:`char_window_dup_profile`): boilerplate headers and
+    footers (licence blocks, nav chrome, sig lines) concentrate at
+    document EDGES, where a stride-1 interior window pays for positions
+    that never matter. For each rung L in ``ladder`` a document "shares
+    its L-prefix" when ≥ 1 other document has the identical first L
+    chars (docs shorter than L cannot share an L-affix by definition);
+    the profile reports the LONGEST sharing rung and the sharer count
+    at that rung, per side.
+
+    Output (doc-grain): (doc_id, max_prefix_len, n_prefix_sharers,
+    max_suffix_len, n_suffix_sharers) — max_*_len is 0 when no rung
+    shares; lengths are exact w.r.t. the ladder (a 23-char true common
+    prefix reports rung 16 — the honest cap that keeps the operator a
+    hash aggregate instead of a suffix-array build; the stride-1
+    operator covers interior exactness).
+
+    Scale: explode to (doc, side, rung) grain — 2·|ladder| rows per doc
+    with SHORT keys (≤ 64 chars, never the full text) — then ONE
+    exchange on the affix key for the sharer count (window analytic,
+    the char_window discipline) and one doc-grain rollup: two shuffles
+    total, both on bounded-width keys, vs |ladder| separate
+    full-frame window passes for the naive per-rung plan. The
+    lexicographic-neighbor sort (the suffix-array route to EXACT
+    max-LCP) is the escalation path when rung resolution isn't enough.
+    """
+    rungs = ",".join(str(x) for x in ladder)
+    affixes = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(array({rungs}), L -> array(
+                    struct('p' AS side, L AS rung,
+                           CASE WHEN length(text) >= L
+                                THEN substring(text, 1, L) END AS k),
+                    struct('s' AS side, L AS rung,
+                           CASE WHEN length(text) >= L
+                                THEN substring(reverse(text), 1, L) END
+                               AS k))))"""
+            )
+        ).alias("a"),
+    ).select("doc_id", "a.side", "a.rung", "a.k")
+    counted = affixes.withColumn(
+        "sharers",
+        F.when(
+            F.col("k").isNotNull(),
+            F.count(F.lit(1)).over(Window.partitionBy("side", "rung", "k"))
+            - F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    best = (
+        counted.groupBy("doc_id")
+        .pivot("side", ["p", "s"])
+        .agg(
+            F.max(
+                F.when(F.col("sharers") > 0, F.col("rung")).otherwise(0)
+            ).alias("len"),
+            F.max_by(
+                F.col("sharers"),
+                F.when(F.col("sharers") > 0, F.col("rung")).otherwise(0),
+            ).alias("n"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("p_len", F.lit(0)).cast("int").alias("max_prefix_len"),
+            F.when(F.col("p_len") > 0, F.col("p_n"))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("n_prefix_sharers"),
+            F.coalesce("s_len", F.lit(0)).cast("int").alias("max_suffix_len"),
+            F.when(F.col("s_len") > 0, F.col("s_n"))
+            .otherwise(0)
+            .cast("bigint")
+            .alias("n_suffix_sharers"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def shared_affix_oracle_sql(ladder: tuple[int, ...] = AFFIX_LADDER) -> str:
+    """DuckDB twin: same rung explode, same per-affix sharer count,
+    same longest-sharing-rung rollup (arg_max over the rung ranking)."""
+    rungs = ", ".join(str(x) for x in ladder)
+    return f"""
+    WITH rungs AS (SELECT unnest([{rungs}]) AS rung),
+    affixes AS (
+        SELECT d.doc_id, s.side, r.rung,
+               CASE WHEN length(d.text) >= r.rung THEN
+                   CASE WHEN s.side = 'p'
+                        THEN substr(d.text, 1, r.rung)
+                        ELSE substr(reverse(d.text), 1, r.rung) END
+               END AS k
+        FROM documents d
+        CROSS JOIN rungs r
+        CROSS JOIN (SELECT unnest(['p', 's']) AS side) s
+    ),
+    counted AS (
+        SELECT doc_id, side, rung,
+               CASE WHEN k IS NOT NULL THEN
+                   count(*) OVER (PARTITION BY side, rung, k) - 1
+               ELSE 0 END AS sharers
+        FROM affixes
+    ),
+    best AS (
+        SELECT doc_id, side,
+               max(CASE WHEN sharers > 0 THEN rung ELSE 0 END) AS len,
+               arg_max(sharers,
+                       CASE WHEN sharers > 0 THEN rung ELSE 0 END) AS n
+        FROM counted GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.len, 0) AS INT) AS max_prefix_len,
+           CAST(CASE WHEN p.len > 0 THEN p.n ELSE 0 END AS BIGINT)
+               AS n_prefix_sharers,
+           CAST(coalesce(s.len, 0) AS INT) AS max_suffix_len,
+           CAST(CASE WHEN s.len > 0 THEN s.n ELSE 0 END AS BIGINT)
+               AS n_suffix_sharers
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE side = 'p') p ON d.doc_id = p.doc_id
+    LEFT JOIN (SELECT * FROM best WHERE side = 's') s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """

@@ -809,7 +809,10 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
 
 def dhash_near_dup_report(
-    media: DataFrame, threshold: int = 2, max_bucket: int = 64
+    media: DataFrame,
+    threshold: int = 2,
+    max_bucket: int = 64,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-image NEAR-duplicate exposure under Hamming distance on the
     64-bit dHash — the multimodal twin of the text near-dup operators:
@@ -832,12 +835,18 @@ def dhash_near_dup_report(
     by construction. In-bucket pair expansion is array math bounded by
     cap²; the verify is an O(4) band xor per candidate, never pixel
     work.
+    ``hashed``: pass a pre-materialized (doc_id, dhash) frame to skip
+    the decode stage — the tools/dhash_split.py cost-attribution knob
+    (decode-vs-candidate split at the scaling decades) and the natural
+    seam for an incremental pipeline that persists the dHash registry.
     """
-    hashed = (
-        image_dhash_table(media)
-        # cache: caller-owned (repo contract — bench/driver clear per query)
-        .persist()  # two consumers: band explode + the doc-grain spine
-    )
+    if hashed is None:
+        hashed = (
+            image_dhash_table(media)
+            # cache: caller-owned (repo contract — bench/driver clear
+            # per query)
+            .persist()  # two consumers: band explode + doc-grain spine
+        )
     # 4 × 16-bit band values parsed straight from the hex hash (conv
     # returns a decimal STRING in Spark — cast back to long)
     band_arr = F.expr(

@@ -1523,3 +1523,61 @@ def retrieval_eval_oracle_sql(
     FROM j
     ORDER BY system, query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25: posting-list maintenance over the txlog
+# (r12 queue rehearsal — the batch-incremental complement of
+# streaming_bm25_twin; reference tie: run_incremental_batch.py:29-41's
+# watermark-incremental batch discipline applied to the search index)
+# ---------------------------------------------------------------------------
+
+
+def doc_tf(documents: DataFrame) -> DataFrame:
+    """(doc_id, tok, tc) term-frequency postings — the unit of
+    incremental index maintenance. One corpus scan, map-side combine to
+    posting grain; this is exactly the ``tf`` frame :func:`bm25_topk`
+    accepts pre-built."""
+    return (
+        documents.select(
+            "doc_id", F.explode(T.words(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+
+
+def bm25_incremental_index(
+    base_docs: DataFrame, delta_docs: DataFrame, table_dir: str
+) -> DataFrame:
+    """Maintain a BM25 posting registry INCREMENTALLY over the txlog:
+    commit the base corpus's postings as v0, then commit ONLY the delta
+    docs' postings as an APPEND (v1) — merge-on-read: the snapshot's
+    file list is the union of both commits, so readers see the merged
+    posting table without rewriting the base postings. Returns the
+    merged registry read at the latest version.
+
+    Global statistics (df, dl, N, avgdl) are NOT stored — bm25_topk
+    derives them from the posting frame, so they are automatically
+    correct after every merge (stored stats are the classic staleness
+    bug in incremental indexes; deriving them trades a map-side
+    re-aggregate, tiny at posting grain, for correctness by
+    construction).
+
+    Scope: append-only deltas (new documents). Updates/deletes would
+    append doc-grain tombstones and anti-join them at read — the
+    txlog CDF machinery (operators/txlog.py snapshot_diff) provides the
+    change feed; out of scope for this operator.
+
+    Scale: each commit writes only its own postings (delta cost is
+    O(|delta docs|), never O(|corpus|) — the entire point); the read is
+    a plain multi-file parquet scan, so predicate pushdown on ``tok``
+    still reaches every file. At 100 TB the registry is the inverted
+    index as a table: re-ranking after a daily crawl appends one
+    posting delta instead of re-tokenizing the corpus.
+    """
+    from . import txlog as TX
+
+    TX.commit(table_dir, doc_tf(base_docs), mode="overwrite")
+    TX.commit(table_dir, doc_tf(delta_docs), mode="append")
+    return TX.read_snapshot(base_docs.sparkSession, table_dir)

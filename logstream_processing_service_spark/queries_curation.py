@@ -777,3 +777,19 @@ def q_manifest_timetravel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.read_snapshot(spark, t, version=0),
         TX.read_snapshot(spark, t, version=1),
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 queue (rehearsed in r11, NOT yet registered — registration is one
+# @spec away; tests/test_doremi.py runs the compare harness)
+# ---------------------------------------------------------------------------
+
+
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12-queue rehearsal entry (unregistered): DoReMi-style domain
+    mixture weights at proxy grain — excess loss as the per-token KL of
+    each source's unigram distribution from the corpus mixture, one
+    exponential-tilt multiplicative-weights step, uniform smoothing.
+    The deterministic engine-side planner feeding
+    temperature_mix_plan's sampler."""
+    return C.doremi_domain_weights(_t(spark, sf_dir, "documents"))

@@ -2087,3 +2087,42 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_threshold_sweep(
         _t(spark, sf_dir, "documents"), sample_fraction=0.3
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 queue (rehearsed in r11, NOT yet registered — registration is one
+# @spec away; tests/test_bm25_incremental.py runs the compare harness)
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12-queue rehearsal entry (unregistered): BM25 ranked search
+    over an INCREMENTALLY-maintained posting registry — base postings
+    committed as txlog v0, the delta docs' postings appended as v1
+    (merge-on-read), search run on the merged read. Hash-matching the
+    from-scratch bm25 oracle over the full corpus proves the
+    incremental maintenance path is exact: same ranking, same scores,
+    without re-tokenizing the base corpus."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.retrieval import bm25_incremental_index, bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    t = f"/tmp/logstream_bm25_inc_{tag}"
+    shutil.rmtree(t, ignore_errors=True)
+    registry = bm25_incremental_index(base, delta, t)
+    return bm25_topk(docs, tf=registry)
+
+
+def q_shared_affix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12-queue rehearsal entry (unregistered): longest shared
+    prefix/suffix per document at power-of-two char rungs — the
+    document-EDGE boilerplate signal complementing the interior
+    fixed-window profile (char_window_dup_profile)."""
+    return D.shared_affix_profile(_t(spark, sf_dir, "documents"))

@@ -1162,3 +1162,52 @@ def test_jaccard_sweep_registered_form_pins_sample_predicate(spark):
     pred = plan.index("< 3000")
     assert gen < pred  # toString prints parents first: explode above filter
     spark.catalog.clearCache()
+
+
+def test_affix_profile_short_key_exchanges_no_cartesian(spark):
+    """shared_affix_profile: the rung explode carries <= 64-char keys
+    (never full text) into ONE affix-key window exchange plus the
+    doc-grain rollup — no cartesian product, no single-partition stage
+    anywhere (doc-grain output)."""
+    from logstream_processing_service_spark.queries_text import (
+        q_shared_affix_profile,
+    )
+
+    plan = _plan(q_shared_affix_profile(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Generate explode") == 1  # one rung explode, both sides
+    spark.catalog.clearCache()
+
+
+def test_doremi_weight_stage_is_dimension_grain(spark):
+    """doremi_domain_weights: the (source, tok) count table is
+    persisted once for its three consumers, and the only
+    single-partition stages are the |domains|-row weight window and the
+    1-row corpus total — nothing corpus-sized crosses the exp/normalize
+    stage."""
+    from logstream_processing_service_spark.queries_curation import (
+        q_doremi_domain_weights,
+    )
+
+    plan = _plan(q_doremi_domain_weights(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3  # persisted counts reused
+    assert plan.count("Exchange SinglePartition") <= 2
+    spark.catalog.clearCache()
+
+
+def test_bm25_incremental_reads_merged_files_no_cartesian(spark):
+    """bm25_incremental_twin: the search runs on the merged txlog read
+    (plain multi-file parquet scan), query terms broadcast onto the
+    posting table, stats ride a 1-row broadcast — no cartesian
+    product."""
+    from logstream_processing_service_spark.queries_text import (
+        q_bm25_incremental_twin,
+    )
+
+    plan = _plan(q_bm25_incremental_twin(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("Exchange SinglePartition") <= 1  # the 1-row stats agg
+    spark.catalog.clearCache()

@@ -112,6 +112,10 @@ QUERIES = [
     "retrieval_eval_report",    # documents-grain: 2 rankings + qrel scan
     "jaccard_threshold_sweep",  # documents-grain: full co-shingle pair join
     "benford_deviation_report", # events-grain: one scan + 9-row spine
+    # r12 queue (unregistered; resolved via EXTRA_QUERIES)
+    "bm25_incremental_twin",    # posting-grain: 2 commits + merged search
+    "doremi_domain_weights",    # documents-grain: vocab agg + |D|-row tilt
+    "shared_affix_profile",     # documents-grain: 10-rung short-key window
 ]
 
 
@@ -314,6 +318,19 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_analytics",
             fromlist=["q_benford_deviation_report"],
         ).q_benford_deviation_report(s, sf),
+        # r12 queue (unregistered; rehearsed in r11)
+        "bm25_incremental_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_bm25_incremental_twin"],
+        ).q_bm25_incremental_twin(s, sf),
+        "doremi_domain_weights": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_doremi_domain_weights"],
+        ).q_doremi_domain_weights(s, sf),
+        "shared_affix_profile": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_shared_affix_profile"],
+        ).q_shared_affix_profile(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
