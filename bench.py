@@ -249,6 +249,14 @@ HEADLINE = [
     "ewma_volume_stream_twin",
     "rfm_segments",
     "profile_diff_report",
+    # r11 registrations
+    "char_window_dup_profile",
+    "shard_manifest_diff",
+    "proximity_rerank",
+    "retrieval_eval_report",
+    "jaccard_threshold_sweep",
+    "manifest_timetravel_twin",
+    "benford_deviation_report",
 ]
 
 
