@@ -1738,3 +1738,128 @@ def doremi_oracle_sql(
     FROM excess
     ORDER BY {strata_col}
     """
+
+
+def rho1_token_selection(documents: DataFrame) -> DataFrame:
+    """Selective-language-modeling token budget (Rho-1, Lin et al.
+    2024: "Not All Tokens Are What You Need") at unigram-proxy grain:
+    Rho-1 trains only on tokens whose reference-model loss is high —
+    the rest are already learned and waste compute. The deterministic
+    engine-side analogue scores every token occurrence with its corpus
+    unigram surprisal −ln(c/T) (the reference-loss proxy this repo's
+    lm-filter family already uses) and selects occurrences ABOVE the
+    corpus token entropy H = Σ (c/T)·(−ln(c/T)) — the
+    information-theoretic "average token", so selected = carries more
+    information than the corpus mean. The per-document selection rate
+    is the training-token budget report: how much of each doc would an
+    SLM run actually train on.
+
+    Cross-engine discipline: c and T are exact BIGINTs; per-token
+    surprisal and H are snapped to MICRO-NAT BIGINTs (round(x·1e6))
+    before anything else, so the threshold compare is integer-exact
+    and the selected-average is a ratio of exact integers (IEEE
+    division is correctly rounded, so both engines produce the
+    identical double) — averaging 6-dp doubles directly was measured
+    to flip the last digit on one sf0.01 row from partial-sum order
+    noise.
+
+    Output (doc-grain): (doc_id, n_tokens, n_selected, sel_rate,
+    sel_avg_surprisal) — sel_avg_surprisal NULL when nothing selected.
+
+    Scale shape: identical to unigram_logprob — vocab groupBy
+    (map-side combine), H as a 1-row broadcast off the vocab table,
+    surprisal attached to the VOCAB dimension then broadcast onto the
+    token stream (the stream itself never shuffles), one doc rollup.
+    """
+    w = documents.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("wd")
+    )
+    freq = (
+        w.groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # cache: caller-owned (repo contract — bench/driver clear per
+        # query); three consumers: total, the score table, H — without
+        # it each one re-scans the corpus for the vocab aggregate
+        .persist()
+    )
+    total = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    scored = freq.crossJoin(F.broadcast(total)).select(
+        "wd",
+        F.round(
+            -F.log(F.col("c").cast("double") / F.col("t")) * F.lit(1e6), 0
+        )
+        .cast("bigint")
+        .alias("sm"),
+    )
+    h = (
+        freq.crossJoin(F.broadcast(total))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("c").cast("double")
+                    / F.col("t")
+                    * -F.log(F.col("c").cast("double") / F.col("t"))
+                )
+                * F.lit(1e6),
+                0,
+            )
+            .cast("bigint")
+            .alias("hm")
+        )
+    )
+    sel = F.col("sm") > F.col("hm")
+    n_sel = F.sum(F.when(sel, 1).otherwise(0)).cast("bigint")
+    return (
+        w.join(F.broadcast(scored), "wd")
+        .crossJoin(F.broadcast(h))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            n_sel.alias("n_selected"),
+            F.round(
+                n_sel / F.count(F.lit(1)).cast("double"), 6
+            ).alias("sel_rate"),
+            F.round(
+                F.sum(F.when(sel, F.col("sm"))).cast("double")
+                / n_sel.cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("sel_avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def rho1_oracle_sql() -> str:
+    """DuckDB twin: same BIGINT rationals, same 6-dp rounds BEFORE the
+    threshold compare, same entropy threshold."""
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH w AS (SELECT doc_id, unnest({words_duck}) AS wd FROM documents),
+    freq AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+    scored AS (
+        SELECT wd,
+               CAST(round(-ln(CAST(c AS DOUBLE) / t) * 1e6, 0) AS BIGINT)
+                   AS sm
+        FROM freq, total
+    ),
+    h AS (
+        SELECT CAST(round(sum(CAST(c AS DOUBLE) / t
+                              * -ln(CAST(c AS DOUBLE) / t)) * 1e6, 0)
+                    AS BIGINT) AS hm
+        FROM freq, total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN sm > hm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+           round(sum(CASE WHEN sm > hm THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS sel_rate,
+           round(CAST(sum(CASE WHEN sm > hm THEN sm END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN sm > hm THEN 1 ELSE 0 END)
+                        AS DOUBLE) / 1e6, 6) AS sel_avg_surprisal
+    FROM w JOIN scored USING (wd), h
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """

@@ -793,3 +793,11 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deterministic engine-side planner feeding
     temperature_mix_plan's sampler."""
     return C.doremi_domain_weights(_t(spark, sf_dir, "documents"))
+
+
+def q_rho1_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12-queue rehearsal entry (unregistered): Rho-1-style selective
+    -language-modeling token budget — per-doc share of token
+    occurrences whose unigram surprisal exceeds the corpus token
+    entropy (the deterministic reference-loss proxy)."""
+    return C.rho1_token_selection(_t(spark, sf_dir, "documents"))

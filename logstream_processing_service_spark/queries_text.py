@@ -2126,3 +2126,10 @@ def q_shared_affix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-EDGE boilerplate signal complementing the interior
     fixed-window profile (char_window_dup_profile)."""
     return D.shared_affix_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_lcp_neighbor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12-queue rehearsal entry (unregistered): exact capped-LCP with
+    any other document via first-char-partitioned lexicographic
+    neighbors — the suffix-array escalation of the affix rung ladder."""
+    return D.lcp_neighbor_profile(_t(spark, sf_dir, "documents"))

@@ -1211,3 +1211,35 @@ def test_bm25_incremental_reads_merged_files_no_cartesian(spark):
     assert plan.count("BroadcastExchange") >= 2
     assert plan.count("Exchange SinglePartition") <= 1  # the 1-row stats agg
     spark.catalog.clearCache()
+
+
+def test_lcp_neighbor_single_bounded_exchange(spark):
+    """lcp_neighbor_profile: ONE hash exchange (the first-char
+    partition carrying cap-width keys, never full text), in-partition
+    sort, zero single-partition stages, zero cartesians — the
+    suffix-array signal without a global sort."""
+    from logstream_processing_service_spark.queries_text import (
+        q_lcp_neighbor_profile,
+    )
+
+    plan = _plan(q_lcp_neighbor_profile(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    spark.catalog.clearCache()
+
+
+def test_rho1_vocab_cached_stream_never_shuffles(spark):
+    """rho1_token_selection: the vocab aggregate is persisted for its
+    three consumers (InMemoryTableScan reuse); the token stream takes
+    a BROADCAST score lookup (never shuffles on wd); the only
+    single-partition stages are 1-row scalar aggregates."""
+    from logstream_processing_service_spark.queries_curation import (
+        q_rho1_token_selection,
+    )
+
+    plan = _plan(q_rho1_token_selection(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("BroadcastExchange") >= 3
+    spark.catalog.clearCache()

@@ -116,6 +116,8 @@ QUERIES = [
     "bm25_incremental_twin",    # posting-grain: 2 commits + merged search
     "doremi_domain_weights",    # documents-grain: vocab agg + |D|-row tilt
     "shared_affix_profile",     # documents-grain: 10-rung short-key window
+    "lcp_neighbor_profile",     # documents-grain: first-char sort + lag/lead
+    "rho1_token_selection",     # documents-grain: vocab agg + broadcast probe
 ]
 
 
@@ -331,6 +333,14 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_text",
             fromlist=["q_shared_affix_profile"],
         ).q_shared_affix_profile(s, sf),
+        "lcp_neighbor_profile": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_lcp_neighbor_profile"],
+        ).q_lcp_neighbor_profile(s, sf),
+        "rho1_token_selection": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_rho1_token_selection"],
+        ).q_rho1_token_selection(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
