@@ -103,16 +103,18 @@ _PRIORITY: tuple[str, ...] = (
     "template_match",
     # ------------------------------------------------------------------
     # r12 map (pre-computed per the standing policy, assuming the r11
-    # driver run lands this window): the rehearsed r12-queue entries
-    # (coordinates in ROADMAP's r12 queue; first driver rows), then the
-    # 10 remaining r6-latest queries (closes the r6 debt: text_quality,
-    # tfidf_top_terms, token_counts, token_pmi, tokenizer_fertility,
-    # top_tokens, train_test_split, unigram_logprob, volume_trend,
-    # weekly_heavy_actors), then backfill the remaining slots from the
-    # 50 r7-latest queries alphabetical (ann_ivf_pq, ann_ivfpq_index,
-    # ann_pq, audio_metadata, bigram_logprob, bracketed_discount_revenue,
-    # branch_wap_twin, c4_line_stats, charclass_profile,
-    # cheapest_supplier_per_part, clustering_quality,
+    # driver run lands this window): the FIVE rehearsed r12-queue
+    # entries (bm25_incremental_twin, doremi_domain_weights,
+    # shared_affix_profile, lcp_neighbor_profile, rho1_token_selection
+    # — coordinates + exponents in ROADMAP's r12 queue; first driver
+    # rows), then the 10 remaining r6-latest queries (closes the r6
+    # debt: text_quality, tfidf_top_terms, token_counts, token_pmi,
+    # tokenizer_fertility, top_tokens, train_test_split,
+    # unigram_logprob, volume_trend, weekly_heavy_actors), then the
+    # first 35 (alphabetical) of the 50 r7-latest queries: ann_ivf_pq,
+    # ann_ivfpq_index, ann_pq, audio_metadata, bigram_logprob,
+    # bracketed_discount_revenue, branch_wap_twin, c4_line_stats,
+    # charclass_profile, cheapest_supplier_per_part, clustering_quality,
     # compression_quality, contamination_overlap,
     # cross_source_dup_matrix, customer_order_distribution,
     # customer_order_stats, dataset_card, ddww_twin,
@@ -120,10 +122,14 @@ _PRIORITY: tuple[str, ...] = (
     # distinct_actors_hll_registry, doc_length_quartiles,
     # dup_shingle_profile, duplicate_spans, embed_documents,
     # embedding_int8_report, embedding_near_dup_lsh, fouter_twin,
-    # gif_frame_pixel_stats, ... — take 50 − |new| − 10 of these; any
-    # displacement must name the in-window query exercising the
-    # displaced machinery). Re-verify against the CORRECTNESS union at
-    # r12 start before registering.
+    # gif_frame_pixel_stats, gopher_quality_report,
+    # grouping_sets_volume, heavy_shippers_of_part_family,
+    # hll_rolling_distinct, large_volume_customers. The 15 displaced
+    # r7 rows (linestatus_priority_split ... zipf_fit, alphabetical)
+    # lead the r13 backfill. Any further queue registration beyond 5
+    # displaces from the END of the r7 list with a named in-window
+    # rationale. Re-verify against the CORRECTNESS union at r12 start
+    # before registering.
 )
 
 

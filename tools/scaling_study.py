@@ -364,6 +364,15 @@ SCALE100_QUERIES = (
     # exponents a trend, not a point estimate
     "novelty_scores",
     "dhash_near_dup_report",
+    # r11 registrations with non-trivial absolute cost: a third decade
+    # turns their pre-registration exponents into a curve
+    "char_window_dup_profile",
+    "proximity_rerank",
+    "retrieval_eval_report",
+    "jaccard_threshold_sweep",
+    # r12-queue heavyweight: the two-level LCP probe's linear-asymptote
+    # claim gets its third point
+    "lcp_neighbor_profile",
 )
 
 
