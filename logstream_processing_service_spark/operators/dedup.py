@@ -1840,6 +1840,15 @@ def jaccard_threshold_sweep(
     histogram SHAPE stays unbiased (pair sampling would bias toward
     high-df docs; doc sampling does not). Measured at the 10× corpus:
     cap-500 exact 80.5 s → fraction 0.1 ≈ first-decade cost.
+
+    Measured third decade (r11, fraction 0.3 on the 100× corpus):
+    α_100x = 1.6 — a FIXED sample fraction inherits the exact sweep's
+    super-linear exponent; p² is a constant factor, not an exponent
+    fix. The honest growing-corpus recipe: shrink the fraction with
+    corpus size (p ∝ N^(-1/2) holds the within-sample pair count
+    constant — the histogram stays unbiased at any p), or sweep
+    per-shard and union the 10-row histograms (band counts are
+    additive).
     """
     if sample_fraction is not None:
         thresh = sample_threshold(sample_fraction)
