@@ -1863,3 +1863,121 @@ def rho1_oracle_sql() -> str:
     GROUP BY doc_id
     ORDER BY doc_id
     """
+
+
+def source_coverage_report(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Leave-one-out n-gram coverage per source — the marginal-utility
+    signal behind greedy mixture construction (the submodular-coverage
+    view of data selection: a source earns its tokens by contributing
+    shingle mass NO other source provides). For every source: how many
+    distinct word-n-gram shingles it contains, how many are UNIQUE to
+    it (appear in no other source — exactly its leave-one-out marginal
+    coverage), and both as shares of the corpus's distinct shingle
+    inventory. A syndicated mirror scores near-zero uniqueness — cut
+    it; a high-marginal tail source is irreplaceable at any size.
+
+    Semantics: shingle identity is the 48-bit rolling word-hash
+    (functions/text.py — strings never materialize); NO doc-frequency
+    cap (coverage wants the true inventory; the cap exists to bound
+    PAIR joins, and nothing here is pairwise).
+
+    Output, one row per source: (source, n_shingles, n_unique,
+    uniqueness, coverage_share, marginal_share) — ratios of exact
+    BIGINTs (IEEE division, deterministic), 6-dp rounds.
+
+    Scale: shingles stream from the scan exchange-free (in-row
+    array_distinct), collapse to distinct (source, shingle) — ONE
+    exchange on the 8-byte hash — then the per-shingle source count is
+    a map-side-combined aggregate of that frame; the final rollup is
+    |sources| rows. Nothing pairwise, nothing super-linear: the whole
+    operator is two hash aggregates over the shingle inventory.
+    """
+    wh = documents.select(
+        "source",
+        F.expr(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")
+        ).alias("wh"),
+    )
+    ss = (
+        wh.select(
+            "source",
+            F.explode(
+                F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
+            ).alias("s"),
+        )
+        .distinct()
+        # cache: caller-owned (repo contract — bench/driver clear per
+        # query); two consumers: the per-shingle source count and the
+        # source rollup join
+        .persist()
+    )
+    per_sh = ss.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    total = per_sh.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    per_source = (
+        ss.join(per_sh, "s")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("n_src") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_shingles",
+            "n_unique",
+            F.round(
+                F.col("n_unique").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("uniqueness"),
+            F.round(
+                F.col("n_shingles").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("coverage_share"),
+            F.round(
+                F.col("n_unique").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("marginal_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_coverage_oracle_sql(n: int = 3) -> str:
+    """DuckDB twin: same hash CTEs at SOURCE grain, no df cap, same
+    exact-BIGINT ratios."""
+    words_duck = T.words_sql("text", "duckdb")
+    return f"""
+    WITH words AS (SELECT source, {words_duck} AS w FROM documents),
+    whs AS (
+        SELECT source, {T.word_hash_array_sql('w', 'duckdb')} AS wh
+        FROM words
+    ),
+    ss AS (
+        SELECT DISTINCT source,
+               unnest({T.shingle_hash_array_sql('wh', n, 'duckdb')}) AS s
+        FROM whs
+    ),
+    per_sh AS (SELECT s, CAST(count(*) AS BIGINT) AS n_src FROM ss GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM per_sh),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique
+        FROM ss JOIN per_sh USING (s)
+        GROUP BY 1
+    )
+    SELECT source, n_shingles, n_unique,
+           round(CAST(n_unique AS DOUBLE) / n_shingles, 6) AS uniqueness,
+           round(CAST(n_shingles AS DOUBLE) / t, 6) AS coverage_share,
+           round(CAST(n_unique AS DOUBLE) / t, 6) AS marginal_share
+    FROM per_source, tot
+    ORDER BY source
+    """

@@ -801,3 +801,10 @@ def q_rho1_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences whose unigram surprisal exceeds the corpus token
     entropy (the deterministic reference-loss proxy)."""
     return C.rho1_token_selection(_t(spark, sf_dir, "documents"))
+
+
+def q_source_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12-queue rehearsal entry (unregistered): leave-one-out shingle
+    coverage per source — which feeds contribute n-gram mass no other
+    source provides (the greedy data-mixing marginal-utility signal)."""
+    return C.source_coverage_report(_t(spark, sf_dir, "documents"))

@@ -1243,3 +1243,18 @@ def test_rho1_vocab_cached_stream_never_shuffles(spark):
     assert plan.count("InMemoryTableScan") >= 3
     assert plan.count("BroadcastExchange") >= 3
     spark.catalog.clearCache()
+
+
+def test_source_coverage_two_hash_aggregates_no_cartesian(spark):
+    """source_coverage_report: the distinct (source, shingle) frame is
+    persisted for its two consumers; the only single-partition stage is
+    the 1-row corpus-inventory count; no cartesian product."""
+    from logstream_processing_service_spark.queries_curation import (
+        q_source_coverage_report,
+    )
+
+    plan = _plan(q_source_coverage_report(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("Exchange SinglePartition") <= 1
+    spark.catalog.clearCache()

@@ -118,6 +118,7 @@ QUERIES = [
     "shared_affix_profile",     # documents-grain: 10-rung short-key window
     "lcp_neighbor_profile",     # documents-grain: first-char sort + lag/lead
     "rho1_token_selection",     # documents-grain: vocab agg + broadcast probe
+    "source_coverage_report",   # shingle-grain: two hash aggregates
 ]
 
 
@@ -341,6 +342,10 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_curation",
             fromlist=["q_rho1_token_selection"],
         ).q_rho1_token_selection(s, sf),
+        "source_coverage_report": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_source_coverage_report"],
+        ).q_source_coverage_report(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
