@@ -103,19 +103,21 @@ _PRIORITY: tuple[str, ...] = (
     "template_match",
     # ------------------------------------------------------------------
     # r12 map (pre-computed per the standing policy, assuming the r11
-    # driver run lands this window): the SIX rehearsed r12-queue
+    # driver run lands this window): the SEVEN rehearsed r12-queue
     # entries (bm25_incremental_twin, doremi_domain_weights,
     # shared_affix_profile, lcp_neighbor_profile, rho1_token_selection,
-    # source_coverage_report — coordinates + exponents in ROADMAP's r12
-    # queue; first driver rows), then the 10 remaining r6-latest
-    # queries (closes the r6
+    # source_coverage_report, merkle_integrity_diff — coordinates +
+    # exponents in ROADMAP's r12 queue; first driver rows), then the
+    # 10 remaining r6-latest queries (closes the r6
     # debt: text_quality, tfidf_top_terms, token_counts, token_pmi,
     # tokenizer_fertility, top_tokens, train_test_split,
     # unigram_logprob, volume_trend, weekly_heavy_actors), then the
-    # first 34 (alphabetical) of the 50 r7-latest queries — the 6th
-    # queue entry displaces the 35th slot, large_volume_customers,
-    # whose HAVING-on-sum aggregate is exercised by the in-window
-    # customer_order_stats and top_quarter_suppliers families:
+    # first 33 (alphabetical) of the 50 r7-latest queries — the 6th
+    # and 7th queue entries displace the 34th/35th slots:
+    # large_volume_customers (its HAVING-on-sum aggregate is exercised
+    # by the in-window customer_order_stats and top_quarter_suppliers
+    # families) and hll_rolling_distinct (its HLL registry machinery is
+    # exercised by the in-window distinct_actors_hll_registry):
     # ann_ivf_pq,
     # ann_ivfpq_index, ann_pq, audio_metadata, bigram_logprob,
     # bracketed_discount_revenue, branch_wap_twin, c4_line_stats,
@@ -128,10 +130,10 @@ _PRIORITY: tuple[str, ...] = (
     # dup_shingle_profile, duplicate_spans, embed_documents,
     # embedding_int8_report, embedding_near_dup_lsh, fouter_twin,
     # gif_frame_pixel_stats, gopher_quality_report,
-    # grouping_sets_volume, heavy_shippers_of_part_family,
-    # hll_rolling_distinct. The 16 displaced r7 rows
-    # (large_volume_customers ... zipf_fit, alphabetical) lead the r13
-    # backfill. Any further queue registration beyond 6 displaces from
+    # grouping_sets_volume, heavy_shippers_of_part_family. The 17
+    # displaced r7 rows (hll_rolling_distinct,
+    # large_volume_customers ... zipf_fit, alphabetical) lead the r13
+    # backfill. Any further queue registration beyond 7 displaces from
     # the END of the r7 list with a named in-window rationale.
     # Re-verify against the CORRECTNESS union at r12 start before
     # registering.

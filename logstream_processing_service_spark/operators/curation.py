@@ -1981,3 +1981,202 @@ def source_coverage_oracle_sql(n: int = 3) -> str:
     FROM per_source, tot
     ORDER BY source
     """
+
+
+def merkle_corpus_tree(
+    documents: DataFrame,
+    n_shards: int = 64,
+    fanout: int = 8,
+    salt: str = "manifest-v1",
+) -> DataFrame:
+    """Merkle-style integrity tree over a corpus snapshot: shards are
+    leaves (same stable keyed-hash shard assignment as
+    :func:`shard_manifest_diff`, so the two operators describe the same
+    physical layout), each node's fingerprint is the BIT-XOR of its
+    rows' 48-bit content hashes — XOR is order-independent (no sort
+    needed), overflow-free (no HUGEINT promotion on either engine) and
+    composes: a parent's xor IS the xor of its children, so every level
+    is the same one aggregate. Row identity (doc_id) is hashed INTO the
+    content hash, so two different docs with identical text cannot
+    cancel.
+
+    Output, one row per tree node: (level, node_id, node_hash, n_docs)
+    — level 0 = the ``n_shards`` leaves, each higher level groups
+    ``fanout`` children, up to the single root. With 64/8 that is
+    64 + 8 + 1 = 73 rows regardless of corpus size.
+
+    Scale: ONE corpus scan to (shard, rowhash) — 8-byte longs, never
+    text — one map-side-combined xor aggregate to ``n_shards`` rows,
+    then the upper levels fold a 73-row frame. At 100 TB the tree is
+    the KB-sized integrity manifest you store next to a snapshot: two
+    replicas compare roots in O(1), and a mismatch localizes to the
+    divergent shard in log_fanout(n_shards) node probes instead of a
+    full-corpus diff (the rsync/Cassandra anti-entropy discipline
+    applied to training-corpus snapshots).
+    """
+    shard = (
+        F.expr(T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))"))
+        % n_shards
+    ).cast("int")
+    rowh = F.expr(
+        T.hash48_sql(
+            "concat('merkle-v1:', cast(doc_id as string), ':', "
+            "coalesce(text, ''))"
+        )
+    )
+    leaves = (
+        documents.select(shard.alias("node_id"), rowh.alias("h"))
+        .groupBy("node_id")
+        .agg(
+            F.expr("bit_xor(h)").cast("bigint").alias("node_hash"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .select(F.lit(0).alias("level"), "node_id", "node_hash", "n_docs")
+    )
+    levels = [leaves]
+    width, lvl = n_shards, 0
+    while width > 1:
+        width = (width + fanout - 1) // fanout
+        lvl += 1
+        prev = levels[-1]
+        levels.append(
+            prev.groupBy(
+                (F.col("node_id") / fanout).cast("int").alias("node_id")
+            )
+            .agg(
+                F.expr("bit_xor(node_hash)").cast("bigint").alias(
+                    "node_hash"
+                ),
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+            )
+            .select(
+                F.lit(lvl).alias("level"), "node_id", "node_hash", "n_docs"
+            )
+        )
+    out = levels[0]
+    for fr in levels[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def merkle_integrity_diff(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    n_shards: int = 64,
+    fanout: int = 8,
+    salt: str = "manifest-v1",
+) -> DataFrame:
+    """Compare the Merkle trees of two corpus snapshots node-by-node —
+    the replica-divergence localizer: ``differs`` marks exactly the
+    root-to-leaf paths that changed, so a reader can see at a glance
+    how much of the corpus moved (root row) and precisely which shards
+    carry it (level-0 rows). Complements :func:`shard_manifest_diff`:
+    that one answers WHAT changed inside the touched shards (doc-grain
+    adds/removes/changes), this one proves WHERE the snapshots agree —
+    matching subtree hashes certify untouched shards without reading
+    them.
+
+    Output, one row per tree node (full outer over both trees):
+    (level, node_id, hash_old, hash_new, n_docs_old, n_docs_new,
+    differs). A shard empty on one side keeps its row with NULL
+    hash/0 docs on that side.
+
+    Scale: two independent tree builds (each one scan + one leaf
+    aggregate) and a ≤ 73-row join — the diff itself never touches the
+    corpus.
+    """
+    o = merkle_corpus_tree(old_docs, n_shards, fanout, salt).select(
+        "level",
+        "node_id",
+        F.col("node_hash").alias("hash_old"),
+        F.col("n_docs").alias("n_docs_old"),
+    )
+    n = merkle_corpus_tree(new_docs, n_shards, fanout, salt).select(
+        "level",
+        "node_id",
+        F.col("node_hash").alias("hash_new"),
+        F.col("n_docs").alias("n_docs_new"),
+    )
+    return (
+        o.join(n, ["level", "node_id"], "full_outer")
+        .select(
+            "level",
+            "node_id",
+            "hash_old",
+            "hash_new",
+            F.coalesce("n_docs_old", F.lit(0)).cast("bigint").alias(
+                "n_docs_old"
+            ),
+            F.coalesce("n_docs_new", F.lit(0)).cast("bigint").alias(
+                "n_docs_new"
+            ),
+            (~F.col("hash_old").eqNullSafe(F.col("hash_new"))).alias(
+                "differs"
+            ),
+        )
+        .orderBy("level", "node_id")
+    )
+
+
+def merkle_diff_oracle_sql(
+    old_cte: str,
+    new_cte: str,
+    n_shards: int = 64,
+    fanout: int = 8,
+    salt: str = "manifest-v1",
+) -> str:
+    """DuckDB twin over caller-supplied (doc_id, text) snapshot CTEs:
+    same shard/content hash48 keys, same xor folds, same full-outer
+    node diff (IS DISTINCT FROM = Spark's negated eqNullSafe)."""
+    h_shard = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
+    h_row = T.hash48_sql(
+        "concat('merkle-v1:', cast(doc_id as string), ':', "
+        "coalesce(text, ''))"
+    )
+
+    def tree(src: str, tag: str) -> str:
+        pieces = [
+            f"""{tag}_l0 AS (
+            SELECT 0 AS level, CAST(({h_shard}) % {n_shards} AS INT)
+                       AS node_id,
+                   CAST(bit_xor({h_row}) AS BIGINT) AS node_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM {src} GROUP BY 2
+        )"""
+        ]
+        width, lvl = n_shards, 0
+        while width > 1:
+            width = (width + fanout - 1) // fanout
+            lvl += 1
+            pieces.append(
+                f"""{tag}_l{lvl} AS (
+                SELECT {lvl} AS level,
+                       CAST(node_id // {fanout} AS INT) AS node_id,
+                       CAST(bit_xor(node_hash) AS BIGINT) AS node_hash,
+                       CAST(sum(n_docs) AS BIGINT) AS n_docs
+                FROM {tag}_l{lvl - 1} GROUP BY 2
+            )"""
+            )
+        union = " UNION ALL ".join(
+            f"SELECT * FROM {tag}_l{i}" for i in range(lvl + 1)
+        )
+        pieces.append(f"{tag}_tree AS ({union})")
+        return ",\n    ".join(pieces)
+
+    return f"""
+    WITH old_snap AS ({old_cte}),
+    new_snap AS ({new_cte}),
+    {tree('old_snap', 'o')},
+    {tree('new_snap', 'n')}
+    SELECT coalesce(o.level, n.level) AS level,
+           coalesce(o.node_id, n.node_id) AS node_id,
+           o.node_hash AS hash_old,
+           n.node_hash AS hash_new,
+           CAST(coalesce(o.n_docs, 0) AS BIGINT) AS n_docs_old,
+           CAST(coalesce(n.n_docs, 0) AS BIGINT) AS n_docs_new,
+           (o.node_hash IS DISTINCT FROM n.node_hash) AS differs
+    FROM o_tree o
+    FULL OUTER JOIN n_tree n
+      ON o.level = n.level AND o.node_id = n.node_id
+    ORDER BY level, node_id
+    """

@@ -808,3 +808,25 @@ def q_source_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage per source — which feeds contribute n-gram mass no other
     source provides (the greedy data-mixing marginal-utility signal)."""
     return C.source_coverage_report(_t(spark, sf_dir, "documents"))
+
+
+def q_merkle_integrity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12-queue rehearsal entry (unregistered): Merkle integrity-tree
+    diff between the manifest family's two deterministic snapshots —
+    matching subtree hashes certify untouched shards without reading
+    them; mismatches localize the churn in log-fanout probes."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 5, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return C.merkle_integrity_diff(old, new)
+
+
+def merkle_query_oracle_sql() -> str:
+    return C.merkle_diff_oracle_sql(_MANIFEST_OLD_CTE, _MANIFEST_NEW_CTE)

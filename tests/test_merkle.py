@@ -1,0 +1,89 @@
+"""Merkle corpus integrity tree + snapshot diff — rehearsed r12
+catalog candidate `merkle_integrity_diff`."""
+
+from __future__ import annotations
+
+import pytest
+
+from logstream_processing_service_spark.operators.curation import (
+    merkle_corpus_tree,
+    merkle_integrity_diff,
+)
+
+from .conftest import SF_DIR, SF_DIR_ORACLE
+from .oracle_harness import compare_one, duckdb_conn
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_merkle_diff_hash_matches_oracle(spark, sf_dir):
+    from logstream_processing_service_spark.queries_curation import (
+        merkle_query_oracle_sql,
+        q_merkle_integrity_diff,
+    )
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark, con, "merkle_integrity_diff", q_merkle_integrity_diff,
+        merkle_query_oracle_sql(), sf_dir,
+    )
+    assert r["status"] == "OK", r
+    spark.catalog.clearCache()
+
+
+def test_tree_composes_and_identical_snapshots_agree(spark):
+    """Structural invariants: parent xor == xor of children at every
+    level, the root counts every doc once, and the diff of a snapshot
+    against itself has differs = false on EVERY node."""
+    from functools import reduce
+
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = merkle_corpus_tree(docs).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], {})[r["node_id"]] = r
+    assert max(by_level) == 2 and list(by_level[2]) == [0]
+    assert by_level[2][0]["n_docs"] == docs.count()
+    for lvl in (1, 2):
+        for nid, r in by_level[lvl].items():
+            kids = [
+                c for c in by_level[lvl - 1].values()
+                if c["node_id"] // 8 == nid
+            ]
+            assert kids
+            assert r["n_docs"] == sum(c["n_docs"] for c in kids)
+            assert r["node_hash"] == reduce(
+                lambda a, b: a ^ b, (c["node_hash"] for c in kids)
+            )
+    same = merkle_integrity_diff(docs, docs).collect()
+    assert same and all(not r["differs"] for r in same)
+    spark.catalog.clearCache()
+
+
+def test_single_doc_change_localizes_to_one_path(spark):
+    """Flipping ONE document's text must flip exactly one leaf, its
+    ancestor bucket, and the root — log-fanout localization — while
+    every other node certifies untouched."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 7, F.lit("tampered!"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = merkle_integrity_diff(docs, mutated).collect()
+    diffs = [r for r in out if r["differs"]]
+    assert len(diffs) == 3  # leaf + level-1 bucket + root
+    assert sorted(r["level"] for r in diffs) == [0, 1, 2]
+    leaf, mid, root = sorted(diffs, key=lambda r: r["level"])
+    assert leaf["node_id"] // 8 == mid["node_id"]
+    assert root["node_id"] == 0
+    # counts unchanged — only content moved
+    for r in diffs:
+        assert r["n_docs_old"] == r["n_docs_new"]
+    spark.catalog.clearCache()

@@ -1258,3 +1258,18 @@ def test_source_coverage_two_hash_aggregates_no_cartesian(spark):
     assert plan.count("InMemoryTableScan") >= 2
     assert plan.count("Exchange SinglePartition") <= 1
     spark.catalog.clearCache()
+
+
+def test_merkle_diff_never_ships_text_no_single_partition(spark):
+    """merkle_integrity_diff: each tree build reduces the scan to
+    (shard, 8-byte rowhash) before any exchange — text never shuffles —
+    and the node join is 73 rows a side: zero cartesians, zero
+    single-partition stages."""
+    from logstream_processing_service_spark.queries_curation import (
+        q_merkle_integrity_diff,
+    )
+
+    plan = _plan(q_merkle_integrity_diff(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    spark.catalog.clearCache()

@@ -119,6 +119,7 @@ QUERIES = [
     "lcp_neighbor_profile",     # documents-grain: first-char sort + lag/lead
     "rho1_token_selection",     # documents-grain: vocab agg + broadcast probe
     "source_coverage_report",   # shingle-grain: two hash aggregates
+    "merkle_integrity_diff",    # doc-grain: two scans + 73-row tree join
 ]
 
 
@@ -346,6 +347,10 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_curation",
             fromlist=["q_source_coverage_report"],
         ).q_source_coverage_report(s, sf),
+        "merkle_integrity_diff": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_merkle_integrity_diff"],
+        ).q_merkle_integrity_diff(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
