@@ -1243,3 +1243,186 @@ def test_manifest_diff_identities(spark, old_rows, new_rows):
     assert sum(r["n_added"] for r in bwd) == sum(r["n_removed"] for r in fwd)
     assert sum(r["n_removed"] for r in bwd) == sum(r["n_added"] for r in fwd)
     assert sum(r["n_changed"] for r in bwd) == sum(r["n_changed"] for r in fwd)
+
+
+@st.composite
+def prefixy_texts(draw):
+    """Texts over a 2-char alphabet with random lengths — adversarially
+    tie- and shared-prefix-prone for affix/LCP operators."""
+    n = draw(st.integers(min_value=2, max_value=14))
+    return [
+        draw(st.text(alphabet="ab", min_size=0, max_size=90))
+        for _ in range(n)
+    ]
+
+
+@SLOW
+@given(prefixy_texts())
+def test_lcp_neighbor_matches_bruteforce_fuzz(spark, texts):
+    """The first-char-partitioned sorted-neighbor LCP must equal the
+    all-pairs brute force (capped at 64) on adversarial 2-letter
+    corpora: heavy ties, empty strings, strict-prefix pairs, identical
+    docs — every shape that stresses the length gate and the neighbor
+    property."""
+    from logstream_processing_service_spark.operators.dedup import (
+        lcp_neighbor_profile,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["max_lcp"] for r in lcp_neighbor_profile(docs).collect()
+    }
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a[:64], b[:64]):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    for i, t in rows:
+        want = max((lcp(t, u) for j, u in rows if j != i), default=0)
+        assert got[i] == want, (i, t, got[i], want)
+
+
+@SLOW
+@given(prefixy_texts())
+def test_affix_profile_matches_bruteforce_fuzz(spark, texts):
+    """shared_affix_profile's per-rung semantics recomputed in Python:
+    a doc shares rung L iff len >= L and another doc has the identical
+    first (last) L chars; the profile reports the longest sharing rung
+    and the sharer count there."""
+    from logstream_processing_service_spark.operators.dedup import (
+        AFFIX_LADDER,
+        shared_affix_profile,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in shared_affix_profile(docs).collect()}
+
+    def expect(side):
+        out = {}
+        for i, t in rows:
+            best_len, best_n = 0, 0
+            for L in AFFIX_LADDER:
+                if len(t) < L:
+                    continue
+                key = t[:L] if side == "p" else t[::-1][:L]
+                n = sum(
+                    1
+                    for j, u in rows
+                    if j != i
+                    and len(u) >= L
+                    and (u[:L] if side == "p" else u[::-1][:L]) == key
+                )
+                if n > 0:
+                    best_len, best_n = L, n
+            out[i] = (best_len, best_n)
+        return out
+
+    ep, es = expect("p"), expect("s")
+    for i, _ in rows:
+        r = got[i]
+        assert (r["max_prefix_len"], r["n_prefix_sharers"]) == ep[i], (i, ep[i], r)
+        assert (r["max_suffix_len"], r["n_suffix_sharers"]) == es[i], (i, es[i], r)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.text(alphabet="xyz ", min_size=0, max_size=20),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.data(),
+)
+def test_merkle_diff_localizes_every_mutation_fuzz(spark, rows, data):
+    """Random snapshot + random doc-grain edits (drop / tamper / add):
+    the diff's differing LEAVES are exactly the shards containing a
+    touched doc, and the root differs iff anything changed at all."""
+    from logstream_processing_service_spark.operators.curation import (
+        merkle_integrity_diff,
+    )
+    from logstream_processing_service_spark.functions import text as T
+
+    ids = [i for i, _ in rows]
+    dropped = set(data.draw(st.lists(st.sampled_from(ids), max_size=3)))
+    tampered = set(
+        data.draw(st.lists(st.sampled_from(ids), max_size=3))
+    ) - dropped
+    added = {max(ids) + 1 + k for k in range(data.draw(st.integers(0, 2)))}
+
+    old_rows = rows
+    new_rows = [
+        (i, t + "!" if i in tampered else t)
+        for i, t in rows
+        if i not in dropped
+    ] + [(i, "new doc") for i in sorted(added)]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = merkle_integrity_diff(old, new).collect()
+
+    # recompute shard ids with the SAME keyed hash via a 1-column frame
+    touched = sorted(dropped | tampered | added)
+    if touched:
+        tf = spark.createDataFrame(
+            [(i,) for i in touched], "doc_id long"
+        ).select(
+            (
+                F.expr(
+                    T.hash48_sql("concat('manifest-v1:', cast(doc_id as string))")
+                )
+                % 64
+            )
+            .cast("int")
+            .alias("shard")
+        )
+        want_leaves = {r["shard"] for r in tf.collect()}
+    else:
+        want_leaves = set()
+    got_leaves = {r["node_id"] for r in out if r["level"] == 0 and r["differs"]}
+    assert got_leaves == want_leaves
+    root = [r for r in out if r["level"] == 2][0]
+    assert root["differs"] == bool(touched)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="pqr ", min_size=6, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_source_coverage_mirror_zeroes_uniqueness_fuzz(spark, texts):
+    """Duplicating ANY source as a verbatim mirror drives BOTH copies'
+    n_unique to zero while every source's n_shingles is unchanged — the
+    cut-the-mirror signal holds on arbitrary corpora."""
+    from logstream_processing_service_spark.operators.curation import (
+        source_coverage_report,
+    )
+
+    rows = [(i, f"s{i % 3}", t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = {r["source"]: r for r in source_coverage_report(docs).collect()}
+    victim = sorted(base)[0]
+    mirror_rows = rows + [
+        (1000 + i, "mirror", t) for i, (_, s, t) in enumerate(rows) if s == victim
+    ]
+    docs2 = spark.createDataFrame(
+        mirror_rows, "doc_id long, source string, text string"
+    )
+    after = {r["source"]: r for r in source_coverage_report(docs2).collect()}
+    if base[victim]["n_shingles"] > 0:
+        assert after[victim]["n_unique"] == 0
+        assert after["mirror"]["n_unique"] == 0
+        assert after["mirror"]["n_shingles"] == base[victim]["n_shingles"]
+    for s in base:
+        assert after[s]["n_shingles"] == base[s]["n_shingles"]
