@@ -87,3 +87,73 @@ def test_single_doc_change_localizes_to_one_path(spark):
     for r in diffs:
         assert r["n_docs_old"] == r["n_docs_new"]
     spark.catalog.clearCache()
+
+
+def test_xor_patch_identity_enables_incremental_maintenance(spark):
+    """The property the r13-queue incremental-maintenance entry will
+    operationalize: because node hashes are xor folds, the NEW tree is
+    computable from the OLD tree and the delta alone —
+    new_hash = old_hash XOR xor(removed row hashes) XOR xor(added row
+    hashes) per touched leaf (a changed doc is remove+add) — O(delta),
+    no corpus rescan. Verified here against the full rebuild."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.functions import text as T
+    from logstream_processing_service_spark.operators.curation import (
+        merkle_corpus_tree,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 2, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    old_tree = {
+        (r["level"], r["node_id"]): r["node_hash"]
+        for r in merkle_corpus_tree(docs).collect()
+    }
+    full_new = {
+        (r["level"], r["node_id"]): r["node_hash"]
+        for r in merkle_corpus_tree(new).collect()
+    }
+
+    def rowhash_frame(df):
+        shard = (
+            F.expr(
+                T.hash48_sql("concat('manifest-v1:', cast(doc_id as string))")
+            )
+            % 64
+        ).cast("int")
+        rowh = F.expr(
+            T.hash48_sql(
+                "concat('merkle-v1:', cast(doc_id as string), ':', "
+                "coalesce(text, ''))"
+            )
+        )
+        return df.select(
+            "doc_id", shard.alias("shard"), rowh.alias("h")
+        ).collect()
+
+    o = {r["doc_id"]: r for r in rowhash_frame(docs)}
+    n = {r["doc_id"]: r for r in rowhash_frame(new)}
+    # delta = rows whose (id, hash) pair changed on either side
+    patch: dict[int, int] = {}
+    for d, r in o.items():
+        if d not in n or n[d]["h"] != r["h"]:
+            patch[r["shard"]] = patch.get(r["shard"], 0) ^ r["h"]
+    for d, r in n.items():
+        if d not in o or o[d]["h"] != r["h"]:
+            patch[r["shard"]] = patch.get(r["shard"], 0) ^ r["h"]
+    assert patch  # the edit set is non-empty by construction
+
+    patched = dict(old_tree)
+    for shard, px in patch.items():
+        for level, node in ((0, shard), (1, shard // 8), (2, 0)):
+            key = (level, node)
+            patched[key] = patched.get(key, 0) ^ px
+    # a leaf emptied entirely would need row-count bookkeeping to drop;
+    # this fixture never empties a shard, matching the entry's scope
+    assert patched == full_new
