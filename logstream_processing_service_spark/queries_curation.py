@@ -830,3 +830,25 @@ def q_merkle_integrity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def merkle_query_oracle_sql() -> str:
     return C.merkle_diff_oracle_sql(_MANIFEST_OLD_CTE, _MANIFEST_NEW_CTE)
+
+
+def q_merkle_tree_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13-queue rehearsal entry (unregistered): the NEW snapshot's
+    Merkle tree computed INCREMENTALLY — old tree xor-patched with the
+    doc-grain delta only — hash-matched against the full-rebuild
+    oracle on the new snapshot (O(delta) maintenance proven exact)."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 5, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return C.merkle_tree_update(old, new)
+
+
+def merkle_update_oracle_sql() -> str:
+    return C.merkle_tree_oracle_sql(_MANIFEST_NEW_CTE)

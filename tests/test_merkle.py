@@ -157,3 +157,90 @@ def test_xor_patch_identity_enables_incremental_maintenance(spark):
     # a leaf emptied entirely would need row-count bookkeeping to drop;
     # this fixture never empties a shard, matching the entry's scope
     assert patched == full_new
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_merkle_tree_update_hash_matches_full_rebuild_oracle(spark, sf_dir):
+    """The incremental xor-patch must reproduce the from-scratch tree
+    of the NEW snapshot row-for-row — the O(delta) maintenance claim as
+    a hash-checked equality, at both SFs."""
+    from logstream_processing_service_spark.queries_curation import (
+        merkle_update_oracle_sql,
+        q_merkle_tree_update,
+    )
+
+    con = duckdb_conn(sf_dir)
+    r = compare_one(
+        spark, con, "merkle_tree_update", q_merkle_tree_update,
+        merkle_update_oracle_sql(), sf_dir,
+    )
+    assert r["status"] == "OK", r
+    spark.catalog.clearCache()
+
+
+def test_update_drops_emptied_shards_and_adds_new_ones(spark):
+    """Edge cases the identity test's fixture sidesteps: removing ALL
+    docs of a shard must DROP its leaf (and recount ancestors), and
+    docs landing in a previously-empty shard must CREATE the leaf —
+    both verified against the full rebuild."""
+    from pyspark.sql import functions as F
+
+    from logstream_processing_service_spark.functions import text as T
+    from logstream_processing_service_spark.operators.curation import (
+        merkle_corpus_tree,
+        merkle_tree_update,
+    )
+
+    # 40 docs; compute their shards, then delete every doc of ONE
+    # shard and add docs that hash into a shard empty in OLD
+    rows = [(i, f"text number {i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shard_of = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            (
+                F.expr(
+                    T.hash48_sql(
+                        "concat('manifest-v1:', cast(doc_id as string))"
+                    )
+                )
+                % 64
+            ).cast("int").alias("s"),
+        ).collect()
+    }
+    victim_shard = shard_of[0]
+    keep = [i for i in shard_of if shard_of[i] != victim_shard]
+    # find candidate new ids landing in a shard no old doc occupies
+    occupied = set(shard_of.values())
+    probe = spark.createDataFrame(
+        [(i,) for i in range(1000, 1400)], "doc_id long"
+    ).select(
+        "doc_id",
+        (
+            F.expr(
+                T.hash48_sql("concat('manifest-v1:', cast(doc_id as string))")
+            )
+            % 64
+        ).cast("int").alias("s"),
+    )
+    fresh = [
+        r["doc_id"] for r in probe.collect() if r["s"] not in occupied
+    ][:2]
+    assert fresh, "probe range found no empty shard (adjust fixture)"
+
+    new_rows = [(i, f"text number {i}") for i in keep] + [
+        (i, "brand new") for i in fresh
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {
+        (r["level"], r["node_id"]): (r["node_hash"], r["n_docs"])
+        for r in merkle_tree_update(docs, new).collect()
+    }
+    want = {
+        (r["level"], r["node_id"]): (r["node_hash"], r["n_docs"])
+        for r in merkle_corpus_tree(new).collect()
+    }
+    assert got == want
+    assert (0, victim_shard) not in got  # emptied leaf dropped
+    spark.catalog.clearCache()

@@ -1273,3 +1273,18 @@ def test_merkle_diff_never_ships_text_no_single_partition(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     spark.catalog.clearCache()
+
+
+def test_merkle_update_patch_stages_tree_grain(spark):
+    """merkle_tree_update: the only corpus-sized stage is the doc-grain
+    (id, 8-byte rowhash) diff join — text never shuffles — and the
+    patch/propagate/apply stages run at tree grain: zero cartesians,
+    zero single-partition stages."""
+    from logstream_processing_service_spark.queries_curation import (
+        q_merkle_tree_update,
+    )
+
+    plan = _plan(q_merkle_tree_update(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    spark.catalog.clearCache()

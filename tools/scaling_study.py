@@ -120,6 +120,7 @@ QUERIES = [
     "rho1_token_selection",     # documents-grain: vocab agg + broadcast probe
     "source_coverage_report",   # shingle-grain: two hash aggregates
     "merkle_integrity_diff",    # doc-grain: two scans + 73-row tree join
+    "merkle_tree_update",       # doc-grain hash diff + tree-grain patch
 ]
 
 
@@ -351,6 +352,10 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_curation",
             fromlist=["q_merkle_integrity_diff"],
         ).q_merkle_integrity_diff(s, sf),
+        "merkle_tree_update": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_merkle_tree_update"],
+        ).q_merkle_tree_update(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
