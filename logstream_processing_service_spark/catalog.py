@@ -62,6 +62,71 @@ def spec(name: str, oracle: str | None, *tags: str):
 # never-checked.
 _PRIORITY: tuple[str, ...] = (
     # ------------------------------------------------------------------
+    # ROUND-12 WINDOW (r11 VERDICT "Next round" #1+#3) — exactly the
+    # pre-computed r12 map, re-verified against the CORRECTNESS_r01-r11
+    # union at r12 start (histogram {r6:10, r7:50, r8:50, r9:50,
+    # r10:50, r11:50}, matching the map's assumption): (a) the 7
+    # rehearsed r12-queue registrations (first driver rows; all seven
+    # rehearsed green at both SFs in r11 through the compare harness —
+    # tests/test_bm25_incremental.py, tests/test_doremi.py,
+    # tests/test_affix_profile.py, tests/test_lcp_neighbor.py,
+    # tests/test_rho1.py, tests/test_source_coverage.py,
+    # tests/test_merkle.py; the r11-advice doremi micro-nat fix and the
+    # bm25 per-process-registry fix landed WITH regression tests before
+    # these registrations):
+    "bm25_incremental_twin", "doremi_domain_weights",
+    "shared_affix_profile", "lcp_neighbor_profile",
+    "rho1_token_selection", "source_coverage_report",
+    "merkle_integrity_diff",
+    # (b) the 10 remaining r6-latest queries (the r6 debt closes —
+    # after this round nothing is older than r7):
+    "text_quality", "tfidf_top_terms", "token_counts", "token_pmi",
+    "tokenizer_fertility", "top_tokens", "train_test_split",
+    "unigram_logprob", "volume_trend", "weekly_heavy_actors",
+    # (c) 33 backfills = the first 33 (alphabetical) of the 50 queries
+    # whose latest driver row is r7 (recomputed from the union this
+    # session — matches the r11 map verbatim). The 6th and 7th queue
+    # registrations displace the 34th/35th alphabetical slots:
+    # hll_rolling_distinct (its HLL registry machinery is exercised by
+    # the in-window distinct_actors_hll_registry) and
+    # large_volume_customers (its HAVING-on-sum aggregate is exercised
+    # by the in-window customer_order_stats and the r10-green
+    # top_quarter_suppliers family):
+    "ann_ivf_pq", "ann_ivfpq_index", "ann_pq", "audio_metadata",
+    "bigram_logprob", "bracketed_discount_revenue", "branch_wap_twin",
+    "c4_line_stats", "charclass_profile", "cheapest_supplier_per_part",
+    "clustering_quality", "compression_quality", "contamination_overlap",
+    "cross_source_dup_matrix", "customer_order_distribution",
+    "customer_order_stats", "dataset_card", "ddww_twin",
+    "decontaminate_bloom", "dedup_paragraphs", "dictionary_match_counts",
+    "distinct_actors_hll_registry", "doc_length_quartiles",
+    "dup_shingle_profile", "duplicate_spans", "embed_documents",
+    "embedding_int8_report", "embedding_near_dup_lsh", "fouter_twin",
+    "gif_frame_pixel_stats", "gopher_quality_report",
+    "grouping_sets_volume", "heavy_shippers_of_part_family",
+    # ------------------------------------------------------------------
+    # r13 map (pre-computed per the standing policy, assuming the r12
+    # driver run lands this window): the rehearsed r13-queue entries
+    # (merkle_tree_update is already rehearsed; ROADMAP's r13 queue
+    # carries the coordinates and any further rehearsals; first driver
+    # rows), then the 17 remaining r7-latest queries (closes the r7
+    # debt: hll_rolling_distinct, large_volume_customers,
+    # linestatus_priority_split, louter_twin, mad_anomaly,
+    # maxsim_search, maxsim_search_routed, pii_scan, pricing_summary,
+    # resample_daily_volume, seasonal_volume_decompose,
+    # textrank_keywords, token_communities, tokenizer_compare,
+    # unigram_token_counts, vocab_divergence, zipf_fit), then the first
+    # (50 - new - 17) alphabetical of the 50 r8-latest queries; each
+    # displacement names the in-window query exercising the displaced
+    # machinery. Re-verify against the CORRECTNESS union at r13 start
+    # before registering.
+)
+
+
+# Retired r11 window, kept for the displacement-rationale record the
+# VERDICT audits:
+_PRIORITY_R11: tuple[str, ...] = (
+    # ------------------------------------------------------------------
     # ROUND-11 WINDOW (r10 VERDICT "Next round" #1+#2) — exactly the
     # pre-computed r11 map, re-verified against the CORRECTNESS_r01-r10
     # union at r11 start (histogram {r5:3, r6:50, r7:50, r8:50, r9:50,

@@ -1627,11 +1627,19 @@ def doremi_domain_weights(
     domain_weight, smoothed_weight), 6-dp rounds; weights sum to 1
     before rounding.
 
-    Cross-engine discipline (the vocab_divergence recipe): counts,
-    totals and N are exact BIGINTs, so every ln argument is a
-    bit-identical rational; the ln-term sum rounds at 6 dp AFTER
-    aggregation, and exp/normalize run on the ROUNDED excess so both
-    engines feed libm the same double.
+    Cross-engine discipline (the rho1_token_selection recipe, hardened
+    r12 per the r11 advice): counts, totals and N are exact BIGINTs,
+    so every ln argument is a bit-identical rational; each ln-TERM is
+    snapped to a micro-nat BIGINT (round(term·1e6)) BEFORE summation —
+    integer addition is order-independent, so the excess can never
+    pick up partial-sum order noise the way a rounded double sum can
+    (a last-6dp flip there would propagate through exp/normalize into
+    every weight). excess_kl = Σterm_µ/1e6 is an exact-integer ratio
+    (IEEE division is correctly rounded → identical double on both
+    engines), and exp/normalize run on that snapped excess. A 1-ulp
+    libm ln() divergence now moves one TERM by ≤2e-9 µnat — it flips
+    only if that term sits within 2e-9 of a .5 boundary, instead of
+    the whole sum sitting within 5e-7 of a 6-dp boundary.
 
     Scale: one corpus scan to (source, tok) counts (map-side combine,
     vocab-grain), one vocab-grain re-aggregate for the corpus counts,
@@ -1657,12 +1665,17 @@ def doremi_domain_weights(
         F.sum("c").cast("bigint").alias("ct")
     )
     big_n = totals.agg(F.sum("n").cast("bigint").alias("nn"))
-    term = (
-        F.col("c").cast("double") / F.col("n")
-        * F.log(
-            (F.col("c").cast("double") * F.col("nn"))
-            / (F.col("n").cast("double") * F.col("ct"))
+    term_micro = (
+        F.round(
+            F.col("c").cast("double") / F.col("n")
+            * F.log(
+                (F.col("c").cast("double") * F.col("nn"))
+                / (F.col("n").cast("double") * F.col("ct"))
+            )
+            * F.lit(1e6),
+            0,
         )
+        .cast("bigint")
     )
     excess = (
         counts.join(corpus, "tok")
@@ -1671,7 +1684,9 @@ def doremi_domain_weights(
         .groupBy(strata_col)
         .agg(
             F.max("n").alias("n_tokens"),
-            F.round(F.sum(term), 6).alias("excess_kl"),
+            (F.sum(term_micro).cast("double") / F.lit(1e6)).alias(
+                "excess_kl"
+            ),
         )
     )
     w_raw = F.exp(F.lit(eta) * F.col("excess_kl"))
@@ -1695,7 +1710,10 @@ def doremi_oracle_sql(
     eta: float = 1.0, eps: float = 0.01, strata_col: str = "source"
 ) -> str:
     """DuckDB twin: identical BIGINT rationals into ln, identical
-    6-dp-rounded excess into exp, same normalize-then-round order."""
+    per-term micro-nat snapping before the (order-independent integer)
+    sum, identical snapped excess into exp, same normalize-then-round
+    order. sum(BIGINT) promotes to HUGEINT in DuckDB — exact, and cast
+    back to DOUBLE before it can reach an output column."""
     words_duck = T.words_sql("text", "duckdb")
     return f"""
     WITH toks AS (
@@ -1715,11 +1733,11 @@ def doremi_oracle_sql(
     big_n AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM totals),
     excess AS (
         SELECT c.{strata_col}, max(t.n) AS n_tokens,
-               round(sum(
+               CAST(sum(CAST(round(
                    CAST(c.c AS DOUBLE) / t.n
                    * ln((CAST(c.c AS DOUBLE) * b.N)
                         / (CAST(t.n AS DOUBLE) * k.ct))
-               ), 6) AS excess_kl
+                   * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 AS excess_kl
         FROM counts c
         JOIN corpus k USING (tok)
         JOIN totals t USING ({strata_col})
@@ -2013,6 +2031,20 @@ def merkle_corpus_tree(
     divergent shard in log_fanout(n_shards) node probes instead of a
     full-corpus diff (the rsync/Cassandra anti-entropy discipline
     applied to training-corpus snapshots).
+
+    Integrity caveat (r11 advice): the 48-bit XOR fold is a
+    DETERMINISTIC PARITY FINGERPRINT for drift detection and testing,
+    not a tamper-evident certificate. XOR cancels (any even
+    multiset of identical row hashes vanishes; an adversary — or an
+    unlucky pair of flips — can leave a node hash unchanged), and at
+    ~2^24 rows per node the birthday bound on 48-bit row hashes makes
+    an undetected accidental collision plausible at the 100 TB scale
+    this manifest targets. If the integrity claim is load-bearing,
+    widen the row hash to ≥128 bits and replace the fold with an
+    order-sensitive cryptographic combine (e.g. per-shard
+    sorted-stream SHA-256, or an incremental-collision-resistant
+    MuHash-style multiset hash); the tree shape, shard assignment and
+    O(delta) maintenance identity all carry over unchanged.
     """
     shard = (
         F.expr(T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))"))

@@ -780,13 +780,19 @@ def q_manifest_timetravel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r12 queue (rehearsed in r11, NOT yet registered — registration is one
-# @spec away; tests/test_doremi.py runs the compare harness)
+# r12 registrations (rehearsed in r11 — tests/test_doremi.py,
+# tests/test_rho1.py, tests/test_source_coverage.py, tests/test_merkle.py
+# ran the compare harness at both SFs before these @spec lines landed)
 # ---------------------------------------------------------------------------
 
 
+@spec(
+    "doremi_domain_weights",
+    C.doremi_oracle_sql(),
+    "north-star", "curation", "mixing", "doremi",
+)
 def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r12-queue rehearsal entry (unregistered): DoReMi-style domain
+    """DoReMi-style domain
     mixture weights at proxy grain — excess loss as the per-token KL of
     each source's unigram distribution from the corpus mixture, one
     exponential-tilt multiplicative-weights step, uniform smoothing.
@@ -795,23 +801,38 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.doremi_domain_weights(_t(spark, sf_dir, "documents"))
 
 
+@spec(
+    "rho1_token_selection",
+    C.rho1_oracle_sql(),
+    "north-star", "curation", "lm-filter", "rho1",
+)
 def q_rho1_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r12-queue rehearsal entry (unregistered): Rho-1-style selective
+    """Rho-1-style selective
     -language-modeling token budget — per-doc share of token
     occurrences whose unigram surprisal exceeds the corpus token
     entropy (the deterministic reference-loss proxy)."""
     return C.rho1_token_selection(_t(spark, sf_dir, "documents"))
 
 
+@spec(
+    "source_coverage_report",
+    C.source_coverage_oracle_sql(),
+    "north-star", "curation", "coverage",
+)
 def q_source_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r12-queue rehearsal entry (unregistered): leave-one-out shingle
+    """Leave-one-out shingle
     coverage per source — which feeds contribute n-gram mass no other
     source provides (the greedy data-mixing marginal-utility signal)."""
     return C.source_coverage_report(_t(spark, sf_dir, "documents"))
 
 
+@spec(
+    "merkle_integrity_diff",
+    C.merkle_diff_oracle_sql(_MANIFEST_OLD_CTE, _MANIFEST_NEW_CTE),
+    "curation", "integrity", "merkle",
+)
 def q_merkle_integrity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r12-queue rehearsal entry (unregistered): Merkle integrity-tree
+    """Merkle integrity-tree
     diff between the manifest family's two deterministic snapshots —
     matching subtree hashes certify untouched shards without reading
     them; mismatches localize the churn in log-fanout probes."""

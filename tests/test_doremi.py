@@ -66,6 +66,59 @@ def test_outlier_domain_upweighted(spark):
     spark.catalog.clearCache()
 
 
+def test_excess_is_micro_nat_exact_sum_of_snapped_terms(spark):
+    """r11-advice regression (curation.py doremi_domain_weights): the
+    excess must be an order-independent INTEGER sum of per-term
+    micro-nat snaps, not a 6-dp round of an order-dependent double
+    sum. Pins (a) exact agreement with a per-term-snapped Python
+    reference on a fixed fixture, and (b) the 1e-6 quantization of the
+    output (a rounded double sum would only be quantized by luck).
+
+    The reference snaps each term with Decimal HALF_UP on the exact
+    binary double — the same rule Spark's round(col, 0) applies — so
+    any return to sum-then-round flips assertion (a)."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = []
+    texts = {
+        "news": "the market rose today on steady trade volume",
+        "blogs": "the market fell today on steady trade volume",
+        "code": "def f x return x plus one end def",
+    }
+    for i in range(40):
+        rows.append((i, "news", texts["news"]))
+    for i in range(40, 80):
+        rows.append((i, "blogs", texts["blogs"]))
+    for i in range(80, 100):
+        rows.append((i, "code", texts["code"]))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in doremi_domain_weights(docs).collect()}
+
+    # Python reference with identical per-term micro-nat snapping.
+    dom_counts: dict[str, Counter] = {}
+    for _, src, text in rows:
+        dom_counts.setdefault(src, Counter()).update(text.split())
+    corpus: Counter = Counter()
+    for c in dom_counts.values():
+        corpus.update(c)
+    big_n = sum(corpus.values())
+    for src, cnts in dom_counts.items():
+        n = sum(cnts.values())
+        micro = 0
+        for tok, c in cnts.items():
+            term = c / n * math.log((c * big_n) / (n * corpus[tok]))
+            micro += int(
+                Decimal(term * 1e6).quantize(Decimal(1), ROUND_HALF_UP)
+            )
+        expected = micro / 1e6
+        got = out[src]["excess_kl"]
+        assert got == expected, (src, got, expected)
+        # (b) quantization pin: the output is an exact-integer ratio.
+        assert abs(got * 1e6 - round(got * 1e6)) < 1e-3, (src, got)
+    spark.catalog.clearCache()
+
+
 def test_uniform_corpus_gives_uniform_weights(spark):
     """Identical domains -> zero excess everywhere -> exactly uniform
     weights (the fixed point)."""
