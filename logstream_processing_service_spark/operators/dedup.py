@@ -1672,7 +1672,7 @@ def lsh_quality_report(
 
 
 def char_window_dup_profile(
-    documents: DataFrame, window: int = 40
+    documents: DataFrame, window: int = 40, hash_keys: bool = False
 ) -> DataFrame:
     """EXACT character-grain substring duplication profile — the
     char-grain complement of the word-grain shingle family
@@ -1700,11 +1700,15 @@ def char_window_dup_profile(
     novelty_scores-style groupBy+join plan: 6.8 → 3.5 s at sf0.1,
     23.7 → 6.5 s at 50k docs, alpha 0.58 → 0.27 — the join plan
     shuffles the long frame three times, this shuffles it once plus
-    the doc-grain rollup). Keys are the raw 40-char windows (exactness
-    for free, and the oracle needs no hash parity); at 100 TB swap the
-    key for xxhash64(window) to shuffle 8-byte longs instead of
-    40-char strings — collision odds 2^-64 per pair, and the in-row
-    transform is unchanged.
+    the doc-grain rollup). Keys are the raw 40-char windows by default
+    (exactness for free, and the oracle needs no hash parity);
+    ``hash_keys=True`` swaps the shuffle key for xxhash64(window) —
+    8-byte longs instead of 40-char strings through the one analytic
+    exchange, collision odds 2^-64 per pair, in-row transform
+    unchanged. A/B-measured r12 at the third decade (see ROADMAP's
+    r12 ledger and tools/charwin_ab.py for the numbers + decision);
+    the registered form keeps raw keys (oracle parity without a
+    DuckDB xxhash64 twin).
     """
     arr = F.when(
         F.length("text") >= window,
@@ -1716,6 +1720,8 @@ def char_window_dup_profile(
         ),
     ).otherwise(F.expr("array()"))
     wins = documents.select("doc_id", F.explode(arr).alias("w"))
+    if hash_keys:
+        wins = wins.select("doc_id", F.xxhash64("w").alias("w"))
     prof = wins.withColumn(
         "wdf", F.count(F.lit(1)).over(Window.partitionBy("w"))
     )
@@ -1799,11 +1805,48 @@ def sample_threshold(sample_fraction: float) -> int:
     return round(sample_fraction * 10000)
 
 
+ADAPTIVE_SWEEP_TARGET = 450
+"""Reference corpus size for the N-adaptive sweep sample: p =
+min(1, sqrt(target/N)) holds the expected within-sample pair count at
+the level of a ``target``-doc exact sweep regardless of corpus size
+(within-sample Σdf'² ≈ p²·Σdf², and p² = target/N cancels one factor
+of N from any super-linear pair exponent). 450 makes the sf0.1 bench
+point (5 000 docs) land at exactly the r11-registered 0.3 fraction —
+threshold 3000 — so round-over-round bench comparison stays clean."""
+
+
+def adaptive_sweep_threshold_sql(
+    count_expr: str, target_docs: int = ADAPTIVE_SWEEP_TARGET
+) -> str:
+    """Per-10000 N-ADAPTIVE sample threshold as a SQL fragment shared
+    verbatim by the Spark operator and the DuckDB oracle (the
+    sample_threshold() discipline, lifted in-plan so a STATIC oracle
+    string can mirror a corpus-size-dependent fraction): thresh =
+    least(10000, round(1e4·sqrt(target/N))). Every step is an IEEE
+    correctly-rounded double op on identical inputs (N is the same
+    count of the same table on both engines), and round-half-away-
+    from-zero agrees between Spark's round() and DuckDB's round(), so
+    both engines derive the identical integer without any value ever
+    crossing engines. round(), not floor(): sqrt(0.09)·1e4 sits one
+    ulp around 3000.0 and floor would make the threshold hostage to
+    that ulp's direction (deterministic but needlessly ugly — the r10
+    int()-truncation advice, one level up)."""
+    # CAST(... AS DOUBLE) explicitly: a bare `450.0` literal is DECIMAL
+    # on both engines and decimal-division scale rules differ — the
+    # whole derivation must stay in IEEE doubles end to end.
+    return (
+        f"least(CAST(10000 AS BIGINT), CAST(round("
+        f"1e4 * sqrt(CAST({target_docs} AS DOUBLE) / ({count_expr})), 0)"
+        f" AS BIGINT))"
+    )
+
+
 def jaccard_threshold_sweep(
     documents: DataFrame,
     n: int = 3,
     max_doc_freq: int = 500,
     sample_fraction: float | None = None,
+    adaptive_target: int | None = None,
     salt: str = "sweep-v1",
 ) -> DataFrame:
     """Similarity HISTOGRAM over every co-shingle document pair — the
@@ -1844,15 +1887,37 @@ def jaccard_threshold_sweep(
     Measured third decade (r11, fraction 0.3 on the 100× corpus):
     α_100x = 1.6 — a FIXED sample fraction inherits the exact sweep's
     super-linear exponent; p² is a constant factor, not an exponent
-    fix. The honest growing-corpus recipe: shrink the fraction with
-    corpus size (p ∝ N^(-1/2) holds the within-sample pair count
-    constant — the histogram stays unbiased at any p), or sweep
-    per-shard and union the 10-row histograms (band counts are
-    additive).
+    fix. The scale-safe default (r12, implemented as
+    ``adaptive_target``): shrink the fraction with corpus size,
+    p = min(1, sqrt(target/N)) — the within-sample pair count stays at
+    the level of a ``target``-doc exact sweep at ANY corpus size
+    (p²·Σdf² cancels one factor of N), so the sweep's asymptote is the
+    linear corpus count + the sqrt(target·N)-doc shingle pass, and the
+    histogram SHAPE stays unbiased at any p (whole-doc sampling). N is
+    derived IN-PLAN (a parquet-footer-cheap count broadcast as a 1-row
+    frame), and the threshold arithmetic is the shared
+    :func:`adaptive_sweep_threshold_sql` fragment, so the static
+    DuckDB oracle derives the identical integer from its own count of
+    the same table. Measured third decade (r12, target 450 ⇒ p
+    0.95/0.3/0.095/0.03 across the four decades): see ROADMAP — the
+    exponent drops from 1.6 to the linear floor.
     """
-    if sample_fraction is not None:
+    if sample_fraction is not None and adaptive_target is not None:
+        raise ValueError(
+            "pass sample_fraction (fixed) or adaptive_target (N-adaptive),"
+            " not both"
+        )
+    h = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
+    if adaptive_target is not None:
+        nd = documents.agg(F.count(F.lit(1)).alias("_nd"))
+        thr = F.expr(adaptive_sweep_threshold_sql("_nd", adaptive_target))
+        documents = (
+            documents.crossJoin(F.broadcast(nd))
+            .filter(F.expr(f"({h}) % 10000") < thr)
+            .drop("_nd")
+        )
+    elif sample_fraction is not None:
         thresh = sample_threshold(sample_fraction)
-        h = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
         documents = documents.filter(F.expr(f"({h}) % 10000 < {thresh}"))
     pairs = ngram_jaccard_pairs(
         documents, n=n, threshold=0.0, max_doc_freq=max_doc_freq

@@ -2031,14 +2031,32 @@ def q_retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_sweep_oracle(
-    sample_fraction: float | None = None, salt: str = "sweep-v1"
+    sample_fraction: float | None = None,
+    adaptive_target: int | None = None,
+    salt: str = "sweep-v1",
 ) -> str:
-    """DuckDB twin for the r11-queue `jaccard_threshold_sweep`
-    rehearsal: the shared shingle CTE + the same decile floor (clamped
-    to 9) + a 10-row descending cumulative sum; optional deterministic
-    keyed-hash doc sample (same hash48 predicate as the operator)."""
+    """DuckDB twin for `jaccard_threshold_sweep`: the shared shingle
+    CTE + the same decile floor (clamped to 9) + a 10-row descending
+    cumulative sum; optional deterministic keyed-hash doc sample (same
+    hash48 predicate as the operator). The N-adaptive form derives the
+    threshold from DuckDB's own count(*) of the same table via the
+    SAME shared arithmetic fragment the Spark plan embeds
+    (dedup.adaptive_sweep_threshold_sql), so a static oracle string
+    mirrors a corpus-size-dependent fraction exactly."""
     shingle_cte = _SHINGLE_CTE
-    if sample_fraction is not None:
+    if sample_fraction is not None and adaptive_target is not None:
+        raise ValueError("fixed or adaptive, not both")
+    if adaptive_target is not None:
+        thr = D.adaptive_sweep_threshold_sql(
+            "SELECT count(*) FROM documents", adaptive_target
+        )
+        h = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
+        shingle_cte = shingle_cte.replace(
+            "FROM documents",
+            f"FROM (SELECT * FROM documents WHERE ({h}) % 10000 < ({thr}))",
+            1,
+        )
+    elif sample_fraction is not None:
         thresh = D.sample_threshold(sample_fraction)
         h = T.hash48_sql(f"concat('{salt}:', cast(doc_id as string))")
         shingle_cte = shingle_cte.replace(
@@ -2069,41 +2087,79 @@ def _jaccard_sweep_oracle(
 
 @spec(
     "jaccard_threshold_sweep",
-    _jaccard_sweep_oracle(sample_fraction=0.3),
+    _jaccard_sweep_oracle(adaptive_target=D.ADAPTIVE_SWEEP_TARGET),
     "dedup", "audit", "sampled",
 )
 def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-similarity decile histogram over co-shingle pairs — the
-    dedup-threshold picking audit (where is the near-dup valley; r11
-    queue, rehearsed r10). REGISTERED IN THE SAMPLED FORM per the r10
-    verdict: the exact all-pairs sweep is Σ df² (measured alpha 1.24,
-    super-linear by construction), so the catalog entry runs the
-    deterministic keyed-hash 30% WHOLE-DOC sample — the predicate
-    (``% 10000 < 3000``, round not int per r10 advice) is identical on
-    both engines and pinned in tests/test_plans.py; doc sampling keeps
-    the similarity-distribution shape unbiased (pair sampling would
-    not). The exact form stays available as the operator default for
+    dedup-threshold picking audit (where is the near-dup valley).
+    REGISTERED IN THE N-ADAPTIVE SAMPLED FORM per the r11 verdict: the
+    exact all-pairs sweep is Σ df² (measured alpha 1.24, super-linear
+    by construction), and the r11 FIXED 0.3 fraction inherited that
+    exponent (measured alpha_100x 1.6 at the third decade — p² is a
+    constant factor, not an exponent fix). The registered entry
+    derives p = min(1, sqrt(450/N)) from an in-plan corpus count —
+    within-sample pair count held at the 450-doc-exact-sweep level at
+    ANY corpus size, whole-doc sampling so the similarity-distribution
+    shape stays unbiased — with the threshold arithmetic a single
+    shared SQL fragment on both engines (pinned in
+    tests/test_plans.py; target 450 lands the sf0.1 point at exactly
+    the r11 threshold 3000, so bench comparison is apples-to-apples).
+    The exact form stays available as the operator default for
     small-corpus / per-shard diagnostics."""
     return D.jaccard_threshold_sweep(
-        _t(spark, sf_dir, "documents"), sample_fraction=0.3
+        _t(spark, sf_dir, "documents"),
+        adaptive_target=D.ADAPTIVE_SWEEP_TARGET,
     )
 
 
 # ---------------------------------------------------------------------------
-# r12 queue (rehearsed in r11, NOT yet registered — registration is one
-# @spec away; tests/test_bm25_incremental.py runs the compare harness)
+# r12 registrations (rehearsed in r11 — tests/test_bm25_incremental.py,
+# tests/test_affix_profile.py, tests/test_lcp_neighbor.py ran the compare
+# harness at both SFs before these @spec lines landed)
 # ---------------------------------------------------------------------------
 
 
+def _bm25_inc_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Per-process registry dir for the bm25 incremental twin.
+
+    r11-advice fix: keyed by sf_dir ALONE this raced — two concurrent
+    processes on the same sf_dir (parallel verify halves plus a test
+    run) could interleave one process's rmtree with the other's
+    snapshot read. The Spark applicationId is unique per SparkSession
+    (one session per process in every harness here), so suffixing it
+    gives each process its own registry; an atexit hook removes the
+    dir when the process ends (it must outlive this function — the
+    returned DataFrame reads the registry lazily at collect time)."""
+    import atexit
+    import re
+    import shutil
+
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    app = re.sub(
+        r"[^A-Za-z0-9._-]", "_", spark.sparkContext.applicationId
+    )
+    t = f"/tmp/logstream_bm25_inc_{tag}_{app}"
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    return t
+
+
+from .operators.retrieval import bm25_oracle_sql as _bm25_oracle  # noqa: E402
+
+
+@spec(
+    "bm25_incremental_twin",
+    _bm25_oracle(),
+    "north-star", "retrieval", "incremental", "txlog",
+)
 def q_bm25_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r12-queue rehearsal entry (unregistered): BM25 ranked search
+    """BM25 ranked search
     over an INCREMENTALLY-maintained posting registry — base postings
     committed as txlog v0, the delta docs' postings appended as v1
     (merge-on-read), search run on the merged read. Hash-matching the
     from-scratch bm25 oracle over the full corpus proves the
     incremental maintenance path is exact: same ranking, same scores,
     without re-tokenizing the base corpus."""
-    import re
     import shutil
 
     from pyspark.sql import functions as F
@@ -2113,23 +2169,31 @@ def q_bm25_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 5 != 0)
     delta = docs.filter(F.col("doc_id") % 5 == 0)
-    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
-    t = f"/tmp/logstream_bm25_inc_{tag}"
+    t = _bm25_inc_dir(spark, sf_dir)
     shutil.rmtree(t, ignore_errors=True)
     registry = bm25_incremental_index(base, delta, t)
     return bm25_topk(docs, tf=registry)
 
 
+@spec(
+    "shared_affix_profile",
+    D.shared_affix_oracle_sql(),
+    "dedup", "char-grain", "boilerplate",
+)
 def q_shared_affix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r12-queue rehearsal entry (unregistered): longest shared
-    prefix/suffix per document at power-of-two char rungs — the
-    document-EDGE boilerplate signal complementing the interior
-    fixed-window profile (char_window_dup_profile)."""
+    """Longest shared prefix/suffix per document at power-of-two char
+    rungs — the document-EDGE boilerplate signal complementing the
+    interior fixed-window profile (char_window_dup_profile)."""
     return D.shared_affix_profile(_t(spark, sf_dir, "documents"))
 
 
+@spec(
+    "lcp_neighbor_profile",
+    D.lcp_neighbor_oracle_sql(),
+    "dedup", "char-grain", "suffix-array",
+)
 def q_lcp_neighbor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r12-queue rehearsal entry (unregistered): exact capped-LCP with
-    any other document via first-char-partitioned lexicographic
-    neighbors — the suffix-array escalation of the affix rung ladder."""
+    """Exact capped-LCP with any other document via
+    first-char-partitioned lexicographic neighbors — the suffix-array
+    escalation of the affix rung ladder."""
     return D.lcp_neighbor_profile(_t(spark, sf_dir, "documents"))

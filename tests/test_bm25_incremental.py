@@ -85,3 +85,21 @@ def test_merged_stats_derive_not_stale(spark):
     registry = bm25_incremental_index(base, delta, t)
     n_docs = registry.select("doc_id").distinct().count()
     assert n_docs == docs.count()
+
+
+def test_registry_dir_is_per_process(spark):
+    """r11-advice regression (queries_text q_bm25_incremental_twin):
+    the registry dir must be keyed by the SparkSession's
+    applicationId, not sf_dir alone — two concurrent processes on the
+    same sf_dir (parallel verify halves + a test run) would otherwise
+    race one process's rmtree against the other's snapshot read."""
+    from logstream_processing_service_spark.queries_text import (
+        _bm25_inc_dir,
+    )
+
+    d = _bm25_inc_dir(spark, "/root/testdata/sf0.01")
+    app = spark.sparkContext.applicationId
+    assert app.replace(":", "_") in d or app in d, (d, app)
+    # different sf_dirs under the same process stay distinct too
+    d2 = _bm25_inc_dir(spark, "/root/testdata/sf0.001")
+    assert d != d2

@@ -74,3 +74,15 @@ def test_short_doc_zero_windows_null_ratio(spark):
     # collapses them to ONE distinct window, unshared -> not a dup
     assert got[2]["n_windows"] == 1
     assert got[2]["n_dup_windows"] == 0
+
+
+def test_hash_keys_variant_is_value_identical(spark):
+    """The 100-TB shuffle lever (hash_keys=True: xxhash64 8-byte longs
+    through the analytic exchange instead of 40-char strings) must be
+    VALUE-identical to the raw-key form — the profile only ever
+    aggregates window equality, and xxhash64 collisions are 2^-64 per
+    pair (none at test scale by construction)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    raw = char_window_dup_profile(docs).collect()
+    hashed = char_window_dup_profile(docs, hash_keys=True).collect()
+    assert [tuple(r) for r in raw] == [tuple(r) for r in hashed]

@@ -20,13 +20,17 @@ def test_jaccard_sweep_hash_matches_oracle(spark, sf_dir):
         q_jaccard_threshold_sweep,
     )
 
+    from logstream_processing_service_spark.operators.dedup import (
+        ADAPTIVE_SWEEP_TARGET,
+    )
+
     con = duckdb_conn(sf_dir)
-    # The catalog entry is the SAMPLED form (fraction 0.3 — the r10
-    # verdict's scale-path registration); oracle must carry the same
-    # sample predicate.
+    # The catalog entry is the N-ADAPTIVE sampled form (r11 verdict:
+    # the fixed 0.3 fraction measured alpha_100x 1.6); the oracle must
+    # derive the identical threshold from its own count(*).
     r = compare_one(
         spark, con, "jaccard_threshold_sweep", q_jaccard_threshold_sweep,
-        _jaccard_sweep_oracle(sample_fraction=0.3), sf_dir,
+        _jaccard_sweep_oracle(adaptive_target=ADAPTIVE_SWEEP_TARGET), sf_dir,
     )
     assert r["status"] == "OK", r
 
@@ -131,3 +135,56 @@ def test_operator_and_oracle_share_threshold_helper(spark):
     )
 
     assert "% 10000 < 3000" in _jaccard_sweep_oracle(sample_fraction=0.3)
+
+
+def test_adaptive_threshold_fragment_agrees_across_engines(spark):
+    """r11-verdict fix pin: the N-adaptive per-10000 threshold
+    (least(10000, round(1e4·sqrt(target/N)))) must evaluate to the
+    IDENTICAL integer on Spark and DuckDB for corpus sizes across the
+    decades (the all-DOUBLE shared fragment — no decimal-division
+    scale rules, no engine-local rounding mode). 5000 docs (the sf0.1
+    bench point) must land at exactly the r11-registered 3000, and any
+    N <= target clamps to the full sweep."""
+    import duckdb
+
+    from logstream_processing_service_spark.operators.dedup import (
+        ADAPTIVE_SWEEP_TARGET,
+        adaptive_sweep_threshold_sql,
+    )
+
+    con = duckdb.connect()
+    expected = {450: 10000, 500: 9487, 5000: 3000}
+    for n in (1, 100, 449, 450, 451, 500, 5000, 50000, 500000, 5000000):
+        frag = adaptive_sweep_threshold_sql(str(n), ADAPTIVE_SWEEP_TARGET)
+        s = spark.sql(f"SELECT {frag} AS t").collect()[0]["t"]
+        d = con.execute(f"SELECT {frag} AS t").fetchone()[0]
+        assert s == d, (n, s, d)
+        if n <= ADAPTIVE_SWEEP_TARGET:
+            assert s == 10000, (n, s)
+        if n in expected:
+            assert s == expected[n], (n, s)
+    con.close()
+
+
+def test_adaptive_clamps_to_exact_sweep_on_small_corpus(spark):
+    """N <= target ⇒ threshold 10000 ⇒ every doc sampled: the adaptive
+    form must reproduce the EXACT sweep bit-for-bit on a small corpus
+    (the audit loses nothing where exactness is affordable)."""
+    body = " ".join(f"w{i}" for i in range(20))
+    low_a = "shared one two " + " ".join(f"a{i}" for i in range(15))
+    low_b = "shared one two " + " ".join(f"b{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, low_a), (4, low_b)],
+        "doc_id long, text string",
+    )
+    exact = jaccard_threshold_sweep(docs).collect()
+    adaptive = jaccard_threshold_sweep(docs, adaptive_target=450).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in adaptive]
+
+
+def test_adaptive_and_fixed_are_mutually_exclusive(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not both"):
+        jaccard_threshold_sweep(
+            docs, sample_fraction=0.3, adaptive_target=450
+        )

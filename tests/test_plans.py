@@ -1142,24 +1142,29 @@ def test_jaccard_sweep_shared_shingle_scan_tiny_final_window(spark):
 
 
 def test_jaccard_sweep_registered_form_pins_sample_predicate(spark):
-    """The CATALOG registration is the sampled form (r10 verdict): the
-    executed plan must carry the deterministic keyed-hash predicate at
-    threshold 3000 (round(0.3·10000) — NOT int()'s 2999, the r10 advice
-    fix) applied BEFORE the shingle explode, so the pair space is p² of
-    the doc sample, never the full corpus."""
+    """The CATALOG registration is the N-ADAPTIVE sampled form (r11
+    verdict — the r11 fixed 0.3 fraction measured alpha_100x 1.6): the
+    executed plan must derive the per-10000 threshold IN-PLAN from the
+    corpus count (least(10000, round(1e4·sqrt(450/N))) — the shared
+    adaptive_sweep_threshold_sql fragment, all-DOUBLE arithmetic) and
+    apply the keyed-hash predicate BEFORE the shingle explode, so the
+    pair space is p² of the doc sample, never the full corpus."""
     from logstream_processing_service_spark.queries_text import (
         q_jaccard_threshold_sweep,
     )
 
     plan = _plan(q_jaccard_threshold_sweep(spark, SF_DIR))
-    assert "< 3000" in plan and "2999" not in plan
+    # the in-plan N-adaptive threshold derivation, double end-to-end
+    # (no decimal-division scale rules anywhere in the derivation)
+    assert "least(10000, cast(round((10000.0 * SQRT" in plan
+    assert "450.0" in plan and "decimal" not in plan.split("SQRT")[1][:120]
     assert "% 10000" in plan
     assert "CartesianProduct" not in plan
     # sample filter sits below the explode (filter-then-shingle, not
     # shingle-then-filter): the Generate node must appear ABOVE the
     # sample predicate in the plan tree dump
     gen = plan.index("Generate explode")
-    pred = plan.index("< 3000")
+    pred = plan.index("least(10000")
     assert gen < pred  # toString prints parents first: explode above filter
     spark.catalog.clearCache()
 
