@@ -20,6 +20,8 @@ curation run:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1758,6 +1760,221 @@ def doremi_oracle_sql(
     """
 
 
+def doremi_iterated(
+    documents: DataFrame,
+    t_rounds: int = 3,
+    eta: float = 1.0,
+    eps: float = 0.01,
+    strata_col: str = "source",
+) -> DataFrame:
+    """The FULL DoReMi multiplicative-weights loop (Xie et al. 2023) at
+    proxy grain — :func:`doremi_domain_weights` is the T=1 special
+    case, where a STATIC loss signal collapses the iteration into one
+    exponential tilt. Here the loss signal is re-weighted every round:
+    the reference mixture q_t(tok) = Σ_d w_t(d)·p_d(tok) moves toward
+    the domains the weights favour, each domain's excess
+    KL(p_d ‖ q_t) shrinks as the mixture approaches it, and the update
+    w_{t+1} ∝ w_t·exp(η·excess_t) runs T rounds with ε-uniform
+    smoothing applied to the weights entering each round (DoReMi's
+    per-iteration smoothing) — the self-balancing group-DRO dynamic
+    the one-shot tilt cannot express.
+
+    Output, one row per domain: (source, n_tokens, excess_kl,
+    domain_weight) — excess_kl is the FINAL round's excess against the
+    round-T mixture (micro-nat exact), domain_weight = W_T/1e6, a
+    ratio of exact integers.
+
+    Cross-engine discipline (everything integer between libm calls):
+    weights live as MICRO-unit BIGINTs W_d; the mixture is a per-(d,
+    tok) micro-micro snap q_µ(tok) = Σ_d round(w·p_d·1e12) (integer
+    sum — order-independent); the excess is the per-term micro-nat
+    snap of p_d·ln(p_d·1e12/q_µ) (integer sum again); the update
+    raw_µ = round(W_smoothed·exp(η·excess)) and the normalize
+    W' = round(1e6·raw_µ/Σraw_µ) are integer-in/integer-out with one
+    exp and one correctly-rounded division in between. The DuckDB
+    oracle is the same recurrence UNROLLED into T CTE blocks (the
+    kcore discipline), every expression structurally identical.
+
+    Scale: the (domain, tok) count frame is built once and persisted;
+    each round costs one vocab-grain mixture aggregate + one
+    vocab-grain excess aggregate (map-side combined), and the weight
+    update is a |domains|-row driver computation (bounded, the EM-loop
+    discipline). T is a small constant — the corpus is scanned once,
+    the vocab T·2 times, and nothing corpus-sized reaches the driver.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r(x: float) -> int:
+        # HALF_UP on the exact binary double — what Spark's round(x, 0)
+        # and DuckDB's round(x, 0) both compute
+        return int(Decimal(x).quantize(Decimal(1), ROUND_HALF_UP))
+
+    spark = documents.sparkSession
+    toks = documents.select(
+        strata_col, F.explode(T.words(F.col("text"))).alias("tok")
+    )
+    counts = (
+        toks.groupBy(strata_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # cache: caller-owned (repo contract); 2·T consumers (mixture +
+        # excess per round)
+        .persist()
+    )
+    totals = {
+        r[strata_col]: r["n"]
+        for r in counts.groupBy(strata_col)
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        .collect()
+    }
+    domains = sorted(totals)
+    nd = len(domains)
+    w = {d: _r(1000000.0 / nd) for d in domains}
+    excess: dict[str, int] = {}
+    for _ in range(t_rounds):
+        ws = {
+            d: _r((1.0 - eps) * w[d] + eps * 1000000.0 / nd)
+            for d in domains
+        }
+        wf = F.broadcast(
+            spark.createDataFrame(
+                [(d, ws[d], int(totals[d])) for d in domains],
+                f"{strata_col} string, ws long, n long",
+            )
+        )
+        base = counts.join(wf, strata_col)
+        qm = base.groupBy("tok").agg(
+            F.sum(
+                F.round(
+                    F.col("ws").cast("double")
+                    * F.col("c")
+                    / F.col("n")
+                    * F.lit(1e6),
+                    0,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("qm")
+        )
+        p = F.col("c").cast("double") / F.col("n")
+        ex_rows = (
+            base.join(qm, "tok")
+            .groupBy(strata_col)
+            .agg(
+                F.sum(
+                    F.round(
+                        p * F.log(p * F.lit(1e12) / F.col("qm")) * F.lit(1e6),
+                        0,
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("exm")
+            )
+            .collect()
+        )
+        excess = {r[strata_col]: int(r["exm"]) for r in ex_rows}
+        raw = {
+            d: _r(float(ws[d]) * math.exp(eta * excess[d] / 1e6))
+            for d in domains
+        }
+        s = sum(raw.values())
+        w = {d: _r(1000000.0 * raw[d] / s) for d in domains}
+    return spark.createDataFrame(
+        [
+            (d, int(totals[d]), excess[d] / 1e6, w[d] / 1e6)
+            for d in domains
+        ],
+        f"{strata_col} string, n_tokens bigint, excess_kl double,"
+        " domain_weight double",
+    )
+
+
+def doremi_iterated_oracle_sql(
+    t_rounds: int = 3,
+    eta: float = 1.0,
+    eps: float = 0.01,
+    strata_col: str = "source",
+) -> str:
+    """DuckDB twin: the recurrence unrolled into T CTE blocks — same
+    micro-unit integer state, same snap points, same expression
+    structure (association order matters: every arithmetic step must
+    hit libm/IEEE with the identical double)."""
+    words_duck = T.words_sql("text", "duckdb")
+    blocks = [
+        f"""toks AS (
+        SELECT {strata_col}, unnest({words_duck}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT {strata_col}, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT {strata_col}, CAST(sum(c) AS BIGINT) AS n
+        FROM counts GROUP BY 1
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM totals),
+    w0 AS (
+        SELECT {strata_col},
+               CAST(round(1000000.0 / nd, 0) AS BIGINT) AS w
+        FROM totals, nd
+    )"""
+    ]
+    for t in range(1, t_rounds + 1):
+        blocks.append(
+            f"""ws{t} AS (
+        SELECT {strata_col},
+               CAST(round(CAST({1.0 - eps!r} AS DOUBLE) * w
+                          + CAST({eps!r} AS DOUBLE) * 1000000.0 / nd, 0)
+                    AS BIGINT) AS ws
+        FROM w{t - 1}, nd
+    ),
+    q{t} AS (
+        SELECT tok,
+               CAST(sum(CAST(round(
+                   CAST(ws AS DOUBLE) * c / n * 1e6, 0) AS BIGINT))
+                   AS BIGINT) AS qm
+        FROM counts
+        JOIN totals USING ({strata_col})
+        JOIN ws{t} USING ({strata_col})
+        GROUP BY tok
+    ),
+    ex{t} AS (
+        SELECT {strata_col},
+               CAST(sum(CAST(round(
+                   CAST(c AS DOUBLE) / n
+                   * ln(CAST(c AS DOUBLE) / n * 1e12 / qm) * 1e6, 0)
+                   AS BIGINT)) AS BIGINT) AS exm
+        FROM counts
+        JOIN totals USING ({strata_col})
+        JOIN q{t} USING (tok)
+        GROUP BY 1
+    ),
+    raw{t} AS (
+        SELECT {strata_col},
+               CAST(round(CAST(ws AS DOUBLE)
+                          * exp(CAST({eta!r} AS DOUBLE) * exm / 1e6), 0)
+                    AS BIGINT) AS raw
+        FROM ws{t} JOIN ex{t} USING ({strata_col})
+    ),
+    s{t} AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM raw{t}),
+    w{t} AS (
+        SELECT {strata_col},
+               CAST(round(1000000.0 * raw / s, 0) AS BIGINT) AS w
+        FROM raw{t}, s{t}
+    )"""
+        )
+    joined = ",\n    ".join(blocks)
+    return f"""
+    WITH {joined}
+    SELECT t.{strata_col}, t.n AS n_tokens,
+           CAST(e.exm AS DOUBLE) / 1e6 AS excess_kl,
+           CAST(w.w AS DOUBLE) / 1e6 AS domain_weight
+    FROM totals t
+    JOIN ex{t_rounds} e USING ({strata_col})
+    JOIN w{t_rounds} w USING ({strata_col})
+    ORDER BY t.{strata_col}
+    """
+
+
 def rho1_token_selection(documents: DataFrame) -> DataFrame:
     """Selective-language-modeling token budget (Rho-1, Lin et al.
     2024: "Not All Tokens Are What You Need") at unigram-proxy grain:
@@ -1998,6 +2215,166 @@ def source_coverage_oracle_sql(n: int = 3) -> str:
            round(CAST(n_unique AS DOUBLE) / t, 6) AS marginal_share
     FROM per_source, tot
     ORDER BY source
+    """
+
+
+def greedy_coverage_order(
+    documents: DataFrame, n: int = 3, k: int = 5
+) -> DataFrame:
+    """Greedy submodular source ORDERING — the iterative extension of
+    :func:`source_coverage_report` (its leave-one-out marginal is the
+    t=1 step of this loop): pick the source with the largest distinct-
+    shingle inventory, remove its shingles from every other source's
+    pool, repeat. Classic greedy max-coverage (Nemhauser et al. 1978:
+    within 1−1/e of the optimal k-subset), which is the "which feeds
+    to onboard first" question a curation team actually asks — the
+    first picks buy diverse mass, syndicated mirrors fall to the
+    bottom because their pools empty the moment the original is taken.
+
+    Output, one row per pick, ``k`` rows: (pick_rank, source,
+    marginal_gain, cum_covered, cum_share) — marginal_gain = distinct
+    shingles newly covered by this pick, cum_share = cum_covered /
+    corpus distinct inventory as an exact-BIGINT IEEE division (no
+    rounding anywhere: every column is integer-derived, so parity with
+    the unrolled-CTE oracle is by construction). Ties break by source
+    name ascending.
+
+    Scale: the distinct (source, shingle) frame is built ONCE
+    (in-row array_distinct, one 8-byte-hash exchange — the
+    source_coverage_report shape) and persisted; each of the ``k``
+    rounds is one anti-join against the covered-shingle frame plus a
+    |sources|-row aggregate collected to the driver (the greedy argmax
+    is a driver decision over ≤ |sources| rows — bounded and
+    documented, the BPE/unigram EM-loop discipline). k·|sources| stays
+    dimension-grain at any corpus size; the corpus-sized work is the
+    one shingle pass.
+    """
+    spark = documents.sparkSession
+    ss = (
+        documents.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        T.shingle_hash_array_sql(
+                            T.word_hash_array_sql(
+                                T.words_sql("text", "spark"), "spark"
+                            ),
+                            n,
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        # cache: caller-owned (repo contract); k+2 consumers — the
+        # total inventory, the per-round gain aggregates, the covered
+        # frames
+        .persist()
+    )
+    total = ss.select("s").distinct().count()
+    all_sources = sorted(
+        r["source"] for r in ss.select("source").distinct().collect()
+    )
+    picked: list[str] = []
+    rows: list[tuple] = []
+    covered = None
+    cum = 0
+    for rank in range(1, min(k, len(all_sources)) + 1):
+        pool = ss.filter(~F.col("source").isin(picked)) if picked else ss
+        if covered is not None:
+            pool = pool.join(covered, "s", "left_anti")
+        gains = {
+            r["source"]: r["g"]
+            for r in pool.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+            .collect()
+        }
+        remaining = [s for s in all_sources if s not in picked]
+        best = min(remaining, key=lambda s: (-gains.get(s, 0), s))
+        g = int(gains.get(best, 0))
+        cum += g
+        rows.append((rank, best, g, cum, cum / total))
+        picked.append(best)
+        newly = ss.filter(F.col("source") == best).select("s")
+        covered = (
+            newly if covered is None else covered.union(newly).distinct()
+        )
+    return spark.createDataFrame(
+        rows,
+        "pick_rank int, source string, marginal_gain bigint,"
+        " cum_covered bigint, cum_share double",
+    )
+
+
+def greedy_coverage_oracle_sql(n: int = 3, k: int = 5) -> str:
+    """DuckDB twin: the greedy loop UNROLLED into k chained CTE blocks
+    (the kcore/doremi_iterated unroll discipline) — per round t, g{t}
+    left-joins the remaining sources to their uncovered-shingle counts
+    (zero-gain sources stay pickable), p{t} is the (g DESC, source)
+    argmax, cov{t} the covered set after t picks. Every compared
+    column is an exact BIGINT or an exact-BIGINT IEEE division.
+    ``ss`` and each ``cov{t}`` are AS MATERIALIZED: they are referenced
+    by every subsequent round, and DuckDB's default CTE inlining
+    re-evaluates a CTE per reference — super-linear blow-up measured
+    at 5k docs (the un-pinned form ground >15 min; materialized it
+    returns in seconds, values identical)."""
+    words_duck = T.words_sql("text", "duckdb")
+    blocks = [
+        f"""words AS (SELECT source, {words_duck} AS w FROM documents),
+    whs AS (
+        SELECT source, {T.word_hash_array_sql('w', 'duckdb')} AS wh
+        FROM words
+    ),
+    ss AS MATERIALIZED (
+        SELECT DISTINCT source,
+               unnest({T.shingle_hash_array_sql('wh', n, 'duckdb')}) AS s
+        FROM whs
+    ),
+    srcs AS (SELECT DISTINCT source FROM ss),
+    tot AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS t FROM ss)"""
+    ]
+    picked_union = None
+    for t in range(1, k + 1):
+        not_picked = (
+            f"WHERE sr.source NOT IN (SELECT source FROM {picked_union})"
+            if picked_union
+            else ""
+        )
+        pool_pred = (
+            f"WHERE source NOT IN (SELECT source FROM {picked_union}) "
+            f"AND s NOT IN (SELECT s FROM cov{t - 1})"
+            if picked_union
+            else ""
+        )
+        blocks.append(
+            f"""g{t} AS (
+        SELECT sr.source, CAST(coalesce(c.g, 0) AS BIGINT) AS g
+        FROM srcs sr LEFT JOIN (
+            SELECT source, count(*) AS g FROM ss {pool_pred} GROUP BY 1
+        ) c USING (source) {not_picked}
+    ),
+    p{t} AS (SELECT source, g FROM g{t} ORDER BY g DESC, source LIMIT 1),
+    picked{t} AS ({' UNION ALL '.join(f'SELECT source FROM p{i}' for i in range(1, t + 1))}),
+    cov{t} AS MATERIALIZED (
+        SELECT DISTINCT s FROM ss
+        WHERE source IN (SELECT source FROM picked{t})
+    )"""
+        )
+        picked_union = f"picked{t}"
+    finals = " UNION ALL ".join(
+        f"""SELECT {t} AS pick_rank, source, g AS marginal_gain,
+               (SELECT CAST(count(*) AS BIGINT) FROM cov{t}) AS cum_covered,
+               CAST((SELECT count(*) FROM cov{t}) AS DOUBLE) / t.t
+                   AS cum_share
+        FROM p{t}, tot t"""
+        for t in range(1, k + 1)
+    )
+    joined = ",\n    ".join(blocks)
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({finals})
+    ORDER BY pick_rank
     """
 
 

@@ -1700,15 +1700,20 @@ def char_window_dup_profile(
     novelty_scores-style groupBy+join plan: 6.8 → 3.5 s at sf0.1,
     23.7 → 6.5 s at 50k docs, alpha 0.58 → 0.27 — the join plan
     shuffles the long frame three times, this shuffles it once plus
-    the doc-grain rollup). Keys are the raw 40-char windows by default
-    (exactness for free, and the oracle needs no hash parity);
+    the doc-grain rollup). Keys are the raw 40-char windows by default;
     ``hash_keys=True`` swaps the shuffle key for xxhash64(window) —
     8-byte longs instead of 40-char strings through the one analytic
-    exchange, collision odds 2^-64 per pair, in-row transform
-    unchanged. A/B-measured r12 at the third decade (see ROADMAP's
-    r12 ledger and tools/charwin_ab.py for the numbers + decision);
-    the registered form keeps raw keys (oracle parity without a
-    DuckDB xxhash64 twin).
+    exchange, in-row transform unchanged. A/B-MEASURED r12
+    (tools/charwin_ab.py, min of 2 warm reps): hashed/raw = 0.889 at
+    5k docs (3.30→2.93 s), 0.851 at 50k (6.67→5.68 s), 0.788 at 500k
+    (31.5→24.8 s) — the win GROWS with scale because the exchange is
+    byte-volume-bound. The registered form keeps RAW keys anyway: the
+    operator's contract is Lee-et-al EXACT substring detection, and at
+    the corpus size where the 21% matters (~10^12 windows at 100 TB)
+    the 64-bit birthday bound expects ~10^4 colliding window pairs —
+    silently inflated df counts exactly where exactness is the selling
+    point. hash_keys is the documented opt-in for approximate-df
+    profiling runs, not the default.
     """
     arr = F.when(
         F.length("text") >= window,

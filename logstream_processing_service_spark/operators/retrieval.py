@@ -1581,3 +1581,49 @@ def bm25_incremental_index(
     TX.commit(table_dir, doc_tf(base_docs), mode="overwrite")
     TX.commit(table_dir, doc_tf(delta_docs), mode="append")
     return TX.read_snapshot(base_docs.sparkSession, table_dir)
+
+
+def bm25_delete_tombstones(delete_ids: DataFrame) -> DataFrame:
+    """Doc-grain DELETE markers in posting schema: (doc_id, tok='',
+    tc=-1). A tombstone is one row per deleted document — O(|deletes|)
+    to write, never O(|postings of deleted docs|) — and the sentinel
+    tc < 0 cannot collide with real postings (term counts are ≥ 1)."""
+    return delete_ids.select(
+        "doc_id",
+        F.lit("").alias("tok"),
+        F.lit(-1).cast("bigint").alias("tc"),
+    )
+
+
+def bm25_incremental_delete(
+    base_docs: DataFrame, delete_ids: DataFrame, table_dir: str
+) -> DataFrame:
+    """DELETE path of the incremental posting registry — the edge
+    :func:`bm25_incremental_index` declares out of scope, closed: v0
+    commits the base postings, v1 APPENDS doc-grain tombstones
+    (:func:`bm25_delete_tombstones`), and the merged read drops every
+    tombstoned document's postings with one anti-join. Returns the
+    LIVE posting frame; feed it to ``bm25_topk(tf=...)``.
+
+    Because bm25_topk derives every global statistic (N, avgdl, df)
+    from the posting frame it is given, deletion-aware ranking is
+    correct BY CONSTRUCTION: a deleted doc leaves the idf denominator
+    and the N/avgdl scalars the moment the anti-join removes its rows
+    — the staleness class that breaks stored-stats indexes. An UPDATE
+    is the composition delete + append (tombstone at v1, fresh
+    postings at v2); the add/update/delete triangle is then complete.
+
+    Scale: the tombstone commit is O(|deletes|) rows; the anti-join
+    keys are doc_id longs against a broadcast-sized delete set in any
+    realistic daily-churn ratio (Spark broadcasts it under AQE when
+    small, shuffles on the 8-byte key when not). Compaction — folding
+    tombstones into a rewritten base at some churn threshold — is
+    txlog.optimize_table's job, not the read path's.
+    """
+    from . import txlog as TX
+
+    TX.commit(table_dir, doc_tf(base_docs), mode="overwrite")
+    TX.commit(table_dir, bm25_delete_tombstones(delete_ids), mode="append")
+    merged = TX.read_snapshot(base_docs.sparkSession, table_dir)
+    dead = merged.filter(F.col("tc") < 0).select("doc_id")
+    return merged.filter(F.col("tc") >= 0).join(dead, "doc_id", "left_anti")

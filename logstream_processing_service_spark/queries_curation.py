@@ -873,3 +873,28 @@ def q_merkle_tree_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def merkle_update_oracle_sql() -> str:
     return C.merkle_tree_oracle_sql(_MANIFEST_NEW_CTE)
+
+
+def q_greedy_coverage_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13-queue rehearsal entry (unregistered): greedy submodular
+    source ordering by marginal distinct-shingle gain — the iterative
+    extension of source_coverage_report (which is this loop's t=1
+    step); the onboarding-order planner for a multi-feed corpus."""
+    return C.greedy_coverage_order(_t(spark, sf_dir, "documents"))
+
+
+def greedy_coverage_oracle_sql() -> str:
+    return C.greedy_coverage_oracle_sql()
+
+
+def q_doremi_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13-queue rehearsal entry (unregistered): the full DoReMi
+    multiplicative-weights loop (T=3) with a re-weighted reference
+    mixture per round — the self-balancing group-DRO dynamic whose T=1
+    static-signal special case is the registered
+    doremi_domain_weights."""
+    return C.doremi_iterated(_t(spark, sf_dir, "documents"))
+
+
+def doremi_iterated_query_oracle_sql() -> str:
+    return C.doremi_iterated_oracle_sql()

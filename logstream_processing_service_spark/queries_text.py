@@ -2175,6 +2175,45 @@ def q_bm25_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, tf=registry)
 
 
+# ---------------------------------------------------------------------------
+# r13 queue (rehearsed in r12, NOT yet registered — registration is one
+# @spec away; tests/test_bm25_delete.py runs the compare harness)
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_delete_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13-queue rehearsal entry (unregistered): BM25 ranked search
+    after a TOMBSTONE DELETE on the incrementally-maintained posting
+    registry — base postings at v0, doc-grain tombstones appended at
+    v1, the merged read anti-joins the dead docs out. Hash-matching
+    the from-scratch batch oracle over the POST-DELETE corpus proves
+    deletion-aware stats (N, avgdl, df all shrink) come out exact
+    without rewriting the base postings."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.retrieval import bm25_incremental_delete, bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    dels = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    t = _bm25_inc_dir(spark, sf_dir) + "_del"
+    shutil.rmtree(t, ignore_errors=True)
+    live = bm25_incremental_delete(docs, dels, t)
+    return bm25_topk(docs, tf=live)
+
+
+def bm25_delete_oracle_sql() -> str:
+    """Batch-rebuild oracle on the post-delete corpus: the registry
+    read must be indistinguishable from never having indexed the
+    deleted docs at all."""
+    return _bm25_oracle().replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+        1,
+    )
+
+
 @spec(
     "shared_affix_profile",
     D.shared_affix_oracle_sql(),

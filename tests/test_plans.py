@@ -1293,3 +1293,19 @@ def test_merkle_update_patch_stages_tree_grain(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     spark.catalog.clearCache()
+
+
+def test_bm25_delete_twin_plan_is_anti_join_no_cartesian(spark):
+    """r13 rehearsal pin: the tombstone DELETE read must drop dead
+    docs with ONE anti-join on the 8-byte doc_id key (no cartesian
+    anywhere in the BM25 plan over the live postings), and the
+    tombstone filter (tc < 0 / tc >= 0) must reach the posting scans."""
+    from logstream_processing_service_spark.queries_text import (
+        q_bm25_delete_twin,
+    )
+
+    plan = _plan(q_bm25_delete_twin(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "(tc" in plan  # the sentinel predicate is pushed to the scan
+    spark.catalog.clearCache()

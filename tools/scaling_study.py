@@ -121,6 +121,10 @@ QUERIES = [
     "source_coverage_report",   # shingle-grain: two hash aggregates
     "merkle_integrity_diff",    # doc-grain: two scans + 73-row tree join
     "merkle_tree_update",       # doc-grain hash diff + tree-grain patch
+    # r13 queue (unregistered; rehearsed in r12, resolved via EXTRA_QUERIES)
+    "bm25_delete_twin",         # posting-grain: tombstone append + anti-join
+    "greedy_coverage_order",    # shingle-grain pass + k bounded rounds
+    "doremi_iterated",          # vocab-grain: 2 aggregates x T rounds
 ]
 
 
@@ -356,6 +360,19 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_curation",
             fromlist=["q_merkle_tree_update"],
         ).q_merkle_tree_update(s, sf),
+        # r13 queue (unregistered; rehearsed in r12)
+        "bm25_delete_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_bm25_delete_twin"],
+        ).q_bm25_delete_twin(s, sf),
+        "greedy_coverage_order": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_greedy_coverage_order"],
+        ).q_greedy_coverage_order(s, sf),
+        "doremi_iterated": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_doremi_iterated"],
+        ).q_doremi_iterated(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
