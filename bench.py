@@ -257,6 +257,14 @@ HEADLINE = [
     "jaccard_threshold_sweep",
     "manifest_timetravel_twin",
     "benford_deviation_report",
+    # r12 registrations
+    "bm25_incremental_twin",
+    "doremi_domain_weights",
+    "shared_affix_profile",
+    "lcp_neighbor_profile",
+    "rho1_token_selection",
+    "source_coverage_report",
+    "merkle_integrity_diff",
 ]
 
 

@@ -166,6 +166,15 @@ QUERIES = [
     "retrieval_eval_report",
     "jaccard_threshold_sweep",
     "benford_deviation_report",
+    # r12 registrations (bm25_incremental_twin excluded — commits txlog
+    # tables at fn() build time, the txlog-twin family; its plan
+    # discipline is pinned in tests/test_bm25_incremental.py)
+    "doremi_domain_weights",
+    "shared_affix_profile",
+    "lcp_neighbor_profile",
+    "rho1_token_selection",
+    "source_coverage_report",
+    "merkle_integrity_diff",
 ]
 
 HEADER = """# PLANS — executed physical plans of representative queries
