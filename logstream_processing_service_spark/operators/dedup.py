@@ -315,6 +315,84 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_incremental_pairs(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    table_dir: str,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs over an INCREMENTALLY-maintained LSH band-key
+    registry — the daily-crawl workflow at 100 TB: the standing
+    corpus's band keys are committed once (v0), each ingest appends
+    ONLY the delta docs' keys (v1, merge-on-read), and candidate
+    generation runs on the merged registry — the base corpus is never
+    re-shingled or re-signatured. The bm25_incremental_index
+    discipline applied to the dedup index.
+
+    Signatures use ``max_doc_freq=0`` (per-doc in-row minhash, no
+    corpus-dependent hot-shingle cap) — the streaming registry's
+    slicing-independence requirement: a df cap computed per commit
+    would make band keys depend on how the corpus was sliced into
+    commits, and base+delta would stop composing to the batch answer.
+
+    Verification joins TRUE uncapped Jaccard over per-doc shingle-hash
+    sets of the union corpus, restricted to candidate ids (two narrow
+    joins ∝ candidates — at scale the verify side re-shingles only the
+    vanishing candidate fraction via a semi-join pushdown on doc_id).
+
+    Output: (d1, d2, jaccard) — hash-matches the from-scratch batch
+    LSH over the union corpus (the staleness-free-by-construction
+    proof, same as the bm25 twin).
+    """
+    from . import txlog as TX
+
+    spark = base_docs.sparkSession
+    TX.commit(
+        table_dir, minhash_band_keys(base_docs, max_doc_freq=0),
+        mode="overwrite",
+    )
+    TX.commit(
+        table_dir, minhash_band_keys(delta_docs, max_doc_freq=0),
+        mode="append",
+    )
+    banded = TX.read_snapshot(spark, table_dir)
+    groups = (
+        banded.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, max_bucket))
+    )
+    combos = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i+2, size(ids)-i-1), y -> struct(x AS d1, y AS d2))))"
+    )
+    candidates = (
+        groups.select(F.explode(combos).alias("p"))
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+    union_docs = base_docs.unionByName(delta_docs)
+    doc_sets = (
+        shingle_table(union_docs, n=3, max_doc_freq=0)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
+    )
+    joined = candidates.join(
+        doc_sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("s1")),
+        "d1",
+    ).join(
+        doc_sets.select(F.col("doc_id").alias("d2"), F.col("ss").alias("s2")),
+        "d2",
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    jac = F.round(inter / (F.size("s1") + F.size("s2") - inter), 4)
+    return (
+        joined.select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("d1", "d2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

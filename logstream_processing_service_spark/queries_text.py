@@ -77,10 +77,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _minhash_cte(max_bucket: int = 2000) -> str:
+def _minhash_cte(max_bucket: int = 2000, sig_src: str = "sh") -> str:
     """CTE chain ending in ``verified(d1, d2, jaccard)`` — shared by the
     pair query and the cluster-resolution query. ``max_bucket`` must match
-    the ``max_bucket`` passed to the Spark operator."""
+    the ``max_bucket`` passed to the Spark operator. ``sig_src='sh_all'``
+    computes signatures from the UNCAPPED shingle table — the
+    slicing-independent form the incremental/streaming registries
+    require (a df cap computed per commit would make band keys depend
+    on how the corpus was sliced)."""
     rows = len(T.MINHASH_PERMS) // T.MINHASH_BANDS
     mh_cols = ", ".join(
         f"min({T.minhash_value_sql('s', T.MINHASH_PERMS[j])}) AS mh_{j}"
@@ -95,7 +99,7 @@ def _minhash_cte(max_bucket: int = 2000) -> str:
     # verify uses the UNCAPPED shingle table (sh_all) as per-doc 48-bit
     # hash sets — the same hash-set intersection the Spark operator does
     return f"""{_SHINGLE_CTE},
-    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {mh_cols} FROM {sig_src} GROUP BY doc_id),
     banded AS ({band_selects}),
     sized AS (
         SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded
@@ -2212,6 +2216,35 @@ def bm25_delete_oracle_sql() -> str:
         "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3)",
         1,
     )
+
+
+def q_lsh_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13-queue rehearsal entry (unregistered): near-dup pairs over an
+    incrementally-maintained LSH band-key registry — base keys at v0,
+    delta keys appended at v1 (merge-on-read), candidates from the
+    merged registry, true-Jaccard verify over the union. Hash-matching
+    the from-scratch batch LSH (uncapped signatures) proves the dedup
+    index composes under ingest without re-signaturing the base."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    t = _bm25_inc_dir(spark, sf_dir).replace("bm25_inc", "lsh_inc")
+    shutil.rmtree(t, ignore_errors=True)
+    return D.lsh_incremental_pairs(base, delta, t)
+
+
+def lsh_incremental_oracle_sql() -> str:
+    """Batch rebuild on the union corpus, uncapped signatures (the
+    slicing-independent form the registry commits)."""
+    return f"""
+    WITH {_minhash_cte(sig_src="sh_all")}
+    SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8
+    ORDER BY d1, d2
+    """
 
 
 @spec(

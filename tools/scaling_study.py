@@ -125,6 +125,7 @@ QUERIES = [
     "bm25_delete_twin",         # posting-grain: tombstone append + anti-join
     "greedy_coverage_order",    # shingle-grain pass + k bounded rounds
     "doremi_iterated",          # vocab-grain: 2 aggregates x T rounds
+    "lsh_incremental_twin",     # band-key-grain: 2 commits + merged pairs
 ]
 
 
@@ -373,6 +374,10 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_curation",
             fromlist=["q_doremi_iterated"],
         ).q_doremi_iterated(s, sf),
+        "lsh_incremental_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_lsh_incremental_twin"],
+        ).q_lsh_incremental_twin(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
