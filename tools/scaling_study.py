@@ -410,6 +410,9 @@ SCALE100_QUERIES = (
     # r12-queue heavyweight: the two-level LCP probe's linear-asymptote
     # claim gets its third point
     "lcp_neighbor_profile",
+    # r12's priciest registration (3.1 s at sf0.1): the no-df-cap
+    # shingle-inventory aggregates get a third point
+    "source_coverage_report",
 )
 
 
