@@ -1805,6 +1805,16 @@ def char_window_dup_profile(
     wins = documents.select("doc_id", F.explode(arr).alias("w"))
     if hash_keys:
         wins = wins.select("doc_id", F.xxhash64("w").alias("w"))
+    return _window_profile(wins, documents.select("doc_id"))
+
+
+def _window_profile(wins: DataFrame, doc_spine: DataFrame) -> DataFrame:
+    """Doc-grain duplication profile from a (doc_id, w) distinct-window
+    frame: window doc-frequency as ONE count() OVER (PARTITION BY w)
+    analytic (the df lands on every row in the same exchange — no
+    probe join back), one doc rollup, left join onto the spine so
+    windowless docs keep their zero row. Shared by the batch profile
+    and the incremental-registry read so the two cannot drift."""
     prof = wins.withColumn(
         "wdf", F.count(F.lit(1)).over(Window.partitionBy("w"))
     )
@@ -1820,7 +1830,7 @@ def char_window_dup_profile(
         )
     )
     return (
-        documents.select("doc_id")
+        doc_spine
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -1842,6 +1852,124 @@ def char_window_dup_profile(
         )
         .orderBy("doc_id")
     )
+
+
+def char_window_hash_table(
+    documents: DataFrame, window: int = 40
+) -> DataFrame:
+    """(doc_id, h) distinct 48-bit window hashes — the posting unit of
+    the INCREMENTAL char-grain dedup registry. Keys are the portable
+    md5-based hash48 (both engines compute it, unlike xxhash64), so a
+    registry read hash-matches a DuckDB twin exactly even through
+    collisions; 8-byte rows on disk instead of 40-char strings (the
+    measured 21%-at-500k shuffle lever, here applied to STORAGE —
+    a raw-key registry would be ~5x the corpus's own bytes at
+    window=40). The two-level transform keeps ONE md5 per window
+    (lambda CSE limits — the r1 shingle-hash lesson; hash48_sql inlined
+    in a lambda would run 12 md5s per window). 48-bit birthday honesty:
+    at per-registry ~2^24 windows collisions appear — same caveat class
+    as merkle_corpus_tree; the REGISTERED batch profile keeps raw keys.
+    """
+    hexsum = "+".join(
+        f"(instr('0123456789abcdef', substr(y,{j},1))-1)*CAST({w} AS BIGINT)"
+        for j, w in T._HEX_WEIGHTS
+    )
+    arr = F.when(
+        F.length("text") >= window,
+        F.array_distinct(
+            F.expr(
+                f"transform(transform(sequence(1, length(text) - {window}"
+                f" + 1), i -> md5(substring(text, i, {window}))),"
+                f" y -> {hexsum})"
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    return documents.select("doc_id", F.explode(arr).alias("w"))
+
+
+def char_window_incremental_profile(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    table_dir: str,
+    window: int = 40,
+) -> DataFrame:
+    """Char-grain duplication profile over an INCREMENTALLY-maintained
+    window registry — the lsh_incremental discipline at char grain:
+    the base corpus's (doc, window-hash) postings are committed v0,
+    each ingest appends ONLY the delta docs' postings (v1,
+    merge-on-read), and the profile runs on the merged read. The base
+    corpus is never re-windowed.
+
+    The load-bearing contrast with the LSH registry: window
+    doc-frequency is CORPUS-DEPENDENT, so it is NOT stored — the df
+    analytic recomputes over the merged read every time (the bm25
+    derive-stats-from-postings discipline; a stored df would be stale
+    the moment a delta lands). What IS slicing-independent — the
+    per-doc distinct window-hash set — is exactly what the registry
+    persists. Hash-matching the from-scratch batch profile on the
+    union corpus proves the split is right.
+
+    Scale: ingest cost O(|delta| windows); the read is the same
+    one-analytic-exchange plan as the batch profile, now over 8-byte
+    posting rows it did not have to recompute.
+    """
+    from . import txlog as TX
+
+    spark = base_docs.sparkSession
+    TX.commit(
+        table_dir, char_window_hash_table(base_docs, window),
+        mode="overwrite",
+    )
+    TX.commit(
+        table_dir, char_window_hash_table(delta_docs, window),
+        mode="append",
+    )
+    wins = TX.read_snapshot(spark, table_dir)
+    spine = base_docs.select("doc_id").unionByName(
+        delta_docs.select("doc_id")
+    )
+    return _window_profile(wins, spine)
+
+
+def char_window_hash_oracle_sql(window: int = 40) -> str:
+    """DuckDB twin of the hashed-key profile on the union corpus: same
+    ONE-md5-per-window digit fold (subquery binding instead of the
+    lambda), same distinct-within-doc, df >= 2, 6-dp ratio."""
+    hexsum = "+".join(
+        f"(instr('0123456789abcdef', substr(y,{j},1))-1)*CAST({w} AS BIGINT)"
+        for j, w in T._HEX_WEIGHTS
+    )
+    return f"""
+    WITH w AS (
+        SELECT DISTINCT doc_id, {hexsum} AS w
+        FROM (
+            SELECT doc_id,
+                   md5(substr(text, CAST(i AS INT), {window})) AS y
+            FROM documents, LATERAL (
+                SELECT unnest(generate_series(
+                    1, greatest(length(text) - {window} + 1, 0))) AS i)
+        )
+    ),
+    df AS (SELECT w, count(*) AS wdf FROM w GROUP BY 1),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN wdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               CAST(max(wdf) AS INT) AS max_window_df
+        FROM w JOIN df USING (w) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(n_windows, 0) AS n_windows,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           max_window_df,
+           CASE WHEN n_windows > 0
+                THEN round(CAST(n_dup_windows AS DOUBLE)
+                           / CAST(n_windows AS DOUBLE), 6)
+           END AS dup_ratio
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+    """
 
 
 def char_window_dup_oracle_sql(window: int = 40) -> str:

@@ -1625,5 +1625,45 @@ def bm25_incremental_delete(
     TX.commit(table_dir, doc_tf(base_docs), mode="overwrite")
     TX.commit(table_dir, bm25_delete_tombstones(delete_ids), mode="append")
     merged = TX.read_snapshot(base_docs.sparkSession, table_dir)
+    return live_postings(merged)
+
+
+def live_postings(merged: DataFrame) -> DataFrame:
+    """The tombstone-aware read of a posting registry snapshot: drop
+    every tombstoned document's postings with one anti-join on the
+    8-byte doc_id key. Shared by the merge-on-read path
+    (:func:`bm25_incremental_delete`) and compaction
+    (:func:`bm25_compact_registry`) so the two can never disagree on
+    what 'live' means."""
     dead = merged.filter(F.col("tc") < 0).select("doc_id")
     return merged.filter(F.col("tc") >= 0).join(dead, "doc_id", "left_anti")
+
+
+def bm25_compact_registry(
+    spark, table_dir: str, target_files: int = 1
+) -> int:
+    """Fold accumulated tombstones and deltas into a rewritten base —
+    the registry lifecycle's third verb (add / delete / COMPACT, the
+    Delta OPTIMIZE discipline applied to the inverted index): reads
+    the current snapshot, applies the tombstone anti-join ONCE, and
+    commits the live posting set as a new overwrite version. After
+    compaction, readers take the plain-scan path (no tombstone
+    filtering, fewer files); the pre-compaction snapshot stays
+    time-travelable until vacuumed (snapshot isolation throughout —
+    the commit point is the atomic manifest link, so an interrupted
+    compaction leaves only an orphan data dir for vacuum).
+
+    When to run it: merge-on-read keeps ingest O(|delta|) but every
+    read pays the anti-join and the growing file list; compaction
+    moves that cost to one background rewrite. At 100 TB the trigger
+    is a churn ratio (tombstoned/live rows) or file-count threshold —
+    policy lives with the table maintenance scheduler, not here.
+    """
+    from . import txlog as TX
+
+    merged = TX.read_snapshot(spark, table_dir)
+    live = live_postings(merged).coalesce(target_files)
+    base = TX._versions(table_dir)[-1]
+    return TX.commit(
+        table_dir, live, mode="overwrite", expected_version=base
+    )

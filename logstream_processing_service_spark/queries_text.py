@@ -2218,6 +2218,55 @@ def bm25_delete_oracle_sql() -> str:
     )
 
 
+def q_bm25_compaction_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13-queue rehearsal entry (unregistered): BM25 ranked search
+    AFTER registry compaction — base postings v0, tombstones v1,
+    bm25_compact_registry folds them into a rewritten v2, and search
+    reads v2 with the PLAIN scan path (no tombstone filtering left).
+    Hash-matching the post-delete batch oracle proves compaction is a
+    pure physical rewrite; the manifest-level test pins the fewer-files
+    and no-tombstones facts plus v1's unchanged time-travel read."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+    from .operators.retrieval import (
+        bm25_compact_registry,
+        bm25_incremental_delete,
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dels = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    t = _bm25_inc_dir(spark, sf_dir) + "_cmp"
+    shutil.rmtree(t, ignore_errors=True)
+    bm25_incremental_delete(docs, dels, t)  # v0 + v1 (tombstones)
+    bm25_compact_registry(spark, t)  # v2: folded rewrite
+    return bm25_topk(docs, tf=TX.read_snapshot(spark, t))
+
+
+def q_char_window_incremental_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r13-queue rehearsal entry (unregistered): char-grain duplication
+    profile over an incrementally-maintained (doc, window-hash)
+    registry — base postings v0, delta appended v1, df analytic
+    recomputed over the merged read (df is corpus-dependent and
+    deliberately NOT stored). Hash-matches the from-scratch hashed-key
+    batch profile on the union corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    t = _bm25_inc_dir(spark, sf_dir).replace("bm25_inc", "charwin_inc")
+    shutil.rmtree(t, ignore_errors=True)
+    return D.char_window_incremental_profile(base, delta, t)
+
+
 def q_lsh_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13-queue rehearsal entry (unregistered): near-dup pairs over an
     incrementally-maintained LSH band-key registry — base keys at v0,

@@ -126,6 +126,8 @@ QUERIES = [
     "greedy_coverage_order",    # shingle-grain pass + k bounded rounds
     "doremi_iterated",          # vocab-grain: 2 aggregates x T rounds
     "lsh_incremental_twin",     # band-key-grain: 2 commits + merged pairs
+    "bm25_compaction_twin",     # posting-grain: delete + fold + plain read
+    "char_window_incremental_twin",  # window-hash postings, df at read
 ]
 
 
@@ -378,6 +380,14 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_text",
             fromlist=["q_lsh_incremental_twin"],
         ).q_lsh_incremental_twin(s, sf),
+        "bm25_compaction_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_bm25_compaction_twin"],
+        ).q_bm25_compaction_twin(s, sf),
+        "char_window_incremental_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_char_window_incremental_twin"],
+        ).q_char_window_incremental_twin(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
