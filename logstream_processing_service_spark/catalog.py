@@ -106,20 +106,32 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_volume", "heavy_shippers_of_part_family",
     # ------------------------------------------------------------------
     # r13 map (pre-computed per the standing policy, assuming the r12
-    # driver run lands this window): the rehearsed r13-queue entries
-    # (merkle_tree_update is already rehearsed; ROADMAP's r13 queue
-    # carries the coordinates and any further rehearsals; first driver
-    # rows), then the 17 remaining r7-latest queries (closes the r7
-    # debt: hll_rolling_distinct, large_volume_customers,
+    # driver run lands this window): the SEVEN rehearsed r13-queue
+    # entries (merkle_tree_update, bm25_delete_twin,
+    # greedy_coverage_order, doremi_iterated, lsh_incremental_twin,
+    # bm25_compaction_twin, char_window_incremental_twin — coordinates
+    # + exponents in ROADMAP's r13 queue; first driver rows), then the
+    # 17 remaining r7-latest queries (closes the r7 debt:
+    # hll_rolling_distinct, large_volume_customers,
     # linestatus_priority_split, louter_twin, mad_anomaly,
     # maxsim_search, maxsim_search_routed, pii_scan, pricing_summary,
     # resample_daily_volume, seasonal_volume_decompose,
     # textrank_keywords, token_communities, tokenizer_compare,
     # unigram_token_counts, vocab_divergence, zipf_fit), then the first
-    # (50 - new - 17) alphabetical of the 50 r8-latest queries; each
-    # displacement names the in-window query exercising the displaced
-    # machinery. Re-verify against the CORRECTNESS union at r13 start
-    # before registering.
+    # 26 (alphabetical) of the 50 r8-latest queries: activity_islands,
+    # actor_setops, ann_recall_report, asof_signup_before_error,
+    # association_rules, audio_pcm_stats, bloom_semi_join, bm25_search,
+    # bpe_token_counts, brand_priciest_part, bucketed_join_twin,
+    # chunk_documents, curate_corpus, curate_web_corpus,
+    # dedup_containment, dedup_keep_table, dedup_substrings,
+    # dsir_weights, embedding_drift_report, holt_winters_anomaly,
+    # holt_winters_daily, html_text_extract, kwic_snippets,
+    # merge_events_upsert, mmr_rerank, multimodal_features. The 24
+    # displaced r8 rows (nation_trade_volume ... wordpiece_token_counts,
+    # alphabetical) lead the r14 backfill. Any further queue
+    # registration beyond 7 displaces from the END of the r8 list with
+    # a named in-window rationale. Re-verify against the CORRECTNESS
+    # union at r13 start before registering.
 )
 
 
