@@ -1788,7 +1788,10 @@ def doremi_iterated(
     weights live as MICRO-unit BIGINTs W_d; the mixture is a per-(d,
     tok) micro-micro snap q_µ(tok) = Σ_d round(w·p_d·1e12) (integer
     sum — order-independent); the excess is the per-term micro-nat
-    snap of p_d·ln(p_d·1e12/q_µ) (integer sum again); the update
+    snap of p_d·ln(p_d·1e12/greatest(q_µ, 1)) (integer sum again; the
+    greatest() clamp — mirrored verbatim in the oracle — covers the
+    q_µ=0 corner where every containing domain has w·p_d < 5e-7, which
+    would otherwise diverge as Spark-Infinity vs DuckDB-error); the update
     raw_µ = round(W_smoothed·exp(η·excess)) and the normalize
     W' = round(1e6·raw_µ/Σraw_µ) are integer-in/integer-out with one
     exp and one correctly-rounded division in between. The DuckDB
@@ -1856,13 +1859,22 @@ def doremi_iterated(
             .alias("qm")
         )
         p = F.col("c").cast("double") / F.col("n")
+        # r12-advice fix: the mixture snap q_µ = round(ws·c/n·1e6) can
+        # round to 0 for a token whose every containing domain has tiny
+        # weight and huge n (ws·c/n < 5e-7); ln(p·1e12/0) is a
+        # cross-engine landmine (Spark yields Infinity and the bigint
+        # cast garbage, DuckDB errors on CAST(round(inf))). Clamp the
+        # snapped mixture to 1 µµ-unit — IDENTICALLY on both engines —
+        # so the floor is deterministic shared arithmetic, not
+        # divergent overflow behavior.
+        qm_safe = F.greatest(F.col("qm"), F.lit(1).cast("bigint"))
         ex_rows = (
             base.join(qm, "tok")
             .groupBy(strata_col)
             .agg(
                 F.sum(
                     F.round(
-                        p * F.log(p * F.lit(1e12) / F.col("qm")) * F.lit(1e6),
+                        p * F.log(p * F.lit(1e12) / qm_safe) * F.lit(1e6),
                         0,
                     ).cast("bigint")
                 )
@@ -1941,7 +1953,8 @@ def doremi_iterated_oracle_sql(
         SELECT {strata_col},
                CAST(sum(CAST(round(
                    CAST(c AS DOUBLE) / n
-                   * ln(CAST(c AS DOUBLE) / n * 1e12 / qm) * 1e6, 0)
+                   * ln(CAST(c AS DOUBLE) / n * 1e12
+                        / greatest(qm, CAST(1 AS BIGINT))) * 1e6, 0)
                    AS BIGINT)) AS BIGINT) AS exm
         FROM counts
         JOIN totals USING ({strata_col})

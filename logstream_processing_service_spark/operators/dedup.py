@@ -321,6 +321,7 @@ def lsh_incremental_pairs(
     table_dir: str,
     threshold: float = 0.8,
     max_bucket: int = 2000,
+    assume_disjoint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs over an INCREMENTALLY-maintained LSH band-key
     registry — the daily-crawl workflow at 100 TB: the standing
@@ -344,6 +345,18 @@ def lsh_incremental_pairs(
     Output: (d1, d2, jaccard) — hash-matches the from-scratch batch
     LSH over the union corpus (the staleness-free-by-construction
     proof, same as the bm25 twin).
+
+    Precondition (``assume_disjoint=True``, the default — the
+    bm25_incremental_index append-only-new-docs scope, r12-advice fix:
+    now stated rather than silent): base and delta doc_ids must be
+    DISJOINT, or the duplicated doc's band keys sit in the registry
+    twice — inflating bucket sizes and pairing the doc with itself.
+    An UPDATE is delete + append, not a second append. Pass
+    ``assume_disjoint=False`` for overlap-tolerant reads: the registry
+    read and the union spine dedupe (one extra exchange each), making
+    re-ingest of an unchanged doc idempotent; a doc_id re-ingested
+    with DIFFERENT text is undefined under both modes (the registry's
+    key contract).
     """
     from . import txlog as TX
 
@@ -357,6 +370,8 @@ def lsh_incremental_pairs(
         mode="append",
     )
     banded = TX.read_snapshot(spark, table_dir)
+    if not assume_disjoint:
+        banded = banded.distinct()
     groups = (
         banded.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -372,6 +387,8 @@ def lsh_incremental_pairs(
         .distinct()
     )
     union_docs = base_docs.unionByName(delta_docs)
+    if not assume_disjoint:
+        union_docs = union_docs.dropDuplicates(["doc_id"])
     doc_sets = (
         shingle_table(union_docs, n=3, max_doc_freq=0)
         .groupBy("doc_id")
@@ -1892,6 +1909,7 @@ def char_window_incremental_profile(
     delta_docs: DataFrame,
     table_dir: str,
     window: int = 40,
+    assume_disjoint: bool = True,
 ) -> DataFrame:
     """Char-grain duplication profile over an INCREMENTALLY-maintained
     window registry — the lsh_incremental discipline at char grain:
@@ -1912,6 +1930,18 @@ def char_window_incremental_profile(
     Scale: ingest cost O(|delta| windows); the read is the same
     one-analytic-exchange plan as the batch profile, now over 8-byte
     posting rows it did not have to recompute.
+
+    Precondition (``assume_disjoint=True``, the default — the
+    bm25_incremental_index append-only-new-docs scope, r12-advice fix:
+    now stated rather than silent): base and delta doc_ids must be
+    DISJOINT, or the duplicated doc holds its postings twice (every
+    repeated window's df inflates) and the union spine duplicates its
+    output row. An UPDATE is delete + append, not a second append.
+    Pass ``assume_disjoint=False`` for overlap-tolerant reads: the
+    merged read dedupes on (doc_id, w) and the spine on doc_id (one
+    extra exchange each), making re-ingest of an unchanged doc
+    idempotent; a doc_id re-ingested with DIFFERENT text is undefined
+    under both modes (the registry's key contract).
     """
     from . import txlog as TX
 
@@ -1928,6 +1958,9 @@ def char_window_incremental_profile(
     spine = base_docs.select("doc_id").unionByName(
         delta_docs.select("doc_id")
     )
+    if not assume_disjoint:
+        wins = wins.distinct()
+        spine = spine.distinct()
     return _window_profile(wins, spine)
 
 

@@ -1661,9 +1661,17 @@ def bm25_compact_registry(
     """
     from . import txlog as TX
 
-    merged = TX.read_snapshot(spark, table_dir)
-    live = live_postings(merged).coalesce(target_files)
+    # OCC discipline (r12-advice fix): capture the base version FIRST,
+    # then read exactly that snapshot. Reading "latest" and capturing
+    # the version afterwards leaves a window where a concurrent append
+    # lands in between — the commit's expected_version check would then
+    # pass against the newer version while the rewritten 'live' frame
+    # is pinned to the older snapshot, silently dropping the concurrent
+    # append's rows. Pinning read and check to the SAME version makes
+    # that interleaving a loud CommitConflict instead.
     base = TX._versions(table_dir)[-1]
+    merged = TX.read_snapshot(spark, table_dir, version=base)
+    live = live_postings(merged).coalesce(target_files)
     return TX.commit(
         table_dir, live, mode="overwrite", expected_version=base
     )

@@ -2124,8 +2124,10 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bm25_inc_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Per-process registry dir for the bm25 incremental twin.
+def _bm25_inc_dir(
+    spark: SparkSession, sf_dir: str, kind: str = "bm25_inc"
+) -> str:
+    """Per-process registry dir for the incremental-registry twins.
 
     r11-advice fix: keyed by sf_dir ALONE this raced — two concurrent
     processes on the same sf_dir (parallel verify halves plus a test
@@ -2134,7 +2136,14 @@ def _bm25_inc_dir(spark: SparkSession, sf_dir: str) -> str:
     (one session per process in every harness here), so suffixing it
     gives each process its own registry; an atexit hook removes the
     dir when the process ends (it must outlive this function — the
-    returned DataFrame reads the registry lazily at collect time)."""
+    returned DataFrame reads the registry lazily at collect time).
+
+    r12-advice fix: the delete/compaction/charwin/lsh twins derive
+    SIBLING dirs, and deriving them by string surgery on this
+    function's return value left the siblings outside the atexit hook
+    (applicationId-suffixed paths are never reused, so each process
+    leaked its derived dirs in /tmp). ``kind`` moves the derivation
+    INSIDE, so the rmtree always registers on the exact final path."""
     import atexit
     import re
     import shutil
@@ -2143,7 +2152,7 @@ def _bm25_inc_dir(spark: SparkSession, sf_dir: str) -> str:
     app = re.sub(
         r"[^A-Za-z0-9._-]", "_", spark.sparkContext.applicationId
     )
-    t = f"/tmp/logstream_bm25_inc_{tag}_{app}"
+    t = f"/tmp/logstream_{kind}_{tag}_{app}"
     atexit.register(shutil.rmtree, t, ignore_errors=True)
     return t
 
@@ -2201,7 +2210,7 @@ def q_bm25_delete_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     dels = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
-    t = _bm25_inc_dir(spark, sf_dir) + "_del"
+    t = _bm25_inc_dir(spark, sf_dir, kind="bm25_inc_del")
     shutil.rmtree(t, ignore_errors=True)
     live = bm25_incremental_delete(docs, dels, t)
     return bm25_topk(docs, tf=live)
@@ -2239,7 +2248,7 @@ def q_bm25_compaction_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     dels = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
-    t = _bm25_inc_dir(spark, sf_dir) + "_cmp"
+    t = _bm25_inc_dir(spark, sf_dir, kind="bm25_inc_cmp")
     shutil.rmtree(t, ignore_errors=True)
     bm25_incremental_delete(docs, dels, t)  # v0 + v1 (tombstones)
     bm25_compact_registry(spark, t)  # v2: folded rewrite
@@ -2262,7 +2271,7 @@ def q_char_window_incremental_twin(
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 5 != 0)
     delta = docs.filter(F.col("doc_id") % 5 == 0)
-    t = _bm25_inc_dir(spark, sf_dir).replace("bm25_inc", "charwin_inc")
+    t = _bm25_inc_dir(spark, sf_dir, kind="charwin_inc")
     shutil.rmtree(t, ignore_errors=True)
     return D.char_window_incremental_profile(base, delta, t)
 
@@ -2281,7 +2290,7 @@ def q_lsh_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 5 != 0)
     delta = docs.filter(F.col("doc_id") % 5 == 0)
-    t = _bm25_inc_dir(spark, sf_dir).replace("bm25_inc", "lsh_inc")
+    t = _bm25_inc_dir(spark, sf_dir, kind="lsh_inc")
     shutil.rmtree(t, ignore_errors=True)
     return D.lsh_incremental_pairs(base, delta, t)
 

@@ -103,3 +103,28 @@ def test_registry_dir_is_per_process(spark):
     # different sf_dirs under the same process stay distinct too
     d2 = _bm25_inc_dir(spark, "/root/testdata/sf0.001")
     assert d != d2
+
+
+def test_derived_registry_dirs_register_their_own_cleanup(spark, monkeypatch):
+    """r12-advice regression: the delete/compaction/charwin/lsh twins
+    derive SIBLING registry dirs; the atexit rmtree must register on
+    the exact final derived path (not only the base bm25_inc path),
+    or every process leaks its derived dirs in /tmp forever
+    (applicationId-suffixed paths are never reused)."""
+    import atexit
+
+    from logstream_processing_service_spark.queries_text import (
+        _bm25_inc_dir,
+    )
+
+    captured = []
+    monkeypatch.setattr(
+        atexit, "register",
+        lambda fn, *a, **kw: captured.append(a[0] if a else None),
+    )
+    for kind in ("bm25_inc", "bm25_inc_del", "bm25_inc_cmp",
+                 "charwin_inc", "lsh_inc"):
+        d = _bm25_inc_dir(spark, "/root/testdata/sf0.01", kind=kind)
+        assert f"logstream_{kind}_" in d, (kind, d)
+        assert captured[-1] == d, (kind, d, captured[-1])
+    assert len(set(captured)) == 5

@@ -70,3 +70,54 @@ def test_uniform_corpus_is_a_fixed_point(spark):
     for r in out:
         assert r["excess_kl"] == 0.0
         assert r["domain_weight"] == 0.25
+
+
+def test_qm_zero_guard_is_identical_cross_engine(spark):
+    """r12-advice regression: the mixture snap q_µ can round to 0 for
+    a token whose every containing domain has tiny weight and huge n
+    (ws·c/n < 5e-7) — unguarded, Spark yields ln(Infinity)→garbage
+    bigint while DuckDB ERRORS on CAST(round(inf)), so the engines
+    diverge instead of failing loudly. The greatest(q_µ, 1) clamp must
+    produce the SAME finite micro-nat BIGINT on both engines (and be a
+    no-op for q_µ ≥ 1). Expressions below are pinned copies of
+    curation.doremi_iterated and its oracle's ex-block."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [(1, 2000000, 0), (1, 2000000, 1), (3, 1000, 7),
+            (40, 100, 123456789)]
+    sdf = spark.createDataFrame(rows, "c bigint, n bigint, qm bigint")
+    p = F.col("c").cast("double") / F.col("n")
+    qm_safe = F.greatest(F.col("qm"), F.lit(1).cast("bigint"))
+    got = [
+        r["term"]
+        for r in sdf.select(
+            F.round(
+                p * F.log(p * F.lit(1e12) / qm_safe) * F.lit(1e6), 0
+            ).cast("bigint").alias("term")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"""SELECT CAST(round(
+                CAST({c} AS DOUBLE) / {n}
+                * ln(CAST({c} AS DOUBLE) / {n} * 1e12
+                     / greatest(CAST({qm} AS BIGINT), CAST(1 AS BIGINT)))
+                * 1e6, 0) AS BIGINT)"""
+        ).fetchone()[0]
+        for c, n, qm in rows
+    ]
+    assert got == want
+    assert all(abs(t) < 10**15 for t in got)  # finite, sane micro-nats
+
+
+def test_oracle_carries_qm_guard_every_round():
+    """Every unrolled ex-block must clamp identically — a single
+    unguarded round re-opens the divergence."""
+    from logstream_processing_service_spark.operators.curation import (
+        doremi_iterated_oracle_sql,
+    )
+
+    sql = doremi_iterated_oracle_sql(t_rounds=3)
+    assert sql.count("greatest(qm, CAST(1 AS BIGINT))") == 3
