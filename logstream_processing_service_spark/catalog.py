@@ -62,6 +62,68 @@ def spec(name: str, oracle: str | None, *tags: str):
 # never-checked.
 _PRIORITY: tuple[str, ...] = (
     # ------------------------------------------------------------------
+    # ROUND-13 WINDOW (r12 VERDICT "Next round" #1+#2) — exactly the
+    # pre-computed r13 map, re-verified against the CORRECTNESS_r01-r12
+    # union at r13 start via tools/freshness.py (histogram {r7:17,
+    # r8:50, r9:50, r10:50, r11:50, r12:50}, zero never-checked —
+    # matching the map's assumption): (a) the 7 rehearsed r13-queue
+    # registrations (first driver rows; all seven rehearsed green at
+    # both SFs in r12 through the compare harness —
+    # tests/test_merkle.py, tests/test_bm25_delete.py,
+    # tests/test_greedy_coverage.py, tests/test_doremi_iterated.py,
+    # tests/test_lsh_incremental.py, tests/test_registry_lifecycle.py;
+    # the four r12-advice fixes — compaction OCC base capture, derived
+    # registry-dir cleanup, doremi qm=0 guard, incremental-registry
+    # overlap modes — landed WITH regression tests before these
+    # registrations):
+    "merkle_tree_update", "bm25_delete_twin", "greedy_coverage_order",
+    "doremi_iterated", "lsh_incremental_twin", "bm25_compaction_twin",
+    "char_window_incremental_twin",
+    # (b) the 17 remaining r7-latest queries (closes the r7 debt —
+    # after this round nothing is older than r8):
+    "hll_rolling_distinct", "large_volume_customers",
+    "linestatus_priority_split", "louter_twin", "mad_anomaly",
+    "maxsim_search", "maxsim_search_routed", "pii_scan",
+    "pricing_summary", "resample_daily_volume",
+    "seasonal_volume_decompose", "textrank_keywords",
+    "token_communities", "tokenizer_compare", "unigram_token_counts",
+    "vocab_divergence", "zipf_fit",
+    # (c) 26 backfills = the first 26 (alphabetical) of the 50 queries
+    # whose latest driver row is r8 (recomputed from the union this
+    # session — matches the r12 map verbatim):
+    "activity_islands", "actor_setops", "ann_recall_report",
+    "asof_signup_before_error", "association_rules", "audio_pcm_stats",
+    "bloom_semi_join", "bm25_search", "bpe_token_counts",
+    "brand_priciest_part", "bucketed_join_twin", "chunk_documents",
+    "curate_corpus", "curate_web_corpus", "dedup_containment",
+    "dedup_keep_table", "dedup_substrings", "dsir_weights",
+    "embedding_drift_report", "holt_winters_anomaly",
+    "holt_winters_daily", "html_text_extract", "kwic_snippets",
+    "merge_events_upsert", "mmr_rerank", "multimodal_features",
+    # ------------------------------------------------------------------
+    # r14 map (pre-computed per the standing policy, assuming the r13
+    # driver run lands this window): r14's new registrations first
+    # (the rehearsed r14 queue — coordinates in ROADMAP), then the 24
+    # displaced r8-latest rows (computed from the r1-r12 union this
+    # session: nation_trade_volume, normalize_text, oov_rate,
+    # part_supplier_counts, part_value_share, promo_revenue,
+    # readability_scores, returned_item_customers,
+    # robust_anomaly_stats, router_twin, salted_join_twin,
+    # semantic_dedup, shard_assignment, single_failed_supplier_orders,
+    # span_dup_profile, subword_token_counts, supplier_part_revenue,
+    # token_entropy, top_revenue_orders, url_domain_report, url_parse,
+    # user_sessions, word_triangles, wordpiece_token_counts —
+    # re-verify against the union at r14 start), then
+    # r9-latest alphabetical backfill for any remaining slots. Any
+    # registration beyond the queue displaces from the END of the r9
+    # list with a named in-window rationale.
+)
+
+
+# Retired r12 window, kept for the displacement-rationale record the
+# VERDICT audits:
+_PRIORITY_R12: tuple[str, ...] = (
+    # ------------------------------------------------------------------
     # ROUND-12 WINDOW (r11 VERDICT "Next round" #1+#3) — exactly the
     # pre-computed r12 map, re-verified against the CORRECTNESS_r01-r11
     # union at r12 start (histogram {r6:10, r7:50, r8:50, r9:50,

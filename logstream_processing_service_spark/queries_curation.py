@@ -853,8 +853,13 @@ def merkle_query_oracle_sql() -> str:
     return C.merkle_diff_oracle_sql(_MANIFEST_OLD_CTE, _MANIFEST_NEW_CTE)
 
 
+@spec(
+    "merkle_tree_update",
+    C.merkle_tree_oracle_sql(_MANIFEST_NEW_CTE),
+    "curation", "integrity", "merkle", "incremental",
+)
 def q_merkle_tree_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13-queue rehearsal entry (unregistered): the NEW snapshot's
+    """The NEW snapshot's
     Merkle tree computed INCREMENTALLY — old tree xor-patched with the
     doc-grain delta only — hash-matched against the full-rebuild
     oracle on the new snapshot (O(delta) maintenance proven exact)."""
@@ -875,8 +880,13 @@ def merkle_update_oracle_sql() -> str:
     return C.merkle_tree_oracle_sql(_MANIFEST_NEW_CTE)
 
 
+@spec(
+    "greedy_coverage_order",
+    C.greedy_coverage_oracle_sql(),
+    "curation", "coverage", "submodular",
+)
 def q_greedy_coverage_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13-queue rehearsal entry (unregistered): greedy submodular
+    """Greedy submodular
     source ordering by marginal distinct-shingle gain — the iterative
     extension of source_coverage_report (which is this loop's t=1
     step); the onboarding-order planner for a multi-feed corpus."""
@@ -887,8 +897,13 @@ def greedy_coverage_oracle_sql() -> str:
     return C.greedy_coverage_oracle_sql()
 
 
+@spec(
+    "doremi_iterated",
+    C.doremi_iterated_oracle_sql(),
+    "north-star", "curation", "mixture", "doremi",
+)
 def q_doremi_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13-queue rehearsal entry (unregistered): the full DoReMi
+    """The full DoReMi
     multiplicative-weights loop (T=3) with a re-weighted reference
     mixture per round — the self-balancing group-DRO dynamic whose T=1
     static-signal special case is the registered

@@ -2189,13 +2189,41 @@ def q_bm25_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r13 queue (rehearsed in r12, NOT yet registered — registration is one
-# @spec away; tests/test_bm25_delete.py runs the compare harness)
+# r13 registrations (rehearsed in r12 — tests/test_bm25_delete.py,
+# tests/test_registry_lifecycle.py, tests/test_lsh_incremental.py ran the
+# compare harness at both SFs before these @spec lines landed; the four
+# r12-advice fixes landed with regression tests BEFORE registration)
 # ---------------------------------------------------------------------------
 
 
+def bm25_delete_oracle_sql() -> str:
+    """Batch-rebuild oracle on the post-delete corpus: the registry
+    read must be indistinguishable from never having indexed the
+    deleted docs at all."""
+    return _bm25_oracle().replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+        1,
+    )
+
+
+def lsh_incremental_oracle_sql() -> str:
+    """Batch rebuild on the union corpus, uncapped signatures (the
+    slicing-independent form the registry commits)."""
+    return f"""
+    WITH {_minhash_cte(sig_src="sh_all")}
+    SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8
+    ORDER BY d1, d2
+    """
+
+
+@spec(
+    "bm25_delete_twin",
+    bm25_delete_oracle_sql(),
+    "north-star", "retrieval", "incremental", "txlog", "delete",
+)
 def q_bm25_delete_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13-queue rehearsal entry (unregistered): BM25 ranked search
+    """BM25 ranked search
     after a TOMBSTONE DELETE on the incrementally-maintained posting
     registry — base postings at v0, doc-grain tombstones appended at
     v1, the merged read anti-joins the dead docs out. Hash-matching
@@ -2216,19 +2244,13 @@ def q_bm25_delete_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, tf=live)
 
 
-def bm25_delete_oracle_sql() -> str:
-    """Batch-rebuild oracle on the post-delete corpus: the registry
-    read must be indistinguishable from never having indexed the
-    deleted docs at all."""
-    return _bm25_oracle().replace(
-        "FROM documents",
-        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3)",
-        1,
-    )
-
-
+@spec(
+    "bm25_compaction_twin",
+    bm25_delete_oracle_sql(),
+    "north-star", "retrieval", "incremental", "txlog", "compaction",
+)
 def q_bm25_compaction_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13-queue rehearsal entry (unregistered): BM25 ranked search
+    """BM25 ranked search
     AFTER registry compaction — base postings v0, tombstones v1,
     bm25_compact_registry folds them into a rewritten v2, and search
     reads v2 with the PLAIN scan path (no tombstone filtering left).
@@ -2255,10 +2277,15 @@ def q_bm25_compaction_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, tf=TX.read_snapshot(spark, t))
 
 
+@spec(
+    "char_window_incremental_twin",
+    D.char_window_hash_oracle_sql(),
+    "north-star", "dedup", "char-grain", "incremental", "txlog",
+)
 def q_char_window_incremental_twin(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """r13-queue rehearsal entry (unregistered): char-grain duplication
+    """Char-grain duplication
     profile over an incrementally-maintained (doc, window-hash)
     registry — base postings v0, delta appended v1, df analytic
     recomputed over the merged read (df is corpus-dependent and
@@ -2276,8 +2303,13 @@ def q_char_window_incremental_twin(
     return D.char_window_incremental_profile(base, delta, t)
 
 
+@spec(
+    "lsh_incremental_twin",
+    lsh_incremental_oracle_sql(),
+    "north-star", "dedup", "incremental", "txlog",
+)
 def q_lsh_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r13-queue rehearsal entry (unregistered): near-dup pairs over an
+    """Near-dup pairs over an
     incrementally-maintained LSH band-key registry — base keys at v0,
     delta keys appended at v1 (merge-on-read), candidates from the
     merged registry, true-Jaccard verify over the union. Hash-matching
@@ -2293,16 +2325,6 @@ def q_lsh_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _bm25_inc_dir(spark, sf_dir, kind="lsh_inc")
     shutil.rmtree(t, ignore_errors=True)
     return D.lsh_incremental_pairs(base, delta, t)
-
-
-def lsh_incremental_oracle_sql() -> str:
-    """Batch rebuild on the union corpus, uncapped signatures (the
-    slicing-independent form the registry commits)."""
-    return f"""
-    WITH {_minhash_cte(sig_src="sh_all")}
-    SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8
-    ORDER BY d1, d2
-    """
 
 
 @spec(
