@@ -6,7 +6,10 @@ Prints ONE JSON line:
    "queries": {"<name>": sec, ...}, "sf": <sf>}
 
 Each query is forced end-to-end with a noop-sink write (full computation,
-no result serialization to the driver skewing the number).
+no result serialization to the driver skewing the number). For the
+EAGER_BUILD family (stream/registry twins, index builds, training loops)
+the fn() build itself is real work and runs inside the timed window —
+see the EAGER_BUILD note below (r12 VERDICT methodology fix, r13).
 """
 
 from __future__ import annotations
@@ -265,7 +268,41 @@ HEADLINE = [
     "rho1_token_selection",
     "source_coverage_report",
     "merkle_integrity_diff",
+    # r13 registrations (merkle_tree_update is pure-plan; the other six do
+    # registry commits / driver-loop work inside fn() and are EAGER_BUILD)
+    "merkle_tree_update",
+    "bm25_delete_twin",
+    "bm25_compaction_twin",
+    "greedy_coverage_order",
+    "doremi_iterated",
+    "lsh_incremental_twin",
+    "char_window_incremental_twin",
 ]
+
+# Queries whose fn(spark, sf_dir) call itself performs real execution work —
+# availableNow micro-batches, txlog registry commits, HNSW/PQ/bloom index
+# builds, vocab-grain training loops, driver-side greedy/MW iterations —
+# rather than pure lazy plan construction. r12 VERDICT methodology fix:
+# for these, the fn() build is the real cost of the operator, so it runs
+# INSIDE the timed window (build + noop-sink execution together). This
+# supersedes the per-entry "eager caveat: ... runs at fn() build time"
+# comments above, which described the pre-r13 exclusion. The one-time
+# timing discontinuity this creates for the twin/registry family is
+# annotated in BENCH_diff_r13.md rather than adjudicated as regression.
+EAGER_BUILD = {n for n in HEADLINE if n.endswith("_twin") or "registry" in n} | {
+    "ann_hnsw",            # HNSW graph build (driver-bounded) at fn() time
+    "ann_ivf_hnsw",        # centroid HNSW build at fn() time
+    "ann_recall_report",   # HNSW build + IVF probes at fn() time
+    "ann_pq",              # PQ codebook training + query collect at fn() time
+    "bloom_point_lookup",  # staging write + bloom build at fn() time
+    "part_pagerank",       # 8 localCheckpoint power iterations at fn() time
+    "bpe_token_counts",    # BPE merge-training loop at fn() time
+    "unigram_token_counts",   # unigram-LM EM loop at fn() time
+    "wordpiece_token_counts", # WordPiece merge training at fn() time
+    "tokenizer_compare",      # trains all three tokenizers at fn() time
+    "doremi_iterated",        # T=3 MW loop, domain-grain collects at fn() time
+    "greedy_coverage_order",  # k greedy argmax collects at fn() time
+}
 
 
 def main() -> None:
@@ -291,9 +328,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        # one warm build to materialize table metadata outside the timing
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
+        if name in EAGER_BUILD:
+            # fn() drives micro-batches / builds registries / trains state:
+            # that IS the operator's cost — time build + execution together
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+        else:
+            # pure plan construction: one warm build to materialize table
+            # metadata outside the timing
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # operators persist() intermediate frames (shingle streams, stat

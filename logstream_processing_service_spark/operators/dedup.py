@@ -372,6 +372,25 @@ def lsh_incremental_pairs(
     banded = TX.read_snapshot(spark, table_dir)
     if not assume_disjoint:
         banded = banded.distinct()
+    union_docs = base_docs.unionByName(delta_docs)
+    if not assume_disjoint:
+        union_docs = union_docs.dropDuplicates(["doc_id"])
+    return _lsh_pairs_from_registry(banded, union_docs, threshold, max_bucket)
+
+
+def _lsh_pairs_from_registry(
+    banded: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Candidate generation + true-Jaccard verify from a (doc_id, band,
+    bkey) registry read — shared by the merge-on-read path
+    (:func:`lsh_incremental_pairs`) and the compacted plain-scan path
+    (:func:`lsh_registry_lifecycle_pairs`) so the two can never
+    disagree on pair semantics. ``corpus_docs`` must be exactly the
+    LIVE corpus the registry describes (verification re-shingles only
+    candidate docs via the join pushdown)."""
     groups = (
         banded.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -386,11 +405,8 @@ def lsh_incremental_pairs(
         .select("p.d1", "p.d2")
         .distinct()
     )
-    union_docs = base_docs.unionByName(delta_docs)
-    if not assume_disjoint:
-        union_docs = union_docs.dropDuplicates(["doc_id"])
     doc_sets = (
-        shingle_table(union_docs, n=3, max_doc_freq=0)
+        shingle_table(corpus_docs, n=3, max_doc_freq=0)
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("ss"))
     )
@@ -408,6 +424,103 @@ def lsh_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("d1", "d2")
     )
+
+
+def lsh_delete_tombstones(delete_ids: DataFrame) -> DataFrame:
+    """Doc-grain DELETE markers in band-key schema: (doc_id, band=-1,
+    bkey=''). One row per deleted document — O(|deletes|) to write,
+    never O(|band keys of deleted docs|) — and the sentinel band < 0
+    cannot collide with real keys (band indexes are ≥ 0). The bm25
+    registry's tombstone discipline (retrieval.bm25_delete_tombstones)
+    applied to the dedup index."""
+    return delete_ids.select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("band"),
+        F.lit("").alias("bkey"),
+    )
+
+
+def lsh_live_keys(merged: DataFrame) -> DataFrame:
+    """Tombstone-aware read of a band-key registry snapshot: drop every
+    tombstoned document's keys with one anti-join on the 8-byte doc_id.
+    Shared by the merge-on-read path and compaction
+    (:func:`lsh_compact_registry`) so the two can never disagree on
+    what 'live' means — the retrieval.live_postings discipline."""
+    dead = merged.filter(F.col("band") < 0).select("doc_id")
+    return merged.filter(F.col("band") >= 0).join(dead, "doc_id", "left_anti")
+
+
+def lsh_compact_registry(spark, table_dir: str, target_files: int = 1) -> int:
+    """Fold accumulated tombstones + deltas of the LSH band-key
+    registry into a rewritten base — the dedup index's compaction verb,
+    completing its add / delete / compact lifecycle (the
+    bm25_compact_registry discipline on the other index family).
+    After compaction readers take the plain-scan path: no tombstone
+    anti-join, fewer files; the pre-compaction snapshot stays
+    time-travelable until vacuumed.
+
+    OCC discipline (the r12-advice fix, applied from birth here):
+    capture the base version FIRST, read exactly that snapshot, and
+    commit against it — a concurrent append between read and commit
+    raises CommitConflict instead of being silently dropped by the
+    rewrite.
+    """
+    from . import txlog as TX
+
+    base = TX._versions(table_dir)[-1]
+    merged = TX.read_snapshot(spark, table_dir, version=base)
+    live = lsh_live_keys(merged).coalesce(target_files)
+    return TX.commit(
+        table_dir, live, mode="overwrite", expected_version=base
+    )
+
+
+def lsh_registry_lifecycle_pairs(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    delete_ids: DataFrame,
+    table_dir: str,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Near-dup pairs after the FULL dedup-registry lifecycle — the
+    r14 completion of the incremental story: base band keys committed
+    v0, delta keys appended v1 (:func:`lsh_incremental_pairs`'s
+    merge-on-read ingest), doc-grain tombstones appended v2, and
+    :func:`lsh_compact_registry` folds all three into a rewritten v3;
+    candidate generation then reads the PLAIN compacted scan (no
+    tombstone filtering left in the plan). Hash-matching the
+    from-scratch batch LSH over the post-delete union corpus proves
+    compaction is a pure physical rewrite of the dedup index — same
+    pairs, same Jaccards, fewer files.
+
+    Precondition: base/delta doc_ids disjoint (the
+    lsh_incremental_pairs contract); delete_ids may hit either side.
+
+    Scale: each lifecycle verb is O(its own delta) — band keys for new
+    docs, one tombstone row per delete, and compaction's one
+    background rewrite of live keys (8-byte ids + short band keys,
+    never document text). Verification re-shingles only candidate
+    docs of the live corpus.
+    """
+    from . import txlog as TX
+
+    spark = base_docs.sparkSession
+    TX.commit(
+        table_dir, minhash_band_keys(base_docs, max_doc_freq=0),
+        mode="overwrite",
+    )
+    TX.commit(
+        table_dir, minhash_band_keys(delta_docs, max_doc_freq=0),
+        mode="append",
+    )
+    TX.commit(table_dir, lsh_delete_tombstones(delete_ids), mode="append")
+    lsh_compact_registry(spark, table_dir)
+    banded = TX.read_snapshot(spark, table_dir)  # plain scan: v3 only
+    live_docs = base_docs.unionByName(delta_docs).join(
+        delete_ids.select("doc_id"), "doc_id", "left_anti"
+    )
+    return _lsh_pairs_from_registry(banded, live_docs, threshold, max_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -2328,7 +2441,12 @@ def shared_affix_oracle_sql(ladder: tuple[int, ...] = AFFIX_LADDER) -> str:
     """
 
 
-def lcp_neighbor_profile(documents: DataFrame, cap: int = 64) -> DataFrame:
+def lcp_neighbor_profile(
+    documents: DataFrame,
+    cap: int = 64,
+    mode: str = "first_char",
+    num_partitions: int | None = None,
+) -> DataFrame:
     """EXACT longest-common-prefix with ANY other document, capped at
     ``cap`` chars — the suffix-array escalation path the rung ladder
     (:func:`shared_affix_profile`) names: where the ladder reports
@@ -2338,14 +2456,37 @@ def lcp_neighbor_profile(documents: DataFrame, cap: int = 64) -> DataFrame:
     lcp(s1,s3) = min(lcp(s1,s2), lcp(s2,s3))), so one sort + lag/lead
     replaces all-pairs comparison.
 
-    Distribution WITHOUT a global single-partition sort: partition by
-    the FIRST CHARACTER — any pair with lcp ≥ 1 shares it, so
+    Distribution WITHOUT a global single-partition sort — two modes:
+
+    ``mode="first_char"`` (default, the registered r12 form): partition
+    by the FIRST CHARACTER — any pair with lcp ≥ 1 shares it, so
     cross-partition pairs have lcp 0 and per-partition sorted neighbors
     are exactly the global sorted neighbors that matter. Exact by
-    construction at partition depth 1; on a corpus skewed onto one
-    leading char (e.g. everything starts "the "), deepen the partition
-    key to k chars and accept that true LCPs BELOW k report 0 — the
-    documented floor-k trade, not silent wrongness.
+    construction at partition depth 1, ONE hash exchange, but
+    parallelism is bounded by the leading-char alphabet (≤256) and a
+    corpus skewed onto one leading token (e.g. everything starts
+    "the ") serializes onto one task.
+
+    ``mode="range"`` (the r13 skew escalation, measured in
+    tools/lcp_skew.py): ``repartitionByRange`` on the FULL truncated
+    key — the range partitioner's sampled boundaries split a shared
+    prefix across as many partitions as needed, so parallelism is
+    unbounded and skew-immune, and the result is STILL EXACT (no
+    floor-k accuracy trade): in-partition sorted neighbors are global
+    neighbors except at the ≤ 2·P partition-boundary rows, which get a
+    second tiny lag/lead pass over the boundary frame alone
+    (first(p)/last(p) per partition, globally sorted: last(p)'s
+    boundary-frame lead is exactly first(p+1), the one missing true
+    neighbor; the spurious within-partition boundary pair
+    (first(p), last(p)) can never exceed the true in-partition
+    neighbor value by prefix-chain monotonicity
+    lcp(s1,s3) = min(lcp(s1,s2), lcp(s2,s3)), so greatest() of the two
+    passes is the exact answer). Cost: one range exchange + one narrow
+    pid hash exchange of (doc_id, key) rows + a broadcast join of the
+    2·P-row boundary corrections. Prefer it whenever the leading-char
+    histogram is skewed or ≥256-way parallelism is not enough; both
+    modes hash-match the same oracle (asserted in
+    tests/test_lcp_neighbor.py).
 
     The lcp itself uses prefix-equality monotonicity — the indicator
     [i ≤ min(len(a), len(b)) AND substr(a,1,i) = substr(b,1,i)] is 1
@@ -2369,9 +2510,6 @@ def lcp_neighbor_profile(documents: DataFrame, cap: int = 64) -> DataFrame:
     nothing quadratic, nothing single-partition.
     """
     key = F.substring(F.col("text"), 1, cap).alias("k")
-    part = F.substring(F.col("text"), 1, 1).alias("c1")
-    frame = documents.select("doc_id", part, key)
-    w = Window.partitionBy("c1").orderBy("k", "doc_id")
 
     def lcp(a: str, b: str):
         blocks = (
@@ -2387,21 +2525,85 @@ def lcp_neighbor_profile(documents: DataFrame, cap: int = 64) -> DataFrame:
             f"THEN 1 ELSE 0 END))"
         )
 
-    probed = frame.select(
+    def probe():
+        # greatest of the lag/lead lcps; reads pk/nk/k from the enclosing
+        # select (null neighbor -> 0)
+        return (
+            F.greatest(
+                F.when(F.col("pk").isNotNull(), lcp("k", "pk")).otherwise(0),
+                F.when(F.col("nk").isNotNull(), lcp("k", "nk")).otherwise(0),
+            )
+            .cast("int")
+            .alias("max_lcp")
+        )
+
+    if mode == "first_char":
+        part = F.substring(F.col("text"), 1, 1).alias("c1")
+        frame = documents.select("doc_id", part, key)
+        w = Window.partitionBy("c1").orderBy("k", "doc_id")
+        probed = frame.select(
+            "doc_id",
+            "k",
+            F.lag("k").over(w).alias("pk"),
+            F.lead("k").over(w).alias("nk"),
+        )
+        probed = probed.select("doc_id", probe())
+        return probed.orderBy("doc_id")
+
+    if mode != "range":
+        raise ValueError(f"unknown lcp_neighbor_profile mode: {mode!r}")
+
+    spark = documents.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    frame = documents.select("doc_id", key)
+    # range exchange on the full key: sampled boundaries split skewed
+    # prefixes across partitions; pid is stamped AFTER the exchange so the
+    # window's hash exchange groups exactly the range partitions
+    ranged = frame.repartitionByRange(n_parts, "k", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy("k", "doc_id")
+    wall = Window.partitionBy("pid")
+    staged = ranged.select(
         "doc_id",
         "k",
-        F.lag("k").over(w).alias("pk"),
-        F.lead("k").over(w).alias("nk"),
-    ).select(
+        F.lag("k").over(wp).alias("pk"),
+        F.lead("k").over(wp).alias("nk"),
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    # persist: the boundary branch and the final join BOTH consume this
+    # frame, and re-deriving it would re-run repartitionByRange with an
+    # INDEPENDENT boundary sampling — the two branches could then disagree
+    # on where partitions end, and boundary corrections would patch the
+    # wrong rows. One materialization pins one partitioning (and one scan).
+    # Cache lifecycle is caller-owned (repo contract).
+    inpart = staged.select(
+        "doc_id", "k", "rn", "cnt", probe()
+    ).persist()
+    # boundary frame: first/last row of every partition (≤ 2·P rows).
+    # Sorted globally, last(p)'s lead is first(p+1) — the one neighbor the
+    # in-partition pass missed; the spurious (first(p), last(p)) pairs are
+    # dominated by the in-partition values (chain monotonicity), so the
+    # final greatest() stays exact.
+    boundary = inpart.filter((F.col("rn") == 1) | (F.col("rn") == F.col("cnt")))
+    wb = Window.orderBy("k", "doc_id")
+    bprobed = boundary.select(
         "doc_id",
-        F.greatest(
-            F.when(F.col("pk").isNotNull(), lcp("k", "pk")).otherwise(0),
-            F.when(F.col("nk").isNotNull(), lcp("k", "nk")).otherwise(0),
-        )
+        "k",
+        F.lag("k").over(wb).alias("pk"),
+        F.lead("k").over(wb).alias("nk"),
+    )
+    bfix = bprobed.select("doc_id", probe().alias("b_lcp"))
+    fixed = inpart.join(F.broadcast(bfix), "doc_id", "left").select(
+        "doc_id",
+        F.greatest("max_lcp", F.coalesce("b_lcp", F.lit(0)))
         .cast("int")
         .alias("max_lcp"),
     )
-    return probed.orderBy("doc_id")
+    return fixed.orderBy("doc_id")
 
 
 def lcp_neighbor_oracle_sql(cap: int = 64) -> str:

@@ -2345,7 +2345,59 @@ def q_shared_affix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup", "char-grain", "suffix-array",
 )
 def q_lcp_neighbor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact capped-LCP with any other document via
-    first-char-partitioned lexicographic neighbors — the suffix-array
-    escalation of the affix rung ladder."""
-    return D.lcp_neighbor_profile(_t(spark, sf_dir, "documents"))
+    """Exact capped-LCP with any other document via range-partitioned
+    lexicographic neighbors — the suffix-array escalation of the affix
+    rung ladder. mode="range" since r13: the r12 first-char partition
+    key caps parallelism at ≤256 and serializes on skewed corpora —
+    measured in tools/lcp_skew.py at the third decade (500k docs:
+    first_char 11.5 s plain / 29.5 s under an 80%-shared-prefix skew;
+    range 5.7 / 4.7 s — 2x faster unskewed, skew-IMMUNE, still exact
+    via the boundary-pass fix)."""
+    return D.lcp_neighbor_profile(_t(spark, sf_dir, "documents"), mode="range")
+
+
+# ---------------------------------------------------------------------------
+# r14 queue (rehearsed in r13, NOT yet registered — the standing
+# pre-measure-then-register cadence; tests/test_lsh_lifecycle.py runs the
+# compare harness at both SFs before any @spec line lands)
+# ---------------------------------------------------------------------------
+
+
+def lsh_lifecycle_oracle_sql() -> str:
+    """Batch rebuild on the POST-DELETE union corpus, uncapped
+    signatures: after the full add/delete/compact lifecycle the
+    registry read must be indistinguishable from never having indexed
+    the deleted docs at all (the bm25_delete_oracle_sql discipline on
+    the dedup index)."""
+    return f"""
+    WITH {_minhash_cte(sig_src="sh_all")}
+    SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8
+    ORDER BY d1, d2
+    """.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+        1,
+    )
+
+
+def q_lsh_compaction_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs after the dedup registry's FULL lifecycle — base
+    band keys v0, delta keys appended v1, doc-grain tombstones v2,
+    lsh_compact_registry folds them into a rewritten v3, and candidate
+    generation reads the PLAIN compacted scan. Hash-matching the batch
+    LSH over the post-delete union proves compaction is a pure
+    physical rewrite of the dedup index (r14 queue; completes the
+    add/delete/compact triangle bm25_compaction_twin closed for the
+    search index — reference tie: the incremental-batch discipline of
+    scripts/run_incremental_batch.py:29-41)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    dels = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    t = _bm25_inc_dir(spark, sf_dir, kind="lsh_lc")
+    shutil.rmtree(t, ignore_errors=True)
+    return D.lsh_registry_lifecycle_pairs(base, delta, dels, t)

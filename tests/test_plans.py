@@ -1218,16 +1218,42 @@ def test_bm25_incremental_reads_merged_files_no_cartesian(spark):
     spark.catalog.clearCache()
 
 
-def test_lcp_neighbor_single_bounded_exchange(spark):
-    """lcp_neighbor_profile: ONE hash exchange (the first-char
-    partition carrying cap-width keys, never full text), in-partition
-    sort, zero single-partition stages, zero cartesians — the
-    suffix-array signal without a global sort."""
+def test_lcp_neighbor_range_mode_plan_shape(spark):
+    """lcp_neighbor_profile (registered mode="range" since r13): the
+    corpus flows through ONE cached materialization (range exchange on
+    the cap-width key + one narrow pid hash exchange, never full
+    text); BOTH consumers — the boundary branch and the final join —
+    must read that cache (two InMemoryTableScans), because re-deriving
+    the frame would re-sample repartitionByRange boundaries
+    independently and the boundary fix could patch the wrong rows. The
+    only single-partition stage is the ≤2·P-row boundary frame; the
+    boundary corrections come back via a broadcast join; zero
+    cartesians. (Exchange counts in the plan string include the cached
+    plan's echoed description, so they are not asserted directly.)"""
     from logstream_processing_service_spark.queries_text import (
         q_lcp_neighbor_profile,
     )
 
     plan = _plan(q_lcp_neighbor_profile(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") == 2
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    spark.catalog.clearCache()
+
+
+def test_lcp_neighbor_first_char_single_bounded_exchange(spark):
+    """The first_char operator mode (small-corpus / per-shard
+    diagnostics form): ONE hash exchange carrying cap-width keys,
+    in-partition sort, zero single-partition stages, zero
+    cartesians."""
+    from logstream_processing_service_spark.operators.dedup import (
+        lcp_neighbor_profile,
+    )
+    from logstream_processing_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(lcp_neighbor_profile(docs, mode="first_char"))
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 1

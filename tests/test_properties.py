@@ -1259,20 +1259,19 @@ def prefixy_texts(draw):
 @SLOW
 @given(prefixy_texts())
 def test_lcp_neighbor_matches_bruteforce_fuzz(spark, texts):
-    """The first-char-partitioned sorted-neighbor LCP must equal the
-    all-pairs brute force (capped at 64) on adversarial 2-letter
-    corpora: heavy ties, empty strings, strict-prefix pairs, identical
-    docs — every shape that stresses the length gate and the neighbor
-    property."""
+    """BOTH partition modes of the sorted-neighbor LCP (first_char and
+    the r13 skew-immune range mode, with a tiny num_partitions so
+    boundary pairs actually occur) must equal the all-pairs brute
+    force (capped at 64) on adversarial 2-letter corpora: heavy ties,
+    empty strings, strict-prefix pairs, identical docs — every shape
+    that stresses the length gate, the neighbor property, and the
+    range mode's boundary-pass fix."""
     from logstream_processing_service_spark.operators.dedup import (
         lcp_neighbor_profile,
     )
 
     rows = [(i, t) for i, t in enumerate(texts)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {
-        r["doc_id"]: r["max_lcp"] for r in lcp_neighbor_profile(docs).collect()
-    }
 
     def lcp(a, b):
         n = 0
@@ -1282,9 +1281,20 @@ def test_lcp_neighbor_matches_bruteforce_fuzz(spark, texts):
             n += 1
         return n
 
-    for i, t in rows:
-        want = max((lcp(t, u) for j, u in rows if j != i), default=0)
-        assert got[i] == want, (i, t, got[i], want)
+    want = {
+        i: max((lcp(t, u) for j, u in rows if j != i), default=0)
+        for i, t in rows
+    }
+    for kwargs in (
+        {"mode": "first_char"},
+        {"mode": "range", "num_partitions": 3},
+    ):
+        got = {
+            r["doc_id"]: r["max_lcp"]
+            for r in lcp_neighbor_profile(docs, **kwargs).collect()
+        }
+        for i, t in rows:
+            assert got[i] == want[i], (kwargs, i, t, got[i], want[i])
 
 
 @SLOW
