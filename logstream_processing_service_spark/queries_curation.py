@@ -913,3 +913,47 @@ def q_doremi_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doremi_iterated_query_oracle_sql() -> str:
     return C.doremi_iterated_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# r14 queue (rehearsed in r13, NOT yet registered — the standing
+# pre-measure-then-register cadence; tests/test_merkle_repair.py runs the
+# compare harness at both SFs before any @spec line lands)
+# ---------------------------------------------------------------------------
+
+
+def q_merkle_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rsync planner on
+    top of merkle_integrity_diff: given the manifest family's local
+    (old) and source (new) snapshots, emit the minimal shard-grain
+    repair plan — divergent leaves only, with source doc counts and a
+    bytes-to-ship estimate. Matching subtree hashes certify every
+    other shard without reading it (r14 queue)."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 13 != 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 5, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return C.merkle_repair_plan(old, new)
+
+
+def merkle_repair_query_oracle_sql() -> str:
+    return C.merkle_repair_oracle_sql(_MANIFEST_OLD_CTE, _MANIFEST_NEW_CTE)
+
+
+def q_doremi_to_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-learned domain
+    weights operationalized as a sampling plan — doremi_iterated's T=3
+    multiplicative-weights output fed into the temperature_mix_plan
+    rate arithmetic as target shares (r14 queue; the composed last
+    mile between learned weights and a runnable sampler)."""
+    return C.doremi_to_mix_pipeline(_t(spark, sf_dir, "documents"))
+
+
+def doremi_to_mix_query_oracle_sql() -> str:
+    return C.doremi_to_mix_oracle_sql()
