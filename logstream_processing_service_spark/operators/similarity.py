@@ -138,26 +138,51 @@ def ann_ivf(
     scanned per query. At 100 TB the bucket assignment would be precomputed
     and stored partition-by-bucket so the probe prunes parquet partitions.
     """
+    bucketed = _nearest_buckets(
+        embeddings, centroids, "vec_id", "embedding", 1, "v_bucket"
+    )
+    return _ivf_probe(bucketed, centroids, queries, k, nprobe)
+
+
+def _nearest_buckets(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    emb_col: str,
+    n: int,
+    out: str,
+) -> DataFrame:
+    """Nearest-``n`` coarse buckets per row (broadcast centroid cross +
+    row_number) — the IVF assignment primitive shared by the one-shot
+    path (:func:`ann_ivf`) and the incremental registry
+    (:func:`ann_ivf_incremental`)."""
     cent = F.broadcast(
         centroids.select(F.col("label").alias("bucket"), "centroid")
     )
+    cand = df.crossJoin(cent).withColumn(
+        "_d", F.round(V.minkowski(F.col(emb_col), F.col("centroid"), 2.0), 9)
+    )
+    w = Window.partitionBy(id_col).orderBy("_d", "bucket")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select(df["*"], F.col("bucket").alias(out))
+    )
 
-    def nearest_buckets(df: DataFrame, id_col: str, emb_col: str, n: int, out: str):
-        cand = df.crossJoin(cent).withColumn(
-            "_d", F.round(V.minkowski(F.col(emb_col), F.col("centroid"), 2.0), 9)
-        )
-        w = Window.partitionBy(id_col).orderBy("_d", "bucket")
-        return (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .select(df["*"], F.col("bucket").alias(out))
-        )
 
-    bucketed = nearest_buckets(embeddings, "vec_id", "embedding", 1, "v_bucket")
+def _ivf_probe(
+    bucketed: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Probe stage shared by :func:`ann_ivf` and the registry read:
+    nprobe nearest buckets per query, exact cosine inside them, top-k."""
     q = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    probed = nearest_buckets(q, "q_id", "q_emb", nprobe, "q_bucket")
+    probed = _nearest_buckets(q, centroids, "q_id", "q_emb", nprobe, "q_bucket")
     scored = (
         bucketed.join(
             F.broadcast(probed), F.col("v_bucket") == F.col("q_bucket")
@@ -171,6 +196,61 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def ann_ivf_incremental(
+    base_emb: DataFrame,
+    delta_emb: DataFrame,
+    table_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The VECTOR index under ingest — the bm25/LSH incremental-registry
+    discipline applied to IVF: coarse centroids are FROZEN from the
+    base corpus (the realistic index lifecycle: structure trained once
+    on the standing corpus), the base vectors' bucket assignments are
+    committed as txlog v0, each ingest assigns ONLY the delta vectors
+    to the same frozen centroids and APPENDS them (v1, merge-on-read),
+    and probes search the merged registry. Because assignment is
+    per-row against fixed centroids, the incremental read is exactly
+    the from-scratch assignment of the union — hash-matched against
+    the batch IVF oracle (frozen-centroid CTE) to prove the ingest
+    path composes; re-clustering (centroid refresh + full reassign) is
+    the index's compaction-analogue, a scheduled rebuild, not the
+    ingest path.
+
+    Output: (q_id, rank, vec_id, cos) — the :func:`ann_ivf` contract.
+
+    Scale: each ingest costs O(|delta| · nlist) broadcast-centroid
+    compares and writes O(|delta|) registry rows; the standing corpus
+    is never re-embedded or re-assigned. The registry is the
+    bucket-partitioned layout ann_ivf's docstring names: at 100 TB,
+    store it partitioned by v_bucket so probes prune to
+    ~nprobe/nlist of the files (ann_ivfpq_index proves that pruning
+    shape with partition-level tests).
+    """
+    from . import txlog as TX
+
+    spark = base_emb.sparkSession
+    # centroids consumed by three plans (two commits + the probe):
+    # persist so the (label, dim) aggregate runs once. Cache lifecycle
+    # is caller-owned (repo contract).
+    cent = label_centroids(base_emb).persist()
+    TX.commit(
+        table_dir,
+        _nearest_buckets(base_emb, cent, "vec_id", "embedding", 1, "v_bucket")
+        .select("vec_id", "embedding", "v_bucket"),
+        mode="overwrite",
+    )
+    TX.commit(
+        table_dir,
+        _nearest_buckets(delta_emb, cent, "vec_id", "embedding", 1, "v_bucket")
+        .select("vec_id", "embedding", "v_bucket"),
+        mode="append",
+    )
+    bucketed = TX.read_snapshot(spark, table_dir)
+    return _ivf_probe(bucketed, cent, queries, k, nprobe)
 
 
 def embedding_near_dup_pairs(
@@ -1324,3 +1404,98 @@ def hard_negative_mining(
         F.round("cos", 6).alias("cos"),
     )
     return neg.unionByName(pos).orderBy("q_id", "kind", "rank")
+
+
+def ivf_delete_tombstones(delete_ids: DataFrame, emb_type) -> DataFrame:
+    """Vec-grain DELETE markers in assignment schema: (vec_id,
+    embedding=NULL, v_bucket=-1). One row per deleted vector —
+    O(|deletes|) — and the sentinel bucket < 0 cannot collide with
+    real coarse buckets (they are label ids ≥ 0, asserted by the
+    lifecycle operator). The bm25/LSH tombstone discipline on the
+    vector index."""
+    return delete_ids.select(
+        "vec_id",
+        F.lit(None).cast(emb_type).alias("embedding"),
+        F.lit(-1).cast("int").alias("v_bucket"),
+    )
+
+
+def ivf_live_assignments(merged: DataFrame) -> DataFrame:
+    """Tombstone-aware read of the assignment registry: drop every
+    tombstoned vector's row with one anti-join on the 8-byte vec_id —
+    shared by merge-on-read and compaction so 'live' has one
+    definition (the live_postings discipline)."""
+    dead = merged.filter(F.col("v_bucket") < 0).select("vec_id")
+    return merged.filter(F.col("v_bucket") >= 0).join(
+        dead, "vec_id", "left_anti"
+    )
+
+
+def ivf_compact_registry(spark, table_dir: str, target_files: int = 1) -> int:
+    """Fold tombstones + deltas of the IVF assignment registry into a
+    rewritten base (the OCC discipline: base version captured FIRST,
+    snapshot read pinned to it, commit checked against it)."""
+    from . import txlog as TX
+
+    base = TX._versions(table_dir)[-1]
+    merged = TX.read_snapshot(spark, table_dir, version=base)
+    live = ivf_live_assignments(merged).coalesce(target_files)
+    return TX.commit(
+        table_dir, live, mode="overwrite", expected_version=base
+    )
+
+
+def ann_ivf_lifecycle(
+    base_emb: DataFrame,
+    delta_emb: DataFrame,
+    delete_ids: DataFrame,
+    table_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The vector registry's FULL lifecycle — with
+    :func:`ann_ivf_incremental` (add) this completes the third column
+    of the index-family × lifecycle-verb matrix (bm25, LSH, IVF) ×
+    (add, delete, compact): base assignments v0 (centroids frozen on
+    the base), delta assignments appended v1, vec-grain tombstones v2,
+    :func:`ivf_compact_registry` folds them into a rewritten v3, and
+    probes read the PLAIN compacted scan. Hash-matching the
+    frozen-centroid batch IVF over the post-delete union proves
+    compaction is a pure physical rewrite of the vector index.
+    Centroid REFRESH (re-cluster + full reassign) is deliberately not
+    a lifecycle verb — it is the scheduled rebuild that creates a new
+    registry generation.
+
+    Precondition: coarse buckets are label ids ≥ 0 (the tombstone
+    sentinel's namespace); base/delta vec_ids disjoint; deletes may
+    hit either side.
+
+    Scale: every verb is O(its own delta); compaction's rewrite ships
+    (vec_id, vector, bucket) rows once, off the ingest path.
+    """
+    from . import txlog as TX
+
+    spark = base_emb.sparkSession
+    cent = label_centroids(base_emb).persist()
+    emb_type = base_emb.schema["embedding"].dataType
+    TX.commit(
+        table_dir,
+        _nearest_buckets(base_emb, cent, "vec_id", "embedding", 1, "v_bucket")
+        .select("vec_id", "embedding", "v_bucket"),
+        mode="overwrite",
+    )
+    TX.commit(
+        table_dir,
+        _nearest_buckets(delta_emb, cent, "vec_id", "embedding", 1, "v_bucket")
+        .select("vec_id", "embedding", "v_bucket"),
+        mode="append",
+    )
+    TX.commit(
+        table_dir,
+        ivf_delete_tombstones(delete_ids.select("vec_id"), emb_type),
+        mode="append",
+    )
+    ivf_compact_registry(spark, table_dir)
+    bucketed = TX.read_snapshot(spark, table_dir)  # plain scan: v3 only
+    return _ivf_probe(bucketed, cent, queries, k, nprobe)

@@ -128,6 +128,13 @@ QUERIES = [
     "lsh_incremental_twin",     # band-key-grain: 2 commits + merged pairs
     "bm25_compaction_twin",     # posting-grain: delete + fold + plain read
     "char_window_incremental_twin",  # window-hash postings, df at read
+    # r14 queue (unregistered; rehearsed in r13, resolved via EXTRA_QUERIES).
+    # ann_ivf_incremental_twin is embeddings-grain — that table is not
+    # 10x'd in the decade (the r9 hard_negative_mining rule), so it is
+    # bench-only.
+    "lsh_compaction_twin",        # band-key-grain: 3 commits + fold + pairs
+    "merkle_repair_plan",         # doc-grain hash scans + ≤64-row plan
+    "doremi_to_mix_pipeline",     # doremi rounds + |domains|-row rate math
 ]
 
 
@@ -388,6 +395,23 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_text",
             fromlist=["q_char_window_incremental_twin"],
         ).q_char_window_incremental_twin(s, sf),
+        # r14 queue (unregistered; rehearsed in r13)
+        "lsh_compaction_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_lsh_compaction_twin"],
+        ).q_lsh_compaction_twin(s, sf),
+        "merkle_repair_plan": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_merkle_repair_plan"],
+        ).q_merkle_repair_plan(s, sf),
+        "doremi_to_mix_pipeline": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_curation",
+            fromlist=["q_doremi_to_mix_pipeline"],
+        ).q_doremi_to_mix_pipeline(s, sf),
+        "ann_ivf_incremental_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_vector",
+            fromlist=["q_ann_ivf_incremental_twin"],
+        ).q_ann_ivf_incremental_twin(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
