@@ -1207,7 +1207,6 @@ def decontaminate_report_bloom(
     """
     from .sampling import split_bucket
 
-    n_words = m_bits // 64
     sh = (
         shingle_table(documents, n, max_doc_freq=0)
         .withColumn(
@@ -1219,17 +1218,38 @@ def decontaminate_report_bloom(
         # cache: caller-owned (repo contract — bench/driver clear per query)
         .persist()
     )
+    eval_bits = bloom_word_bits(
+        sh.filter(F.col("split") == "test").select("s").distinct(),
+        m_bits,
+        k_hashes,
+    )
+    words = _collect_bloom_words(eval_bits, m_bits)
+
+    return _bloom_decontaminate_report(
+        documents, sh, words, strata_col, test_threshold_hex, salt,
+        m_bits, k_hashes,
+    )
+
+
+def bloom_word_bits(
+    shingles: DataFrame, m_bits: int = 1 << 20, k_hashes: int = 5
+) -> DataFrame:
+    """Bit-packed bloom words (w, bits) from a distinct shingle-hash
+    frame ``shingles(s)`` — built entirely in Spark SQL (double
+    hashing, bit_or aggregate). This IS the storable form of the
+    filter: a bloom is a bit array, so the union of two filters is the
+    bitwise OR of their word frames — which makes (w, bits) a natural
+    txlog registry payload whose merge-on-read is one
+    groupBy(w).bit_or(bits) (:func:`decontaminate_bloom_incremental`).
+    ≤ m_bits/64 rows regardless of corpus size."""
     h1 = F.col("s") % m_bits
     h2 = (F.col("s") % (m_bits - 1)) + 1  # never 0 → probes never collapse
     probe_pos = [
         ((h1 + F.lit(i) * h2) % m_bits).alias(f"_p{i}")
         for i in range(k_hashes)
     ]
-    eval_bits = (
-        sh.filter(F.col("split") == "test")
-        .select("s")
-        .distinct()
-        .select(*probe_pos)
+    return (
+        shingles.select(*probe_pos)
         .select(
             F.explode(
                 F.array(*[F.col(f"_p{i}") for i in range(k_hashes)])
@@ -1242,13 +1262,36 @@ def decontaminate_report_bloom(
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
-    words = np.zeros(n_words, dtype=np.uint64)
-    for r in eval_bits.collect():  # bounded: m_bits/64 rows max
+
+
+def _collect_bloom_words(word_bits: DataFrame, m_bits: int) -> "np.ndarray":
+    """Collect a (w, bits) frame into the dense closure array the
+    Arrow-batched probe carries (bounded: m_bits/64 rows max)."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in word_bits.collect():
         # Spark's bit_or returns a SIGNED long, so any word with bit 63 set
         # arrives as a negative Python int; mask to the unsigned 64-bit
         # range BEFORE the np.uint64 cast (negative-int -> uint64 is
         # deprecated on numpy 1.26 and an OverflowError on numpy >= 2.0).
         words[int(r["w"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return words
+
+
+def _bloom_decontaminate_report(
+    documents: DataFrame,
+    sh: DataFrame,
+    words: "np.ndarray",
+    strata_col: str,
+    test_threshold_hex: str,
+    salt: str,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Probe + exact-verify + per-stratum report — shared by the
+    one-shot bloom path (:func:`decontaminate_report_bloom`) and the
+    incremental registry (:func:`decontaminate_bloom_incremental`), so
+    the two can never disagree on decontamination semantics."""
+    from .sampling import split_bucket
 
     @F.pandas_udf("boolean")
     def probe(s: pd.Series) -> pd.Series:
@@ -1286,6 +1329,76 @@ def decontaminate_report_bloom(
             F.sum(F.coalesce(F.col("_cont"), F.lit(0))).alias("n_contaminated"),
         )
         .orderBy(strata_col)
+    )
+
+
+def decontaminate_bloom_incremental(
+    documents: DataFrame,
+    table_dir: str,
+    n: int = 5,
+    strata_col: str = "lang",
+    test_threshold_hex: str = "1a",
+    salt: str = "split-v1",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """The decontamination bloom as a SKETCH REGISTRY under eval-suite
+    growth — the fourth registry family after bm25/LSH/IVF, with the
+    OPPOSITE merge algebra: a bloom filter is a bit array, so the
+    union of two filters is the bitwise OR of their (w, bits) word
+    frames. The first eval slice's words are committed v0, a newly
+    arrived eval slice's words APPENDED v1 (each commit ≤ m_bits/64
+    rows — KBs, not corpus-sized), and the merge-on-read is ONE
+    groupBy(w).bit_or(bits) over the merged scan. No tombstones, no
+    disjointness precondition — OR is idempotent, so overlapping or
+    re-ingested eval sets are harmless by algebra (contrast the
+    posting registries' disjoint-doc_id contracts). Deleting an eval
+    set is the one verb blooms cannot do (bits are shared);
+    that path is a rebuild, stated loudly here.
+
+    Probe + exact verify + report are shared with the one-shot path
+    (:func:`_bloom_decontaminate_report`), so the result equals
+    ``decontaminate_report`` over the FULL eval split — the hash match
+    proves the registry composes under eval growth.
+
+    Scale: each eval-suite release appends one KB-grain word frame;
+    the train corpus is probed in-row against the OR-merged closure
+    array. At 100 TB the filter rides task closures (12 MB at 10M
+    n-grams), never a join.
+    """
+    from . import txlog as TX
+    from .sampling import split_bucket
+
+    sh = (
+        shingle_table(documents, n, max_doc_freq=0)
+        .withColumn(
+            "split",
+            F.when(
+                split_bucket("doc_id", salt) < test_threshold_hex, "test"
+            ).otherwise("train"),
+        )
+        # cache: caller-owned (repo contract)
+        .persist()
+    )
+    ev = sh.filter(F.col("split") == "test")
+    slice1 = ev.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    slice2 = ev.filter(F.col("doc_id") % 2 == 1).select("s").distinct()
+    TX.commit(
+        table_dir, bloom_word_bits(slice1, m_bits, k_hashes),
+        mode="overwrite",
+    )
+    TX.commit(
+        table_dir, bloom_word_bits(slice2, m_bits, k_hashes), mode="append"
+    )
+    merged = (
+        TX.read_snapshot(documents.sparkSession, table_dir)
+        .groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    words = _collect_bloom_words(merged, m_bits)
+    return _bloom_decontaminate_report(
+        documents, sh, words, strata_col, test_threshold_hex, salt,
+        m_bits, k_hashes,
     )
 
 

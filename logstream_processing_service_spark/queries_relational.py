@@ -1517,3 +1517,70 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.matching import fellegi_sunter_pairs
 
     return fellegi_sunter_pairs(_t(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# r14 queue (rehearsed in r13, NOT yet registered — the standing
+# pre-measure-then-register cadence; tests/test_restore_twin.py runs the
+# compare harness at both SFs before any @spec line lands)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_restore_oracle_sql() -> str:
+    """After RESTORE TO v0 the latest read must equal the v0 slice;
+    the rolled-over v1 must stay time-travelable with its full
+    contents (restore is an auditable commit, not a rewrite)."""
+    return """
+    SELECT 'restored_latest' AS state, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE length(source) = 4
+    UNION ALL
+    SELECT 'rolled_over_v1' AS state, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    ORDER BY state
+    """
+
+
+def q_snapshot_restore_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-maintenance
+    ROLLBACK verb driver-checked (r14 queue): commit v0, append v1,
+    RESTORE TO v0 (txlog.restore — a new manifest referencing the old
+    files, no data copied), then read BOTH the restored latest (must
+    equal v0) and the rolled-over v1 (must stay time-travelable with
+    its full contents). Completes the driver-visible txlog verb set
+    (commit/read/diff/CDC/optimize/branch/RESTORE)."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    app = re.sub(
+        r"[^A-Za-z0-9._-]", "_", spark.sparkContext.applicationId
+    )
+    t = f"/tmp/logstream_restore_twin_{tag}_{app}"
+    import atexit
+
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    shutil.rmtree(t, ignore_errors=True)
+    TX.commit(t, docs.filter(F.length("source") == 4))
+    TX.commit(t, docs.filter(F.length("source") != 4), mode="append")
+    v2 = TX.restore(t, 0)
+    assert v2 == 2
+    latest = TX.read_snapshot(spark, t).agg(
+        F.lit("restored_latest").alias("state"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    rolled = TX.read_snapshot(spark, t, version=1).agg(
+        F.lit("rolled_over_v1").alias("state"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return latest.unionByName(rolled).orderBy("state")

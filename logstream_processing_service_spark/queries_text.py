@@ -2401,3 +2401,22 @@ def q_lsh_compaction_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _bm25_inc_dir(spark, sf_dir, kind="lsh_lc")
     shutil.rmtree(t, ignore_errors=True)
     return D.lsh_registry_lifecycle_pairs(base, delta, dels, t)
+
+
+def q_bloom_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination bloom
+    as a sketch registry under eval-suite growth — word frames
+    committed per eval slice, OR-merged at read (bloom union IS
+    bitwise OR: idempotent, overlap-tolerant, no tombstones). Matches
+    the exact decontaminate_report oracle over the full eval split,
+    proving the registry composes under growth (r14 queue; fourth
+    registry family, opposite merge algebra)."""
+    import shutil
+
+    from .operators.dedup import decontaminate_bloom_incremental
+
+    t = _bm25_inc_dir(spark, sf_dir, kind="bloom_inc")
+    shutil.rmtree(t, ignore_errors=True)
+    return decontaminate_bloom_incremental(
+        _t(spark, sf_dir, "documents"), t
+    )

@@ -135,6 +135,8 @@ QUERIES = [
     "lsh_compaction_twin",        # band-key-grain: 3 commits + fold + pairs
     "merkle_repair_plan",         # doc-grain hash scans + ≤64-row plan
     "doremi_to_mix_pipeline",     # doremi rounds + |domains|-row rate math
+    "bloom_incremental_twin",     # word-grain: 2 KB-sized commits + OR-merge
+    "snapshot_restore_twin",      # doc-grain: 2 commits + manifest-only restore
 ]
 
 
@@ -412,6 +414,14 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_vector",
             fromlist=["q_ann_ivf_incremental_twin"],
         ).q_ann_ivf_incremental_twin(s, sf),
+        "bloom_incremental_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_bloom_incremental_twin"],
+        ).q_bloom_incremental_twin(s, sf),
+        "snapshot_restore_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_relational",
+            fromlist=["q_snapshot_restore_twin"],
+        ).q_snapshot_restore_twin(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
@@ -727,6 +737,11 @@ def main() -> None:
 
     def run(name: str, sf_dir: str) -> float:
         fn = specs[name].fn if name in specs else extras[name]
+        # r13 bench methodology (BENCH note in bench.py): registry /
+        # stream twins do their commits and micro-batches at fn() build
+        # time — that IS the operator's cost, so the timer brackets it.
+        if name.endswith("_twin") or "registry" in name:
+            eager.add(name)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter() if name in eager else None
