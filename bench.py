@@ -326,7 +326,19 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    # Pure-plan queries run FIRST, the EAGER_BUILD family last: the
+    # eager twins' streaming micro-batches and registry builds leave the
+    # shared local JVM with loaded state-store providers and GC pressure
+    # that measurably slows LATER queries (r13 adjudication: codec/text
+    # queries interleaved after stream twins ran 3-10x slower in-bench
+    # than standalone, and reverted exactly when re-run 3x warm in a
+    # fresh session). Phasing the run isolates that contamination to the
+    # eager block, whose members are individually noisy anyway (state
+    # store maintenance timing varies run to run).
+    ordered = [n for n in HEADLINE if n not in EAGER_BUILD] + [
+        n for n in HEADLINE if n in EAGER_BUILD
+    ]
+    for name in ordered:
         fn = specs[name].fn
         if name in EAGER_BUILD:
             # fn() drives micro-batches / builds registries / trains state:

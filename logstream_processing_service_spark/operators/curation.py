@@ -2263,20 +2263,25 @@ def greedy_coverage_order(
     one shingle pass.
     """
     spark = documents.sparkSession
+    # Two-step projection (the source_coverage_report shape), NOT one
+    # nested expression: shingle_hash_array_sql references its argument
+    # n+1 times inside a transform() lambda, and Spark does not CSE
+    # subexpressions across lambda references — nesting the full
+    # word-hash expression there re-tokenized the document PER SHINGLE
+    # ELEMENT (measured 19 s for 500 docs at sf0.01; this form is
+    # ~150x faster, found when the r13 eager-timing bench first
+    # measured this operator's true build cost).
+    wh = documents.select(
+        "source",
+        F.expr(
+            T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")
+        ).alias("wh"),
+    )
     ss = (
-        documents.select(
+        wh.select(
             "source",
             F.explode(
-                F.array_distinct(
-                    F.expr(
-                        T.shingle_hash_array_sql(
-                            T.word_hash_array_sql(
-                                T.words_sql("text", "spark"), "spark"
-                            ),
-                            n,
-                        )
-                    )
-                )
+                F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
             ).alias("s"),
         )
         .distinct()

@@ -617,6 +617,56 @@ def cm_view_spec():
     return ViewSpec(group_cols=("key", "day", "r", "c"))
 
 
+def cm_incremental_registry(
+    base_events: DataFrame,
+    delta_events: DataFrame,
+    table_dir: str,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """The count-min registry under INGEST — the counter-algebra member
+    of the registry-family matrix: postings merge by append (+tombstone
+    deletes), the decontamination bloom by bitwise OR (idempotent), CM
+    counter matrices by cell-wise SUM. Each arriving event slice is
+    reduced to its own sparse (key, day, r, c, cnt) cell frame and
+    COMMITTED as one txlog version (KB-grain: ≤ |keys|·days·depth·width
+    rows regardless of slice size); the merge-on-read is one
+    groupBy-sum over the merged scan (:func:`cm_merge` — counters are
+    closed under addition), so sum(per-slice registries) is cell-for-
+    cell identical to the one-shot registry over the union.
+
+    PRECONDITION (the r12-advice discipline, stated at birth): the
+    committed slices must PARTITION the event stream — each event
+    counted in exactly one slice. Addition is not idempotent, so
+    re-ingesting a slice double-counts (contrast the bloom registry,
+    whose OR tolerates overlap by algebra). The natural ingest contract
+    (one commit per arriving batch) satisfies this for free; exact
+    de-duplication of replayed batches belongs to the txlog layer
+    (idempotent upsert), not the sketch.
+
+    Returns the merged (key, r, c, cnt) counter frame. Scale: commits
+    are sketch-grain forever; the estimate path broadcasts the merged
+    sketch and never rescans raw events (module docstring's 100 TB
+    pattern, now maintained incrementally instead of rebuilt)."""
+    from . import txlog as TX
+
+    TX.commit(
+        table_dir,
+        cm_daily_registry(base_events, key_col, item_col, depth, width),
+        mode="overwrite",
+    )
+    TX.commit(
+        table_dir,
+        cm_daily_registry(delta_events, key_col, item_col, depth, width),
+        mode="append",
+    )
+    return cm_merge(
+        TX.read_snapshot(base_events.sparkSession, table_dir)
+    )
+
+
 def mg_daily_registry(
     events: DataFrame,
     item_col: str = "user_id",

@@ -1584,3 +1584,139 @@ def q_snapshot_restore_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
     return latest.unionByName(rolled).orderBy("state")
+
+
+def snapshot_vacuum_oracle_sql() -> str:
+    """Post-vacuum latest must still equal the full table (vacuum never
+    touches the live snapshot), and the removed-manifest/dir counts are
+    deterministic by construction: three versions (commit, append,
+    optimize-rewrite), retain_last=1 keeps only the optimize result, so
+    exactly 2 manifests and the 2 pre-optimize data dirs go."""
+    return """
+    SELECT 'post_vacuum_latest' AS state, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    UNION ALL
+    SELECT 'removed_data_dirs' AS state, CAST(2 AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS total_chars
+    UNION ALL
+    SELECT 'removed_manifests' AS state, CAST(2 AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS total_chars
+    ORDER BY state
+    """
+
+
+def q_snapshot_vacuum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-maintenance GC verb
+    driver-checked (r14 queue): commit v0, append v1, OPTIMIZE into one
+    file (v2 — a rewrite, so v0/v1's data dirs become unreferenced),
+    then VACUUM with retain_last=1 and min_age=0 (safe: no concurrent
+    writers in the twin). The latest read must be byte-identical to the
+    full table — vacuum only ever deletes what no retained manifest
+    references — and the removed counts are deterministic by
+    construction (2 manifests, 2 data dirs). With RESTORE this
+    completes the maintenance verb set the driver can see:
+    commit/read/diff/CDC/optimize/branch/restore/VACUUM. The
+    restore-pin interplay (restore re-references old files, so a later
+    vacuum must keep them) is pinned in tests/test_txlog.py."""
+    import atexit
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    app = re.sub(
+        r"[^A-Za-z0-9._-]", "_", spark.sparkContext.applicationId
+    )
+    t = f"/tmp/logstream_vacuum_twin_{tag}_{app}"
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    shutil.rmtree(t, ignore_errors=True)
+    TX.commit(t, docs.filter(F.length("source") == 4))
+    TX.commit(t, docs.filter(F.length("source") != 4), mode="append")
+    TX.optimize_table(spark, t, target_files=1)
+    rep = TX.vacuum(t, retain_last=1, min_age_seconds=0.0)
+    assert rep["skipped_recent_dirs"] == 0, rep
+    latest = TX.read_snapshot(spark, t).agg(
+        F.lit("post_vacuum_latest").alias("state"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    counters = spark.createDataFrame(
+        [
+            ("removed_data_dirs", rep["removed_data_dirs"], None),
+            ("removed_manifests", rep["removed_manifests"], None),
+        ],
+        "state string, n long, total_chars long",
+    )
+    return latest.unionByName(counters).orderBy("state")
+
+
+def q_cm_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min registry under
+    ingest (r14 queue): events split into two disjoint slices
+    (event_id parity — the partition precondition satisfied by
+    construction), each slice's sparse cell frame committed as one
+    txlog version, merge-on-read = cell-wise SUM (counters are closed
+    under addition). The estimate-vs-exact report is identical to
+    ``cm_user_counts`` and reuses its bit-for-bit oracle — the hash
+    match proves sum(per-slice sketches) == one-shot sketch on the
+    union, i.e. the registry composes under ingest. Completes the
+    registry merge-algebra matrix: append (postings), OR (bloom),
+    SUM (counters)."""
+    import atexit
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.sketches import cm_estimate, cm_incremental_registry
+
+    ev = _t(spark, sf_dir, "events")
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    app = re.sub(
+        r"[^A-Za-z0-9._-]", "_", spark.sparkContext.applicationId
+    )
+    t = f"/tmp/logstream_cm_inc_{tag}_{app}"
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    shutil.rmtree(t, ignore_errors=True)
+    merged = cm_incremental_registry(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        t,
+    )
+    items = (
+        ev.filter(F.col("user_id") < 20)
+        .select(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .distinct()
+    )
+    est = cm_estimate(merged, items)
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    return (
+        exact.join(est, ["key", "item"])
+        .select(
+            "key",
+            "item",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy("key", "item")
+    )

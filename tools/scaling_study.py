@@ -137,6 +137,8 @@ QUERIES = [
     "doremi_to_mix_pipeline",     # doremi rounds + |domains|-row rate math
     "bloom_incremental_twin",     # word-grain: 2 KB-sized commits + OR-merge
     "snapshot_restore_twin",      # doc-grain: 2 commits + manifest-only restore
+    "cm_incremental_twin",        # cell-grain: 2 sketch commits + sum-merge
+    "snapshot_vacuum_twin",       # doc-grain: 2 commits + rewrite + dir GC
 ]
 
 
@@ -422,6 +424,14 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_relational",
             fromlist=["q_snapshot_restore_twin"],
         ).q_snapshot_restore_twin(s, sf),
+        "cm_incremental_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_relational",
+            fromlist=["q_cm_incremental_twin"],
+        ).q_cm_incremental_twin(s, sf),
+        "snapshot_vacuum_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_relational",
+            fromlist=["q_snapshot_vacuum_twin"],
+        ).q_snapshot_vacuum_twin(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
@@ -730,16 +740,21 @@ def main() -> None:
     # training loops): the timer must bracket the BUILD too, or the
     # measured time is just the final projection (the stream_join_twin
     # caveat, now handled instead of excluded)
-    eager = {
+    # r13 bench methodology: one shared eager set with bench.py —
+    # registry/stream twins, index builds, and driver training/greedy
+    # loops do their real work at fn() build time, so the timer must
+    # bracket it (importing keeps the two harnesses from drifting; the
+    # greedy_coverage_order pathology was first masked by exactly such
+    # a drift — its 139 s build was timed as 0.24 s here).
+    import bench as _bench
+
+    eager = set(_bench.EAGER_BUILD) | {
         "token_communities", "unigram_token_counts",
         "wordpiece_token_counts",
     }
 
     def run(name: str, sf_dir: str) -> float:
         fn = specs[name].fn if name in specs else extras[name]
-        # r13 bench methodology (BENCH note in bench.py): registry /
-        # stream twins do their commits and micro-batches at fn() build
-        # time — that IS the operator's cost, so the timer brackets it.
         if name.endswith("_twin") or "registry" in name:
             eager.add(name)
         best = float("inf")
