@@ -624,6 +624,55 @@ def read_snapshot_pruned(
     return kept.filter(F.col(col).between(lo, hi))
 
 
+def read_snapshot_pruned_box(
+    spark: SparkSession,
+    table_dir: str,
+    box: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-column manifest-stats pruning — the k-D generalization of
+    :func:`read_snapshot_pruned` (conjunctive box predicate
+    ``{col: (lo, hi), ...}``): a file is skipped when ANY dimension's
+    recorded [min, max] cannot intersect its range, then the exact
+    predicate re-applies on the kept scan, so answers equal the plain
+    filtered read by construction. This is the read side the Z-order
+    layout exists for: interleaving bounds EVERY clustered dimension
+    within each file, so a 2-D box prunes on both columns where a 1-D
+    sort layout prunes on its sort key only. Planning cost is the
+    manifest alone (KBs) — no footer reads, no listing."""
+    seen = _versions(table_dir)
+    if not seen:
+        raise ValueError(f"no committed version under {table_dir}")
+    v = seen[-1] if version is None else version
+    man = _manifest(table_dir, v)
+    stats = man.get("file_stats") or {}
+    keep = []
+    for f in man["files"]:
+        st = stats.get(f)
+        drop = False
+        if st is not None:
+            for c, (lo, hi) in box.items():
+                if st.get(f"min_{c}") is None:
+                    continue  # unknown column stats: cannot prune on it
+                if st[f"max_{c}"] < lo or st[f"min_{c}"] > hi:
+                    drop = True
+                    break
+        if not drop:
+            keep.append(f)
+    pred = None
+    for c, (lo, hi) in box.items():
+        term = F.col(c).between(lo, hi)
+        pred = term if pred is None else (pred & term)
+    if not keep:
+        return read_snapshot(spark, table_dir, v).filter(F.lit(False))
+    if man.get("evolved"):
+        kept = spark.read.option("mergeSchema", "true").parquet(*keep)
+        kept = kept.select(*[name for name, _ in man["schema"]])
+    else:
+        kept = spark.read.parquet(*keep)
+    return kept.filter(pred)
+
+
 def read_snapshot_null_pruned(
     spark: SparkSession,
     table_dir: str,

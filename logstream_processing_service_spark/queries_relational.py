@@ -1657,6 +1657,67 @@ def q_snapshot_vacuum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(counters).orderBy("state")
 
 
+def zorder_prune_oracle_sql() -> str:
+    return """
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 30
+      AND round(value, 2) BETWEEN 100 AND 300
+    ORDER BY event_id
+    """
+
+
+def q_zorder_prune_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order layout's PAYOFF
+    driver-checked (r14 queue): commit events clustered on
+    interleave(user_id, value) (layout.morton2 — one range repartition
+    on the z-value, in-partition sort) with per-file stats on BOTH
+    dimensions, then answer a 2-D box probe through
+    read_snapshot_pruned_box: files are skipped from manifest stats on
+    EITHER dimension (a 1-D sort layout prunes on its sort key only —
+    the comparison is pinned in tests/test_zorder_prune.py), and the
+    exact predicate re-applies, so the result equals the plain filter
+    by construction. Completes the layout story driver-side:
+    zorder_bucket_stats proves the interleave arithmetic bit-for-bit;
+    this proves the skip it buys. Scale: planning reads KBs of
+    manifest; the skipped bytes scale with the table."""
+    import atexit
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators import txlog as TX
+    from .operators.layout import morton2
+
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    app = re.sub(
+        r"[^A-Za-z0-9._-]", "_", spark.sparkContext.applicationId
+    )
+    t = f"/tmp/logstream_zorder_twin_{tag}_{app}"
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    shutil.rmtree(t, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    )
+    clustered = (
+        ev.withColumn(
+            "_z",
+            morton2(
+                "CAST(user_id % 65536 AS BIGINT)",
+                "CAST(CAST(floor(value) AS BIGINT) % 65536 AS BIGINT)",
+            ),
+        )
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    TX.commit_with_stats(t, clustered, stats_cols=("user_id", "value"))
+    return TX.read_snapshot_pruned_box(
+        spark, t, {"user_id": (10, 30), "value": (100.0, 300.0)}
+    ).orderBy("event_id")
+
+
 def q_cm_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-min registry under
     ingest (r14 queue): events split into two disjoint slices

@@ -139,6 +139,7 @@ QUERIES = [
     "snapshot_restore_twin",      # doc-grain: 2 commits + manifest-only restore
     "cm_incremental_twin",        # cell-grain: 2 sketch commits + sum-merge
     "snapshot_vacuum_twin",       # doc-grain: 2 commits + rewrite + dir GC
+    "zorder_prune_twin",          # events-grain: z write + manifest-skip read
 ]
 
 
@@ -432,6 +433,10 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_relational",
             fromlist=["q_snapshot_vacuum_twin"],
         ).q_snapshot_vacuum_twin(s, sf),
+        "zorder_prune_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_relational",
+            fromlist=["q_zorder_prune_twin"],
+        ).q_zorder_prune_twin(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
