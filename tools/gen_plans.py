@@ -175,6 +175,16 @@ QUERIES = [
     "rho1_token_selection",
     "source_coverage_report",
     "merkle_integrity_diff",
+    # r13 registrations: ALL seven are excluded by the standing family
+    # rules — bm25_delete_twin / bm25_compaction_twin /
+    # lsh_incremental_twin / char_window_incremental_twin /
+    # merkle_tree_update commit txlog tables at fn() build time (the
+    # txlog-twin family), and greedy_coverage_order / doremi_iterated
+    # are driver multiplicative/greedy loops whose returned frame is a
+    # LocalTableScan (their distributed build plans are pinned by their
+    # rehearsal tests and scaling exponents instead). Note
+    # lcp_neighbor_profile (r12 entry above) now renders its RANGE-mode
+    # plan after the r13 skew fix.
 ]
 
 HEADER = """# PLANS — executed physical plans of representative queries
