@@ -667,6 +667,68 @@ def cm_incremental_registry(
     )
 
 
+def cm_delete_slice(
+    events: DataFrame,
+    table_dir: str,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> int:
+    """The CM registry's DELETE verb — the turnstile property counters
+    have and the other registries lack: because cells merge by SUM, a
+    slice is retracted EXACTLY by appending its NEGATED cell frame
+    (cnt -> -cnt); the merge-on-read then cancels its contribution
+    cell-for-cell, with no tombstone read path and no rebuild (contrast
+    postings: doc-grain tombstones + anti-join at read; bloom: no
+    delete at all — shared bits force a rebuild). PRECONDITION: the
+    retracted slice must previously have been committed exactly once
+    (retracting an uncommitted slice drives counters negative — CM
+    estimates stay safe because min() over garbage is still an upper
+    bound only for non-negative sketches, so the caller owns slice
+    bookkeeping; the natural ledger is one commit per ingest batch,
+    one retraction per backed-out batch)."""
+    from . import txlog as TX
+
+    neg = cm_daily_registry(events, key_col, item_col, depth, width)
+    return TX.commit(
+        table_dir,
+        neg.withColumn("cnt", (-F.col("cnt")).cast("bigint")),
+        mode="append",
+    )
+
+
+def cm_compact_registry(
+    spark, table_dir: str, target_files: int = 1
+) -> int:
+    """The CM registry's COMPACT verb: fold the accumulated per-slice
+    (and retraction) cell frames into one summed frame and commit it as
+    an overwrite version — after compaction readers scan one small file
+    with no groupBy-sum fan-in over many versions. Cells whose folded
+    count is ZERO (fully retracted) are DROPPED, so a compacted
+    registry is cell-for-cell identical to a one-shot registry over the
+    surviving slices (asserted in tests/test_cm_incremental.py).
+
+    OCC discipline (the r12-advice shape, applied from birth): capture
+    the base version FIRST, read exactly that snapshot, and commit with
+    expected_version=base — a concurrent slice commit landing mid-fold
+    becomes a loud CommitConflict instead of silently vanishing from
+    the rewritten registry."""
+    from . import txlog as TX
+
+    base = TX._versions(table_dir)[-1]
+    merged = TX.read_snapshot(spark, table_dir, version=base)
+    folded = (
+        merged.groupBy("key", "day", "r", "c")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+        .coalesce(target_files)
+    )
+    return TX.commit(
+        table_dir, folded, mode="overwrite", expected_version=base
+    )
+
+
 def mg_daily_registry(
     events: DataFrame,
     item_col: str = "user_id",

@@ -1657,6 +1657,136 @@ def q_snapshot_vacuum_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(counters).orderBy("state")
 
 
+def cm_lifecycle_oracle_sql() -> str:
+    """The cm_user_counts oracle restricted to the SURVIVING slices
+    (event_id % 3 in (0, 1)): after the twin commits three slices,
+    retracts the third by negation, and compacts, its registry must be
+    the one-shot registry over slices 0+1 — so estimate and exact both
+    read from that population."""
+    from .operators.sketches import CM_WIDTH, _cm_cell_sql
+
+    cell = _cm_cell_sql("item", "r", CM_WIDTH)
+    return f"""
+    WITH depth_t AS (SELECT CAST(range AS INT) AS r FROM range(5)),
+    base AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day,
+               CAST(user_id AS STRING) AS item
+        FROM events WHERE event_id % 3 < 2
+    ),
+    reg AS (
+        SELECT key, day, r, CAST({cell} AS INT) AS c, count(*) AS cnt
+        FROM base, depth_t GROUP BY 1, 2, 3, 4
+    ),
+    merged AS (
+        SELECT key, r, c, sum(cnt) AS cnt FROM reg GROUP BY 1, 2, 3
+    ),
+    items AS (
+        SELECT DISTINCT event_type AS key,
+               CAST(user_id AS STRING) AS item
+        FROM events WHERE user_id < 20 AND event_id % 3 < 2
+    ),
+    probes AS (
+        SELECT key, item, r, CAST({cell} AS INT) AS c
+        FROM items, depth_t
+    ),
+    est AS (
+        SELECT p.key, p.item,
+               CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS cm_est
+        FROM probes p LEFT JOIN merged m
+          ON m.key = p.key AND m.r = p.r AND m.c = p.c
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT event_type AS key, CAST(user_id AS STRING) AS item,
+               CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events WHERE user_id < 20 AND event_id % 3 < 2
+        GROUP BY 1, 2
+    )
+    SELECT e.key, e.item, e.exact_cnt, est.cm_est,
+           CAST(est.cm_est - e.exact_cnt AS BIGINT) AS overcount
+    FROM exact e JOIN est ON e.key = est.key AND e.item = est.item
+    ORDER BY 1, 2
+    """
+
+
+def q_cm_lifecycle_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min registry's FULL
+    lifecycle (r14 queue): three event slices committed, the third
+    RETRACTED by appending its negated cell frame (the turnstile
+    delete SUM-merge counters get for free — no tombstones, no
+    rebuild), then COMPACTED via the OCC fold (zero-count cells
+    dropped, so the compacted registry is cell-for-cell the one-shot
+    registry over the surviving slices). Estimates read from the plain
+    compacted scan and must hash-match the exact oracle over slices
+    0+1. Completes the registry verb matrix: CM now has add/delete/
+    compact alongside bm25, LSH, and IVF — each with the delete
+    semantics its algebra affords (tombstone, tombstone, tombstone,
+    negation) and bloom loudly rebuild-only."""
+    import atexit
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.sketches import (
+        cm_compact_registry,
+        cm_daily_registry,
+        cm_delete_slice,
+        cm_estimate,
+        cm_merge,
+    )
+    from .operators import txlog as TX
+
+    ev = _t(spark, sf_dir, "events")
+    tag = re.sub(r"[^A-Za-z0-9._-]", "_", sf_dir.rstrip("/"))
+    app = re.sub(
+        r"[^A-Za-z0-9._-]", "_", spark.sparkContext.applicationId
+    )
+    t = f"/tmp/logstream_cm_lc_{tag}_{app}"
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    shutil.rmtree(t, ignore_errors=True)
+    for b in range(3):
+        TX.commit(
+            t,
+            cm_daily_registry(ev.filter(F.col("event_id") % 3 == b)),
+            mode="overwrite" if b == 0 else "append",
+        )
+    cm_delete_slice(ev.filter(F.col("event_id") % 3 == 2), t)
+    cm_compact_registry(spark, t)
+    merged = cm_merge(TX.read_snapshot(spark, t))
+    surviving = ev.filter(F.col("event_id") % 3 < 2)
+    items = (
+        surviving.filter(F.col("user_id") < 20)
+        .select(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .distinct()
+    )
+    est = cm_estimate(merged, items)
+    exact = (
+        surviving.filter(F.col("user_id") < 20)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.col("user_id").cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    return (
+        exact.join(est, ["key", "item"])
+        .select(
+            "key",
+            "item",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy("key", "item")
+    )
+
+
 def zorder_prune_oracle_sql() -> str:
     return """
     SELECT event_id, user_id, round(value, 2) AS value

@@ -140,6 +140,7 @@ QUERIES = [
     "cm_incremental_twin",        # cell-grain: 2 sketch commits + sum-merge
     "snapshot_vacuum_twin",       # doc-grain: 2 commits + rewrite + dir GC
     "zorder_prune_twin",          # events-grain: z write + manifest-skip read
+    "cm_lifecycle_twin",          # cell-grain: 4 commits + neg-delete + fold
 ]
 
 
@@ -437,6 +438,10 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_relational",
             fromlist=["q_zorder_prune_twin"],
         ).q_zorder_prune_twin(s, sf),
+        "cm_lifecycle_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_relational",
+            fromlist=["q_cm_lifecycle_twin"],
+        ).q_cm_lifecycle_twin(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
