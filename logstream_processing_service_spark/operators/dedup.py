@@ -151,14 +151,24 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    documents: DataFrame, n: int = 3, max_doc_freq: int = 500
+    documents: DataFrame,
+    n: int = 3,
+    max_doc_freq: int = 500,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature (16 perms over 48-bit shingle hashes).
 
     The shingle hash IS the minhash input — no second hashing pass; the 16
     linear perms are integer ops over the already-materialized long.
+    ``shingles`` overrides the internally-built (doc_id, s) frame — the
+    seam the incremental registry uses to apply its FROZEN hot-shingle
+    filter (see :func:`lsh_frozen_hot`).
     """
-    sh = shingle_table(documents, n, max_doc_freq)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_table(documents, n, max_doc_freq)
+    )
     h = F.col("s")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(T.MINHASH_PRIME)).alias(f"mh_{j}")
@@ -172,6 +182,7 @@ def minhash_band_keys(
     n: int = 3,
     bands: int | None = None,
     max_doc_freq: int = 500,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, bkey) LSH band keys from per-doc MinHash signatures —
     the blocking keys shared by batch pair-generation and the streaming
@@ -181,10 +192,13 @@ def minhash_band_keys(
     ``max_doc_freq=0`` disables the hot-shingle cap — required when band
     keys must be reproducible regardless of how the corpus is sliced into
     micro-batches (a per-batch doc-frequency cap depends on the slicing).
+    The incremental registries recover the cap WITHOUT breaking that
+    reproducibility by passing a pre-filtered ``shingles`` frame built
+    against a frozen base-corpus hot list (:func:`lsh_frozen_hot`).
     """
     bands = bands or T.MINHASH_BANDS
     rows = len(T.MINHASH_PERMS) // bands
-    sig = minhash_signatures(documents, n, max_doc_freq)
+    sig = minhash_signatures(documents, n, max_doc_freq, shingles=shingles)
     keys = F.array(
         *[
             F.concat_ws("_", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)])
@@ -315,6 +329,64 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_frozen_hot(
+    base_docs: DataFrame,
+    table_dir: str,
+    n: int = 3,
+    hot_df: int = 500,
+):
+    """Compute the hot-shingle list on the BASE corpus, commit it as
+    registry METADATA (a txlog table under ``<table_dir>/_hotmeta``),
+    and return (meta_dir, frozen_hot_frame read back from the commit).
+
+    Why this exists — the r13 third-decade finding: the incremental
+    registry's ``max_doc_freq=0`` signatures (required so band keys
+    don't depend on how the corpus is sliced into commits) remove the
+    hot-shingle cap the batch path has, and on a corpus with
+    corpus-wide boilerplate shingles the minhash degenerates — a
+    shingle in >10% of docs captures the min under many permutations,
+    forming giant CROSS-FAMILY buckets whose in-bucket pair expansion
+    is quadratic. Measured: candidate pairs 43k → 4.3M → 424M across
+    three decades (α ≈ 2), wall-clock 3.6 s → 7.7 s → 529 s.
+
+    The fix is the IVF precedent (ann_ivf_incremental freezes
+    centroids on the base): freeze the hot list ON THE BASE COMMIT as
+    registry metadata. Every later delta filters its shingles against
+    the SAME frozen list before signaturing — slicing-independent
+    (the list never depends on delta composition) AND capped (the
+    degenerate buckets never form). Like centroids, the list reflects
+    the base distribution; refreshing it is a scheduled REBUILD of the
+    registry, not an ingest verb. The list is shingle-hash-grain
+    (≤ |docs|·shingles/hot_df entries by the pigeonhole bound — KBs),
+    broadcast into every signature job."""
+    import os as _os
+
+    from . import txlog as TX
+
+    meta_dir = _os.path.join(table_dir, "_hotmeta")
+    hot = (
+        shingle_table(base_docs, n, max_doc_freq=0)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > hot_df)
+        .select("s")
+    )
+    TX.commit(meta_dir, hot, mode="overwrite")
+    return meta_dir, TX.read_snapshot(base_docs.sparkSession, meta_dir)
+
+
+def _frozen_capped_keys(
+    docs: DataFrame, frozen_hot: DataFrame, n: int = 3
+) -> DataFrame:
+    """Band keys from signatures over the doc's shingles MINUS the
+    frozen hot list (broadcast anti-join — no exchange added to the
+    shingle stream)."""
+    sh = shingle_table(docs, n, max_doc_freq=0).join(
+        F.broadcast(frozen_hot), "s", "left_anti"
+    )
+    return minhash_band_keys(docs, n, max_doc_freq=0, shingles=sh)
+
+
 def lsh_incremental_pairs(
     base_docs: DataFrame,
     delta_docs: DataFrame,
@@ -331,11 +403,15 @@ def lsh_incremental_pairs(
     re-shingled or re-signatured. The bm25_incremental_index
     discipline applied to the dedup index.
 
-    Signatures use ``max_doc_freq=0`` (per-doc in-row minhash, no
-    corpus-dependent hot-shingle cap) — the streaming registry's
-    slicing-independence requirement: a df cap computed per commit
-    would make band keys depend on how the corpus was sliced into
-    commits, and base+delta would stop composing to the batch answer.
+    Signatures use ``max_doc_freq=0`` shingle streams filtered against
+    a hot-shingle list FROZEN on the base commit
+    (:func:`lsh_frozen_hot` — registry metadata, the IVF
+    frozen-centroid precedent): a df cap computed per commit would
+    make band keys depend on how the corpus was sliced into commits,
+    but an uncapped signature degenerates on boilerplate-hot corpora
+    (measured α ≈ 2 in candidates across three decades). The frozen
+    list is both slicing-independent and capped; its refresh is a
+    scheduled registry rebuild, not an ingest verb.
 
     Verification joins TRUE uncapped Jaccard over per-doc shingle-hash
     sets of the union corpus, restricted to candidate ids (two narrow
@@ -361,12 +437,13 @@ def lsh_incremental_pairs(
     from . import txlog as TX
 
     spark = base_docs.sparkSession
+    _, frozen = lsh_frozen_hot(base_docs, table_dir)
     TX.commit(
-        table_dir, minhash_band_keys(base_docs, max_doc_freq=0),
+        table_dir, _frozen_capped_keys(base_docs, frozen),
         mode="overwrite",
     )
     TX.commit(
-        table_dir, minhash_band_keys(delta_docs, max_doc_freq=0),
+        table_dir, _frozen_capped_keys(delta_docs, frozen),
         mode="append",
     )
     banded = TX.read_snapshot(spark, table_dir)
@@ -506,12 +583,13 @@ def lsh_registry_lifecycle_pairs(
     from . import txlog as TX
 
     spark = base_docs.sparkSession
+    _, frozen = lsh_frozen_hot(base_docs, table_dir)
     TX.commit(
-        table_dir, minhash_band_keys(base_docs, max_doc_freq=0),
+        table_dir, _frozen_capped_keys(base_docs, frozen),
         mode="overwrite",
     )
     TX.commit(
-        table_dir, minhash_band_keys(delta_docs, max_doc_freq=0),
+        table_dir, _frozen_capped_keys(delta_docs, frozen),
         mode="append",
     )
     TX.commit(table_dir, lsh_delete_tombstones(delete_ids), mode="append")
@@ -1399,6 +1477,80 @@ def decontaminate_bloom_incremental(
     return _bloom_decontaminate_report(
         documents, sh, words, strata_col, test_threshold_hex, salt,
         m_bits, k_hashes,
+    )
+
+
+def decontaminate_bloom_rebuild(
+    documents: DataFrame,
+    table_dir: str,
+    n: int = 5,
+    strata_col: str = "lang",
+    test_threshold_hex: str = "1a",
+    salt: str = "split-v1",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """The bloom registry's DELETE path, which for a bloom is loudly a
+    REBUILD: bits are shared across eval sets (OR is not invertible),
+    so 'remove eval slice 2' cannot subtract — the registry is rebuilt
+    from the RETAINED slices and committed as an overwrite version
+    (history stays time-travelable: the pre-delete filter remains
+    readable at its version until vacuumed). This is the documented
+    non-verb made a tested path, completing the per-family delete
+    semantics: postings/LSH/IVF tombstone, CM negates, bloom rebuilds.
+
+    Sequence: slice-1 words committed v0, slice-2 appended v1 (the
+    growth history), then the slice-2 removal rebuilds from slice 1
+    alone -> overwrite v2. The returned report is the decontamination
+    report against the RETAINED eval set only and hash-matches the
+    exact oracle restricted to it. Scale: the rebuild re-reduces only
+    the retained EVAL slices (KB-grain word frames from eval-suite
+    shingle sets) — the 100-TB train corpus is never touched by the
+    delete; it re-probes the new closure array in-row as always."""
+    from . import txlog as TX
+    from .sampling import split_bucket
+
+    sh = (
+        shingle_table(documents, n, max_doc_freq=0)
+        .withColumn(
+            "split",
+            F.when(
+                split_bucket("doc_id", salt) < test_threshold_hex, "test"
+            ).otherwise("train"),
+        )
+        # cache: caller-owned (repo contract)
+        .persist()
+    )
+    ev = sh.filter(F.col("split") == "test")
+    slice1 = ev.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    slice2 = ev.filter(F.col("doc_id") % 2 == 1).select("s").distinct()
+    TX.commit(
+        table_dir, bloom_word_bits(slice1, m_bits, k_hashes),
+        mode="overwrite",
+    )
+    TX.commit(
+        table_dir, bloom_word_bits(slice2, m_bits, k_hashes), mode="append"
+    )
+    # the delete request: rebuild from the retained slice, overwrite
+    TX.commit(
+        table_dir, bloom_word_bits(slice1, m_bits, k_hashes),
+        mode="overwrite",
+    )
+    merged = (
+        TX.read_snapshot(documents.sparkSession, table_dir)
+        .groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    words = _collect_bloom_words(merged, m_bits)
+    # the retained-eval view: slice-2 test docs leave the eval set
+    # (train rows are untouched — deleting eval docs never changes the
+    # train population the report counts)
+    sh_retained = sh.filter(
+        ~((F.col("split") == "test") & (F.col("doc_id") % 2 == 1))
+    )
+    return _bloom_decontaminate_report(
+        documents, sh_retained, words, strata_col, test_threshold_hex,
+        salt, m_bits, k_hashes,
     )
 
 

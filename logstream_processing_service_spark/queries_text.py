@@ -77,14 +77,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _minhash_cte(max_bucket: int = 2000, sig_src: str = "sh") -> str:
+def _minhash_cte(
+    max_bucket: int = 2000,
+    sig_src: str = "sh",
+    base_hot_pred: str | None = None,
+    corpus_pred: str | None = None,
+) -> str:
     """CTE chain ending in ``verified(d1, d2, jaccard)`` — shared by the
     pair query and the cluster-resolution query. ``max_bucket`` must match
     the ``max_bucket`` passed to the Spark operator. ``sig_src='sh_all'``
-    computes signatures from the UNCAPPED shingle table — the
-    slicing-independent form the incremental/streaming registries
-    require (a df cap computed per commit would make band keys depend
-    on how the corpus was sliced)."""
+    computes signatures from the UNCAPPED shingle table.
+
+    ``base_hot_pred`` (a doc_id predicate selecting the BASE slice)
+    reproduces the incremental registries' FROZEN hot-shingle filter
+    (dedup.lsh_frozen_hot): shingles whose doc frequency WITHIN the
+    base slice exceeds 500 are excluded from signatures — of every
+    doc, base and delta alike, exactly as the frozen metadata commit
+    does. ``corpus_pred`` restricts the LIVE corpus (sig + verify
+    sides) without restricting the hot computation — needed by the
+    lifecycle oracle, where deletes happen AFTER the hot list froze,
+    so the frozen list still reflects the soon-deleted docs."""
     rows = len(T.MINHASH_PERMS) // T.MINHASH_BANDS
     mh_cols = ", ".join(
         f"min({T.minhash_value_sql('s', T.MINHASH_PERMS[j])}) AS mh_{j}"
@@ -96,10 +108,23 @@ def _minhash_cte(max_bucket: int = 2000, sig_src: str = "sh") -> str:
         + ") AS bkey FROM sig"
         for bi in range(T.MINHASH_BANDS)
     )
+    hot_ctes = ""
+    if base_hot_pred is not None:
+        hot_ctes = f""",
+    base_hot AS (
+        SELECT s FROM sh_all WHERE {base_hot_pred}
+        GROUP BY s HAVING count(*) > 500
+    ),
+    sh_sig AS (
+        SELECT a.doc_id, a.s FROM sh_all a
+        WHERE NOT EXISTS (SELECT 1 FROM base_hot h WHERE h.s = a.s)
+    )"""
+        sig_src = "sh_sig"
+    live = f" WHERE {corpus_pred}" if corpus_pred else ""
     # verify uses the UNCAPPED shingle table (sh_all) as per-doc 48-bit
     # hash sets — the same hash-set intersection the Spark operator does
-    return f"""{_SHINGLE_CTE},
-    sig AS (SELECT doc_id, {mh_cols} FROM {sig_src} GROUP BY doc_id),
+    return f"""{_SHINGLE_CTE}{hot_ctes},
+    sig AS (SELECT doc_id, {mh_cols} FROM {sig_src}{live} GROUP BY doc_id),
     banded AS ({band_selects}),
     sized AS (
         SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded
@@ -111,7 +136,7 @@ def _minhash_cte(max_bucket: int = 2000, sig_src: str = "sh") -> str:
     ),
     hsets AS (
         SELECT doc_id, array_agg(DISTINCT s) AS ss
-        FROM sh_all GROUP BY doc_id
+        FROM sh_all{live} GROUP BY doc_id
     ),
     verified AS (
         SELECT c.d1, c.d2,
@@ -2208,10 +2233,12 @@ def bm25_delete_oracle_sql() -> str:
 
 
 def lsh_incremental_oracle_sql() -> str:
-    """Batch rebuild on the union corpus, uncapped signatures (the
-    slicing-independent form the registry commits)."""
+    """Batch rebuild on the union corpus, signatures filtered against
+    the hot-shingle list computed on the BASE slice (doc_id % 5 != 0)
+    — the frozen-metadata form the registry commits
+    (dedup.lsh_frozen_hot; the r13 third-decade fix)."""
     return f"""
-    WITH {_minhash_cte(sig_src="sh_all")}
+    WITH {_minhash_cte(sig_src="sh_all", base_hot_pred="doc_id % 5 <> 0")}
     SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8
     ORDER BY d1, d2
     """
@@ -2364,20 +2391,23 @@ def q_lcp_neighbor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_lifecycle_oracle_sql() -> str:
-    """Batch rebuild on the POST-DELETE union corpus, uncapped
-    signatures: after the full add/delete/compact lifecycle the
-    registry read must be indistinguishable from never having indexed
-    the deleted docs at all (the bm25_delete_oracle_sql discipline on
-    the dedup index)."""
+    """Batch rebuild on the POST-DELETE union corpus with the
+    base-frozen hot filter: after the full add/delete/compact
+    lifecycle the registry read must be indistinguishable from never
+    having indexed the deleted docs — EXCEPT the frozen hot list,
+    which was computed when the soon-deleted docs were still present
+    (metadata freezes at registry creation; its refresh is a rebuild),
+    so the hot CTE sees the full base slice while sig/verify see only
+    live docs."""
     return f"""
-    WITH {_minhash_cte(sig_src="sh_all")}
+    WITH {_minhash_cte(
+        sig_src="sh_all",
+        base_hot_pred="doc_id % 5 <> 0",
+        corpus_pred="doc_id % 7 <> 3",
+    )}
     SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8
     ORDER BY d1, d2
-    """.replace(
-        "FROM documents",
-        "FROM (SELECT * FROM documents WHERE doc_id % 7 <> 3)",
-        1,
-    )
+    """
 
 
 def q_lsh_compaction_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2401,6 +2431,61 @@ def q_lsh_compaction_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _bm25_inc_dir(spark, sf_dir, kind="lsh_lc")
     shutil.rmtree(t, ignore_errors=True)
     return D.lsh_registry_lifecycle_pairs(base, delta, dels, t)
+
+
+def bloom_rebuild_oracle_sql() -> str:
+    """The exact decontamination oracle restricted to the RETAINED eval
+    slice (even-doc_id test docs) — what the rebuilt filter must
+    match after 'deleting' the odd-doc_id eval slice."""
+    return f"""
+    WITH labeled AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN md5(concat('split-v1', ':', CAST(doc_id AS VARCHAR))) < '1a'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    words AS (SELECT doc_id, lang, split, {_WORDS5_DUCK} AS w FROM labeled),
+    whs AS (SELECT doc_id, lang, split,
+                   {T.word_hash_array_sql('w', 'duckdb')} AS wh FROM words),
+    sh AS (
+        SELECT DISTINCT doc_id, split,
+               unnest({T.shingle_hash_array_sql('wh', 5, 'duckdb')}) AS s
+        FROM whs
+    ),
+    eval_sh AS (
+        SELECT DISTINCT s FROM sh WHERE split = 'test' AND doc_id % 2 = 0
+    ),
+    cont AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE split = 'train' AND s IN (SELECT s FROM eval_sh)
+    )
+    SELECT l.lang, count(*) AS n_train,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM labeled l LEFT JOIN cont c ON l.doc_id = c.doc_id
+    WHERE l.split = 'train'
+    GROUP BY l.lang ORDER BY l.lang
+    """
+
+
+def q_bloom_rebuild_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom registry's delete-as-
+    REBUILD path (r14 queue): shared bits make OR non-invertible, so
+    removing an eval slice rebuilds the filter from the retained
+    slices (overwrite commit; the pre-delete filter stays
+    time-travelable). The report must match the exact oracle
+    restricted to the retained eval slice — completing the per-family
+    delete semantics (postings/LSH/IVF tombstone, CM negates, bloom
+    rebuilds)."""
+    import shutil
+
+    from .operators.dedup import decontaminate_bloom_rebuild
+
+    t = _bm25_inc_dir(spark, sf_dir, kind="bloom_rb")
+    shutil.rmtree(t, ignore_errors=True)
+    return decontaminate_bloom_rebuild(
+        _t(spark, sf_dir, "documents"), t
+    )
 
 
 def q_bloom_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:

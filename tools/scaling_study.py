@@ -141,6 +141,7 @@ QUERIES = [
     "snapshot_vacuum_twin",       # doc-grain: 2 commits + rewrite + dir GC
     "zorder_prune_twin",          # events-grain: z write + manifest-skip read
     "cm_lifecycle_twin",          # cell-grain: 4 commits + neg-delete + fold
+    "bloom_rebuild_twin",         # word-grain: 3 commits (rebuild) + probe
 ]
 
 
@@ -442,6 +443,10 @@ def _extra_queries():
             "logstream_processing_service_spark.queries_relational",
             fromlist=["q_cm_lifecycle_twin"],
         ).q_cm_lifecycle_twin(s, sf),
+        "bloom_rebuild_twin": lambda s, sf: __import__(
+            "logstream_processing_service_spark.queries_text",
+            fromlist=["q_bloom_rebuild_twin"],
+        ).q_bloom_rebuild_twin(s, sf),
     }
 
 SCALE_DIR = "/tmp/logstream_scale10"
@@ -477,6 +482,12 @@ SCALE100_QUERIES = (
     # r12's priciest registration (3.1 s at sf0.1): the no-df-cap
     # shingle-inventory aggregates get a third point
     "source_coverage_report",
+    # r13 session: the incremental-registry family's costliest members
+    # get a third point — their O(|delta|) ingest claim is the 100 TB
+    # argument, so the exponent should bend DOWN as the fixed commit
+    # overhead amortizes (eager-timed per the r13 methodology)
+    "lsh_incremental_twin",
+    "char_window_incremental_twin",
 )
 
 
