@@ -38,6 +38,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The exact C kernel np.einsum("ij,j->i", ...) dispatches to (einsumfunc
+# forwards the call verbatim when optimize=False); binding it once keeps
+# the hot _dist path free of the Python dispatch wrapper. Arithmetic —
+# and thus the graph — is bit-identical; falls back to the public API if
+# the private location ever moves.
+try:  # numpy 1.x
+    from numpy.core._multiarray_umath import c_einsum as _c_einsum
+except ImportError:  # pragma: no cover - numpy 2.x relocation
+    _c_einsum = np.einsum
+
 
 class HNSWIndex:
     def __init__(self, M: int = 8, ef_construction: int = 64, seed: int = 0):
@@ -64,7 +74,10 @@ class HNSWIndex:
         # vectors (caught by the hypothesis fuzzer). Quantizing at 1e-12
         # collapses any residual wobble; real ranking margins are orders
         # of magnitude larger, and true ties break by node id.
-        return np.round(1.0 - np.einsum("ij,j->i", self.vecs[idx], q), 12)
+        # (1.0 - ...).round(12) invokes the same C kernels as
+        # np.round(np.einsum(...)) but skips the fromnumeric/einsumfunc
+        # Python wrappers — measurable at ~600k calls per 2000-node build.
+        return (1.0 - _c_einsum("ij,j->i", self.vecs[idx], q)).round(12)
 
     # -- construction -----------------------------------------------------
 
@@ -113,18 +126,21 @@ class HNSWIndex:
 
     def _select_heuristic(self, q: np.ndarray, cands, m: int):
         """Algorithm 4: keep a candidate only if it is closer to q than to
-        every already-selected neighbor (diversity pruning)."""
+        every already-selected neighbor (diversity pruning).
+
+        The candidate-vs-selected distances are computed in ONE ``_dist``
+        call per candidate (row-wise einsum — bit-identical to the former
+        per-pair calls, which dominated the build profile at 3.2M numpy
+        invocations for a 2000-node graph: 58s of a 65s build)."""
         out: list[tuple[float, int]] = []
+        sel: list[int] = []
         for d, c in cands:
             if len(out) >= m:
                 break
-            ok = True
-            for _, s in out:
-                if float(self._dist(self.vecs[c], [s])[0]) < d:
-                    ok = False
-                    break
-            if ok:
-                out.append((d, c))
+            if sel and bool((self._dist(self.vecs[c], sel) < d).any()):
+                continue
+            out.append((d, c))
+            sel.append(c)
         return out
 
     def _insert(self, i: int, level: int) -> None:

@@ -1477,6 +1477,9 @@ def ann_ivf_lifecycle(
     from . import txlog as TX
 
     spark = base_emb.sparkSession
+    # centroid frame persists across the three commits + probe; the cache
+    # lifecycle is caller-owned (repo contract — bench/driver clear caches
+    # per query)
     cent = label_centroids(base_emb).persist()
     emb_type = base_emb.schema["embedding"].dataType
     TX.commit(
