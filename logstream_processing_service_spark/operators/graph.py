@@ -73,18 +73,20 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
             F.col("outdeg").cast("bigint").alias("degree"),
             F.lit(0.0).alias("rank_scaled"),
         )
+    # outdeg is STATIC across iterations: attach it to the edge list once
+    # (guide §2.4 — don't re-establish the same join every step) instead of
+    # re-joining ranks⋈nodes per iteration; share = rank/outdeg is the same
+    # float64 per edge either way.
+    # cache: caller-owned (repo contract — bench/driver clear per query)
+    edeg = edges.join(
+        nodes.select(F.col("node").alias("src"), "outdeg"), "src"
+    ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         contrib = (
-            edges.join(
-                ranks.join(nodes, "node").select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("outdeg")).alias("share"),
-                ),
-                "src",
-            )
+            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum("share").alias("in_mass"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_mass"))
         )
         ranks = (
             nodes.select("node")
@@ -104,6 +106,7 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
         F.round(F.col("rank") * n, 6).alias("rank_scaled"),
     )
     edges.unpersist()
+    edeg.unpersist()
     return out
 
 
@@ -183,18 +186,22 @@ def weighted_pagerank(
             F.col("outw").cast("bigint").alias("strength"),
             F.lit(0.0).alias("rank_scaled"),
         )
+    # same static-join hoist as pagerank(): outw never changes, so it
+    # rides the persisted edge frame instead of a per-iteration join.
+    # cache: caller-owned (repo contract — bench/driver clear per query)
+    edeg = edges.join(
+        nodes.select(F.col("node").alias("src"), "outw"), "src"
+    ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         contrib = (
-            edges.join(
-                ranks.join(nodes, "node").select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("outw")).alias("share"),
-                ),
-                "src",
-            )
+            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("share") * F.col("w")).alias("in_mass"))
+            .agg(
+                F.sum(
+                    (F.col("rank") / F.col("outw")) * F.col("w")
+                ).alias("in_mass")
+            )
         )
         ranks = (
             nodes.select("node")
@@ -214,6 +221,7 @@ def weighted_pagerank(
         F.round(F.col("rank") * n, 6).alias("rank_scaled"),
     )
     edges.unpersist()
+    edeg.unpersist()
     return out
 
 
