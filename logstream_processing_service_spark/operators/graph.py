@@ -28,19 +28,29 @@ N_ITER = 8
 def co_order_edges(lineitem: DataFrame) -> DataFrame:
     """Simple undirected co-purchase graph: parts appearing in the same
     order, deduplicated to one edge per unordered pair, emitted in both
-    directions. One self-join per order key; the per-order item lists are
-    small (TPC-H ~4), so the pair expansion is bounded per key."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1")
+    directions.
+
+    Pair formation is IN-ROW (guide §2.3/§2.4 — one collect_set exchange
+    keyed on the order, then array combinatorics), not a self-join: the
+    former items⋈items plan paid a (l_orderkey, l_partkey) distinct
+    exchange PLUS a broadcast of the whole item list; collect_set dedups
+    (o, p) for free inside the same single exchange, and array_sort makes
+    the in-row expansion emit each unordered pair exactly once (strict <
+    holds because set elements are distinct). Per-order item lists are
+    small (TPC-H ~4), so the expansion is bounded per key. The pair
+    distinct is the one remaining exchange — identical edge set to the
+    self-join form."""
+    items = lineitem.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    b = items.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
+    combos = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i+2, size(ps)-i-1), "
+        "y -> struct(x AS p1, y AS p2))))"
     )
     und = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
+        items.select(F.explode(combos).alias("p"))
+        .select("p.p1", "p.p2")
         .distinct()
     )
     return und.select(
@@ -48,7 +58,12 @@ def co_order_edges(lineitem: DataFrame) -> DataFrame:
     ).unionByName(und.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
 
 
-def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+    symmetric: bool = False,
+) -> DataFrame:
     """PageRank over a directed edge list by ``n_iter`` power-iteration
     steps from the uniform start. Returns (node, degree, rank_scaled)
     where rank_scaled = rank x |V| rounded at 6 dp (x|V| keeps the
@@ -56,7 +71,17 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
 
     Every node must have out-degree >= 1 (true for any symmetrized edge
     list); dangling-node redistribution is intentionally out of scope and
-    guarded by construction here."""
+    guarded by construction here.
+
+    ``symmetric=True`` additionally asserts every node has IN-degree >= 1
+    (also true for any symmetrized edge list): then the per-iteration
+    contrib aggregate already contains every node, and the
+    nodes⋈contrib left join that re-attaches zero-in-mass nodes is
+    skipped — each iteration becomes exactly ONE exchange (the dst-keyed
+    message aggregation), the relational Pregel floor (guide §2.4). A
+    node with no in-edges would be silently dropped under this flag, so
+    only set it for symmetrized inputs; results are bit-identical there
+    (in_mass is never NULL, so the coalesce was a no-op)."""
     # cache: caller-owned (repo contract — bench/driver clear per query)
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -88,18 +113,30 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_mass"))
         )
-        ranks = (
-            nodes.select("node")
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
+        if symmetric:
+            # every node receives mass: derive the next rank frame from
+            # contrib directly — no re-attachment join (see docstring)
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.lit(damping) * F.col("in_mass")
                 ).alias("rank"),
+            ).localCheckpoint(eager=False)
+        else:
+            ranks = (
+                nodes.select("node")
+                .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint()
-        )
     out = ranks.join(nodes, "node").select(
         "node",
         F.col("outdeg").cast("bigint").alias("degree"),
@@ -159,7 +196,10 @@ def pagerank_oracle_sql(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
 
 
 def weighted_pagerank(
-    edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING
+    edges: DataFrame,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+    symmetric: bool = False,
 ) -> DataFrame:
     """PageRank over a WEIGHTED directed edge list (src, dst, w): each
     node distributes its rank proportionally to outgoing edge weight —
@@ -170,7 +210,11 @@ def weighted_pagerank(
     Returns (node, strength, rank_scaled): strength = Σ outgoing w
     (BIGINT — callers pass integer co-occurrence counts), rank_scaled =
     rank × |V| at 6 dp. Every node must have out-strength ≥ 1 (true for
-    any symmetrized edge list)."""
+    any symmetrized edge list).
+
+    ``symmetric=True``: same contract and same one-exchange-per-iteration
+    effect as :func:`pagerank` — every node must also RECEIVE mass (true
+    for symmetrized edge lists); bit-identical results there."""
     # cache: caller-owned (repo contract — bench/driver clear per query)
     edges = edges.persist()
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
@@ -203,18 +247,29 @@ def weighted_pagerank(
                 ).alias("in_mass")
             )
         )
-        ranks = (
-            nodes.select("node")
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
+        if symmetric:
+            # every node receives mass: no re-attachment join (docstring)
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + F.lit(damping) * F.col("in_mass")
                 ).alias("rank"),
+            ).localCheckpoint(eager=False)
+        else:
+            ranks = (
+                nodes.select("node")
+                .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint()
-        )
     out = ranks.join(nodes, "node").select(
         "node",
         F.col("outw").cast("bigint").alias("strength"),

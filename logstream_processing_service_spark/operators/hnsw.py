@@ -128,19 +128,30 @@ class HNSWIndex:
         """Algorithm 4: keep a candidate only if it is closer to q than to
         every already-selected neighbor (diversity pruning).
 
-        The candidate-vs-selected distances are computed in ONE ``_dist``
-        call per candidate (row-wise einsum — bit-identical to the former
-        per-pair calls, which dominated the build profile at 3.2M numpy
-        invocations for a 2000-node graph: 58s of a 65s build)."""
+        Vectorization (r13): one ``_dist`` batch per SELECTED node over
+        the remaining candidates, instead of one per CANDIDATE over the
+        selected set (which dominated the build profile at 306k numpy
+        invocations for a 2000-node graph). Bit-identical: the pairwise
+        dot d(c, s) is the same einsum row-sum either way (elementwise
+        IEEE multiplication is commutative and the j-order reduction is
+        unchanged), and "candidate c pruned iff some earlier-selected s
+        has d(c, s) < d(c, q)" is evaluated eagerly at selection time
+        rather than lazily at visit time — same comparisons, same kept
+        set, same order."""
         out: list[tuple[float, int]] = []
-        sel: list[int] = []
-        for d, c in cands:
+        k = len(cands)
+        pruned = np.zeros(k, dtype=bool)
+        cd = np.fromiter((d for d, _ in cands), dtype=np.float64, count=k)
+        ci = [c for _, c in cands]
+        for i in range(k):
             if len(out) >= m:
                 break
-            if sel and bool((self._dist(self.vecs[c], sel) < d).any()):
+            if pruned[i]:
                 continue
-            out.append((d, c))
-            sel.append(c)
+            out.append((cd[i], ci[i]))
+            if i + 1 < k:
+                ds = self._dist(self.vecs[ci[i]], ci[i + 1:])
+                pruned[i + 1:] |= ds < cd[i + 1:]
         return out
 
     def _insert(self, i: int, level: int) -> None:

@@ -628,6 +628,9 @@ def textrank_keywords(
         cooccurrence_edges(documents, min_weight=min_weight),
         n_iter=n_iter,
         damping=damping,
+        # cooccurrence_edges emits both directions — every node receives
+        # mass, so the per-iteration re-attachment join is skippable (r13)
+        symmetric=True,
     )
     return (
         pr.select(

@@ -662,7 +662,11 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     float iterations on both engines."""
     from .operators.graph import co_order_edges, pagerank
 
-    return pagerank(co_order_edges(_t(spark, sf_dir, "lineitem")))
+    # symmetric=True: co_order_edges emits both directions, so every node
+    # receives mass — skips the per-iteration re-attachment join (r13)
+    return pagerank(
+        co_order_edges(_t(spark, sf_dir, "lineitem")), symmetric=True
+    )
 
 
 def _json_shred_oracle() -> str:
