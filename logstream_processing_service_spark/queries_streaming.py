@@ -218,6 +218,12 @@ def q_denstream_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string, vec array<double>, ts_s double",
         lambda s: denstream_stream(s, "key"),
         output_mode="update",
+        # grouped-map CPU floor: DenStream does real per-key Python work
+        # inside each batch, and its handful of keys must not collide
+        # into one partition — keep the session's full parallelism so
+        # every key gets its own task (r13, drive.py; the state-store
+        # shedding that pays off for the join/window twins loses here)
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
     final = last_batch_per_key(captured, "key")
     return final.select(
