@@ -86,7 +86,13 @@ def minhash_dedup_sink(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         reg_path = f"{out_dir}/registry/data"
-        bk = minhash_band_keys(batch_df, n, bands, max_doc_freq)
+        # band keys feed FIVE consumers across the batch's three write
+        # actions (prior probe, survivor anti-join, in-batch first-wins,
+        # registry delta) — unpersisted, each action re-derived the whole
+        # shingle→minhash pipeline over the batch text (r13, guide §5:
+        # reuse + recompute-cost justify the pin). Narrow rows: ~bands
+        # per doc. Released at the end of the batch.
+        bk = minhash_band_keys(batch_df, n, bands, max_doc_freq).persist()
         try:
             reg = spark.read.parquet(reg_path)
         except Exception:
@@ -108,7 +114,9 @@ def minhash_dedup_sink(
             .groupBy("doc_id")
             .agg(F.min("keep_id").alias("dup_of"))
         )
-        dropped = prior.unionByName(in_batch)
+        # dropped anchors both output writes AND the kept-side registry
+        # delta — pin it so the chain-rule aggregates run once (r13)
+        dropped = prior.unionByName(in_batch).persist()
         kept = batch_df.join(dropped, "doc_id", "left_anti")
 
         sc = spark.conf
@@ -140,6 +148,8 @@ def minhash_dedup_sink(
             new_entries.join(reg_eff, ["band", "bkey"], "left_anti")
         )
         _atomic_overwrite(merged, reg_path)
+        bk.unpersist()
+        dropped.unpersist()
 
     return write
 
