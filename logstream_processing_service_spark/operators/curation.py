@@ -2296,11 +2296,22 @@ def greedy_coverage_order(
     )
     picked: list[str] = []
     rows: list[tuple] = []
-    covered = None
     cum = 0
     for rank in range(1, min(k, len(all_sources)) + 1):
         pool = ss.filter(~F.col("source").isin(picked)) if picked else ss
-        if covered is not None:
+        if picked:
+            # covered-after-t-picks IS the distinct shingle set of the
+            # picked sources — derive it from the persisted ss in one
+            # step per round (r13): the old union().distinct() chain
+            # grew lineage by a round and re-executed the whole chain
+            # on every subsequent anti-join. Identical set by
+            # construction (the chain unioned exactly these sources'
+            # shingles).
+            covered = (
+                ss.filter(F.col("source").isin(picked))
+                .select("s")
+                .distinct()
+            )
             pool = pool.join(covered, "s", "left_anti")
         gains = {
             r["source"]: r["g"]
@@ -2314,10 +2325,6 @@ def greedy_coverage_order(
         cum += g
         rows.append((rank, best, g, cum, cum / total))
         picked.append(best)
-        newly = ss.filter(F.col("source") == best).select("s")
-        covered = (
-            newly if covered is None else covered.union(newly).distinct()
-        )
     return spark.createDataFrame(
         rows,
         "pick_rank int, source string, marginal_gain bigint,"

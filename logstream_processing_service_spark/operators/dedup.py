@@ -334,6 +334,7 @@ def lsh_frozen_hot(
     table_dir: str,
     n: int = 3,
     hot_df: int = 500,
+    shingles: DataFrame | None = None,
 ):
     """Compute the hot-shingle list on the BASE corpus, commit it as
     registry METADATA (a txlog table under ``<table_dir>/_hotmeta``),
@@ -365,7 +366,11 @@ def lsh_frozen_hot(
 
     meta_dir = _os.path.join(table_dir, "_hotmeta")
     hot = (
-        shingle_table(base_docs, n, max_doc_freq=0)
+        (
+            shingles
+            if shingles is not None
+            else shingle_table(base_docs, n, max_doc_freq=0)
+        )
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > hot_df)
@@ -437,22 +442,41 @@ def lsh_incremental_pairs(
     from . import txlog as TX
 
     spark = base_docs.sparkSession
-    _, frozen = lsh_frozen_hot(base_docs, table_dir)
+    # ONE shingle pass per corpus side (r13, guide §2.4/§5): the hot
+    # list, the base signatures, and the verify's doc-set side all
+    # consume the same (doc_id, s) stream — unpersisted, the base text
+    # was scanned and md5-shingled three times (hot, keys, verify).
+    # cache: caller-owned (repo contract — bench/driver clear per query)
+    sh_base = shingle_table(base_docs, 3, max_doc_freq=0).persist()
+    sh_delta = shingle_table(delta_docs, 3, max_doc_freq=0).persist()
+    _, frozen = lsh_frozen_hot(base_docs, table_dir, shingles=sh_base)
     TX.commit(
-        table_dir, _frozen_capped_keys(base_docs, frozen),
+        table_dir,
+        minhash_band_keys(
+            base_docs, 3, max_doc_freq=0,
+            shingles=sh_base.join(F.broadcast(frozen), "s", "left_anti"),
+        ),
         mode="overwrite",
     )
     TX.commit(
-        table_dir, _frozen_capped_keys(delta_docs, frozen),
+        table_dir,
+        minhash_band_keys(
+            delta_docs, 3, max_doc_freq=0,
+            shingles=sh_delta.join(F.broadcast(frozen), "s", "left_anti"),
+        ),
         mode="append",
     )
     banded = TX.read_snapshot(spark, table_dir)
     if not assume_disjoint:
         banded = banded.distinct()
     union_docs = base_docs.unionByName(delta_docs)
+    union_sh = sh_base.unionByName(sh_delta)
     if not assume_disjoint:
         union_docs = union_docs.dropDuplicates(["doc_id"])
-    return _lsh_pairs_from_registry(banded, union_docs, threshold, max_bucket)
+        union_sh = union_sh.dropDuplicates(["doc_id", "s"])
+    return _lsh_pairs_from_registry(
+        banded, union_docs, threshold, max_bucket, shingles=union_sh
+    )
 
 
 def _lsh_pairs_from_registry(
@@ -460,6 +484,7 @@ def _lsh_pairs_from_registry(
     corpus_docs: DataFrame,
     threshold: float,
     max_bucket: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generation + true-Jaccard verify from a (doc_id, band,
     bkey) registry read — shared by the merge-on-read path
@@ -467,7 +492,10 @@ def _lsh_pairs_from_registry(
     (:func:`lsh_registry_lifecycle_pairs`) so the two can never
     disagree on pair semantics. ``corpus_docs`` must be exactly the
     LIVE corpus the registry describes (verification re-shingles only
-    candidate docs via the join pushdown)."""
+    candidate docs via the join pushdown). ``shingles`` overrides the
+    internally-built (doc_id, s) stream — the seam that lets callers
+    share one shingle pass (collect_set absorbs any duplicate rows, so
+    the override cannot change the verify sets)."""
     groups = (
         banded.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -483,7 +511,11 @@ def _lsh_pairs_from_registry(
         .distinct()
     )
     doc_sets = (
-        shingle_table(corpus_docs, n=3, max_doc_freq=0)
+        (
+            shingles
+            if shingles is not None
+            else shingle_table(corpus_docs, n=3, max_doc_freq=0)
+        )
         .groupBy("doc_id")
         .agg(F.collect_set("s").alias("ss"))
     )
