@@ -35,7 +35,7 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     """
     return (
         documents.select(
-            F.col("doc_id"), F.expr(T.hash48_sql("text")).alias("text_h")
+            F.col("doc_id"), F.expr(T.hash48_sql("text", dialect="spark")).alias("text_h")
         )
         .groupBy("text_h")
         .agg(
@@ -654,7 +654,7 @@ def simhash_table(documents: DataFrame) -> DataFrame:
     row — still far cheaper than building the shingle string it replaces.
     """
     sh = shingle_table(documents, n=3, max_doc_freq=0).withColumn(
-        "h", F.expr(T.hash48_sql("CAST(s AS STRING)"))
+        "h", F.expr(T.hash48_sql("CAST(s AS STRING)", dialect="spark"))
     )
     bit_sums = [
         F.sum(F.expr(f"(h div {1 << i}) % 2")).alias(f"b{i}")
@@ -1210,7 +1210,7 @@ def paragraph_dedup(
     inst = documents.select(
         "doc_id", F.posexplode(F.expr(paras)).alias("para_idx", "para")
     ).select(
-        F.expr(T.hash48_sql("para")).alias("h"),
+        F.expr(T.hash48_sql("para", dialect="spark")).alias("h"),
         (F.col("doc_id") * F.lit(1048576).cast("long") + F.col("para_idx"))
         .alias("ord"),
     )
@@ -1714,11 +1714,11 @@ def snapshot_diff(
     """
     o = old.select(
         F.col(key_col).alias("id"),
-        F.expr(T.hash48_sql("text")).alias("old_fp"),
+        F.expr(T.hash48_sql("text", dialect="spark")).alias("old_fp"),
     )
     n = new.select(
         F.col(key_col).alias("id"),
-        F.expr(T.hash48_sql("text")).alias("new_fp"),
+        F.expr(T.hash48_sql("text", dialect="spark")).alias("new_fp"),
     )
     return (
         o.join(n, "id", "full_outer")
@@ -2297,17 +2297,16 @@ def char_window_hash_table(
     at per-registry ~2^24 windows collisions appear — same caveat class
     as merkle_corpus_tree; the REGISTERED batch profile keeps raw keys.
     """
-    hexsum = "+".join(
-        f"(instr('0123456789abcdef', substr(y,{j},1))-1)*CAST({w} AS BIGINT)"
-        for j, w in T._HEX_WEIGHTS
-    )
+    # conv() over the first 12 md5 hex digits: the same 48-bit value as
+    # the shared hex fold in ONE codegen'd call per window (hash48_sql
+    # dialect="spark" rationale; the DuckDB oracle keeps the fold)
     arr = F.when(
         F.length("text") >= window,
         F.array_distinct(
             F.expr(
-                f"transform(transform(sequence(1, length(text) - {window}"
-                f" + 1), i -> md5(substring(text, i, {window}))),"
-                f" y -> {hexsum})"
+                f"transform(sequence(1, length(text) - {window} + 1),"
+                f" i -> CAST(conv(substring(md5(substring(text, i,"
+                f" {window})), 1, 12), 16, 10) AS BIGINT))"
             )
         ),
     ).otherwise(F.expr("array()").cast("array<bigint>"))

@@ -378,7 +378,7 @@ def pii_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         "n_emails",
         "n_phones",
-        F.expr(T.hash48_sql("_red")).alias("redacted_fp"),
+        F.expr(T.hash48_sql("_red", dialect="spark")).alias("redacted_fp"),
     )
 
 
@@ -441,7 +441,7 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         "source",
         "lang",
         F.length("text").alias("n_chars"),
-        F.expr(T.hash48_sql("text")).alias("_h"),
+        F.expr(T.hash48_sql("text", dialect="spark")).alias("_h"),
     # cache: caller-owned (repo contract — bench/driver clear per query)
     ).persist()
     per_source = base.groupBy("source").agg(
