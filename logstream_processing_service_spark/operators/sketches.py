@@ -455,13 +455,23 @@ def _cm_cell_sql(item_sql: str, r_sql: str, width: int) -> str:
     return _cm_cell_from_md5_sql(md5, r_sql, width)
 
 
-def _cm_cell_from_md5_sql(md5_sql: str, r_sql: str, width: int) -> str:
+def _cm_cell_from_md5_sql(
+    md5_sql: str, r_sql: str, width: int, dialect: str = "shared"
+) -> str:
     """The cell parse over an ALREADY-COMPUTED md5 hex expression — lets
     the Spark build hoist ONE md5 per item above the depth crossJoin
     instead of recomputing it per (item, r) output row (the fingerprint
     md5-hoist pattern; measured 5.8 → 1.7 s cold / ~12% warm on the
     sf0.1 registry build). ``_cm_cell_sql`` delegates here, so the
-    portable oracle text is unchanged."""
+    portable oracle text is unchanged. ``dialect="spark"`` parses the
+    4-hex window with one conv() call instead of the 4-term fold —
+    identical value (the hash48 conv rationale, functions/text.py);
+    DuckDB keeps the shared fold."""
+    if dialect == "spark":
+        return (
+            f"(CAST(conv(substring({md5_sql}, 4*({r_sql})+1, 4), 16, 10)"
+            f" AS INT) % {width})"
+        )
     terms = "+".join(
         f"(instr('0123456789abcdef', substr({md5_sql}, 4*({r_sql})+{j}, 1))-1)"
         f"*{16 ** (4 - j)}"
@@ -504,7 +514,7 @@ def cm_daily_registry(
             "key",
             "day",
             "r",
-            F.expr(_cm_cell_from_md5_sql("_h", "r", width))
+            F.expr(_cm_cell_from_md5_sql("_h", "r", width, dialect="spark"))
             .cast("int")
             .alias("c"),
         )
@@ -602,7 +612,7 @@ def prepare_cm_rows(
             "key",
             "day",
             "r",
-            F.expr(_cm_cell_from_md5_sql("_h", "r", width))
+            F.expr(_cm_cell_from_md5_sql("_h", "r", width, dialect="spark"))
             .cast("int")
             .alias("c"),
         )
