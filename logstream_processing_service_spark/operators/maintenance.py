@@ -201,7 +201,10 @@ def _bloom_positions(key_sql: str, k: int = BLOOM_K, m: int = BLOOM_M) -> str:
 
     elems = ", ".join(
         "CAST(("
-        + hash48_sql(f"concat('bloom{i}:', {key_sql})")
+        # dialect="spark": conv() computes the identical 48-bit value as
+        # the shared fold (functions/text.py), so positions in indexes
+        # persisted by older builds still match — this is Spark-only SQL
+        + hash48_sql(f"concat('bloom{i}:', {key_sql})", dialect="spark")
         + f") % {m} AS INT)"
         for i in range(k)
     )
