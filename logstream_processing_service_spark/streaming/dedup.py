@@ -91,7 +91,8 @@ def minhash_dedup_sink(
         # registry delta) — unpersisted, each action re-derived the whole
         # shingle→minhash pipeline over the batch text (r13, guide §5:
         # reuse + recompute-cost justify the pin). Narrow rows: ~bands
-        # per doc. Released at the end of the batch.
+        # per doc. cache: NOT caller-owned — batch-scoped, released by
+        # the unpersist at the end of this function.
         bk = minhash_band_keys(batch_df, n, bands, max_doc_freq).persist()
         try:
             reg = spark.read.parquet(reg_path)
@@ -115,7 +116,8 @@ def minhash_dedup_sink(
             .agg(F.min("keep_id").alias("dup_of"))
         )
         # dropped anchors both output writes AND the kept-side registry
-        # delta — pin it so the chain-rule aggregates run once (r13)
+        # delta — pin it so the chain-rule aggregates run once (r13).
+        # cache: NOT caller-owned — batch-scoped, unpersisted below.
         dropped = prior.unionByName(in_batch).persist()
         kept = batch_df.join(dropped, "doc_id", "left_anti")
 
