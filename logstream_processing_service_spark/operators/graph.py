@@ -81,7 +81,18 @@ def pagerank(
     message aggregation), the relational Pregel floor (guide §2.4). A
     node with no in-edges would be silently dropped under this flag, so
     only set it for symmetrized inputs; results are bit-identical there
-    (in_mass is never NULL, so the coalesce was a no-op)."""
+    (in_mass is never NULL, so the coalesce was a no-op).
+
+    Lineage is cut every SECOND iteration (r14, guide §2.4/§5): the cut
+    point is semantics-free — two power steps chain as two join+agg
+    layers in one job — so halving the number of localCheckpoint
+    materialization jobs halves the fixed per-job launch cost without
+    changing any rank float (same expression tree, same exchanges).
+    ``localCheckpoint`` keeps iteration state in executor-local blocks
+    with truncated lineage and NO recompute fallback: fine for the local
+    bench; on a real cluster swap in reliable ``checkpoint()`` (with
+    ``setCheckpointDir``) so an executor loss mid-power-iteration can
+    recompute instead of failing the job."""
     # cache: caller-owned (repo contract — bench/driver clear per query)
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -107,7 +118,7 @@ def pagerank(
         nodes.select(F.col("node").alias("src"), "outdeg"), "src"
     ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             edeg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -116,15 +127,15 @@ def pagerank(
         if symmetric:
             # every node receives mass: derive the next rank frame from
             # contrib directly — no re-attachment join (see docstring)
-            ranks = contrib.select(
+            nxt = contrib.select(
                 F.col("dst").alias("node"),
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.col("in_mass")
                 ).alias("rank"),
-            ).localCheckpoint(eager=False)
+            )
         else:
-            ranks = (
+            nxt = (
                 nodes.select("node")
                 .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
                 .select(
@@ -135,16 +146,24 @@ def pagerank(
                         * F.coalesce(F.col("in_mass"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=False)
             )
-    out = ranks.join(nodes, "node").select(
+        # fused lineage cut (docstring): every 2nd iteration, and always
+        # after the last so the returned plan stays O(1) deep
+        if it % 2 == 1 or it == n_iter - 1:
+            nxt = nxt.localCheckpoint(eager=False)
+        ranks = nxt
+    # NOTE: edges/edeg are intentionally NOT unpersisted here — the whole
+    # iteration chain is lazy (localCheckpoint(eager=False)), so the
+    # caches first materialize at the CALLER's action and an in-function
+    # unpersist would drop them before they were ever used (each
+    # materialization job would then re-derive the edges⋈outdeg subtree).
+    # Cache lifecycle is caller-owned (repo contract — bench/driver clear
+    # per query).
+    return ranks.join(nodes, "node").select(
         "node",
         F.col("outdeg").cast("bigint").alias("degree"),
         F.round(F.col("rank") * n, 6).alias("rank_scaled"),
     )
-    edges.unpersist()
-    edeg.unpersist()
-    return out
 
 
 def pagerank_oracle_sql(n_iter: int = N_ITER, damping: float = DAMPING) -> str:
@@ -214,7 +233,10 @@ def weighted_pagerank(
 
     ``symmetric=True``: same contract and same one-exchange-per-iteration
     effect as :func:`pagerank` — every node must also RECEIVE mass (true
-    for symmetrized edge lists); bit-identical results there."""
+    for symmetrized edge lists); bit-identical results there. Same fused
+    every-2nd-iteration lineage cut and the same caller-owned cache
+    lifecycle as :func:`pagerank` (see its docstring; production swaps
+    ``localCheckpoint`` for reliable ``checkpoint()``)."""
     # cache: caller-owned (repo contract — bench/driver clear per query)
     edges = edges.persist()
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
@@ -237,7 +259,7 @@ def weighted_pagerank(
         nodes.select(F.col("node").alias("src"), "outw"), "src"
     ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             edeg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -249,15 +271,15 @@ def weighted_pagerank(
         )
         if symmetric:
             # every node receives mass: no re-attachment join (docstring)
-            ranks = contrib.select(
+            nxt = contrib.select(
                 F.col("dst").alias("node"),
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.col("in_mass")
                 ).alias("rank"),
-            ).localCheckpoint(eager=False)
+            )
         else:
-            ranks = (
+            nxt = (
                 nodes.select("node")
                 .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
                 .select(
@@ -268,16 +290,19 @@ def weighted_pagerank(
                         * F.coalesce(F.col("in_mass"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=False)
             )
-    out = ranks.join(nodes, "node").select(
+        # fused lineage cut — see pagerank(): semantics-free, halves jobs
+        if it % 2 == 1 or it == n_iter - 1:
+            nxt = nxt.localCheckpoint(eager=False)
+        ranks = nxt
+    # edges/edeg stay persisted for the caller's action (see pagerank —
+    # cache lifecycle is caller-owned; an in-function unpersist dropped
+    # the caches before the lazy chain ever materialized them).
+    return ranks.join(nodes, "node").select(
         "node",
         F.col("outw").cast("bigint").alias("strength"),
         F.round(F.col("rank") * n, 6).alias("rank_scaled"),
     )
-    edges.unpersist()
-    edeg.unpersist()
-    return out
 
 
 def incremental_components(
