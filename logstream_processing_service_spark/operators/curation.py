@@ -2252,15 +2252,20 @@ def greedy_coverage_order(
     the unrolled-CTE oracle is by construction). Ties break by source
     name ascending.
 
-    Scale: the distinct (source, shingle) frame is built ONCE
-    (in-row array_distinct, one 8-byte-hash exchange — the
-    source_coverage_report shape) and persisted; each of the ``k``
-    rounds is one anti-join against the covered-shingle frame plus a
-    |sources|-row aggregate collected to the driver (the greedy argmax
-    is a driver decision over ≤ |sources| rows — bounded and
-    documented, the BPE/unigram EM-loop discipline). k·|sources| stays
-    dimension-grain at any corpus size; the corpus-sized work is the
-    one shingle pass.
+    Scale (r14 single-pass form, guide §1.2/§2.3): greedy max-coverage
+    depends on the corpus ONLY through the histogram of per-shingle
+    source SETS — |{shingles held by exactly this set of sources}| per
+    observed set. One corpus pass aggregates it (per-shingle collect_set
+    with map-side partial aggregation — duplicate (source, shingle)
+    pairs collapse inside the same exchange the old distinct paid, so
+    no separate distinct pass), and all ``k`` greedy rounds then run on
+    the driver over ≤ min(2^|sources|, |shingles observed sets|) rows:
+    gain(s | picked) = Σ counts of sets containing s and disjoint from
+    picked — exactly the anti-join aggregate of the per-round form,
+    with zero per-round cluster jobs. Guarded at 30 sources: beyond
+    that the observed-set histogram is no longer provably driver-small,
+    and the per-round anti-join loop (one aggregate + one ≤|sources|-row
+    collect per round) runs instead — same results by construction.
     """
     spark = documents.sparkSession
     # Two-step projection (the source_coverage_report shape), NOT one
@@ -2277,36 +2282,70 @@ def greedy_coverage_order(
             T.word_hash_array_sql(T.words_sql("text", "spark"), "spark")
         ).alias("wh"),
     )
-    ss = (
-        wh.select(
-            "source",
-            F.explode(
-                F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
-            ).alias("s"),
-        )
-        .distinct()
-        # cache: caller-owned (repo contract); k+2 consumers — the
-        # total inventory, the per-round gain aggregates, the covered
-        # frames
-        .persist()
+    raw = wh.select(
+        "source",
+        F.explode(
+            F.array_distinct(F.expr(T.shingle_hash_array_sql("wh", n)))
+        ).alias("s"),
     )
+    n_src = documents.select("source").distinct().count()
+    if n_src <= 30:
+        # single-pass histogram (docstring): duplicate (source, s) pairs
+        # collapse inside collect_set — same one (s-keyed) exchange the
+        # old distinct paid, and the k rounds become driver arithmetic.
+        hist = {
+            frozenset(r["srcs"]): int(r["cnt"])
+            for r in raw.groupBy("s")
+            .agg(F.collect_set("source").alias("srcs"))
+            .groupBy("srcs")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .collect()
+        }
+        total = sum(hist.values())
+        all_sources = sorted(set().union(*hist.keys())) if hist else []
+        picked_set: set[str] = set()
+        rows: list[tuple] = []
+        cum = 0
+        for rank in range(1, min(k, len(all_sources)) + 1):
+            gains = {
+                s: sum(
+                    cnt
+                    for srcs, cnt in hist.items()
+                    if s in srcs and not (srcs & picked_set)
+                )
+                for s in all_sources
+                if s not in picked_set
+            }
+            best = min(gains, key=lambda s: (-gains[s], s))
+            g = int(gains[best])
+            cum += g
+            rows.append((rank, best, g, cum, cum / total))
+            picked_set.add(best)
+        return spark.createDataFrame(
+            rows,
+            "pick_rank int, source string, marginal_gain bigint,"
+            " cum_covered bigint, cum_share double",
+        )
+
+    # >30 sources: per-round anti-join loop (identical results; the
+    # observed-set histogram is no longer provably driver-small).
+    # cache: caller-owned (repo contract); k+2 consumers — the
+    # total inventory, the per-round gain aggregates, the covered
+    # frames
+    ss = raw.distinct().persist()
     total = ss.select("s").distinct().count()
     all_sources = sorted(
         r["source"] for r in ss.select("source").distinct().collect()
     )
     picked: list[str] = []
-    rows: list[tuple] = []
+    rows = []
     cum = 0
     for rank in range(1, min(k, len(all_sources)) + 1):
         pool = ss.filter(~F.col("source").isin(picked)) if picked else ss
         if picked:
             # covered-after-t-picks IS the distinct shingle set of the
-            # picked sources — derive it from the persisted ss in one
-            # step per round (r13): the old union().distinct() chain
-            # grew lineage by a round and re-executed the whole chain
-            # on every subsequent anti-join. Identical set by
-            # construction (the chain unioned exactly these sources'
-            # shingles).
+            # picked sources — derived from the persisted ss in one
+            # step per round (r13). Identical set by construction.
             covered = (
                 ss.filter(F.col("source").isin(picked))
                 .select("s")

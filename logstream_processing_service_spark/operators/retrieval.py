@@ -613,12 +613,18 @@ def maxsim_topk(
     the query side is a literal frame broadcast onto the token stream, so
     the corpus-sized pair stream never shuffles before the partial
     (query, qtok, doc) MAX combine. One exchange on (query_id, doc_id)
-    carries ≤ |queries|·|qtokens|·|docs| maxed rows, never raw pairs."""
+    carries ≤ |queries|·|qtokens|·|docs| maxed rows, never raw pairs.
+
+    The exploded (doc_id, tok) stream feeds BOTH the vocabulary aggregate
+    and the embedding re-attach join; persisted so the corpus tokenize
+    pass runs once (r14, guide §2.4/§5 — the retrieval_eval_report
+    shared-subtree discipline). cache: caller-owned (repo contract —
+    bench/driver clear per query)."""
     spark = documents.sparkSession
     dtok = documents.select(
         "doc_id",
         F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok"),
-    )
+    ).persist()
     vocab = _with_unit_vec(dtok.select("tok").distinct(), "tok")
     dvec = dtok.join(vocab, "tok")
     qvec = _with_unit_vec(_query_terms(spark, queries), "tok")
@@ -760,11 +766,19 @@ def maxsim_topk_routed(
     maxsim_topk.
     """
     spark = documents.sparkSession
+    # the exploded token stream feeds the frequency aggregate AND the
+    # bucketed re-attach join: persist so the corpus tokenize pass runs
+    # once (r14, guide §2.4/§5). cache: caller-owned (repo contract —
+    # bench/driver clear per query)
     dtok = documents.select(
         "doc_id",
         F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok"),
-    )
-    freq = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    ).persist()
+    # vocab == freq's key set: one (tok) exchange serves the anchor
+    # ranking AND the bucket assignment (r14, guide §2.4 — the old
+    # distinct re-aggregated the same stream a second time).
+    # cache: caller-owned (repo contract — bench/driver clear per query)
+    freq = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).persist()
     anchors = _with_unit_vec(
         freq.orderBy(F.desc("n"), F.asc("tok"))
         .limit(n_anchors)
@@ -775,7 +789,7 @@ def maxsim_topk_routed(
         *[F.col(f"v{j}").alias(f"a{j}") for j in range(MAXSIM_DIM)],
     )
 
-    vocab = _with_unit_vec(dtok.select("tok").distinct(), "tok")
+    vocab = _with_unit_vec(freq.select("tok"), "tok")
     adot = F.col("a0") * F.col("v0")
     for j in range(1, MAXSIM_DIM):
         adot = adot + F.col(f"a{j}") * F.col(f"v{j}")
@@ -785,11 +799,27 @@ def maxsim_topk_routed(
         adot.alias("adot"),
         *[F.col(f"v{j}") for j in range(MAXSIM_DIM)],
     )
-    wa = Window.partitionBy("tok").orderBy(F.desc("adot"), F.asc("anchor"))
+    # nearest anchor per token: min over the TOTAL order (-adot, anchor)
+    # == the old row_number window's (desc adot, asc anchor) head row,
+    # but computed as a partially-aggregating min_by (guide §2.3): the
+    # map side collapses the 32 anchor candidates per token before the
+    # exchange, and no per-partition sort runs. anchor is unique within
+    # a token group, so the ordering struct has no ties and the pick is
+    # deterministic.
+    pick = F.min_by(
+        F.struct(
+            F.col("anchor"), *[F.col(f"v{j}") for j in range(MAXSIM_DIM)]
+        ),
+        F.struct((-F.col("adot")).alias("na"), F.col("anchor").alias("a")),
+    )
     buckets = (
-        ranked.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("tok", "anchor", *[f"v{j}" for j in range(MAXSIM_DIM)])
+        ranked.groupBy("tok")
+        .agg(pick.alias("p"))
+        .select(
+            "tok",
+            F.col("p.anchor").alias("anchor"),
+            *[F.col(f"p.v{j}").alias(f"v{j}") for j in range(MAXSIM_DIM)],
+        )
     )
     dvec = dtok.join(buckets, "tok")
 
