@@ -473,6 +473,13 @@ def lsh_incremental_pairs(
     union_sh = sh_base.unionByName(sh_delta)
     if not assume_disjoint:
         union_docs = union_docs.dropDuplicates(["doc_id"])
+        # identical-text-on-collision precondition (docstring: re-ingest
+        # with DIFFERENT text is undefined): for byte-identical
+        # redeliveries both sides shingle to the same (doc_id, s) set, so
+        # this dedup yields exactly the one live version's shingles. A
+        # different-text collision would merge BOTH versions' shingles
+        # here while union_docs keeps one row — that input is outside the
+        # registry's key contract, not a supported state.
         union_sh = union_sh.dropDuplicates(["doc_id", "s"])
     return _lsh_pairs_from_registry(
         banded, union_docs, threshold, max_bucket, shingles=union_sh

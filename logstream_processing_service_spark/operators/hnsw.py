@@ -483,9 +483,23 @@ def _node_frame(spark, index: HNSWIndex):
     rows (guide §4.1/§6): the graph is a codebook-scale artifact
     (≤ max_index_rows), so a 32-partition local relation paid 32 tiny
     parquet files and a row-pickling pass per snapshot commit — measured
-    2.5 s → 0.3 s per save at 666 nodes, bit-identical rows."""
+    2.5 s → 0.3 s per save at 666 nodes, bit-identical rows.
+
+    An index constructed but never built has ``vecs is None`` — treat it
+    as zero rows (the old row-list path returned an empty frame for
+    ids=[]; iterating None raised TypeError instead)."""
     import pyarrow as pa
 
+    if index.vecs is None:
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "level": pa.array([], pa.int32()),
+                "vec": pa.array([], pa.list_(pa.float64())),
+                "links": pa.array([], pa.list_(pa.list_(pa.int32()))),
+            }
+        )
+        return spark.createDataFrame(tbl).coalesce(1)
     tbl = pa.table(
         {
             "vec_id": pa.array([int(i) for i in index.ids], pa.int64()),

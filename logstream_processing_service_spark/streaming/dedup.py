@@ -84,74 +84,98 @@ def minhash_dedup_sink(
     query does)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = batch_df.sparkSession
         reg_path = f"{out_dir}/registry/data"
-        # band keys feed FIVE consumers across the batch's three write
-        # actions (prior probe, survivor anti-join, in-batch first-wins,
+        # band keys feed FIVE consumers across the batch's write actions
+        # (prior probe, survivor anti-join, in-batch first-wins,
         # registry delta) — unpersisted, each action re-derived the whole
         # shingle→minhash pipeline over the batch text (r13, guide §5:
         # reuse + recompute-cost justify the pin). Narrow rows: ~bands
-        # per doc. cache: NOT caller-owned — batch-scoped, released by
-        # the unpersist at the end of this function.
+        # per doc. cache: NOT caller-owned — batch-scoped, released in
+        # the finally below even when a write action fails (r14, so a
+        # failed batch cannot leak its caches into later micro-batches).
         bk = minhash_band_keys(batch_df, n, bands, max_doc_freq).persist()
+        dropped = None
         try:
-            reg = spark.read.parquet(reg_path)
-        except Exception:
-            reg = spark.createDataFrame([], REGISTRY_SCHEMA)
-        # replay guard: see exactly the registry this batch saw first time
-        reg_eff = reg.filter(F.col("batch_id") < batch_id)
-        prior = (
-            bk.join(reg_eff, ["band", "bkey"])
-            .groupBy("doc_id")
-            .agg(F.min("first_doc_id").alias("dup_of"))
-        )
-        survivors = bk.join(prior, "doc_id", "left_anti")
-        firsts = survivors.groupBy("band", "bkey").agg(
-            F.min("doc_id").alias("keep_id")
-        )
-        in_batch = (
-            survivors.join(firsts, ["band", "bkey"])
-            .filter(F.col("doc_id") != F.col("keep_id"))
-            .groupBy("doc_id")
-            .agg(F.min("keep_id").alias("dup_of"))
-        )
-        # dropped anchors both output writes AND the kept-side registry
-        # delta — pin it so the chain-rule aggregates run once (r13).
-        # cache: NOT caller-owned — batch-scoped, unpersisted below.
-        dropped = prior.unionByName(in_batch).persist()
-        kept = batch_df.join(dropped, "doc_id", "left_anti")
+            try:
+                reg = spark.read.parquet(reg_path)
+            except Exception:
+                reg = spark.createDataFrame([], REGISTRY_SCHEMA)
+            # replay guard: see exactly the registry this batch saw first time
+            reg_eff = reg.filter(F.col("batch_id") < batch_id)
+            prior = (
+                bk.join(reg_eff, ["band", "bkey"])
+                .groupBy("doc_id")
+                .agg(F.min("first_doc_id").alias("dup_of"))
+            )
+            survivors = bk.join(prior, "doc_id", "left_anti")
+            firsts = survivors.groupBy("band", "bkey").agg(
+                F.min("doc_id").alias("keep_id")
+            )
+            in_batch = (
+                survivors.join(firsts, ["band", "bkey"])
+                .filter(F.col("doc_id") != F.col("keep_id"))
+                .groupBy("doc_id")
+                .agg(F.min("keep_id").alias("dup_of"))
+            )
+            # dropped anchors both output writes AND the kept-side registry
+            # delta — pin it so the chain-rule aggregates run once (r13).
+            # cache: NOT caller-owned — batch-scoped, unpersisted in the
+            # finally below.
+            dropped = prior.unionByName(in_batch).persist()
+            kept = batch_df.join(dropped, "doc_id", "left_anti")
 
-        sc = spark.conf
-        prev = sc.get("spark.sql.sources.partitionOverwriteMode", "static")
-        sc.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                kept.withColumn("_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch")
-                .parquet(f"{out_dir}/kept")
-            )
-            (
-                dropped.withColumn("_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch")
-                .parquet(f"{out_dir}/dropped")
-            )
+            sc = spark.conf
+            prev = sc.get("spark.sql.sources.partitionOverwriteMode", "static")
+            sc.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                # the dropped write runs FIRST and alone: it materializes
+                # the bk and dropped caches exactly once (concurrent
+                # first-use would duplicate the shingle pipeline work)
+                (
+                    dropped.withColumn("_batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("_batch")
+                    .parquet(f"{out_dir}/dropped")
+                )
+
+                # kept output and registry merge are INDEPENDENT actions
+                # over the now-cached frames — overlap them (guide §2.6)
+                # so the batch pays one write latency, not two. The
+                # registry swap only renames after its staging write
+                # completes, and the kept write never reads reg_path, so
+                # the overlap cannot order-skew either output.
+                new_entries = (
+                    bk.join(kept.select("doc_id"), "doc_id")
+                    .groupBy("band", "bkey")
+                    .agg(F.min("doc_id").alias("first_doc_id"))
+                    .withColumn("batch_id", F.lit(batch_id))
+                )
+                merged = reg_eff.unionByName(
+                    new_entries.join(reg_eff, ["band", "bkey"], "left_anti")
+                )
+
+                def _write_kept() -> None:
+                    (
+                        kept.withColumn("_batch", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .partitionBy("_batch")
+                        .parquet(f"{out_dir}/kept")
+                    )
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fk = pool.submit(_write_kept)
+                    fr = pool.submit(_atomic_overwrite, merged, reg_path)
+                    fk.result()
+                    fr.result()
+            finally:
+                sc.set("spark.sql.sources.partitionOverwriteMode", prev)
         finally:
-            sc.set("spark.sql.sources.partitionOverwriteMode", prev)
-
-        new_entries = (
-            bk.join(kept.select("doc_id"), "doc_id")
-            .groupBy("band", "bkey")
-            .agg(F.min("doc_id").alias("first_doc_id"))
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        merged = reg_eff.unionByName(
-            new_entries.join(reg_eff, ["band", "bkey"], "left_anti")
-        )
-        _atomic_overwrite(merged, reg_path)
-        bk.unpersist()
-        dropped.unpersist()
+            bk.unpersist()
+            if dropped is not None:
+                dropped.unpersist()
 
     return write
 

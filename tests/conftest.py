@@ -8,6 +8,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_configure(config):
+    # SPARK_GRAFT_FULL_TESTS=1 runs the FULL suite (clears the tiered
+    # default `-m "not slow"` from pytest.ini) — the builder's round-end
+    # check; the plain invocation stays inside the driver's budget.
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") and config.option.markexpr == "not slow":
+        config.option.markexpr = ""
+
+
 @pytest.fixture(scope="session")
 def spark():
     from logstream_processing_service_spark.session import get_spark

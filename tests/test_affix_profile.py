@@ -4,6 +4,8 @@ candidate `shared_affix_profile`."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from logstream_processing_service_spark.operators.dedup import (
     shared_affix_profile,

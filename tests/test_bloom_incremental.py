@@ -5,6 +5,8 @@ bitwise OR of word frames; idempotent, overlap-tolerant merge)."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from .conftest import SF_DIR, SF_DIR_ORACLE
 from .oracle_harness import compare_one, duckdb_conn

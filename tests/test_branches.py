@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from logstream_processing_service_spark.operators import txlog as TX
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 import math
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from logstream_processing_service_spark.operators.curation import (
     doremi_iterated,

@@ -4,6 +4,8 @@ candidate `doremi_to_mix_pipeline`."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from .conftest import SF_DIR, SF_DIR_ORACLE
 from .oracle_harness import compare_one, duckdb_conn

@@ -322,3 +322,22 @@ def test_hnsw_compaction_reuses_build_seed(spark, sf_dir, tmp_path):
     # assertion above is discriminating (guard against a vacuous pass)
     z = H.build_hnsw(kept, M=8, ef_construction=32, seed=0)
     assert not _graph_equal(z, compacted)
+
+
+def test_save_never_built_index_is_empty_snapshot(spark, tmp_path):
+    """r14 (ADVICE): an index constructed but never built (vecs is None)
+    must save as a zero-row snapshot — the pre-Arrow row-list path
+    returned an empty frame for ids=[]; the Arrow path raised TypeError
+    iterating None."""
+    from logstream_processing_service_spark.operators.hnsw import (
+        HNSWIndex,
+        load_hnsw,
+        save_hnsw,
+    )
+
+    idx = HNSWIndex(M=4, ef_construction=8, seed=3)
+    d = str(tmp_path / "hnsw_empty")
+    save_hnsw(spark, idx, d)
+    back = load_hnsw(spark, d)
+    assert back.ids == [] and back.levels == [] and back.links == []
+    assert back.entry == -1 and back.max_level == -1

@@ -29,6 +29,8 @@ null lands in, which the twin deliberately does not project.
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 from pyspark.sql import functions as F
 
 from .conftest import SF_DIR

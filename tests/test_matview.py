@@ -3,6 +3,10 @@ fallback triggers, idempotence."""
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
+
 from pyspark.sql import functions as F
 
 from logstream_processing_service_spark.operators import txlog as TX

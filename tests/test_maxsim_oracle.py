@@ -16,6 +16,8 @@ import hashlib
 import math
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from logstream_processing_service_spark.operators.retrieval import (
     MAXSIM_DIM,

@@ -4,6 +4,8 @@ catalog candidate `merkle_integrity_diff`."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from logstream_processing_service_spark.operators.curation import (
     merkle_corpus_tree,

@@ -8,6 +8,8 @@ import shutil
 import tempfile
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 from pyspark.sql import functions as F
 
 from .conftest import SF_DIR

@@ -5,6 +5,8 @@ SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.001 for a fast pass)."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from .conftest import SF_DIR_ORACLE
 from .oracle_harness import compare_one, duckdb_conn

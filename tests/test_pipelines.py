@@ -11,6 +11,8 @@ import json
 import os
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from logstream_processing_service_spark import pipelines as P
 

@@ -6,6 +6,10 @@ and deadlines disabled.
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings

@@ -4,6 +4,8 @@ rehearsed r11 catalog candidate `retrieval_eval_report`."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from logstream_processing_service_spark.operators.retrieval import (
     retrieval_eval_report,

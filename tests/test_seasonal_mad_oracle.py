@@ -14,6 +14,8 @@ from __future__ import annotations
 import datetime
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 
 from logstream_processing_service_spark.operators.analytics import (
     mad_anomaly,

@@ -3,6 +3,10 @@ in-batch first-wins, and replay idempotence."""
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
+
 from pyspark.sql import functions as F
 
 from logstream_processing_service_spark.streaming.dedup import minhash_dedup_sink

@@ -5,6 +5,8 @@ quantization audit — semantics on constructed fixtures + plan shapes."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 from pyspark.sql import functions as F
 
 from .conftest import SF_DIR

@@ -4,6 +4,8 @@ optimistic-concurrency conflicts, vacuum."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # tiered run: see pytest.ini (r13 VERDICT #1)
+
 from pyspark.sql import functions as F
 
 
