@@ -1107,7 +1107,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = _cut(
+        stepped = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
             .select(
                 labels["node"].alias("node"),
@@ -1120,7 +1120,13 @@ def connected_components(
         # pointer jump (label <- label of my label): combined with the
         # neighbor step this converges in O(log diameter) rounds, so
         # max_iter=25 covers any component a dedup graph can realistically
-        # produce (diameter ~2^25 would be needed to exhaust it)
+        # produce (diameter ~2^25 would be needed to exhaust it).
+        # ONE lineage cut per round (r14, VERDICT #2): the pointer-jump
+        # self-join duplicates the un-cut stepped subtree inside the
+        # round's single materialization job, which costs less than the
+        # extra per-round checkpoint job it replaces (A/B on the
+        # contraction twin: 7.57 s vs 8.14 s median, identical labels —
+        # checkpoint placement is semantics-free).
         ptr = stepped.select(
             F.col("node").alias("pnode"), F.col("mid").alias("plabel")
         )

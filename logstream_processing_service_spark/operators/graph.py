@@ -83,12 +83,12 @@ def pagerank(
     only set it for symmetrized inputs; results are bit-identical there
     (in_mass is never NULL, so the coalesce was a no-op).
 
-    Lineage is cut every SECOND iteration (r14, guide §2.4/§5): the cut
-    point is semantics-free — two power steps chain as two join+agg
-    layers in one job — so halving the number of localCheckpoint
-    materialization jobs halves the fixed per-job launch cost without
-    changing any rank float (same expression tree, same exchanges).
-    ``localCheckpoint`` keeps iteration state in executor-local blocks
+    Lineage is cut per iteration with ``localCheckpoint(eager=False)``;
+    an r14 A/B measured fusing two power steps per cut SLOWER here
+    (median 7.34 s vs 6.76 s with caches kept — the lazy-checkpoint
+    chain materializes tighter with one join+agg per cut), so the
+    per-iteration cut stays. ``localCheckpoint`` keeps iteration state
+    in executor-local blocks
     with truncated lineage and NO recompute fallback: fine for the local
     bench; on a real cluster swap in reliable ``checkpoint()`` (with
     ``setCheckpointDir``) so an executor loss mid-power-iteration can
@@ -147,11 +147,7 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        # fused lineage cut (docstring): every 2nd iteration, and always
-        # after the last so the returned plan stays O(1) deep
-        if it % 2 == 1 or it == n_iter - 1:
-            nxt = nxt.localCheckpoint(eager=False)
-        ranks = nxt
+        ranks = nxt.localCheckpoint(eager=False)
     # NOTE: edges/edeg are intentionally NOT unpersisted here — the whole
     # iteration chain is lazy (localCheckpoint(eager=False)), so the
     # caches first materialize at the CALLER's action and an in-function
@@ -233,9 +229,9 @@ def weighted_pagerank(
 
     ``symmetric=True``: same contract and same one-exchange-per-iteration
     effect as :func:`pagerank` — every node must also RECEIVE mass (true
-    for symmetrized edge lists); bit-identical results there. Same fused
-    every-2nd-iteration lineage cut and the same caller-owned cache
-    lifecycle as :func:`pagerank` (see its docstring; production swaps
+    for symmetrized edge lists); bit-identical results there. Same
+    per-iteration lineage cut and caller-owned cache lifecycle as
+    :func:`pagerank` (see its docstring; production swaps
     ``localCheckpoint`` for reliable ``checkpoint()``)."""
     # cache: caller-owned (repo contract — bench/driver clear per query)
     edges = edges.persist()
@@ -291,10 +287,7 @@ def weighted_pagerank(
                     ).alias("rank"),
                 )
             )
-        # fused lineage cut — see pagerank(): semantics-free, halves jobs
-        if it % 2 == 1 or it == n_iter - 1:
-            nxt = nxt.localCheckpoint(eager=False)
-        ranks = nxt
+        ranks = nxt.localCheckpoint(eager=False)
     # edges/edeg stay persisted for the caller's action (see pagerank —
     # cache lifecycle is caller-owned; an in-function unpersist dropped
     # the caches before the lazy chain ever materialized them).

@@ -957,10 +957,21 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def with_gradient_image_payload(documents: DataFrame) -> DataFrame:
+def with_gradient_image_payload(
+    documents: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """Fixture image corpus with CONTENT: per doc a real grayscale PNG,
     w = doc_id%48+8, h = doc_id%37+8, pixel(x,y) = (3x+7y+doc_id%256)%256
-    — integer closed forms an oracle recomputes without any decoder."""
+    — integer closed forms an oracle recomputes without any decoder.
+
+    r14 (guide §2.5/§2.6 idle capacity): codec work is CPU-bound Python —
+    spread doc ids across tasks BEFORE the encode UDF (the jpeg-lane
+    discipline; the local testdata parquet is one row group, so without
+    this every PNG encode AND every downstream decode ran serially in
+    ONE task). The doc_id-only shuffle costs 8 bytes/row; downstream
+    lanes inherit the spread, so the payload bytes never cross an
+    exchange. ``n_parts`` defaults to the session's parallelism —
+    scale-adaptive, not a local-mode constant."""
 
     @F.pandas_udf(BinaryType())
     def make_png(doc_id: pd.Series) -> pd.Series:
@@ -970,8 +981,9 @@ def with_gradient_image_payload(documents: DataFrame) -> DataFrame:
             )
         )
 
+    n = n_parts or documents.sparkSession.sparkContext.defaultParallelism
     payload = make_png(F.col("doc_id"))
-    return documents.select(
+    return documents.select("doc_id").repartition(n, "doc_id").select(
         "doc_id",
         payload.alias("payload"),
         F.struct(
@@ -984,11 +996,16 @@ def with_gradient_image_payload(documents: DataFrame) -> DataFrame:
     )
 
 
-def with_tone_audio_payload(documents: DataFrame) -> DataFrame:
+def with_tone_audio_payload(
+    documents: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """Fixture audio corpus with CONTENT: per doc a real sine-tone PCM WAV
     (rate 8000, frames = 400+doc_id%200, freq = 100+doc_id%200,
     amp = (1+doc_id%8)/10, channels = doc_id%2+1) — the quantized sample
-    formula is oracle-recomputable sample-for-sample."""
+    formula is oracle-recomputable sample-for-sample.
+
+    Same r14 pre-encode spread as :func:`with_gradient_image_payload`
+    (one-row-group input serialized the whole encode+decode lane)."""
 
     @F.pandas_udf(BinaryType())
     def make_wav(doc_id: pd.Series) -> pd.Series:
@@ -1002,8 +1019,9 @@ def with_tone_audio_payload(documents: DataFrame) -> DataFrame:
             )
         )
 
+    n = n_parts or documents.sparkSession.sparkContext.defaultParallelism
     payload = make_wav(F.col("doc_id"))
-    return documents.select(
+    return documents.select("doc_id").repartition(n, "doc_id").select(
         "doc_id",
         payload.alias("payload"),
         F.struct(
@@ -1063,11 +1081,10 @@ def audio_dominant_tone(media: DataFrame) -> DataFrame:
                 columns=["doc_id", "n_frames", "peak_bin", "peak_freq_hz"],
             )
 
-    return (
-        media.select("doc_id", "payload")
-        .repartition(32, "doc_id")
-        .mapInPandas(run, TONE_SCHEMA)
-    )
+    # no repartition here (r14): the payload builders spread doc ids
+    # BEFORE the encode UDF, so re-shuffling would move the payload
+    # bytes through a second exchange for nothing.
+    return media.select("doc_id", "payload").mapInPandas(run, TONE_SCHEMA)
 
 
 HIST_SCHEMA = StructType(
@@ -1122,8 +1139,6 @@ def image_histogram_stats(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return (
-        media.select("doc_id", "payload")
-        .repartition(32, "doc_id")
-        .mapInPandas(run, HIST_SCHEMA)
-    )
+    # no repartition here (r14): see audio_dominant_tone — the builders
+    # spread doc ids before the encode UDF.
+    return media.select("doc_id", "payload").mapInPandas(run, HIST_SCHEMA)

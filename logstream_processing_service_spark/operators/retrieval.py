@@ -615,16 +615,15 @@ def maxsim_topk(
     (query, qtok, doc) MAX combine. One exchange on (query_id, doc_id)
     carries ≤ |queries|·|qtokens|·|docs| maxed rows, never raw pairs.
 
-    The exploded (doc_id, tok) stream feeds BOTH the vocabulary aggregate
-    and the embedding re-attach join; persisted so the corpus tokenize
-    pass runs once (r14, guide §2.4/§5 — the retrieval_eval_report
-    shared-subtree discipline). cache: caller-owned (repo contract —
-    bench/driver clear per query)."""
+    (r14 A/B: persisting the exploded token stream for its two consumers
+    measured flat-to-negative at bench scale — the cache write of the
+    corpus-sized stream costs more than re-running the cheap tokenize
+    projection — so the stream stays unpersisted.)"""
     spark = documents.sparkSession
     dtok = documents.select(
         "doc_id",
         F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok"),
-    ).persist()
+    )
     vocab = _with_unit_vec(dtok.select("tok").distinct(), "tok")
     dvec = dtok.join(vocab, "tok")
     qvec = _with_unit_vec(_query_terms(spark, queries), "tok")
@@ -766,19 +765,17 @@ def maxsim_topk_routed(
     maxsim_topk.
     """
     spark = documents.sparkSession
-    # the exploded token stream feeds the frequency aggregate AND the
-    # bucketed re-attach join: persist so the corpus tokenize pass runs
-    # once (r14, guide §2.4/§5). cache: caller-owned (repo contract —
-    # bench/driver clear per query)
+    # (r14 A/B: persisting dtok/freq measured NEGATIVE at bench scale —
+    # cache-write overhead exceeded the recompute they saved — so both
+    # stay unpersisted; the structural wins below are kept.)
     dtok = documents.select(
         "doc_id",
         F.explode(F.array_distinct(T.words(F.col("text")))).alias("tok"),
-    ).persist()
+    )
     # vocab == freq's key set: one (tok) exchange serves the anchor
     # ranking AND the bucket assignment (r14, guide §2.4 — the old
     # distinct re-aggregated the same stream a second time).
-    # cache: caller-owned (repo contract — bench/driver clear per query)
-    freq = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).persist()
+    freq = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     anchors = _with_unit_vec(
         freq.orderBy(F.desc("n"), F.asc("tok"))
         .limit(n_anchors)

@@ -482,11 +482,9 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form pixel oracle."""
     from .operators.multimodal import image_dhash, with_gradient_image_payload
 
-    # codec work is CPU-bound Python: spread it across tasks (the local
-    # testdata parquet is one row group — same fix as jpeg_pixel_stats)
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        32, "doc_id"
-    )
+    # the payload builder spreads doc ids before the encode UDF (r14 —
+    # the jpeg-lane discipline moved into with_gradient_image_payload)
+    docs = _t(spark, sf_dir, "documents")
     return image_dhash(with_gradient_image_payload(docs)).orderBy("doc_id")
 
 
@@ -783,7 +781,5 @@ def q_dhash_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_gradient_image_payload,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        32, "doc_id"
-    )
+    docs = _t(spark, sf_dir, "documents")
     return dhash_near_dup_report(with_gradient_image_payload(docs))
