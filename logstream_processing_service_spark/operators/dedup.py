@@ -1076,8 +1076,18 @@ def connected_components(
     (HDFS/object store), which survives executor loss. Local tests keep
     the fast path.
 
-    The loop stops early the first round no label changes (one tiny
-    count() action per round — driver-side control, cluster-side data).
+    The loop stops early the first round no label changes. On the local
+    (non-reliable) path the changed-probe IS the round's materialization
+    action (r14, VERDICT #2): every lineage cut is a LAZY
+    ``localCheckpoint`` and the probe is a full ``count()`` over the
+    changed rows — a full count computes every partition (no take-style
+    partial scan that would leave uncheckpointed partitions behind), so
+    the round's join+agg, the block materialization, and the
+    convergence answer share ONE job instead of a checkpoint job plus a
+    probe job per round. ``reliable=True`` keeps eager ``checkpoint()``
+    plus a ``limit(1)`` probe — a lazy reliable checkpoint would
+    recompute the round to write it (RDD checkpoint semantics), which
+    costs more than the job it saves.
     """
     if reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is None:
         raise ValueError(
@@ -1086,12 +1096,14 @@ def connected_components(
         )
 
     def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=False)
 
     # the edge list is checkpointed ONCE: without this, every round's join
     # would re-execute the entire upstream pairs job (for dedup_clusters,
     # the full LSH candidate+verify pipeline) because exchange reuse never
-    # spans actions
+    # spans actions. Lazy on the local path: round 1's probe job
+    # materializes sym and labels along with the first step (two fewer
+    # standalone jobs); later rounds read the checkpointed blocks.
     sym = _cut(
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
@@ -1140,7 +1152,12 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        changed = updated.filter(F.col("label") != F.col("old")).limit(1).count()
+        # changed-probe folded into the materialization (docstring): the
+        # full count computes (and on the local path checkpoints) every
+        # partition of `updated` in the one job; reliable keeps the
+        # short-circuiting limit(1) over already-checkpointed blocks.
+        probe = updated.filter(F.col("label") != F.col("old"))
+        changed = (probe.limit(1) if reliable else probe).count()
         labels = updated.select("node", "label")
         if changed == 0:
             return labels
