@@ -397,7 +397,7 @@ def synthetic_jpeg_blocks(width: int, height: int, seed: int = 0) -> bytes:
     return encode_jpeg_gray(px, quality=100)
 
 
-def with_blocky_jpeg_payload(documents, n_parts: int = 32):
+def with_blocky_jpeg_payload(documents, n_parts: int | None = None):
     from pyspark.sql import functions as F
 
     @F.pandas_udf("binary")
@@ -412,7 +412,10 @@ def with_blocky_jpeg_payload(documents, n_parts: int = 32):
     # UDFs (a doc_id-only shuffle costs ~8 bytes/row; the local testdata
     # parquet is one row group, so without this every encode+decode runs
     # serially in a single task — and at 100 TB this is how a media
-    # pipeline bounds per-task batch bytes anyway, cf. extract_features)
+    # pipeline bounds per-task batch bytes anyway, cf. extract_features).
+    # n_parts defaults to the session's parallelism (r14) —
+    # scale-adaptive, not a local constant.
+    n_parts = n_parts or documents.sparkSession.sparkContext.defaultParallelism
     return documents.select("doc_id").repartition(n_parts, "doc_id").select(
         "doc_id", make_jpeg(F.col("doc_id")).alias("payload")
     )
